@@ -1,0 +1,156 @@
+"""Text-analysis expression library (engine extension for LLM-data
+pipelines; not in the reference, mandated by BASELINE.json).
+
+Everything is a built-in Column expression (whole-stage codegen, no UDFs),
+and every hash is *cross-engine deterministic* — md5-hex prefix -> bigint —
+so the DuckDB oracle can reproduce signatures bit-for-bit. Spark's native
+``hash``/``xxhash64`` are faster but engine-specific; we expose both, using
+the md5 path in oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_REGEX = "[a-z0-9]+"
+
+# Modulus for all signature arithmetic: 2^31-1 (Mersenne prime). Keeps every
+# intermediate product under 2^62 so the math stays in overflow-free int64
+# territory in both Spark and DuckDB.
+HASH_P = 2_147_483_647
+
+# Deterministic (a, b) constants for the MinHash family h_i(x) = (a*x+b) mod P
+# (classic universal-hash construction; any fixed odd-ish constants work).
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = tuple(
+    ((i * 2_654_435_761 + 1_013_904_223) % HASH_P or 1, (i * 97_531 + 12_345) % HASH_P)
+    for i in range(1, 17)
+)
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "ich"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "ce"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+
+def words(col: Column | str) -> Column:
+    """Lowercased word tokens ([a-z0-9]+ runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(WORD_REGEX), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def md5_long(col: Column, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` hex digits of md5 as a bigint — the cross-engine
+    hash primitive. DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams, space-joined. Docs shorter than n words yield
+    an empty array (note: sequence(1,0) would be the *descending* [1,0] in
+    Spark, hence the explicit guard)."""
+    toks = words(col)
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(m >= 1, grams).otherwise(empty))
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct shingle hash values in [0, P) — input to MinHash/Jaccard."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, n), lambda s: md5_long(s) % HASH_P)
+    )
+
+
+def minhash_signature(hashes: Column, k: int = 16) -> Column:
+    """MinHash signature: for each of ``k`` universal hash functions, the
+    min over the document's shingle-hash set. Empty docs -> P (sentinel max)
+    so the signature is total. O(k * |shingles|) per row, all codegen'd."""
+    sigs = [
+        F.coalesce(
+            F.array_min(
+                F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(HASH_P))
+            ),
+            F.lit(HASH_P).cast("long"),
+        )
+        for a, b in MINHASH_COEFFS[:k]
+    ]
+    return F.array(*sigs)
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash over word tokens: bit b of the fingerprint is the sign of
+    sum_t (bit_b(h(t)) ? 1 : -1). Division-based bit extraction keeps the
+    expression portable to the DuckDB oracle."""
+    toks = F.array_distinct(words(col))
+    hs = F.transform(toks, lambda t: md5_long(t))
+
+    def _bit_merge(pw: int):
+        def merge(s: Column, h: Column) -> Column:
+            bit = ((h / F.lit(pw)).cast("long") % 2) == 1
+            return s + F.when(bit, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_merge(pw))
+        acc = acc + F.when(bit_sum > 0, F.lit(pw)).otherwise(F.lit(0))
+    return acc
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    toks = words(col)
+    wl = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*wl)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits, fixed priority order
+    on ties, 'und' (undetermined) when no list scores > 0."""
+    hits = {lang: stopword_hits(col, lang) for lang in LANG_PRIORITY}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation, lexical
+    diversity, stopword plausibility."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = words(c)
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    len_score = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / safe_n
+    stop_ratio = stopword_hits(c, "en").cast("double") / safe_n
+    stop_score = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * diversity + F.lit(0.3) * stop_score
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    token hashes, mod P (multiplier 131)."""
+    hs = F.transform(words(col), lambda t: md5_long(t) % HASH_P)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(131) + h) % F.lit(HASH_P),
+    )

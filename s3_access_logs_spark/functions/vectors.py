@@ -1,0 +1,59 @@
+"""Vector math over ``array<float>`` embedding columns — built-in
+higher-order functions only (zip_with/aggregate run in codegen; no UDF, no
+Python round-trip). All arithmetic is promoted to double so results are
+reproducible cross-engine (DuckDB list_* on DOUBLE[] matches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _d(col: Column | str) -> Column:
+    return F.transform(_c(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(_d(a), _d(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(_d(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(_d(a), _d(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def random_projection_bucket(a: Column | str, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign pattern of dot products against fixed random
+    hyperplanes (deterministic constants -> reproducible bucketing). With
+    ``len(planes)`` = m, buckets are 0..2^m-1; near-identical vectors land
+    in the same bucket, making ANN a per-bucket local search instead of a
+    full cross join."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        acc = acc + F.when(dot(_c(a), p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc

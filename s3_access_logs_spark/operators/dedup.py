@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale text corpora (engine extension,
+BASELINE.json mandate). All operate on a DataFrame with (id_col, text_col).
+
+Scale notes (the point of each design):
+
+* exact: one hash-shuffle on the digest; map-side partial agg keeps the
+  shuffle at one row per distinct digest.
+* minhash LSH: candidate generation is explode(bands) + self-join on the
+  band key — cost ~ O(docs x bands) shuffle rows instead of O(docs^2);
+  verification runs only on bucket collisions.
+* ngram-jaccard: exact pairwise similarity via an inverted index
+  (explode shingles -> join on shingle) — never a cross join; prune
+  high-frequency shingles to cap skew.
+* simhash: near-dup by Hamming distance via pigeonhole banding on bit
+  chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.text import (
+    HASH_P,
+    MINHASH_COEFFS,
+    shingle_hashes,
+    simhash,
+)
+
+
+def normalized_digest(text: Column) -> Column:
+    """Canonical content digest: lowercase, collapse whitespace, md5."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One surviving row per distinct normalized text: (digest, keep_id,
+    n_dupes). Deterministic survivor = min id."""
+    return (
+        df.select(
+            normalized_digest(F.col(text_col)).alias("digest"), F.col(id_col)
+        )
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures via explode + groupBy-min.
+
+    Deliberately NOT the single-expression form
+    (functions.text.minhash_signature): Catalyst's project collapsing would
+    inline the shingle+md5 computation into each of the k min-terms (k x
+    recompute — measured 20x slower at sf0.1). Exploding computes each
+    shingle hash once and the k mins aggregate map-side, so the shuffle
+    carries one partial row per doc; this is also the plan that scales —
+    no per-row array of the whole shingle set needs to stay in memory."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(shingle_hashes(F.col(text_col), n=shingle_n)).alias("sh"),
+    )
+    mins = ex.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(HASH_P)),
+                F.lit(HASH_P).cast("long"),
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) whose signatures collide in >= 1
+    band. k/bands rows per band; P(collide) ~ jaccard^(k/bands) per band."""
+    rows = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.concat_ws(
+                            "-",
+                            F.transform(
+                                F.slice("sig", j * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
+    via inverted index: explode -> self-join on shingle -> count
+    intersections; |union| = |A| + |B| - |inter|.
+
+    ``max_shingle_freq`` drops shingles appearing in more than N docs
+    (stopword-shingle skew guard — at 100 TB a single hot shingle would
+    otherwise produce a quadratic bucket)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(F.col(text_col), n=shingle_n).alias("shingles"),
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        inv = inv.join(freq.select("shingle"), "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "id_a", "id_b", "n_inter", F.round("jaccard_raw", 6).alias("jaccard")
+        )
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the fingerprint into ``chunks`` bit-chunks;
+    any pair within distance < chunks must agree on >= 1 chunk, so
+    candidates come from equi-joins on chunk values (shuffle-friendly),
+    then exact popcount verification."""
+    width = bits // chunks
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    chunk_cols = [
+        ((F.col("simhash") / F.lit(1 << (j * width))).cast("long") % F.lit(1 << width))
+        .alias(f"c{j}")
+        for j in range(chunks)
+    ]
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("chunk_idx"), c.alias("chunk_val"))
+                    for j, c in enumerate(chunk_cols)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    xor_bits = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + (
+            (
+                (F.col("sh_a") / F.pow(F.lit(2.0), i.cast("double"))).cast("long")
+                + (F.col("sh_b") / F.pow(F.lit(2.0), i.cast("double"))).cast("long")
+            )
+            % 2
+        ).cast("int"),
+    )
+    return (
+        cand.withColumn("hamming", xor_bits)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

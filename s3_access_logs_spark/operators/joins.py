@@ -1,0 +1,66 @@
+"""Join operators Spark lacks natively — expressed as compositions of
+built-in ops (SURVEY §2.3 "Joins": as-of / range shapes).
+
+As-of join: for each left row, the latest right row with right.ts <=
+left.ts (backward) per key — the classic point-in-time join. Implemented
+as union + ordered window + last(ignorenulls): one shuffle on (key), no
+cross join, no per-key driver loop. This is the standard scalable as-of
+plan; a sort-merge-based native operator could shave the window pass, but
+the union trick keeps everything in Catalyst-optimizable territory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+    direction: str = "backward",
+) -> DataFrame:
+    """Point-in-time join. Right payload columns come back prefixed; left
+    rows with no match keep NULLs (left-join semantics).
+
+    direction='backward': latest right.ts <= left.ts (ties include equal
+    timestamps, right row wins deterministically).
+    direction='forward': earliest right.ts >= left.ts.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys]
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.struct(*[F.col(c) for c in payload]).alias("_rval"),
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    u = r.unionByName(l, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = F.last("_rval", ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = F.last("_rval", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"unknown direction: {direction}")
+    out = (
+        u.withColumn("_matched", matched)
+        .filter(F.col("_side") == 1)
+        .drop("_ts", "_side", "_rval")
+    )
+    for c in payload:
+        out = out.withColumn(f"{right_prefix}{c}", F.col("_matched").getField(c))
+    return out.drop("_matched")

@@ -1,0 +1,219 @@
+"""ETL-parity query catalog.
+
+The driver's tables contain no raw S3 log lines, so these queries
+*construct* deterministic log lines from the ``events`` table — identically
+in Spark and in the oracle SQL — then run the real parse pipeline
+(tokenizer -> positional projection -> derived columns) on the Spark side,
+while the oracle computes the expected outputs directly from the source
+columns. That makes the oracle independent of the Spark implementation:
+any tokenizer/derivation bug shows up as a mismatch.
+
+Reference semantics under test: tokenizer (s3access/serializer.py:5-10),
+positional mapping + '-' sentinel ints (s3access/normalize.py:23-48, :9-15),
+timestamp parse/epoch/parts/ISO (s3access/normalize.py:53-64), IPv4->uint32
+(s3access/normalize.py:70), requester flags (s3access/normalize.py:76-77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.ip import ipv4_to_long, long_to_ipv4
+from s3_access_logs_spark.operators.parse import parse_logs
+from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.sources.tables import load_table
+
+
+def _synthetic_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> one synthetic S3 access-log line per event (all 24 fields,
+    quoted/bracketed groups, '-' sentinels on a deterministic subset)."""
+    ev = load_table(spark, sf_dir, "events")
+    uid, eid = F.col("user_id"), F.col("event_id")
+    dt = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
+    ip = F.concat(
+        F.lit("10."), uid % 256, F.lit("."), eid % 256, F.lit("."), (eid * 7) % 256
+    )
+    requester = (
+        F.when(eid % 3 == 0, F.concat(F.lit("arn:aws:iam::123456789012:user/u"), uid))
+        .when(
+            eid % 3 == 1,
+            F.concat(F.lit("arn:aws:sts::123456789012:assumed-role/role/sess"), uid),
+        )
+        .otherwise(F.lit("-"))
+    )
+    bytessent = F.when(eid % 5 == 0, F.lit("-")).otherwise(
+        (eid % 10000).cast("string")
+    )
+    line = F.concat_ws(
+        " ",
+        F.concat(F.lit("owner"), uid),
+        F.concat(F.lit("bucket"), uid % 3),
+        F.concat(F.lit("["), dt, F.lit(" +0000]")),
+        ip,
+        requester,
+        F.concat(F.lit("REQ"), eid),
+        F.concat(F.lit("REST."), F.upper("event_type"), F.lit(".OBJECT")),
+        F.concat(F.lit("key/"), eid),
+        F.concat(F.lit('"GET /bucket/key'), eid, F.lit(' HTTP/1.1"')),
+        F.lit("200"),
+        F.lit("-"),
+        bytessent,
+        F.lit("-"),
+        (eid % 500).cast("string"),
+        F.lit("-"),
+        F.lit('"-"'),
+        F.concat(F.lit('"agent/'), uid, F.lit(' (Linux)"')),
+        F.lit("-"),
+        F.concat(F.lit("host"), eid),
+        F.lit("SigV4"),
+        F.lit("-"),
+        F.lit("AuthHeader"),
+        F.concat(F.lit("bucket"), uid % 3, F.lit(".s3.amazonaws.com")),
+        F.lit("TLSV1.2"),
+    )
+    return ev.select(line.alias("value"))
+
+
+@query(
+    "log_line_parse",
+    oracle="""
+    SELECT 'REQ' || event_id AS requestid,
+           'bucket' || (user_id % 3) AS bucket_name,
+           'REST.' || upper(event_type) || '.OBJECT' AS operation,
+           '10.' || (user_id % 256) || '.' || (event_id % 256) || '.'
+               || ((event_id * 7) % 256) AS remoteip,
+           'GET /bucket/key' || event_id || ' HTTP/1.1' AS request_uri,
+           'agent/' || user_id || ' (Linux)' AS useragent,
+           CASE WHEN event_id % 5 = 0 THEN 0
+                ELSE event_id % 10000 END::BIGINT AS bytessent,
+           (event_id % 500)::BIGINT AS totaltime,
+           floor(epoch(ts))::BIGINT AS ts,
+           year(ts)::BIGINT AS year,
+           month(ts) AS month,
+           day(ts) AS day,
+           hour(ts) AS hour,
+           minute(ts) AS minute,
+           second(ts)::INTEGER AS second,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS datetime,
+           (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
+            + (event_id * 7) % 256)::BIGINT AS remoteip_int,
+           event_id % 3 = 1 AS is_assumed_role,
+           event_id % 3 = 0 AS is_user
+    FROM events
+    """,
+    tags=("etl", "parse"),
+    bench=True,
+)
+def log_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end parse parity: synthesize lines from events, run the real
+    tokenizer + projection + derivations; the oracle computes expectations
+    straight from the source columns."""
+    parsed = parse_logs(_synthetic_log_lines(spark, sf_dir))
+    return parsed.select(
+        "requestid",
+        "bucket_name",
+        "operation",
+        "remoteip",
+        "request_uri",
+        "useragent",
+        "bytessent",
+        "totaltime",
+        "ts",
+        "year",
+        "month",
+        "day",
+        "hour",
+        "minute",
+        "second",
+        "datetime",
+        "remoteip_int",
+        "is_assumed_role",
+        "is_user",
+    )
+
+
+@query(
+    "logs_hourly_agg",
+    oracle="""
+    SELECT 'bucket' || (user_id % 3) AS bucket_name,
+           'REST.' || upper(event_type) || '.OBJECT' AS operation,
+           hour(ts) AS hour,
+           COUNT(*) AS n_requests,
+           SUM(CASE WHEN event_id % 5 = 0 THEN 0
+                    ELSE event_id % 10000 END)::BIGINT AS total_bytes,
+           ROUND(AVG(event_id % 500), 4) AS avg_totaltime
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("etl", "agg"),
+    bench=True,
+)
+def logs_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship downstream query shape (SURVEY §2.2):
+    requests/bytes/latency by bucket x operation x hour over parsed logs —
+    exactly what the hive partitioning (cmd/export.py:146) exists to prune."""
+    parsed = parse_logs(_synthetic_log_lines(spark, sf_dir))
+    return parsed.groupBy("bucket_name", "operation", "hour").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("bytessent").alias("total_bytes"),
+        F.round(F.avg("totaltime"), 4).alias("avg_totaltime"),
+    )
+
+
+@query(
+    "ipv4_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           ((c_custkey * 131) % 223 + 1) || '.' || ((c_custkey * 17) % 256)
+             || '.' || ((c_custkey * 29) % 256) || '.' || ((c_custkey * 43) % 256)
+             AS ip,
+           (((c_custkey * 131) % 223 + 1) * 16777216
+            + ((c_custkey * 17) % 256) * 65536
+            + ((c_custkey * 29) % 256) * 256
+            + ((c_custkey * 43) % 256))::BIGINT AS ip_int,
+           true AS roundtrip_ok
+    FROM customer
+    """,
+    tags=("etl", "ip"),
+)
+def ipv4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ipv4_to_long / long_to_ipv4 parity on constructed addresses
+    (reference: s3access/normalize.py:70; uint32 value space)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ip = F.concat_ws(
+        ".",
+        (k * 131) % 223 + 1,
+        (k * 17) % 256,
+        (k * 29) % 256,
+        (k * 43) % 256,
+    )
+    df = c.select("c_custkey", ip.alias("ip"))
+    df = df.withColumn("ip_int", ipv4_to_long("ip"))
+    return df.withColumn("roundtrip_ok", long_to_ipv4("ip_int") == F.col("ip"))
+
+
+@query(
+    "binary_columns",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_hash,
+           substr(text, 1, 16) AS head
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text -> opaque binary payload column + typed
+    metadata (the decode/feature path lives in operators/multimodal.py as
+    an Arrow-batched mapInPandas over this same column shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.substring("text", 1, 16).alias("head"),
+    )

@@ -1,0 +1,340 @@
+"""Text-analysis + dedup query catalog over the ``documents`` table.
+
+The DuckDB oracle SQL is *generated from the same constants* as the Spark
+expressions (hash modulus, minhash coefficients, stopword lists), so the
+signatures match bit-for-bit — these operators are deterministic by design,
+which is what makes an approximate technique like MinHash oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions import text as T
+from s3_access_logs_spark.operators import dedup as D
+from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.sources.tables import load_table
+
+# ---- shared SQL fragments (DuckDB dialect) --------------------------------
+
+P = T.HASH_P
+SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+SQL_MD5_LONG = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+SQL_SHINGLE_HASHES = (
+    f"list_distinct(list_transform(shingles, s -> {SQL_MD5_LONG.format(x='s')} % {P}))"
+)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    wl = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({wl})))"
+
+
+# ---- queries ---------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dupes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized digest; survivor =
+    min(doc_id). One shuffle, map-side partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs)
+
+
+@query(
+    "token_stats_by_source",
+    oracle=f"""
+    WITH t AS (SELECT source, {SQL_WORDS} AS toks FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(toks))::BIGINT AS total_tokens,
+           ROUND(AVG(len(toks)), 4) AS avg_tokens,
+           ROUND(AVG(len(list_distinct(toks))::DOUBLE
+                     / greatest(len(toks), 1)::DOUBLE), 6) AS avg_distinct_ratio
+    FROM t
+    GROUP BY source
+    """,
+    tags=("text", "llm", "agg"),
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.words("text")
+    ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+        F.round(F.avg(ratio), 6).alias("avg_distinct_ratio"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (SELECT lang, {SQL_WORDS} AS toks FROM documents),
+    scored AS (
+      SELECT lang,
+             {_lang_hits_sql('en')} AS h_en,
+             {_lang_hits_sql('de')} AS h_de,
+             {_lang_hits_sql('es')} AS h_es,
+             {_lang_hits_sql('fr')} AS h_fr,
+             {_lang_hits_sql('zh')} AS h_zh
+      FROM t
+    ), pred AS (
+      SELECT lang,
+             CASE
+               WHEN h_en = greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_en > 0 THEN 'en'
+               WHEN h_de = greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_de > 0 THEN 'de'
+               WHEN h_es = greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_es > 0 THEN 'es'
+               WHEN h_fr = greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_fr > 0 THEN 'fr'
+               WHEN h_zh = greatest(h_en, h_de, h_es, h_fr, h_zh) AND h_zh > 0 THEN 'zh'
+               ELSE 'und'
+             END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+    tags=("text", "llm", "lang-id"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID; output is the (actual, predicted)
+    confusion matrix so the oracle checks every per-doc decision."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {SQL_WORDS} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, source,
+             0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE)
+             + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
+                           / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0) AS score
+      FROM t
+    )
+    SELECT source,
+           ROUND(AVG(score), 6) AS avg_quality,
+           ROUND(MIN(score), 6) AS min_quality,
+           ROUND(MAX(score), 6) AS max_quality
+    FROM q GROUP BY source
+    """,
+    tags=("text", "llm", "quality"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = T.quality_score("text")
+    return docs.groupBy("source").agg(
+        F.round(F.avg(score), 6).alias("avg_quality"),
+        F.round(F.min(score), 6).alias("min_quality"),
+        F.round(F.max(score), 6).alias("max_quality"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P}) AS hs
+          FROM t)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, hs),
+                       (a, b) -> (a * 131 + b) % {P}) AS fingerprint
+    FROM h
+    """,
+    tags=("text", "llm", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "minhash_signatures",
+    oracle=None,  # filled below (generated SQL)
+    tags=("dedup", "llm", "minhash"),
+    bench=True,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) as a '-'-joined string + leading element.
+    Deterministic universal-hash family -> oracle-checkable bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig_tbl = D.minhash_signatures(docs, k=16, shingle_n=3)
+    return sig_tbl.select(
+        F.col("id").alias("doc_id"),
+        F.element_at("sig", 1).alias("sig0"),
+        F.concat_ws("-", F.transform("sig", lambda x: x.cast("string"))).alias(
+            "sig_str"
+        ),
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"coalesce(list_min(list_transform(sh, x -> ({a} * x + {b}) % {P})), {P})"
+        for a, b in T.MINHASH_COEFFS[:16]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h)
+    SELECT doc_id,
+           sig_list[1] AS sig0,
+           array_to_string(sig_list, '-') AS sig_str
+    FROM sig
+    """
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=None,  # filled below (generated SQL)
+    tags=("dedup", "llm", "minhash", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (k=16, 4 bands x 4 rows): pairs
+    whose signatures collide in >= 1 band. Shuffle cost O(docs x bands),
+    never O(docs^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidates(docs, k=16, bands=4, shingle_n=3)
+
+
+def _minhash_pairs_sql() -> str:
+    rows = 4
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(sh, x -> ({a} * x + {b}) % {P})), {P})"
+        for a, b in T.MINHASH_COEFFS[:16]
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        f"array_to_string(sig_list[{j * rows + 1}:{j * rows + rows}], '-') AS band_key "
+        "FROM sig"
+        for j in range(4)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM h),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM h),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           ROUND(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE, 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter)::DOUBLE >= 0.2
+    """,
+    tags=("dedup", "llm", "jaccard"),
+    bench=True,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.2 via inverted shingle index (no cross
+    join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, shingle_n=3, threshold=0.2)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=None,  # filled below (generated SQL)
+    tags=("dedup", "llm", "simhash"),
+)
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (sign-aggregated token hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs, bits=32).withColumnRenamed("id", "doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = "\n         + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"x -> CASE WHEN (x // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs
+          FROM t)
+    SELECT doc_id,
+           ({terms}) AS simhash
+    FROM h
+    """
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=None,  # pair set identical to banded SQL would be large; rows-only
+    tags=("dedup", "llm", "simhash", "lsh"),
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, bits=32, max_hamming=3, chunks=4)
+
+
+# Patch in the generated oracle SQL (kept out of the decorator for
+# readability; same registry object).
+from s3_access_logs_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_Q["minhash_signatures"] = _dc.replace(
+    _Q["minhash_signatures"], oracle=_minhash_sig_sql()
+)
+_Q["dedup_minhash_pairs"] = _dc.replace(
+    _Q["dedup_minhash_pairs"], oracle=_minhash_pairs_sql()
+)
+_Q["simhash_fingerprints"] = _dc.replace(
+    _Q["simhash_fingerprints"], oracle=_simhash_sql(32)
+)

@@ -1,0 +1,121 @@
+"""Similarity-search query catalog over the ``embeddings`` table
+(array<float> column; engine extension per BASELINE.json)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.vectors import cosine_similarity
+from s3_access_logs_spark.operators import similarity as S
+from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.sources.tables import load_table
+
+# Cosine in explicit double arithmetic, matching the Spark fold order
+# (sequential left-to-right accumulation) so values agree bit-for-bit.
+SQL_COSINE = (
+    "CASE WHEN sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b})) > 0 "
+    "THEN list_dot_product({a},{b}) "
+    "/ (sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+)
+
+
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {SQL_COSINE.format(a='qv', b='cv')} AS sim_raw
+      FROM c JOIN q ON query_id <> neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim_raw, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "ann", "topk"),
+    bench=True,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 8 query vectors — the correctness
+    baseline for ANN. Queries broadcast; no shuffle before the final
+    per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "embedding_ann_lsh",
+    oracle=None,  # approximate recall path; rows-only check
+    tags=("similarity", "llm", "ann", "lsh"),
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: random-hyperplane LSH bucketing (8 planes -> 256
+    buckets), probe only the query's bucket. At 100 TB the corpus is
+    pre-bucketed on disk so a probe touches ~1/256 of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "embedding_near_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {SQL_COSINE.format(a='a.v', b='b.v')} AS sim_raw
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim_raw, 6) AS sim
+    FROM pairs WHERE sim_raw >= 0.3
+    """,
+    tags=("similarity", "llm", "dedup"),
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.3) on a bounded
+    slice — exact pairwise at verification scale; the LSH variant above is
+    the scale path for the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim_raw = cosine_similarity("va", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_raw", sim_raw)
+        .filter(F.col("sim_raw") >= 0.3)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(v[1]), 6) AS centroid_d0,
+           ROUND(AVG(v[2]), 6) AS centroid_d1,
+           ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
+    FROM e GROUP BY label
+    """,
+    tags=("similarity", "llm", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components + mean squared norm — the aggregation
+    shape of a k-means/IVF training step (array agg without UDFs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at(v, 1)), 6).alias("centroid_d0"),
+        F.round(F.avg(F.element_at(v, 2)), 6).alias("centroid_d1"),
+        F.round(F.avg(sq), 6).alias("avg_sq_norm"),
+    )

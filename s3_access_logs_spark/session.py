@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Centralizes the configuration that matters at 100 TB scale so every entry
+point (tests, bench, driver contract, streaming jobs) runs with the same
+tuned session:
+
+* AQE on (runtime coalescing / skew-join splitting),
+* dynamic partition overwrite (idempotent hourly reruns — replaces the
+  reference's tracking-file gate, reference: cmd/export.py:319-324),
+* UTC session timezone (the reference parses ``%z`` offsets and emits UTC
+  epoch seconds, reference: s3access/normalize.py:53-55),
+* Arrow-batched Python<->JVM transfer for the few Pandas-UDF operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """CPU budget; the driver exports SPARK_GRAFT_CPUS on the bench host."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "s3-access-logs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the core count for local runs; on a
+    real cluster you would size it to ~2-3x total cores and let AQE coalesce.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
