@@ -1,0 +1,102 @@
+"""End-to-end ETL tests: read -> parse -> partitioned write -> pruned read
+(reference job semantics, cmd/export.py main)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.operators.etl import export_hour, read_parsed, write_logs
+from s3_access_logs_spark.operators.parse import parse_logs
+from s3_access_logs_spark.schema import PARTITION_COLS
+from s3_access_logs_spark.sources.logs import read_logs
+from tests.test_parse import AWS_DOC_LINE
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    lines_h0 = [
+        AWS_DOC_LINE,
+        AWS_DOC_LINE.replace("REST.GET.VERSIONING", "REST.PUT.OBJECT"),
+        AWS_DOC_LINE.replace("awsexamplebucket1 ", "otherbucket ", 1),
+    ]
+    lines_h1 = [AWS_DOC_LINE.replace("00:00:38", "01:02:03")]
+    (tmp_path / "2019-02-06-00-00-38-AAAA").write_text("\n".join(lines_h0) + "\n")
+    (tmp_path / "2019-02-06-01-02-03-BBBB").write_text("\n".join(lines_h1) + "\n")
+    return str(tmp_path)
+
+
+class TestReadLogs:
+    def test_hour_glob_prunes_files(self, spark, log_dir):
+        assert read_logs(spark, log_dir, hour="2019-02-06-00").count() == 3
+        assert read_logs(spark, log_dir, hour="2019-02-06-01").count() == 1
+        assert read_logs(spark, log_dir).count() == 4
+
+    def test_file_info_columns(self, spark, log_dir):
+        df = read_logs(spark, log_dir, hour="2019-02-06-00", with_file_info=True)
+        row = df.select("source_file", "file_dt").first()
+        assert row.source_file == "2019-02-06-00-00-38-AAAA"
+        assert row.file_dt.strftime("%Y-%m-%d %H:%M:%S") == "2019-02-06 00:00:38"
+
+
+class TestWriteLogs:
+    def test_hive_layout_and_partition_col_drop(self, spark, log_dir, tmp_path):
+        dst = str(tmp_path / "out")
+        parsed = parse_logs(read_logs(spark, log_dir))
+        write_logs(parsed, dst)
+        # hive dirs for every partition column, in order
+        leaf = None
+        for root, dirs, files in os.walk(dst):
+            if any(f.endswith(".parquet") for f in files):
+                leaf = root
+                break
+        assert leaf is not None
+        rel = os.path.relpath(leaf, dst)
+        got_cols = [seg.split("=")[0] for seg in rel.split(os.sep)]
+        assert got_cols == list(PARTITION_COLS)
+        # partition cols live in dir names, not in the data files
+        # (reference: s3access/parquet.py:50-61)
+        import pyarrow.parquet as pq
+
+        f = next(
+            os.path.join(r, x)
+            for r, _, fs in os.walk(dst)
+            for x in fs
+            if x.endswith(".parquet")
+        )
+        file_cols = set(pq.read_schema(f).names)
+        assert not (file_cols & set(PARTITION_COLS))
+        # snappy compression (reference: cmd/export.py:145)
+        meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        assert meta.compression == "SNAPPY"
+
+    def test_roundtrip_values(self, spark, log_dir, tmp_path):
+        dst = str(tmp_path / "out")
+        parsed = parse_logs(read_logs(spark, log_dir))
+        write_logs(parsed, dst)
+        back = read_parsed(spark, dst)
+        assert back.count() == 4
+        row = back.filter(F.col("operation") == "REST.PUT.OBJECT").first()
+        assert row.remoteip_int == 3221225987
+        assert row.ts == 1549411238
+        assert row.bucket_name == "awsexamplebucket1"
+
+    def test_idempotent_hour_rerun(self, spark, log_dir, tmp_path):
+        dst = str(tmp_path / "out")
+        n1 = export_hour(spark, log_dir, dst, hour="2019-02-06-00")
+        n2 = export_hour(spark, log_dir, dst, hour="2019-02-06-00")
+        assert n1 == n2 == 3
+        assert read_parsed(spark, dst).count() == 3  # no dup rows
+
+    def test_partition_pruned_read(self, spark, log_dir, tmp_path):
+        dst = str(tmp_path / "out")
+        export_hour(spark, log_dir, dst)
+        pruned = read_parsed(spark, dst).filter(
+            (F.col("hour") == 1) & (F.col("bucket_name") == "awsexamplebucket1")
+        )
+        assert pruned.count() == 1
+        # the physical plan must carry partition filters (pruning, not scan)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "hour" in plan

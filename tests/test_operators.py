@@ -1,0 +1,115 @@
+"""Unit tests for engine operators on hand-computed fixtures."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.vectors import cosine_similarity
+from s3_access_logs_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_near_pairs,
+)
+from s3_access_logs_spark.operators.joins import asof_join
+from s3_access_logs_spark.operators.similarity import brute_force_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedupExact:
+    def test_survivor_is_min_id(self, spark):
+        df = _docs(
+            spark,
+            [(1, "Hello  World"), (2, "hello world"), (3, "other doc")],
+        )
+        out = {r.keep_id: r.n_dupes for r in dedup_exact(df).collect()}
+        # case/whitespace-normalized: 1 and 2 collapse, survivor = 1
+        assert out == {1: 2, 3: 1}
+
+
+class TestJaccard:
+    def test_identical_docs_have_jaccard_one(self, spark):
+        text = "a b c d e f g h"
+        df = _docs(spark, [(1, text), (2, text), (3, "x y z w q r s t")])
+        pairs = jaccard_pairs(df, threshold=0.99).collect()
+        assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+    def test_disjoint_docs_no_pair(self, spark):
+        df = _docs(spark, [(1, "a b c d"), (2, "x y z w")])
+        assert jaccard_pairs(df, threshold=0.01).count() == 0
+
+
+class TestMinhash:
+    def test_identical_docs_always_candidates(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again"
+        df = _docs(spark, [(1, text), (2, text), (3, "完全 different words entirely here now ok fine yes")])
+        pairs = {(p.id_a, p.id_b) for p in minhash_candidates(df).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+class TestSimhash:
+    def test_identical_docs_zero_hamming(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        df = _docs(spark, [(1, text), (2, text)])
+        out = simhash_near_pairs(df, max_hamming=0).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+class TestAsofJoin:
+    def test_backward_picks_latest_prior(self, spark):
+        left = spark.createDataFrame(
+            [("u1", 100, "L1"), ("u1", 250, "L2"), ("u2", 50, "L3")],
+            ["k", "ts", "lbl"],
+        )
+        right = spark.createDataFrame(
+            [("u1", 90, "R1"), ("u1", 200, "R2"), ("u1", 300, "R3"), ("u3", 1, "R4")],
+            ["k", "ts", "rlbl"],
+        )
+        out = {
+            r.lbl: r.r_rlbl
+            for r in asof_join(left, right, on="k", right_prefix="r_").collect()
+        }
+        assert out == {"L1": "R1", "L2": "R2", "L3": None}
+
+    def test_equal_timestamp_matches(self, spark):
+        left = spark.createDataFrame([("u1", 100, "L")], ["k", "ts", "lbl"])
+        right = spark.createDataFrame([("u1", 100, "R")], ["k", "ts", "rlbl"])
+        out = asof_join(left, right, on="k", right_prefix="r_").collect()
+        assert out[0].r_rlbl == "R"
+
+    def test_forward_direction(self, spark):
+        left = spark.createDataFrame([("u1", 100, "L")], ["k", "ts", "lbl"])
+        right = spark.createDataFrame(
+            [("u1", 90, "R1"), ("u1", 150, "R2")], ["k", "ts", "rlbl"]
+        )
+        out = asof_join(
+            left, right, on="k", right_prefix="r_", direction="forward"
+        ).collect()
+        assert out[0].r_rlbl == "R2"
+
+
+class TestSimilarity:
+    def test_cosine_matches_math(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.6, 0.8])], ["a", "b"]
+        ).select(cosine_similarity("a", "b").alias("sim"))
+        assert math.isclose(df.collect()[0].sim, 0.6, rel_tol=1e-12)
+
+    def test_topk_ranks_by_cosine(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),   # closest to 0
+                (2, [0.0, 1.0]),   # orthogonal to 0
+                (3, [-1.0, 0.0]),  # opposite
+            ],
+            ["vec_id", "embedding"],
+        )
+        out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
+        assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
