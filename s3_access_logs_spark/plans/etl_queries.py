@@ -195,6 +195,80 @@ def ipv4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_meta",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             doc_id % 3 AS m,
+             octet_length(encode(text)) AS tb,
+             16 + doc_id % 240 AS img_w,
+             8000 + 1000 * (doc_id % 41) AS sr,
+             100 + doc_id % 9901 AS dur,
+             1 + doc_id % 120 AS nf,
+             32 + doc_id % 64 AS vid_w
+      FROM documents
+    )
+    SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS modality,
+           COUNT(*) AS n_assets,
+           SUM(CASE m WHEN 0 THEN 33 + tb WHEN 1 THEN 44 + tb
+                ELSE 20 + nf * 16 END)::BIGINT AS total_bytes,
+           ROUND(AVG(CASE m WHEN 0 THEN img_w WHEN 2 THEN vid_w END), 4)
+             AS avg_width,
+           ROUND(AVG(CASE WHEN m = 1 THEN sr END), 4) AS avg_sample_rate,
+           ROUND(AVG(CASE WHEN m = 1 THEN dur END), 4) AS avg_duration_ms,
+           SUM(CASE WHEN m = 2 THEN nf ELSE 0 END)::BIGINT AS total_frames
+    FROM a GROUP BY 1
+    """,
+    tags=("multimodal", "binary", "mapInPandas"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal round-trip: synthesize real container bytes (PNG/WAV/MVID)
+    from documents, then *decode the headers back from raw bytes* via
+    Arrow-batched mapInPandas (operators/multimodal.py) and aggregate the
+    typed metadata. The oracle recomputes every value from the synthesis
+    formulas, so a decode bug on either path mismatches."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = MM.decode_metadata(MM.synthesize_assets(docs))
+    return decoded.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.round(F.avg(F.col("meta.width")), 4).alias("avg_width"),
+        F.round(F.avg(F.col("meta.sample_rate")), 4).alias("avg_sample_rate"),
+        F.round(F.avg(F.col("meta.duration_ms")), 4).alias("avg_duration_ms"),
+        F.sum(F.coalesce(F.col("meta.n_frames"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_frames"),
+    )
+
+
+@query(
+    "video_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           ((1 + doc_id % 120) + 2) // 3 AS n_frames_kept,
+           (((1 + doc_id % 120) + 2) // 3 * 16)::BIGINT AS frame_bytes
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+    tags=("multimodal", "video", "mapInPandas"),
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: explode MVID video payloads into one row per
+    kept frame (stride 3) and re-aggregate per asset. Row counts and byte
+    totals are fully determined by the synthesis formulas."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.synthesize_assets(docs), stride=3)
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames_kept"),
+        F.sum(F.length("frame_payload")).cast("bigint").alias("frame_bytes"),
+    )
+
+
+@query(
     "binary_columns",
     oracle="""
     SELECT doc_id,
