@@ -1,0 +1,9 @@
+from s3_access_logs_spark.streaming.pipeline import (  # noqa: F401
+    hourly_rollup,
+    parse_log_stream,
+    read_log_stream,
+    run_export_stream,
+    sessionize,
+    sliding_traffic,
+    write_partitioned_stream,
+)

@@ -1,0 +1,173 @@
+"""Structured Streaming variant of the ETL + query surface.
+
+The reference runs as an hourly cron batch: previous-hour default
+(cmd/export.py:238-241), a tracking file per completed hour as the
+exactly-once guard (cmd/export.py:158-168, :319-324). Here the same
+semantics are one always-on streaming job:
+
+* the checkpointed file index replaces tracking files — a restarted query
+  never reprocesses a file, and a crashed micro-batch replays (the
+  reference's failure mode was a half-written hour with no tracking file);
+* ``parse_logs`` is a pure Column plan, so the *identical* expression tree
+  runs in both batch and streaming — no second parser to keep in sync;
+* event-time correctness comes from ``withWatermark`` on the parsed
+  timestamp, not from file naming: late-arriving lines land in the right
+  window up to the allowed lateness and are dropped (and counted by the
+  streaming metrics) past it, which the cron design simply got wrong —
+  a line for hour H arriving in hour H+2's file was exported under H+2.
+
+Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size (backpressure);
+state-store size for windowed aggs is O(open windows x groups), bounded by
+the watermark horizon; the partitioned sink reuses the batch writer via
+``foreachBatch``, so dynamic partition overwrite keeps replays idempotent
+per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from s3_access_logs_spark.operators.etl import write_logs
+from s3_access_logs_spark.operators.parse import parse_logs
+
+
+def read_log_stream(
+    spark: SparkSession, src: str, max_files_per_trigger: int = 256
+) -> DataFrame:
+    """Continuous ingestion of the raw log-line directory (streaming twin of
+    sources.logs.read_logs; no hour glob — time comes from the data)."""
+    return (
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(src)
+    )
+
+
+def parse_log_stream(lines: DataFrame, compat_is_user: bool = True) -> DataFrame:
+    """The batch parser applied to a stream — same Column plan, plus the
+    native TimestampType column ``ts_ts`` required for watermarking."""
+    return parse_logs(lines, compat_is_user=compat_is_user, keep_native_ts=True)
+
+
+def hourly_rollup(
+    parsed: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour traffic rollup by bucket x operation: the streaming
+    form of the flagship downstream query (SURVEY §2.2). Append-mode safe:
+    windows finalize once the watermark passes window end."""
+    return (
+        parsed.withWatermark("ts_ts", watermark)
+        .groupBy(
+            F.window("ts_ts", "1 hour").alias("w"),
+            "bucket_name",
+            "operation",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("bytessent").alias("total_bytes"),
+            F.round(F.avg("totaltime"), 4).alias("avg_totaltime"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket_name",
+            "operation",
+            "n_requests",
+            "total_bytes",
+            "avg_totaltime",
+        )
+    )
+
+
+def sliding_traffic(
+    parsed: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window request rate per bucket (overlapping windows — each
+    event lands in window/slide windows)."""
+    return (
+        parsed.withWatermark("ts_ts", watermark)
+        .groupBy(F.window("ts_ts", window, slide).alias("w"), "bucket_name")
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "bucket_name",
+            "n_requests",
+        )
+    )
+
+
+def sessionize(
+    parsed: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-requester session windows (dynamic gap close): built-in
+    ``session_window`` keeps merge state in the state store — no custom
+    applyInPandasWithState needed (SURVEY §7 hard-part 5). The same
+    expression works in batch, which is how the tests cross-check it."""
+    return (
+        parsed.withWatermark("ts_ts", watermark)
+        .groupBy(F.session_window("ts_ts", gap).alias("sw"), "requester")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("bytessent").alias("session_bytes"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "requester",
+            "n_requests",
+            "session_bytes",
+        )
+    )
+
+
+def write_partitioned_stream(
+    parsed: DataFrame,
+    dst: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Stream -> hive-partitioned Parquet via ``foreachBatch`` reusing the
+    batch writer (one code path for layout/clustering/compression).
+
+    Append mode + dynamic partition overwrite: a replayed micro-batch
+    rewrites exactly the partitions it already touched, so sink output is
+    idempotent under at-least-once batch delivery."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_logs(batch_df.drop("ts_ts"), dst, mode="overwrite")
+
+    writer = (
+        parsed.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_export_stream(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compat_is_user: bool = True,
+) -> StreamingQuery:
+    """The reference's whole cron job as one streaming pipeline:
+    scan -> parse -> partitioned write, exactly-once per input file.
+    ``available_now=True`` drains everything currently in ``src`` and stops
+    (a "catch-up batch" — the cron-parity mode); ``False`` runs forever."""
+    lines = read_log_stream(spark, src)
+    parsed = parse_log_stream(lines, compat_is_user=compat_is_user)
+    return write_partitioned_stream(
+        parsed, dst, checkpoint, available_now=available_now
+    )

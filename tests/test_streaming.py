@@ -1,0 +1,151 @@
+"""Structured Streaming variant (streaming/pipeline.py): exactly-once file
+ingestion, batch/stream parser parity, windowed aggs, watermark late-drop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.operators.etl import read_parsed
+from s3_access_logs_spark.operators.parse import parse_logs
+from s3_access_logs_spark.sources.logs import read_logs
+from s3_access_logs_spark.streaming import (
+    hourly_rollup,
+    parse_log_stream,
+    read_log_stream,
+    run_export_stream,
+    sessionize,
+)
+from tests.test_parse import AWS_DOC_LINE
+
+
+def at_time(hhmmss: str) -> str:
+    return AWS_DOC_LINE.replace("00:00:38", hhmmss)
+
+
+def write_file(path, name: str, lines: list[str]) -> None:
+    (path / name).write_text("\n".join(lines) + "\n")
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    write_file(d, "2019-02-06-00-00-38-AAAA", [at_time("00:00:38"), at_time("00:20:00")])
+    write_file(d, "2019-02-06-01-02-03-BBBB", [at_time("01:02:03")])
+    return d
+
+
+class TestExportStream:
+    def test_end_to_end_matches_batch(self, spark, log_dir, tmp_path):
+        dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = run_export_stream(spark, str(log_dir), dst, ckpt)
+        q.awaitTermination(120)
+        got = read_parsed(spark, dst)
+        batch = parse_logs(read_logs(spark, str(log_dir)))
+        assert got.count() == batch.count() == 3
+        assert (
+            got.select("requestid", "ts", "remoteip_int").orderBy("ts").collect()
+            == batch.select("requestid", "ts", "remoteip_int").orderBy("ts").collect()
+        )
+
+    def test_exactly_once_across_restarts(self, spark, log_dir, tmp_path):
+        dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_export_stream(spark, str(log_dir), dst, ckpt).awaitTermination(120)
+        assert read_parsed(spark, dst).count() == 3
+        # new file arrives; restart drains only the new file
+        write_file(log_dir, "2019-02-06-02-00-00-CCCC", [at_time("02:30:00")])
+        run_export_stream(spark, str(log_dir), dst, ckpt).awaitTermination(120)
+        assert read_parsed(spark, dst).count() == 4
+        # idle restart reprocesses nothing (tracking-file parity,
+        # reference cmd/export.py:319-324)
+        run_export_stream(spark, str(log_dir), dst, ckpt).awaitTermination(120)
+        assert read_parsed(spark, dst).count() == 4
+
+
+class TestWindowedAggs:
+    def _run_complete(self, df, name: str):
+        q = (
+            df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_hourly_rollup_matches_batch(self, spark, log_dir):
+        parsed = parse_log_stream(read_log_stream(spark, str(log_dir)))
+        self._run_complete(hourly_rollup(parsed), "hr_stream")
+        got = {
+            (r.window_start.hour, r.bucket_name, r.operation): r.n_requests
+            for r in spark.table("hr_stream").collect()
+        }
+        batch = parse_logs(read_logs(spark, str(log_dir)), keep_native_ts=True)
+        expect = {
+            (r.h, r.bucket_name, r.operation): r.n
+            for r in batch.groupBy(
+                F.hour("ts_ts").alias("h"), "bucket_name", "operation"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == expect and sum(got.values()) == 3
+
+    def test_sessionize_matches_batch(self, spark, log_dir):
+        parsed = parse_log_stream(read_log_stream(spark, str(log_dir)))
+        self._run_complete(sessionize(parsed, gap="30 minutes"), "sess_stream")
+        got = sorted(
+            (r.requester, r.session_start, r.n_requests)
+            for r in spark.table("sess_stream").collect()
+        )
+        batch = parse_logs(read_logs(spark, str(log_dir)), keep_native_ts=True)
+        expect = sorted(
+            (r.requester, r.session_start, r.n_requests)
+            for r in sessionize(batch, gap="30 minutes").collect()
+        )
+        # 00:00:38 and 00:20:00 merge (gap < 30m); 01:02:03 is its own session
+        assert got == expect and len(got) == 2
+
+
+class TestWatermark:
+    def test_late_rows_dropped_after_watermark(self, spark, tmp_path):
+        """Append mode emits a window only once the watermark passes its
+        end, and late rows behind the watermark never mutate it — the
+        event-time correctness the reference's cron-by-arrival-file design
+        lacks (a line for hour H arriving two hours late was exported
+        under the wrong hour)."""
+        d = tmp_path / "wm_logs"
+        d.mkdir()
+        out, ckpt = str(tmp_path / "wm_out"), str(tmp_path / "wm_ckpt")
+
+        def run():
+            parsed = parse_log_stream(read_log_stream(spark, str(d)))
+            q = (
+                hourly_rollup(parsed, watermark="1 hour")
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r.window_start.hour: r.n_requests
+                for r in spark.read.parquet(out).collect()
+            }
+
+        # run 1: 00:10 and 03:00 -> watermark 02:00 -> hour-0 finalized
+        write_file(d, "2019-02-06-00-10-00-AAAA", [at_time("00:10:00")])
+        write_file(d, "2019-02-06-03-00-00-BBBB", [at_time("03:00:00")])
+        assert run() == {0: 1}
+        # run 2: a late row (00:20 < watermark) + an on-time row at 03:10;
+        # hour-0 stays closed, hour-3 still open
+        write_file(d, "2019-02-06-03-10-00-CCCC",
+                   [at_time("00:20:00"), at_time("03:10:00")])
+        assert run() == {0: 1}
+        # run 3: 06:00 pushes the watermark past hour 3 -> emitted with
+        # both on-time rows and without the dropped late row
+        write_file(d, "2019-02-06-06-00-00-DDDD", [at_time("06:00:00")])
+        assert run() == {0: 1, 3: 2}
