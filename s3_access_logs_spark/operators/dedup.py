@@ -144,31 +144,55 @@ def jaccard_pairs(
 
     ``max_shingle_freq`` drops shingles appearing in more than N docs
     (stopword-shingle skew guard — at 100 TB a single hot shingle would
-    otherwise produce a quadratic bucket)."""
+    otherwise produce a quadratic bucket).
+
+    Plan shape (the scale-critical part): exactly ONE pass over the
+    expensive shingle-hash expression, two shuffles, zero joins, no cache.
+    The naive formulation (inverted-index self-join + two size joins)
+    re-evaluates the md5 shingle pipeline on every branch — Catalyst can't
+    reuse the exchange because lambda-variable ids defeat plan
+    canonicalization — and measured 2.7x slower at sf0.1. Here each doc's
+    shingle-set size rides along inside the inverted index
+    (``n_sh`` is constant per doc), the per-shingle groupBy collects the
+    posting list once, and ordered pairs explode straight out of it with
+    both sizes already in hand, so |union| needs no lookup."""
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(F.col(text_col), n=shingle_n).alias("shingles"),
     )
-    sizes = sh.select("id", F.size("shingles").alias("n_sh"))
-    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    inv = sh.select(
+        "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    grouped = (
+        inv.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     if max_shingle_freq is not None:
-        freq = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        inv = inv.join(freq.select("shingle"), "shingle")
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        grouped = grouped.filter(F.size("ms") <= max_shingle_freq)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x["id"].alias("id_a"),
+                            x["n_sh"].alias("n_a"),
+                            y["id"].alias("id_b"),
+                            y["n_sh"].alias("n_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard_raw",
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
