@@ -78,6 +78,102 @@ def brute_force_topk(
     )
 
 
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """(label, centroid: array<double>) — element-wise mean vector per
+    label, via posexplode -> (label, pos) avg -> re-assemble sorted by pos.
+    No UDFs: the whole thing is two hash aggregations.
+
+    Components are rounded to ``decimals`` so a cross-engine oracle
+    (different float summation order) reproduces the centroids exactly and
+    every downstream distance is bit-identical."""
+    pe = corpus.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    per_dim = pe.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], decimals),
+        ).alias("centroid")
+    )
+
+
+def _assign_clusters(
+    df: DataFrame, cents: DataFrame, vec: str, out_id: str, n_best: int
+) -> DataFrame:
+    """Rank centroids per vector by cosine (ties broken on label) and keep
+    the ``n_best`` nearest as ``cluster``. Centroids broadcast — the
+    cross join is a map-side nested loop over ~nlist rows."""
+    scored = df.crossJoin(broadcast(cents)).withColumn(
+        "c_sim", cosine_similarity(vec, "centroid")
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("c_sim").desc(), F.col("label"))
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_best)
+        .select(df["*"], F.col("label").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the production ANN shape.
+
+    Train: a coarse quantizer — here the per-label mean vectors (any
+    deterministic partitioner works; with k-means the flow is identical,
+    labels just become learned assignments). Index: every corpus vector
+    joins its single nearest centroid's posting list — at 100 TB this is a
+    one-time ``partitionBy(cluster)`` write, so each posting list is a
+    contiguous parquet subtree. Search: each query probes its ``nprobe``
+    nearest centroids and scans only those posting lists: cost
+    nprobe/nlist of the corpus per query instead of a full scan.
+
+    Deterministic end-to-end (centroid components rounded; every tie broken
+    on an id), hence DuckDB-oracle-checkable — unusual for ANN and the
+    reason this variant anchors the correctness suite while
+    ``lsh_bucketed_topk`` covers the hyperplane-hash family."""
+    cents = centroids if centroids is not None else label_centroids(
+        corpus, label_col, vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
+    q_probes = _assign_clusters(q, cents, "q_vec", "query_id", nprobe)
+    scored = (
+        c_assigned.join(broadcast(q_probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine_similarity("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

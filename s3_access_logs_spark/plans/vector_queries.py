@@ -64,6 +64,61 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
+    cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
+           FROM e CROSS JOIN dims GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+    ca AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {SQL_COSINE.format(a='e.v', b='cent.c')} DESC,
+                          cent.label) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    probes AS (
+      SELECT query_id, qv, cl FROM (
+        SELECT q.query_id, q.qv, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {SQL_COSINE.format(a='q.qv', b='cent.c')} DESC,
+                          cent.label) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT query_id, ca.vec_id AS neighbor_id,
+             {SQL_COSINE.format(a='probes.qv', b='ca.v')} AS sim_raw
+      FROM probes JOIN ca ON probes.cl = ca.cl AND ca.vec_id <> probes.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim_raw, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "llm", "ann", "ivf"),
+    bench=True,
+)
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 for 8 query vectors, nprobe=2: the production-shape ANN
+    path (coarse quantizer -> posting lists -> probe nearest lists), made
+    fully deterministic so the DuckDB oracle checks every neighbor,
+    rank and similarity — see operators/similarity.py:ivf_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=2)
+
+
+@query(
     "embedding_near_pairs",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
