@@ -635,3 +635,127 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / percentiles / pivot / ntile
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grp_id,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS gross
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    one shuffle, Spark expands the grouping-set lattice map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("grp_id"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+    )
+
+
+@query(
+    "price_percentiles_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` = DuckDB
+    quantile_cont, both linear-interpolation). The approx variant for the
+    100 TB path is approx_percentile (t-digest, one pass, mergeable) —
+    exact is the oracle-checkable form."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@query(
+    "returnflag_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN l_extendedprice END), 0), 2) AS flag_a,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN l_extendedprice END), 0), 2) AS flag_n,
+           ROUND(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN l_extendedprice END), 0), 2) AS flag_r
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "pivot"),
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide). Pivot values are declared, not discovered, so
+    the plan is a single aggregation — no extra distinct-values job, which
+    is the difference between one and two full scans at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    return out.select(
+        "l_linestatus",
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(f"flag_{c.lower()}")
+            for c in ["A", "N", "R"]
+        ],
+    )
+
+
+@query(
+    "customer_balance_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM t GROUP BY c_mktsegment, quartile
+    """,
+    tags=("window", "ntile"),
+)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing per segment (ties broken on the unique key so bucket
+    membership is deterministic cross-engine)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
