@@ -14,7 +14,10 @@ Parquet; see ``/root/reference``), built Spark-first:
   (``plans.catalog``): filters, aggregations, joins, windows, set ops;
 * large-scale training-data-pipeline operators (dedup, similarity search,
   text analysis, multimodal columns) are first-class (``operators.dedup``,
-  ``operators.similarity``, ``operators.textstats``, ``operators.multimodal``).
+  ``operators.similarity``, ``operators.multimodal``, ``functions.text``);
+* the batch ETL re-runs unchanged as a Structured Streaming job
+  (``streaming.pipeline``) with watermarked event-time windows replacing
+  the reference's cron + tracking-file scheme.
 
 Everything is built on the public Apache Spark / PySpark API only.
 """
