@@ -1,0 +1,81 @@
+"""Env-var job configuration — drop-in parity with the reference's contract
+(cmd/export.py:234-292) so an operator of the original can point the same
+cron entry at this engine.
+
+Variables honored (reference source lines cited):
+
+* ``SRC`` / ``DST`` — input log dir, output parquet root (export.py:236-237)
+* ``TRACKING_DST`` — completed-hour marker dir (export.py:242)
+* ``HOUR`` — 'YYYY-MM-DD-HH'; defaults to the *previous* hour, the cron
+  contract (export.py:238-241)
+* ``INPUT_S3_ENDPOINT`` / ``OUTPUT_S3_ENDPOINT`` + regions — S3 endpoints.
+  The reference reads the input endpoint from OUTPUT_S3_ENDPOINT
+  (export.py:247-250) — a documented bug (SURVEY §2.1); we read the input
+  one, with the buggy var as fallback for drop-in parity.
+* ``TIMEOUT`` — kept for interface parity; Spark actions block, so it is
+  unused (reference: WaitGroup wait, s3access/wg.py:27-31).
+
+Trailing slashes are normalized off (the reference instead *requires* them,
+export.py:276-292 — we accept both forms).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+
+def previous_hour(now: datetime | None = None) -> str:
+    """The reference's default unit of work: the hour before now, UTC
+    (cmd/export.py:238-241)."""
+    now = now or datetime.now(timezone.utc)
+    return (now - timedelta(hours=1)).strftime("%Y-%m-%d-%H")
+
+
+@dataclass(frozen=True)
+class JobConfig:
+    src: str
+    dst: str
+    tracking_dst: str | None
+    hour: str
+    input_endpoint: str | None
+    output_endpoint: str | None
+    input_region: str | None
+    output_region: str | None
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "JobConfig":
+        e = os.environ if env is None else env
+
+        def norm(v: str | None) -> str | None:
+            return v.rstrip("/") if v else v
+
+        src, dst = norm(e.get("SRC")), norm(e.get("DST"))
+        if not src or not dst:
+            raise ValueError("SRC and DST are required")
+        return cls(
+            src=src,
+            dst=dst,
+            tracking_dst=norm(e.get("TRACKING_DST")),
+            hour=e.get("HOUR") or previous_hour(),
+            input_endpoint=e.get("INPUT_S3_ENDPOINT")
+            or e.get("OUTPUT_S3_ENDPOINT"),
+            output_endpoint=e.get("OUTPUT_S3_ENDPOINT"),
+            input_region=e.get("INPUT_S3_ENDPOINT_REGION"),
+            output_region=e.get("OUTPUT_S3_ENDPOINT_REGION"),
+        )
+
+    def s3a_conf(self) -> dict[str, str]:
+        """Hadoop S3A settings equivalent to the reference's s3fs factory
+        (cmd/export.py:59-76): endpoint + bucket-owner-full-control ACL."""
+        conf: dict[str, str] = {}
+        endpoint = self.output_endpoint or self.input_endpoint
+        if endpoint:
+            conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        if self.output_region or self.input_region:
+            conf["spark.hadoop.fs.s3a.endpoint.region"] = (
+                self.output_region or self.input_region  # type: ignore[assignment]
+            )
+        conf["spark.hadoop.fs.s3a.acl.default"] = "BucketOwnerFullControl"
+        return conf

@@ -100,3 +100,48 @@ class TestWriteLogs:
         # the physical plan must carry partition filters (pruning, not scan)
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "hour" in plan
+
+
+class TestCliContract:
+    """Env-var entry point parity (reference cmd/export.py main)."""
+
+    def test_previous_hour_default(self):
+        from datetime import datetime, timezone
+
+        from s3_access_logs_spark.config import previous_hour
+
+        now = datetime(2019, 2, 6, 0, 30, tzinfo=timezone.utc)
+        assert previous_hour(now) == "2019-02-05-23"
+
+    def test_config_from_env_and_endpoint_fallback(self):
+        from s3_access_logs_spark.config import JobConfig
+
+        cfg = JobConfig.from_env(
+            {"SRC": "/in/", "DST": "/out/", "HOUR": "2019-02-06-00",
+             "OUTPUT_S3_ENDPOINT": "https://s3-fips.us-gov-west-1.amazonaws.com"}
+        )
+        assert cfg.src == "/in" and cfg.dst == "/out"  # trailing / normalized
+        # reference bug compat: input endpoint falls back to the output var
+        assert cfg.input_endpoint == cfg.output_endpoint
+
+    def test_cli_runs_and_tracking_gate_skips(self, spark, log_dir, tmp_path):
+        from s3_access_logs_spark.cli import main
+
+        dst, trk = tmp_path / "out", tmp_path / "tracking"
+        env = {"SRC": str(log_dir), "DST": str(dst),
+               "TRACKING_DST": str(trk), "HOUR": "2019-02-06-00"}
+        assert main(env) == 0
+        assert read_parsed(spark, str(dst)).count() == 3
+        marker = trk / "2019-02-06-00"
+        assert marker.exists() and "3 rows" in marker.read_text()
+        # second run hits the gate: no-op, still exit 0
+        marker.write_text("sentinel")
+        assert main(env) == 0
+        assert marker.read_text() == "sentinel"  # untouched -> gate fired
+
+    def test_cli_empty_hour_exits_zero(self, log_dir, tmp_path):
+        from s3_access_logs_spark.cli import main
+
+        env = {"SRC": str(log_dir), "DST": str(tmp_path / "o"),
+               "HOUR": "2030-01-01-00"}
+        assert main(env) == 0
