@@ -64,3 +64,35 @@ def asof_join(
     for c in payload:
         out = out.withColumn(f"{right_prefix}{c}", F.col("_matched").getField(c))
     return out.drop("_matched")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join hardened against a skewed LEFT key distribution.
+
+    The hot key's rows land in one shuffle partition in a plain join — one
+    straggler task does all the work. Salting splits each left key into
+    ``salt`` sub-keys (deterministically, from a hash of the whole left row,
+    so replays and retries shuffle identically) and replicates each right
+    row ``salt`` times, restoring correctness while spreading the hot key
+    across ``salt`` tasks.
+
+    Use when the right side is too big to broadcast but much smaller than
+    the left (replication costs |right| x salt shuffle rows). AQE's skew
+    split (enabled in session.py) handles sort-merge skew after the fact;
+    salting is the a-priori fix that also covers the aggregations-after-join
+    pattern AQE can't rebalance.
+    """
+    lcols = [F.col(c) for c in left.columns]
+    l_salted = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*lcols), F.lit(salt)).cast("int")
+    )
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")

@@ -70,3 +70,26 @@ def register_views(
     """Register each table as a temp view so spark.sql can reference it."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Bucketing is the at-rest half of shuffle elimination: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange — each task zips bucket i with bucket i. At 100 TB this turns
+    the recurring fact-fact join (e.g. orders-lineitem on orderkey) from a
+    full two-sided shuffle into a local merge, paid once at write time.
+    Requires saveAsTable (bucket metadata lives in the catalog)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sc)
+    writer.format("parquet").saveAsTable(table)

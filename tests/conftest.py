@@ -13,10 +13,17 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from s3_access_logs_spark.session import get_spark
 
-    s = get_spark("pytest", master="local[8]", shuffle_partitions=8)
+    s = get_spark(
+        "pytest",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse"))
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
