@@ -149,3 +149,44 @@ class TestWatermark:
         # both on-time rows and without the dropped late row
         write_file(d, "2019-02-06-06-00-00-DDDD", [at_time("06:00:00")])
         assert run() == {0: 1, 3: 2}
+
+
+class TestCustomState:
+    def test_running_totals_accumulate_across_restarts(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming.custom_state import running_totals
+
+        d = tmp_path / "st_logs"
+        d.mkdir()
+        ckpt = str(tmp_path / "st_ckpt")
+        out = str(tmp_path / "st_out")
+
+        def run(name: str):
+            parsed = parse_log_stream(read_log_stream(spark, str(d)))
+            q = (
+                running_totals(parsed, quota_bytes=200)
+                .writeStream.outputMode("update")
+                .foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            latest: dict = {}
+            for r in spark.read.parquet(out).collect():
+                cur = latest.get(r.requester)
+                if cur is None or r.n_requests > cur[0]:
+                    latest[r.requester] = (r.n_requests, r.total_bytes,
+                                           r.over_quota)
+            return latest
+
+        # AWS_DOC_LINE requester sends bytessent=113 per line
+        write_file(d, "2019-02-06-00-00-38-AAAA", [AWS_DOC_LINE])
+        out1 = run("st_r1")
+        req = next(iter(out1))
+        assert out1[req] == (1, 113, False)
+        # restart with a second file: state survived the restart, quota trips
+        write_file(d, "2019-02-06-01-00-00-BBBB", [AWS_DOC_LINE])
+        out2 = run("st_r2")
+        assert out2[req] == (2, 226, True)
