@@ -19,6 +19,7 @@ from s3_access_logs_spark.schema import (
     ISO_DATETIME_FORMAT,
     RAW_STRING_FIELDS,
     REQUEST_DATETIME_FORMAT,
+    STRIP_REGEX,
     TOKEN_REGEX,
     WALL_CLOCK_FORMAT,
 )
@@ -28,12 +29,14 @@ def tokenize(line: Column | str) -> Column:
     """One log line -> array of fields.
 
     Same semantics as the reference tokenizer (s3access/serializer.py:5-10):
-    ``"..."`` and ``[...]`` groups are single fields with delimiters
-    stripped; an empty quoted field ``""`` is kept as the literal two-char
-    token; runs of spaces collapse.
+    the line is whitespace-stripped first (Python str.strip parity — see
+    STRIP_REGEX), ``"..."`` and ``[...]`` groups are single fields with
+    delimiters stripped; an empty quoted field ``""`` is kept as the
+    literal two-char token; runs of spaces collapse.
     """
     c = F.col(line) if isinstance(line, str) else line
-    raw = F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
+    stripped = F.regexp_replace(c, STRIP_REGEX, "")
+    raw = F.regexp_extract_all(stripped, F.lit(TOKEN_REGEX), 0)
     return F.transform(raw, _strip_delimiters)
 
 
