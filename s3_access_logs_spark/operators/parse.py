@@ -17,9 +17,9 @@ from s3_access_logs_spark.functions.ip import ipv4_to_long
 from s3_access_logs_spark.schema import (
     INT_SENTINEL_FIELDS,
     ISO_DATETIME_FORMAT,
+    PY_WHITESPACE_CHARS,
     RAW_STRING_FIELDS,
     REQUEST_DATETIME_FORMAT,
-    STRIP_REGEX,
     TOKEN_REGEX,
     WALL_CLOCK_FORMAT,
 )
@@ -30,12 +30,12 @@ def tokenize(line: Column | str) -> Column:
 
     Same semantics as the reference tokenizer (s3access/serializer.py:5-10):
     the line is whitespace-stripped first (Python str.strip parity — see
-    STRIP_REGEX), ``"..."`` and ``[...]`` groups are single fields with
-    delimiters stripped; an empty quoted field ``""`` is kept as the
+    PY_WHITESPACE_CHARS), ``"..."`` and ``[...]`` groups are single fields
+    with delimiters stripped; an empty quoted field ``""`` is kept as the
     literal two-char token; runs of spaces collapse.
     """
     c = F.col(line) if isinstance(line, str) else line
-    stripped = F.regexp_replace(c, STRIP_REGEX, "")
+    stripped = F.btrim(c, F.lit(PY_WHITESPACE_CHARS))
     raw = F.regexp_extract_all(stripped, F.lit(TOKEN_REGEX), 0)
     return F.transform(raw, _strip_delimiters)
 

@@ -94,17 +94,18 @@ TOKEN_REGEX = r'(?:"[^"]+")|(?:\[[^\]]+\])|(?:[^ ]+)'
 
 # The reference strips the line before tokenizing (serializer.py:9,
 # ``line.strip()``) — Python's strip removes every char where
-# str.isspace() is true. Java's \s is only [ \t\n\x0B\f\r], so the class
-# below adds the rest of Python's whitespace set (file/group separators,
-# NEL, NBSP, ogham/unicode spaces, line/para separators, ideographic
-# space) for exact parity. Found by property-based testing: a line of
-# '\x0c' tokenizes to [] in the reference but was one token without this.
-_PY_WHITESPACE = (
-    r"\s\x1c-\x1f\x85\xa0"          # Java \s + FS/GS/RS/US, NEL, NBSP
-    "\u1680\u2000-\u200a"            # ogham + en/em/thin... spaces
-    "\u2028\u2029\u202f\u205f\u3000"  # line/para sep, NNBSP, MMSP, ideographic
+# str.isspace() is true, a superset of both Spark's trim (space only) and
+# Java's \s. This is the full BMP isspace set (verified exhaustively in
+# tests), trimmed with ``btrim`` — a linear charset scan, measurably
+# cheaper on the hot parse path than an anchored regexp_replace. Found by
+# property-based testing: a line of '\x0c' tokenizes to [] in the
+# reference but was one token without this.
+PY_WHITESPACE_CHARS = (
+    " \t\n\r\x0b\x0c"                  # ASCII whitespace
+    "\x1c\x1d\x1e\x1f\x85\xa0"         # FS/GS/RS/US, NEL, NBSP
+    "\u1680" + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"  # line/para sep, NNBSP, MMSP, ideographic
 )
-STRIP_REGEX = f"^[{_PY_WHITESPACE}]+|[{_PY_WHITESPACE}]+$"
 
 # Timestamp format of field 2, e.g. '06/Feb/2019:00:00:38 +0000'
 # (reference: s3access/normalize.py:53).

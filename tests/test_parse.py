@@ -153,3 +153,13 @@ class TestReferenceParity:
                 if key == "ts":
                     expected = int(expected)
                 assert got == expected, f"{key}: {got!r} != {expected!r} for {line}"
+
+
+def test_whitespace_charset_is_exhaustive():
+    """PY_WHITESPACE_CHARS must cover every BMP char Python's str.strip()
+    removes — the tokenizer's btrim is only parity-correct if so."""
+    from s3_access_logs_spark.schema import PY_WHITESPACE_CHARS
+
+    ws = set(PY_WHITESPACE_CHARS)
+    missing = [hex(c) for c in range(0x10000) if chr(c).isspace() and chr(c) not in ws]
+    assert missing == []
