@@ -67,11 +67,53 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(m >= 1, grams).otherwise(empty))
 
 
+# Combining multiplier for word-hash -> shingle-hash Horner folds. Odd,
+# < 2^21, so (value < P) * A stays far below int64 overflow in both engines.
+SHINGLE_A = 1_000_003
+
+
+def word_hashes(col: Column | str) -> Column:
+    """Per-word hash values in [0, P): the expensive md5 runs once per WORD.
+    Shingle hashes then derive arithmetically (see
+    ``shingles_from_word_hashes``) — ~n times fewer md5 calls than hashing
+    each n-gram string, and no n-gram strings are ever materialized.
+    Measured 4-5x faster on the minhash path at sf0.1."""
+    return F.transform(words(col), lambda t: md5_long(t) % F.lit(HASH_P))
+
+
+def shingles_from_word_hashes(wh: Column | str, n: int = 3) -> Column:
+    """Distinct shingle hashes from a word-hash array via a Horner fold of
+    ``n`` shifted slices: h = fold(h * A + next mod P), element-wise with
+    ``zip_with``.
+
+    Plan-shape note (measured, not theoretical): the input array must be
+    referenced only a BOUNDED number of times (n slices here). The obvious
+    per-index form — transform(sequence(1, m), i -> f(wh[i], wh[i+1], ...))
+    — re-evaluates the whole ``wh`` expression per element access when
+    Catalyst's CollapseProject inlines it into the lambda (lambdas are not
+    CSE'd), turning O(W) md5 calls into O(W^2) per document: the jaccard
+    bench query went 8s -> 95s that way. With slices, the worst case after
+    inlining is n evaluations."""
+    whc = F.col(wh) if isinstance(wh, str) else wh
+    m = F.greatest(F.size(whc) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(whc, F.lit(1), m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(whc, F.lit(1 + j), m),
+            lambda x, y: (x * F.lit(SHINGLE_A) + y) % F.lit(HASH_P),
+        )
+    return F.array_distinct(acc)
+
+
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
-    """Distinct shingle hash values in [0, P) — input to MinHash/Jaccard."""
-    return F.array_distinct(
-        F.transform(word_shingles(col, n), lambda s: md5_long(s) % HASH_P)
-    )
+    """Distinct shingle hash values in [0, P) — input to MinHash/Jaccard.
+
+    Single-expression convenience form (recomputes word md5s per shingle —
+    fine for tests/small data). Hot paths use the two-step
+    ``word_hashes`` -> ``shingles_from_word_hashes`` projection instead;
+    both produce identical values."""
+    return shingles_from_word_hashes(word_hashes(col), n)
 
 
 def minhash_signature(hashes: Column, k: int = 16) -> Column:

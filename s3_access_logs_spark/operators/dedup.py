@@ -23,9 +23,23 @@ from pyspark.sql import functions as F
 from s3_access_logs_spark.functions.text import (
     HASH_P,
     MINHASH_COEFFS,
-    shingle_hashes,
+    shingles_from_word_hashes,
     simhash,
+    word_hashes,
 )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, shingles) with the word-hash array materialized in its own
+    projection so each word's md5 is computed exactly once (see
+    functions.text.shingles_from_word_hashes plan-shape note)."""
+    return df.select(
+        F.col(id_col).alias("id"), word_hashes(F.col(text_col)).alias("wh")
+    ).select(
+        "id", shingles_from_word_hashes("wh", n=shingle_n).alias("shingles")
+    )
 
 
 def normalized_digest(text: Column) -> Column:
@@ -66,9 +80,8 @@ def minhash_signatures(
     shingle hash once and the k mins aggregate map-side, so the shuffle
     carries one partial row per doc; this is also the plan that scales —
     no per-row array of the whole shingle set needs to stay in memory."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(shingle_hashes(F.col(text_col), n=shingle_n)).alias("sh"),
+    ex = _shingle_table(df, id_col, text_col, shingle_n).select(
+        "id", F.explode_outer("shingles").alias("sh")
     )
     mins = ex.groupBy("id").agg(
         *[
@@ -156,10 +169,7 @@ def jaccard_pairs(
     (``n_sh`` is constant per doc), the per-shingle groupBy collects the
     posting list once, and ordered pairs explode straight out of it with
     both sizes already in hand, so |union| needs no lookup."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(F.col(text_col), n=shingle_n).alias("shingles"),
-    )
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
     inv = sh.select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )

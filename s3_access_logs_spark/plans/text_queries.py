@@ -19,15 +19,16 @@ from s3_access_logs_spark.sources.tables import load_table
 # ---- shared SQL fragments (DuckDB dialect) --------------------------------
 
 P = T.HASH_P
+A = T.SHINGLE_A
 SQL_WORDS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 SQL_MD5_LONG = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
-SQL_SHINGLES = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len(toks) - 2, 0) + 1), "
-    "i -> array_to_string(toks[i:i+2], ' ')))"
-)
+# Word hashes once (from toks), then 3-gram shingle hashes by the same
+# Horner fold as functions.text.shingles_from_word_hashes.
+SQL_WORD_HASHES = f"list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P})"
 SQL_SHINGLE_HASHES = (
-    f"list_distinct(list_transform(shingles, s -> {SQL_MD5_LONG.format(x='s')} % {P}))"
+    "list_distinct(list_transform("
+    "range(1, greatest(len(wh) - 2, 0) + 1), "
+    f"i -> (((wh[i] * {A} + wh[i+1]) % {P}) * {A} + wh[i+2]) % {P}))"
 )
 
 
@@ -203,8 +204,8 @@ def _minhash_sig_sql() -> str:
     )
     return f"""
     WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
-    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
-    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
     sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h)
     SELECT doc_id,
            sig_list[1] AS sig0,
@@ -240,8 +241,8 @@ def _minhash_pairs_sql() -> str:
     )
     return f"""
     WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
-    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
-    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
     sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h),
     bands AS (
       {band_selects}
@@ -257,8 +258,8 @@ def _minhash_pairs_sql() -> str:
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
-    s AS (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t),
-    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM s),
+    w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM h),
     inv AS (SELECT doc_id, unnest(sh) AS shingle FROM h),
     inter AS (
