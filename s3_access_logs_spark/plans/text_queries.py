@@ -316,13 +316,47 @@ def _simhash_sql(bits: int = 32) -> str:
 
 @query(
     "simhash_near_pairs",
-    oracle=None,  # pair set identical to banded SQL would be large; rows-only
+    oracle=None,  # filled below (generated SQL)
     tags=("dedup", "llm", "simhash", "lsh"),
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding."""
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding.
+    Fully deterministic, so the oracle reproduces the banding and verifies
+    every candidate pair and Hamming distance (bit_count(xor(...)))."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_near_pairs(docs, bits=32, max_hamming=3, chunks=4)
+
+
+def _simhash_near_pairs_sql(
+    bits: int = 32, chunks: int = 4, max_hamming: int = 3
+) -> str:
+    width = bits // chunks
+    terms = "\n         + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"x -> CASE WHEN (x // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks FROM documents),
+    h AS (SELECT doc_id,
+                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs
+          FROM t),
+    sim AS (SELECT doc_id, ({terms}) AS simhash FROM h),
+    ch AS (
+      SELECT doc_id, simhash, j,
+             (simhash // (1 << (j * {width}))) % {1 << width} AS cv
+      FROM sim CROSS JOIN range(0, {chunks}) r(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+             b.doc_id AS id_b, b.simhash AS sh_b
+      FROM ch a JOIN ch b
+        ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
 
 
 # Patch in the generated oracle SQL (kept out of the decorator for
@@ -338,4 +372,7 @@ _Q["dedup_minhash_pairs"] = _dc.replace(
 )
 _Q["simhash_fingerprints"] = _dc.replace(
     _Q["simhash_fingerprints"], oracle=_simhash_sql(32)
+)
+_Q["simhash_near_pairs"] = _dc.replace(
+    _Q["simhash_near_pairs"], oracle=_simhash_near_pairs_sql(32, 4, 3)
 )

@@ -52,15 +52,55 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_ann_lsh",
-    oracle=None,  # approximate recall path; rows-only check
+    oracle=None,  # filled below (generated SQL with plane literals)
     tags=("similarity", "llm", "ann", "lsh"),
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: random-hyperplane LSH bucketing (8 planes -> 256
     buckets), probe only the query's bucket. At 100 TB the corpus is
-    pre-bucketed on disk so a probe touches ~1/256 of the data."""
+    pre-bucketed on disk so a probe touches ~1/256 of the data. The
+    hyperplanes are a deterministic LCG sequence, so the oracle re-derives
+    the exact buckets and verifies every neighbor/rank/sim."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
+    """Oracle for the LSH path: same plane constants (float literals
+    round-trip exactly through repr), same sign-bucket formula, same
+    tie-breaks."""
+    planes = S._lcg_planes(n_planes, dims)
+    plane_values = ",\n      ".join(
+        f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(planes)
+    )
+    return f"""
+    WITH p(pid, pv) AS (VALUES
+      {plane_values}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             SUM(CASE WHEN list_dot_product(v, pv) >= 0
+                 THEN (1 << pid) ELSE 0 END)::BIGINT AS bucket
+      FROM e CROSS JOIN p GROUP BY vec_id, v
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             {SQL_COSINE.format(a='q.qv', b='b.v')} AS sim_raw
+      FROM q JOIN b USING (bucket)
+      WHERE b.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_raw DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim_raw, 6) AS sim
+    FROM ranked WHERE rank <= {k}
+    """
 
 
 @query(
@@ -174,3 +214,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at(v, 2)), 6).alias("centroid_d1"),
         F.round(F.avg(sq), 6).alias("avg_sq_norm"),
     )
+
+
+# Patch in the generated oracle (same pattern as text_queries).
+from s3_access_logs_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_Q["embedding_ann_lsh"] = _dc.replace(
+    _Q["embedding_ann_lsh"], oracle=_ann_lsh_sql()
+)
