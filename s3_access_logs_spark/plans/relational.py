@@ -759,3 +759,69 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Map functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "props_map_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key,
+             props
+      FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n,
+           SUM(json_extract_string(props, '$.' || prop_key)::BIGINT) AS total,
+           MIN(json_extract_string(props, '$.' || prop_key)::BIGINT) AS lo,
+           MAX(json_extract_string(props, '$.' || prop_key)::BIGINT) AS hi
+    FROM kv GROUP BY prop_key
+    """,
+    tags=("json", "map", "explode"),
+)
+def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> MapType -> explode to (key, value) rows -> aggregate:
+    the schema-free side of the JSON surface (events_json_extract covers
+    the path-extraction side)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "v"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+@query(
+    "user_event_type_map",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=("map", "explode", "agg"),
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction round-trip: per-user counts packed into a
+    map<event_type, n> (map_from_entries + collect_list) and exploded back
+    out — exercises map build/flatten against a plain-SQL oracle."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return packed.select(
+        "user_id", F.explode("m").alias("event_type", "n")
+    )
