@@ -25,10 +25,14 @@ from s3_access_logs_spark.plans.catalog import query
 from s3_access_logs_spark.sources.tables import load_table
 
 
-def _synthetic_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synthetic_log_lines(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """events -> one synthetic S3 access-log line per event (all 24 fields,
     quoted/bracketed groups, '-' sentinels on a deterministic subset)."""
     ev = load_table(spark, sf_dir, "events")
+    if where:
+        ev = ev.filter(where)
     uid, eid = F.col("user_id"), F.col("event_id")
     dt = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
     ip = F.concat(
@@ -290,4 +294,50 @@ def binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).alias("n_bytes"),
         F.md5("text").alias("content_hash"),
         F.substring("text", 1, 16).alias("head"),
+    )
+
+
+@query(
+    "streaming_export_roundtrip",
+    oracle="""
+    SELECT 'bucket' || (user_id % 3) AS bucket_name,
+           'REST.' || upper(event_type) || '.OBJECT' AS operation,
+           hour(ts) AS hour,
+           COUNT(*) AS n_requests,
+           SUM(CASE WHEN event_id % 5 = 0 THEN 0
+                    ELSE event_id % 10000 END)::BIGINT AS total_bytes
+    FROM events
+    WHERE month(ts) = 1 AND day(ts) <= 2
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "etl"),
+)
+def streaming_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE streaming pipeline under the oracle: synthesize raw log
+    lines, ingest them with the Structured Streaming export job
+    (readStream -> parse -> foreachBatch hive-partitioned sink, exactly-once
+    checkpoint), read the partitioned output back and aggregate. The oracle
+    computes the expected rollup straight from the source events — so file
+    tracking, the streaming parser, the partitioned sink layout, and the
+    pruned read are all on the hook for value parity."""
+    import tempfile
+
+    from s3_access_logs_spark.operators.etl import read_parsed
+    from s3_access_logs_spark.streaming import run_export_stream
+
+    root = tempfile.mkdtemp(prefix="sgl_stream_")
+    src, dst, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    # bounded to two days of events: the hive tree fans out per
+    # (bucket, op, year, month, day, hour) and the full month at sf0.01
+    # is ~6.5k tiny partitions — a small-files problem by construction,
+    # not a representative sink load (the real job writes ONE hour).
+    lines = _synthetic_log_lines(
+        spark, sf_dir, where="month(ts) = 1 AND day(ts) <= 2"
+    )
+    lines.coalesce(4).write.mode("overwrite").text(src)
+    run_export_stream(spark, src, dst, ckpt).awaitTermination(300)
+    parsed = read_parsed(spark, dst)
+    return parsed.groupBy("bucket_name", "operation", "hour").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("bytessent").alias("total_bytes"),
     )
