@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; approximate
-    operators (HLL sketches, LSH recall paths) are intentionally omitted so
-    the driver records the weaker rows-only check for them."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. Everything is
+    oracle-checked except approx_count_distinct, whose HLL sketch is
+    engine-specific by nature (deliberate rows-only check); even the
+    MinHash/SimHash/LSH/IVF paths are deterministic-by-design and verified
+    value-for-value."""
     return {
         name: q.oracle for name, q in sorted(load_all().items()) if q.oracle
     }

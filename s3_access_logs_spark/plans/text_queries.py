@@ -376,3 +376,72 @@ _Q["simhash_fingerprints"] = _dc.replace(
 _Q["simhash_near_pairs"] = _dc.replace(
     _Q["simhash_near_pairs"], oracle=_simhash_near_pairs_sql(32, 4, 3)
 )
+
+
+@query(
+    "corpus_cleaning_pipeline",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id, source, text
+      FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5(regexp_replace(trim(lower(text)),
+                                                 '\\s+', ' ', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    t AS (SELECT doc_id, source, {SQL_WORDS} AS toks FROM survivors),
+    scored AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             CASE
+               WHEN {_lang_hits_sql('en')} = greatest({_lang_hits_sql('en')},
+                    {_lang_hits_sql('de')}, {_lang_hits_sql('es')},
+                    {_lang_hits_sql('fr')}, {_lang_hits_sql('zh')})
+                    AND {_lang_hits_sql('en')} > 0 THEN 'en' ELSE 'other'
+             END AS lang_en,
+             0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(toks))::DOUBLE
+                      / greatest(len(toks), 1)::DOUBLE)
+             + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
+                           / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0) AS q
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(q), 6) AS avg_quality
+    FROM scored
+    WHERE lang_en = 'en' AND q >= 0.5 AND n_tokens >= 20
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "dedup", "quality", "lang-id"),
+)
+def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning flow as ONE composed plan: exact
+    dedup (survivor = min doc_id per normalized digest) -> English-only
+    (n-gram lang id) -> quality >= 0.5 -> length >= 20 tokens -> per-source
+    yield stats. Catalyst fuses the filters into a single pass over the
+    survivor set; the only shuffles are the dedup window and the final
+    aggregation. This is the C4-style pipeline shape the engine exists to
+    run at 100 TB, with every stage's semantics pinned by the oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(D.normalized_digest(F.col("text"))).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    q = T.quality_score("text")
+    n_tokens = T.token_count("text")
+    kept = survivors.filter(
+        (T.lang_id("text") == "en") & (q >= 0.5) & (n_tokens >= 20)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(q), 6).alias("avg_quality"),
+    )
