@@ -205,3 +205,23 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestUdtf:
+    def test_tokenize_diagnostics_udtf(self, spark):
+        from s3_access_logs_spark.functions.udtfs import TokenizeDiagnostics
+
+        spark.udtf.register("tokenize_diag", TokenizeDiagnostics)
+        rows = spark.sql(
+            """SELECT t.* FROM (SELECT 'a "b c" [d e] f' AS line),
+               LATERAL tokenize_diag(line) t"""
+        ).collect()
+        got = [(r.pos, r.token, r.kind) for r in rows]
+        assert got == [
+            (0, "a", "bare"),
+            (1, "b c", "quoted"),
+            (2, "d e", "bracketed"),
+            (3, "f", "bare"),
+        ]
+        # spans index into the stripped line
+        assert [(r.start, r.end) for r in rows] == [(0, 1), (2, 7), (8, 13), (14, 15)]
