@@ -289,3 +289,84 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster assignment (id, cluster_id) for an undirected graph given as
+    candidate pairs: cluster_id = min node id in the connected component;
+    nodes with no edges keep their own id.
+
+    This is the final step of a dedup pipeline: MinHash/SimHash pair
+    generation says *which* documents look alike; components turn pairwise
+    hits into keep-one-per-cluster groups.
+
+    Algorithm: min-label propagation (hash-to-min) — each round every node
+    takes the min of its own label and its neighbors' labels, until a round
+    changes nothing. Rounds = graph diameter; dedup graphs are
+    near-cliques of duplicates, so this converges in 2-3 rounds at any
+    data scale (the O(log n) large-star/small-star variant only pays off on
+    long-chain graphs, which near-dup clusters are not). Per round: one
+    shuffle for the neighbor-min aggregate, one broadcast-or-shuffle join
+    back to labels, and ``localCheckpoint`` truncates the lineage so the
+    plan does not grow with iteration count — without it, iteration k
+    replays all k-1 prior joins and the job dies long before 100 TB.
+    """
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cluster")
+            .join(labels, "id")
+            .filter(F.col("new_cluster") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster_id) near-dup cluster assignment over MinHash+LSH
+    candidate pairs; cluster_id = min doc_id of the group, so
+    ``filter(doc_id == cluster_id)`` is the canonical keep-one policy."""
+    pairs = minhash_candidates(
+        df, id_col=id_col, text_col=text_col, k=k, bands=bands, shingle_n=shingle_n
+    )
+    nodes = df.select(F.col(id_col).alias("id"))
+    return connected_components(nodes, pairs).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )

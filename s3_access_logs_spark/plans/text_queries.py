@@ -445,3 +445,104 @@ def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
         F.round(F.avg(q), 6).alias("avg_quality"),
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=None,  # filled below (generated recursive-CTE SQL)
+    tags=("dedup", "llm", "minhash", "graph", "iterative"),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: MinHash+LSH candidate pairs -> connected
+    components (iterative min-label propagation, lineage truncated per
+    round) -> (doc_id, cluster_id = min doc_id of the component). The
+    DuckDB oracle computes the same closure with a recursive CTE — feasible
+    at sf0.01; on the Spark side the iterative form is the one that holds
+    at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs, k=16, bands=4, shingle_n=3)
+
+
+def _dedup_clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(id, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY id
+    """
+
+
+_Q["dedup_clusters"] = _dc.replace(
+    _Q["dedup_clusters"], oracle=_dedup_clusters_sql()
+)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf,
+             ROUND(tf * (LN((n_docs + 1)::DOUBLE / (df_docs + 1)::DOUBLE) + 1), 6)
+               AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, rnk FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("llm", "text", "tfidf", "window"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,
+    rank ties broken on the term itself so the row set is deterministic).
+
+    Plan shape: one explode -> (doc, term) partial-agg -> term-keyed
+    aggregate for document frequency -> join back on term. The df side is
+    |vocab| rows: AQE broadcasts it at small SF and falls back to a
+    term-partitioned shuffle join at corpus scale; the doc count joins as a
+    one-row broadcast. Final per-doc top-k is a window over doc_id —
+    partition-local, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(T.words("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rnk")
+    )

@@ -225,3 +225,41 @@ class TestUdtf:
         ]
         # spans index into the stripped line
         assert [(r.start, r.end) for r in rows] == [(0, 1), (2, 7), (8, 13), (14, 15)]
+
+
+class TestConnectedComponents:
+    def test_components_and_singletons(self, spark):
+        from s3_access_logs_spark.operators.dedup import connected_components
+
+        # chain 1-2-3, pair 10-11, singleton 20
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], ["id"])
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11)], ["id_a", "id_b"]
+        )
+        out = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_long_chain_converges(self, spark):
+        from s3_access_logs_spark.operators.dedup import connected_components
+
+        n = 12
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+        )
+        out = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+        assert out == {i: 0 for i in range(n)}
+
+    def test_dedup_clusters_keep_policy(self, spark):
+        from s3_access_logs_spark.operators.dedup import dedup_clusters
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (1, text),
+            (2, text + " extra"),
+            (3, "completely different content about spark engines at scale"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
+        # near-dups 1,2 share a band; 3 is its own cluster
+        assert out[1] == 1 and out[2] == 1 and out[3] == 3
