@@ -546,3 +546,104 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "tfidf", "rnk")
     )
+
+
+SQL_ID_BUCKET = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)"
+SQL_SRC_RATE = (
+    "CASE WHEN substr(source, 4)::INT <= 4 THEN 90 "
+    "WHEN substr(source, 4)::INT <= 9 THEN 50 ELSE 15 END"
+)
+
+
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({SQL_WORDS}) AS n_tokens,
+             {SQL_ID_BUCKET} AS bucket,
+             {SQL_SRC_RATE} AS rate
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           SUM(n_tokens)::BIGINT AS kept_tokens
+    FROM t WHERE bucket < rate
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data source mixing: keep each document with a per-source
+    rate (90%/50%/15% tiers) decided by a hash of its id — the
+    reproducible alternative to rand()-based sampleBy. At 100 TB this is a
+    stateless narrow filter: no shuffle, no RNG seed coordination across
+    executors, and reruns keep exactly the same rows, so downstream caches
+    and dedup state stay valid."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_idx = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_idx <= 4, 90).when(src_idx <= 9, 50).otherwise(15)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        docs.filter(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(T.token_count("text")).cast("bigint").alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({SQL_WORDS}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // 256 AS bin
+      FROM t
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS bin_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / 256.0, 6) AS fill
+    FROM packed
+    GROUP BY source, bin
+    """,
+    tags=("llm", "pipeline", "packing", "window"),
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (ordered by id within
+    source) to consecutive ~256-token context bins by cumulative token
+    count, then report per-bin occupancy. The running sum is a
+    source-partitioned window — each partition packs independently, so the
+    operator scales horizontally with the number of sources/shards rather
+    than serializing the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = t.withColumn(
+        "bin",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256).cast("bigint"),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(256.0), 6).alias("fill"),
+    )

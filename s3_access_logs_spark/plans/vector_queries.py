@@ -223,3 +223,45 @@ import dataclasses as _dc  # noqa: E402
 _Q["embedding_ann_lsh"] = _dc.replace(
     _Q["embedding_ann_lsh"], oracle=_ann_lsh_sql()
 )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             127.0 / greatest(
+               list_max(list_transform(embedding, x -> abs(x)))::DOUBLE, 1e-12
+             ) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale6,
+           list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS q
+    FROM s
+    """,
+    tags=("llm", "vector", "quantization"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization with a per-vector scale
+    (127/max|x|) — the storage/bandwidth path for ANN at scale: 4x smaller
+    vectors, distance computed in int8 with one dequant multiply. Rounding
+    is floor(x*scale + 0.5) in explicit double arithmetic so Spark and the
+    oracle agree bit-for-bit (library round() ties differ between engines).
+    Narrow map-only plan: no shuffle, quantization cost is bounded per row
+    (the scale lambda re-evaluates array_max per element under Catalyst's
+    project collapsing — 64x64 flops/row, still branchless JVM codegen;
+    acceptable until Spark learns lambda CSE)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.greatest(max_abs.cast("double"), F.lit(1e-12))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale6"),
+        q.alias("q"),
+    )
