@@ -171,3 +171,51 @@ def run_export_stream(
     return write_partitioned_stream(
         parsed, dst, checkpoint, available_now=available_now
     )
+
+
+def correlate_reads_after_writes(
+    parsed: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each object GET matched to the PUT that
+    (most plausibly) produced it — same key, GET within ``horizon`` after
+    the PUT. This is the query class the reference's hourly-batch design
+    cannot express at all: the PUT and the GET usually arrive in different
+    hourly files.
+
+    Both sides carry a watermark, so the join state store holds only
+    ``watermark + horizon`` of per-key history per side and is purged as
+    event time advances — bounded state at any throughput. The equality
+    term on ``key`` makes it a shuffled hash-partitioned stream join, not a
+    broadcast; the time bounds let Spark drop rows past the horizon
+    instead of buffering forever (the unbounded-state trap of an
+    equality-only stream-stream join)."""
+    puts = (
+        parsed.filter(F.col("operation").startswith("REST.PUT"))
+        .select(
+            F.col("key").alias("put_key"),
+            F.col("ts_ts").alias("put_ts"),
+            "bucket_name",
+        )
+        .withWatermark("put_ts", watermark)
+    )
+    gets = (
+        parsed.filter(F.col("operation").startswith("REST.GET"))
+        .select(
+            F.col("key").alias("get_key"),
+            F.col("ts_ts").alias("get_ts"),
+            "requester",
+        )
+        .withWatermark("get_ts", watermark)
+    )
+    return puts.join(
+        gets,
+        (F.col("put_key") == F.col("get_key"))
+        & (F.col("get_ts") >= F.col("put_ts"))
+        & (F.col("get_ts") <= F.col("put_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "bucket_name",
+        F.col("put_key").alias("key"),
+        "put_ts",
+        "get_ts",
+        "requester",
+    )

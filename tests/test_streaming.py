@@ -190,3 +190,68 @@ class TestCustomState:
         write_file(d, "2019-02-06-01-00-00-BBBB", [AWS_DOC_LINE])
         out2 = run("st_r2")
         assert out2[req] == (2, 226, True)
+
+
+class TestStreamStreamJoin:
+    def _line(self, hhmmss: str, op: str, key: str) -> str:
+        return AWS_DOC_LINE.replace("00:00:38", hhmmss).replace(
+            "REST.GET.VERSIONING -", f"{op} {key}"
+        )
+
+    def test_get_after_put_interval_join(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import correlate_reads_after_writes
+
+        d = tmp_path / "logs"
+        d.mkdir()
+        write_file(
+            d,
+            "2019-02-06-00-00-10-AAAA",
+            [
+                self._line("00:00:10", "REST.PUT.OBJECT", "photo.jpg"),
+                self._line("00:20:00", "REST.GET.OBJECT", "photo.jpg"),
+                self._line("00:30:00", "REST.GET.OBJECT", "other.txt"),
+            ],
+        )
+        write_file(
+            d,
+            "2019-02-06-02-30-00-BBBB",
+            # outside the 1h horizon after the PUT -> must not match
+            [self._line("02:30:00", "REST.GET.OBJECT", "photo.jpg")],
+        )
+        parsed = parse_log_stream(read_log_stream(spark, str(d)))
+        joined = correlate_reads_after_writes(parsed, horizon="1 hour")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_join")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [
+            (r.key, r.put_ts.strftime("%H:%M:%S"), r.get_ts.strftime("%H:%M:%S"))
+            for r in spark.table("ss_join").collect()
+        ]
+        assert got == [("photo.jpg", "00:00:10", "00:20:00")]
+
+    def test_batch_reuse_same_plan(self, spark, tmp_path):
+        """The identical function body runs as a batch interval join
+        (withWatermark is a no-op on batch inputs)."""
+        from s3_access_logs_spark.streaming import correlate_reads_after_writes
+
+        d = tmp_path / "logs"
+        d.mkdir()
+        write_file(
+            d,
+            "2019-02-06-00-00-10-AAAA",
+            [
+                self._line("00:00:10", "REST.PUT.OBJECT", "photo.jpg"),
+                self._line("00:20:00", "REST.GET.OBJECT", "photo.jpg"),
+                self._line("02:30:00", "REST.GET.OBJECT", "photo.jpg"),
+            ],
+        )
+        batch = parse_logs(read_logs(spark, str(d)), keep_native_ts=True)
+        rows = correlate_reads_after_writes(batch, horizon="1 hour").collect()
+        assert [(r.key, r.requester is not None) for r in rows] == [
+            ("photo.jpg", True)
+        ]
