@@ -47,15 +47,26 @@ def long_to_ipv4(col: Column | str) -> Column:
     return F.when(c.isNotNull(), quad)
 
 
-def ip_in_cidr(ip_int: Column | str, cidr: str) -> Column:
-    """CIDR containment as an int-range predicate so parquet row-group
-    min/max stats on ``remoteip_int`` can prune (the entire reason the
-    reference materializes the int form, s3access/normalize.py:70)."""
+def cidr_range(cidr: str) -> tuple[int, int]:
+    """CIDR block -> inclusive (lo, hi) uint32 bounds. '10.5.0.0/16' ->
+    (168099840, 168165375). Plain Python so query builders and oracle SQL
+    can embed identical literals."""
     base, _, bits = cidr.partition("/")
     prefix = int(bits) if bits else 32
     parts = [int(p) for p in base.split(".")]
     lo = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
     lo &= ~((1 << (32 - prefix)) - 1) & 0xFFFFFFFF
     hi = lo + (1 << (32 - prefix)) - 1
+    return lo, hi
+
+
+def ip_in_cidr(ip_int: Column | str, cidr: str) -> Column:
+    """CIDR containment as an int-range predicate so parquet row-group
+    min/max stats on ``remoteip_int`` can prune (the entire reason the
+    reference materializes the int form, s3access/normalize.py:70). The
+    bounds are plan-time literals — Catalyst pushes the BETWEEN straight
+    into the parquet scan, no custom optimizer rule needed (SURVEY §4
+    optional item b)."""
+    lo, hi = cidr_range(cidr)
     c = F.col(ip_int) if isinstance(ip_int, str) else ip_int
     return c.between(F.lit(lo), F.lit(hi))

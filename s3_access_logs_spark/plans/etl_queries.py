@@ -341,3 +341,51 @@ def streaming_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_requests"),
         F.sum("bytessent").alias("total_bytes"),
     )
+
+
+def _cidr_traffic_oracle() -> str:
+    from s3_access_logs_spark.functions.ip import cidr_range
+
+    lo, hi = cidr_range("10.5.0.0/16")
+    return f"""
+    SELECT 'bucket' || (user_id % 3) AS bucket_name,
+           'REST.' || upper(event_type) || '.OBJECT' AS operation,
+           COUNT(*) AS n_requests,
+           SUM(CASE WHEN event_id % 5 = 0 THEN 0
+                    ELSE event_id % 10000 END)::BIGINT AS total_bytes
+    FROM events
+    WHERE (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
+           + (event_id * 7) % 256) BETWEEN {lo} AND {hi}
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "cidr_traffic",
+    oracle=None,  # filled below (bounds generated from the same cidr_range)
+    tags=("etl", "ip", "cidr", "filter"),
+)
+def cidr_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic from one CIDR block: the reference's flagship investigative
+    query shape ('who in this subnet touched the bucket'), via ip_in_cidr —
+    CIDR containment compiled to a remoteip_int BETWEEN range at plan time.
+    Over the partitioned/sorted parquet this predicate reaches the scan as
+    a row-group min/max prune (pinned by test_plan_shapes); here it runs on
+    freshly parsed lines to keep the oracle independent."""
+    from s3_access_logs_spark.functions.ip import ip_in_cidr
+
+    parsed = parse_logs(_synthetic_log_lines(spark, sf_dir))
+    return (
+        parsed.filter(ip_in_cidr("remoteip_int", "10.5.0.0/16"))
+        .groupBy("bucket_name", "operation")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("bytessent").alias("total_bytes"),
+        )
+    )
+
+
+from s3_access_logs_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_Q["cidr_traffic"] = _dc.replace(_Q["cidr_traffic"], oracle=_cidr_traffic_oracle())

@@ -163,3 +163,13 @@ def test_whitespace_charset_is_exhaustive():
     ws = set(PY_WHITESPACE_CHARS)
     missing = [hex(c) for c in range(0x10000) if chr(c).isspace() and chr(c) not in ws]
     assert missing == []
+
+
+def test_cidr_range_bounds():
+    from s3_access_logs_spark.functions.ip import cidr_range
+
+    assert cidr_range("10.5.0.0/16") == (168099840, 168165375)
+    assert cidr_range("192.0.2.3") == (3221225987, 3221225987)  # /32 default
+    # non-aligned base is masked down to the block start
+    assert cidr_range("10.5.7.200/29") == (168101832, 168101839)
+    assert cidr_range("0.0.0.0/0") == (0, 4294967295)

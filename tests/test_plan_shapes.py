@@ -95,3 +95,43 @@ def test_no_python_udfs_in_relational_catalog(spark, catalog):
         plan = plan_of(catalog[name].builder(spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_cidr_predicate_pushes_to_parquet_scan(spark, tmp_path):
+    """ip_in_cidr compiles to literal BETWEEN bounds that reach the parquet
+    scan of the ETL output as PushedFilters — the row-group-skip path the
+    reference's remoteip_int column + row-group clustering was built for."""
+    from s3_access_logs_spark.functions.ip import cidr_range, ip_in_cidr
+    from s3_access_logs_spark.operators.etl import read_parsed, write_logs
+    from s3_access_logs_spark.operators.parse import parse_logs
+    from s3_access_logs_spark.sources.logs import read_logs
+    from tests.test_parse import AWS_DOC_LINE
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    (src / "2019-02-06-00-00-38-AAAA").write_text(AWS_DOC_LINE + "\n")
+    dst = str(tmp_path / "out")
+    write_logs(parse_logs(read_logs(spark, str(src))), dst)
+
+    lo, hi = cidr_range("192.0.2.0/24")
+    q = (
+        read_parsed(spark, dst)
+        .filter(ip_in_cidr("remoteip_int", "192.0.2.0/24"))
+        .select("requestid", "remoteip_int")
+    )
+    plan = plan_of(q)
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    # plan toString truncates long filter lists with '…', so match the
+    # lower bound exactly and the upper bound by prefix
+    assert f"GreaterThanOrEqual(remoteip_int,{lo})" in pushed
+    assert "LessThanOrEqual(remoteip_i" in pushed
+    assert q.count() == 1  # 192.0.2.3 is inside the block
+
+
+def test_subquery_queries_decorrelate(spark, catalog):
+    # correlated scalar subquery (q17) must plan as agg + join, never a
+    # per-row subquery; NOT EXISTS (q22) must plan as a left-anti join
+    p17 = plan_of(catalog["q17_small_quantity_revenue"].builder(spark, SF))
+    assert "Join" in p17 and "Subquery" not in p17
+    p22 = plan_of(catalog["q22_idle_rich_customers"].builder(spark, SF))
+    assert "LeftAnti" in p22
