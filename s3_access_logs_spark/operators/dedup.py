@@ -312,44 +312,58 @@ def connected_components(
     changes nothing. Rounds = graph diameter; dedup graphs are
     near-cliques of duplicates, so this converges in 2-3 rounds at any
     data scale (the O(log n) large-star/small-star variant only pays off on
-    long-chain graphs, which near-dup clusters are not). Per round: one
-    shuffle for the neighbor-min aggregate, one broadcast-or-shuffle join
-    back to labels, and ``localCheckpoint`` truncates the lineage so the
-    plan does not grow with iteration count — without it, iteration k
-    replays all k-1 prior joins and the job dies long before 100 TB.
+    long-chain graphs, which near-dup clusters are not).
+
+    Scale design: the loop touches only nodes that appear in at least one
+    edge — at 100 TB near-dup graph nodes are a small fraction of the
+    corpus, so singletons (the overwhelming majority) never enter a round
+    and join back exactly once at the end. Per round: one shuffle for the
+    neighbor-min aggregate and one join carrying a changed-flag, so
+    convergence detection is a cheap agg over the already-materialized
+    round output, not an extra join. ``localCheckpoint`` truncates lineage
+    so the plan does not grow with iteration count — without it, iteration
+    k replays all k-1 prior joins and the job dies long before 100 TB.
     """
-    und = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # materialize the edge list once — without this, every iteration's join
+    # re-executes the full upstream plan that produced the pairs (for
+    # dedup_clusters that is the whole MinHash+LSH pipeline, x rounds)
+    und = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         nbr_min = (
             und.join(labels, und["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
+        # every graph node has >= 1 neighbor (und holds both directions),
+        # so the join is inner and nbr_min is never null
+        merged = (
+            labels.join(nbr_min, "id")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
-                ).alias("cluster_id"),
+                F.least("cluster_id", "nbr_min").alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cluster")
-            .join(labels, "id")
-            .filter(F.col("new_cluster") != F.col("cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = merged.agg(F.sum("chg")).collect()[0][0]
+        labels = merged.drop("chg")
+        if not changed:
             break
-    return labels
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+    )
 
 
 def dedup_clusters(
