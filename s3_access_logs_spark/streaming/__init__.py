@@ -1,5 +1,6 @@
 from s3_access_logs_spark.streaming.pipeline import (  # noqa: F401
     correlate_reads_after_writes,
+    dedup_request_stream,
     hourly_rollup,
     parse_log_stream,
     read_log_stream,

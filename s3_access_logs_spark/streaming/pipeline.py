@@ -219,3 +219,15 @@ def correlate_reads_after_writes(
         "get_ts",
         "requester",
     )
+
+
+def dedup_request_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on the request id: at-least-once upstream
+    delivery (S3 log files are occasionally re-delivered) becomes
+    exactly-once downstream. ``dropDuplicatesWithinWatermark`` keeps one
+    state-store entry per requestid only until the watermark passes it, so
+    state is O(requests per watermark horizon) — the unbounded-memory trap
+    of a plain streaming ``dropDuplicates`` never opens."""
+    return parsed.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
+        ["requestid"]
+    )

@@ -255,3 +255,27 @@ class TestStreamStreamJoin:
         assert [(r.key, r.requester is not None) for r in rows] == [
             ("photo.jpg", True)
         ]
+
+
+class TestStreamingDedup:
+    def test_redelivered_requests_deduped(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import dedup_request_stream
+
+        d = tmp_path / "logs"
+        d.mkdir()
+        # one request delivered twice across files + one distinct request
+        other = at_time("00:20:00").replace("3E57427F3EXAMPLE", "OTHERREQ1EXAMPLE")
+        write_file(d, "2019-02-06-00-00-38-AAAA", [at_time("00:00:38"), other])
+        write_file(d, "2019-02-06-00-00-38-DUPL", [at_time("00:00:38")])
+        parsed = parse_log_stream(read_log_stream(spark, str(d)))
+        deduped = dedup_request_stream(parsed)
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.requestid for r in spark.table("dedup_stream").collect())
+        assert got == ["3E57427F3EXAMPLE", "OTHERREQ1EXAMPLE"]
