@@ -1,0 +1,68 @@
+"""Data-layout operators: multi-dimensional clustering for row-group
+skipping (engine extension; the reference's single hand-rolled layout —
+partition dirs + one row group per requester/ip combo,
+s3access/parquet.py:13-27 — generalizes to this at scale).
+
+A single sort column gives min/max locality on that column only. Z-order
+interleaves the bits of several columns so a lexicographic sort on the
+z-value keeps *every* interleaved column locally clustered — after
+``sortWithinPartitions(zvalue)``, parquet row-group min/max stats prune
+scans filtered on any of the dimensions, not just the first sort key.
+The interleave is plain integer arithmetic (shifts/masks), so it is
+whole-stage-codegen'd and, being deterministic, DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative int columns into
+    a single z-curve value (a's bit i -> position 2i+1, b's -> 2i).
+    Columns must already be range-reduced (e.g. ``% (1 << bits)``) —
+    at scale that range reduction comes from one global min/max pass."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    ca, cb = ca.cast("long"), cb.cast("long")
+    # disjoint bit positions, so summation == bitwise OR (and Column `|`
+    # is logical OR in PySpark, not bitwise)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ca, i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(cb, i) % 2, 2 * i)
+        )
+    return z
+
+
+def zvalue_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical interleave as DuckDB SQL (generated from the same bit
+    positions, so Spark and the oracle agree term for term)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    a: str,
+    b: str,
+    bits: int = 16,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Write parquet clustered on the z-curve of (a, b): repartition by the
+    z-value range (keeps each output task's key span tight), sort within
+    partitions by z, drop the helper column. Filters on either dimension
+    then skip row groups via min/max stats."""
+    z = df.withColumn("__z", zvalue(F.col(a) % (1 << bits), F.col(b) % (1 << bits), bits))
+    w = z.repartitionByRange("__z").sortWithinPartitions("__z").drop("__z")
+    writer = w.write.mode("overwrite").option("compression", "snappy")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -389,3 +389,46 @@ from s3_access_logs_spark.plans.catalog import QUERIES as _Q  # noqa: E402
 import dataclasses as _dc  # noqa: E402
 
 _Q["cidr_traffic"] = _dc.replace(_Q["cidr_traffic"], oracle=_cidr_traffic_oracle())
+
+
+def _zorder_oracle() -> str:
+    from s3_access_logs_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql("(user_id % 65536)", "(event_id % 65536)", bits=16)
+    return f"""
+    WITH z AS (SELECT event_id, ({z}) AS zv FROM events)
+    SELECT zv >> 20 AS z_bucket,
+           COUNT(*) AS n,
+           MIN(zv) AS z_lo,
+           MAX(zv) AS z_hi
+    FROM z GROUP BY 1
+    """
+
+
+@query(
+    "zorder_curve",
+    oracle=None,  # filled below (generated from the same bit positions)
+    tags=("layout", "zorder", "etl"),
+)
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve interleave of (user_id, event_id) bucketed by the top bits:
+    the clustering key behind operators/layout.py:zorder_write, checked
+    value-for-value. The interleave is 32 shift/mask terms of plain long
+    arithmetic — one whole-stage-codegen projection, no shuffle until the
+    final small aggregate."""
+    from s3_access_logs_spark.operators.layout import zvalue
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zvalue(F.col("user_id") % 65536, F.col("event_id") % 65536, bits=16)
+    return (
+        ev.select("event_id", z.alias("zv"))
+        .groupBy(F.shiftright("zv", 20).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zv").alias("z_lo"),
+            F.max("zv").alias("z_hi"),
+        )
+    )
+
+
+_Q["zorder_curve"] = _dc.replace(_Q["zorder_curve"], oracle=_zorder_oracle())

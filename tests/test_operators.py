@@ -263,3 +263,47 @@ class TestConnectedComponents:
         out = {r.doc_id: r.cluster_id for r in dedup_clusters(df).collect()}
         # near-dups 1,2 share a band; 3 is its own cluster
         assert out[1] == 1 and out[2] == 1 and out[3] == 3
+
+
+class TestZOrder:
+    def test_interleave_matches_python(self, spark):
+        from s3_access_logs_spark.operators.layout import zvalue
+
+        def py_z(a, b, bits=16):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+            return z
+
+        rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = [r.z for r in df.select(zvalue("a", "b").alias("z")).collect()]
+        assert got == [py_z(a, b) for a, b in rows]
+
+    def test_zorder_write_clusters_both_dims(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.layout import zorder_write
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        out = str(tmp_path / "z")
+        zorder_write(df, out, "x", "y", bits=6)
+        back = spark.read.parquet(out)
+        assert back.count() == 4096
+        # within each file, both dims should span far less than their full
+        # range (z-curve locality) — check via per-file min/max spread
+        import pyspark.sql.functions as sf
+
+        spread = (
+            back.withColumn("f", sf.input_file_name())
+            .groupBy("f")
+            .agg(
+                (sf.max("x") - sf.min("x")).alias("dx"),
+                (sf.max("y") - sf.min("y")).alias("dy"),
+            )
+            .agg(sf.avg("dx").alias("adx"), sf.avg("dy").alias("ady"))
+            .collect()[0]
+        )
+        n_files = back.select(sf.input_file_name()).distinct().count()
+        if n_files > 4:
+            assert spread.adx < 63 and spread.ady < 63
