@@ -951,3 +951,57 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "user_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+      FROM events WHERE user_id < 200
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id,
+             AVG(n) AS m,
+             CASE WHEN COUNT(*) > 0
+                  THEN sqrt(AVG(n * n) - AVG(n) * AVG(n)) END AS s
+      FROM daily GROUP BY user_id
+    )
+    SELECT d.user_id, d.day, d.n,
+           ROUND(CASE WHEN s > 0 THEN (d.n - m) / s ELSE 0.0 END, 6) AS z
+    FROM daily d JOIN stats USING (user_id)
+    """,
+    tags=("udaf", "pandas", "agg", "window"),
+)
+def user_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event-count z-scores via a grouped-map
+    ``applyInPandas`` UDAF — the Arrow escape hatch demonstrated *with* a
+    correctness oracle. The group-map runs one vectorized numpy pass per
+    user over pre-aggregated daily counts (never raw events: the JVM-side
+    partial agg shrinks each group to ~days rows before a single shuffle
+    hands it to Python). Population std is computed as
+    sqrt(E[n^2] - E[n]^2) over exact integer sums, so Spark/numpy and the
+    DuckDB oracle agree to 6dp. Everything upstream (filter pushdown on
+    user_id, date_format, count) stays in whole-stage codegen."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") < 200)
+        .groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def zscores(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = pdf["n"].astype("float64")
+        m = n.sum() / len(n)  # exact integer sum -> double, matches SQL AVG
+        var = (n * n).sum() / len(n) - m * m
+        s = var**0.5 if var > 0 else 0.0
+        pdf = pdf.copy()
+        pdf["z"] = ((n - m) / s if s > 0 else 0.0 * n).round(6)
+        return pdf
+
+    return daily.groupBy("user_id").applyInPandas(
+        zscores, schema="user_id long, day string, n long, z double"
+    )
