@@ -1005,3 +1005,42 @@ def user_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("user_id").applyInPandas(
         zscores, schema="user_id long, day string, n long, z double"
     )
+
+
+@query(
+    "running_distinct_users",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+      FROM events GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+    newu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+    SELECT days.day,
+           COALESCE(new_users, 0) AS new_users,
+           SUM(COALESCE(new_users, 0)) OVER (ORDER BY days.day
+             ROWS UNBOUNDED PRECEDING) AS cum_distinct_users
+    FROM days LEFT JOIN newu ON days.day = newu.day
+    """,
+    tags=("window", "distinct", "agg"),
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day. COUNT(DISTINCT) over a window is
+    unsupported in Spark SQL; the scalable rewrite is first-seen-day per
+    user (one shuffle on user_id) -> new-user counts per day -> running sum.
+    The unpartitioned window runs AFTER aggregation shrank the data to one
+    row per day, so the single-partition sort that would be a scale bug on
+    raw rows is a few-hundred-row no-op here."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    days = ev.select(day).distinct()
+    newu = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(newu, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
+    )
