@@ -1044,3 +1044,33 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
         .withColumn("cum_distinct_users", F.sum("new_users").over(w))
     )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT LEAST(floor(l_extendedprice / 6000), 19)::BIGINT AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 x 6000 bins, top bin open-ended) over
+    extended price — one partial-agg pass; the shuffle carries at most 20
+    rows per task regardless of data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    bin_ = F.least(F.floor(F.col("l_extendedprice") / 6000), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        li.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
