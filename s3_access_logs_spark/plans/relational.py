@@ -533,7 +533,7 @@ def events_5min_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+           SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
     FROM events
     GROUP BY event_type
@@ -600,9 +600,9 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, SUM(new_session) OVER (
+      SELECT *, (SUM(new_session) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -776,7 +776,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT prop_key,
            COUNT(*) AS n,
-           SUM(json_extract_string(props, '$.' || prop_key)::BIGINT) AS total,
+           SUM(json_extract_string(props, '$.' || prop_key)::BIGINT)::BIGINT AS total,
            MIN(json_extract_string(props, '$.' || prop_key)::BIGINT) AS lo,
            MAX(json_extract_string(props, '$.' || prop_key)::BIGINT) AS hi
     FROM kv GROUP BY prop_key
@@ -1018,8 +1018,8 @@ def user_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     newu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
     SELECT days.day,
            COALESCE(new_users, 0) AS new_users,
-           SUM(COALESCE(new_users, 0)) OVER (ORDER BY days.day
-             ROWS UNBOUNDED PRECEDING) AS cum_distinct_users
+           (SUM(COALESCE(new_users, 0)) OVER (ORDER BY days.day
+             ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_distinct_users
     FROM days LEFT JOIN newu ON days.day = newu.day
     """,
     tags=("window", "distinct", "agg"),

@@ -606,9 +606,9 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT source, n_tokens,
-             (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
-              // 256 AS bin
+             ((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // 256)::BIGINT AS bin
       FROM t
     )
     SELECT source, bin,

@@ -238,7 +238,10 @@ _Q["embedding_ann_lsh"] = _dc.replace(
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale6,
-           list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::INT) AS q
+           array_to_string(
+             list_transform(embedding,
+                            x -> floor(x::DOUBLE * scale + 0.5)::INT), '-'
+           ) AS q_str
     FROM s
     """,
     tags=("llm", "vector", "quantization"),
@@ -263,5 +266,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(scale, 6).alias("scale6"),
-        q.alias("q"),
+        # Joined string, not array<int>: the driver's canonicalizer sorts
+        # via pandas and cannot factorize list cells (same shape as
+        # minhash_signatures.sig_str).
+        F.array_join(q, "-").alias("q_str"),
     )

@@ -23,17 +23,33 @@ from s3_access_logs_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
 def canon(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Canonicalize like the driver: sort columns by name, sort rows, round
+    floats to 6dp — and keep the int/float distinction. The driver pulls the
+    oracle result through pandas, where DuckDB HUGEINT (un-cast SUM and every
+    windowed SUM) becomes float64 and hash-mismatches Spark's int64; tagging
+    the numeric kind here reproduces that instead of hiding it behind
+    Python's ``5.0 == 5``."""
+    import numpy as np
+
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
+        if v is None:
+            return ("null",)
+        if isinstance(v, np.generic):
+            v = v.item()
         if isinstance(v, bool):
-            return v
+            return ("b", v)
+        if isinstance(v, int):
+            return ("i", v)
         if isinstance(v, float):
             if math.isnan(v):
-                return "NaN"
-            return round(v, 6)
+                return ("null",)  # pandas NaN == SQL NULL in the driver
+            return ("f", round(v, 6))
         if hasattr(v, "isoformat"):
-            return v.isoformat()[:26]
+            return ("t", v.isoformat()[:26])
+        if isinstance(v, np.ndarray):
+            return tuple(norm(x) for x in v.tolist())
         if isinstance(v, (list, tuple)):
             return tuple(norm(x) for x in v)
         return v
@@ -60,7 +76,14 @@ def main() -> int:
         try:
             sdf = q.builder(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # toPandas, mirroring the driver: a nullable int64 column with
+            # nulls degrades to float64 on BOTH sides (so it still matches),
+            # while an oracle-only HUGEINT degrades on one side (mismatch).
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(row)
+                for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -70,9 +93,14 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            cur = con.execute(q.oracle)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            # fetchdf, not fetchall: the driver materializes the oracle via
+            # pandas, which is where HUGEINT degrades to float64.
+            odf = con.execute(q.oracle).fetchdf()
+            dcols = list(odf.columns)
+            drows = [
+                tuple(row)
+                for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
