@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import logging
 import sys
+import uuid
 from pathlib import Path
+
+from pyspark.sql import SparkSession
 
 from s3_access_logs_spark.config import JobConfig
 from s3_access_logs_spark.operators.etl import export_hour
@@ -30,6 +33,61 @@ def _marker(cfg: JobConfig) -> Path | None:
     return Path(cfg.tracking_dst) / cfg.hour
 
 
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme (file://, s3a://…)
+    — the same abstraction Spark's own readers resolve paths through, so the
+    preflight sees exactly what the job will see."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def preflight(spark: SparkSession, cfg: JobConfig) -> int:
+    """Source/sink self-tests before committing to the hour (reference
+    cmd/export.py:346-376): prove the first matched input file is readable
+    (line-count it) and that DST accepts a create/write/delete round-trip.
+    Returns 0 when healthy; logs and returns 1 on the first failure — a
+    mis-permissioned bucket fails here with a clear message instead of
+    somewhere inside a Spark stage."""
+    # --- read test (export.py:346-360) ------------------------------------
+    try:
+        fs, src_path = _hadoop_fs(spark, cfg.src)
+        if not fs.exists(src_path):
+            log.error("preflight: source %s does not exist", cfg.src)
+            return 1
+        first = None
+        it = fs.listFiles(src_path, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            if not cfg.hour or p.getName().startswith(cfg.hour):
+                first = p
+                break
+        if first is None:
+            # empty hour is NOT a failure (exit-0 contract); nothing to read
+            log.info("preflight: no input files for hour %s", cfg.hour)
+        else:
+            n_lines = spark.read.format("text").load(first.toString()).count()
+            log.info(
+                "preflight: read test ok — %d lines in %s", n_lines, first
+            )
+    except Exception:
+        log.exception("preflight: read test failed for %s", cfg.src)
+        return 1
+    # --- write test (export.py:362-376) -----------------------------------
+    probe = f"{cfg.dst.rstrip('/')}/_preflight-{uuid.uuid4()}"
+    try:
+        fs, probe_path = _hadoop_fs(spark, probe)
+        out = fs.create(probe_path, True)
+        out.write(bytearray(f"preflight for {cfg.hour}\n", "utf-8"))
+        out.close()
+        fs.delete(probe_path, False)
+        log.info("preflight: write test ok — %s", probe)
+    except Exception:
+        log.exception("preflight: write test failed for %s", cfg.dst)
+        return 1
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     cfg = JobConfig.from_env(env)
@@ -41,6 +99,9 @@ def main(env: dict[str, str] | None = None) -> int:
         log.info("hour %s already exported, skipping", cfg.hour)
         return 0
     spark = get_spark("s3-access-logs-export", extra_conf=cfg.s3a_conf())
+    rc = preflight(spark, cfg)
+    if rc != 0:
+        return rc
     n = export_hour(spark, cfg.src, cfg.dst, hour=cfg.hour)
     if n == 0:
         log.info("no input files for hour %s", cfg.hour)

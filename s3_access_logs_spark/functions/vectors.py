@@ -36,6 +36,20 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, dot(a, b) / denom)
 
 
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column | str, norm_b: Column | str
+) -> Column:
+    """Cosine with the norms supplied as precomputed columns.
+
+    ``cosine_similarity`` re-evaluates both l2_norm folds per pair (HOF
+    lambdas defeat Catalyst CSE), which is Q-fold redundant work on the
+    corpus side of a top-k join. Project ``l2_norm`` once per side before
+    the join and use this instead; the arithmetic (dot / (na * nb)) is
+    identical, so results are bit-for-bit the same."""
+    denom = _c(norm_a) * _c(norm_b)
+    return F.when(denom > 0, dot(a, b) / denom)
+
+
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(
         F.aggregate(

@@ -87,7 +87,21 @@ def salted_join(
     split (enabled in session.py) handles sort-merge skew after the fact;
     salting is the a-priori fix that also covers the aggregations-after-join
     pattern AQE can't rebalance.
+
+    Only left-preserving joins are valid: the right side is replicated
+    ``salt`` times, so a right/full-outer (or right-anti) join would emit up
+    to ``salt`` duplicate null-extended rows per unmatched right row
+    (ADVICE r1).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+               "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): right side is replicated {salt}x, so "
+            "only left-preserving joins are correct "
+            "(inner/left/left_semi/left_anti)"
+        )
     lcols = [F.col(c) for c in left.columns]
     l_salted = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*lcols), F.lit(salt)).cast("int")

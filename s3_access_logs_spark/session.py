@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # TIMESTAMP(NANOS) parquet columns read as raw int64 (no Spark
+        # nanos type); sources/tables.py truncates them to micros. Set here
+        # permanently rather than toggled per-read so correctness never
+        # depends on when Spark captures the conf (ADVICE r1).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -46,16 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Read NANOS as raw int64 then truncate to microseconds — same
     # truncation DuckDB applies (its timestamps are microsecond), so both
     # engines see identical values.
+    #
+    # The conf is set once and left on: Spark may re-read session confs at
+    # physical planning, so the old set/reset-in-finally pattern made
+    # correctness depend on capture timing and broke under concurrent loads
+    # (ADVICE r1). nanosAsLong only affects files that actually contain
+    # NANOS columns, so leaving it enabled is safe for every other read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-        for c in nanos_cols:
-            df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-            )
-        return df
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        # `div` (exact integer division), NOT `/` (double): int64 nanosecond
+        # epochs (~1.7e18) exceed double's 53-bit mantissa, so float division
+        # lands ~1 in 8 values on the wrong microsecond vs DuckDB's exact
+        # truncation (ADVICE r1, verified on sf0.01 events.parquet).
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    return df
 
 
 def load_tables(

@@ -142,6 +142,14 @@ def write_partitioned_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # set dynamic overwrite on THIS session, not ambient config: under
+        # static mode (the Spark default, e.g. plain spark-submit without
+        # session.py's factory) mode='overwrite' would wipe the entire dst
+        # tree on every micro-batch — silent data loss instead of
+        # idempotent replay (ADVICE r1)
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         write_logs(batch_df.drop("ts_ts"), dst, mode="overwrite")
 
     writer = (

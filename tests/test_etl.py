@@ -145,3 +145,26 @@ class TestCliContract:
         env = {"SRC": str(log_dir), "DST": str(tmp_path / "o"),
                "HOUR": "2030-01-01-00"}
         assert main(env) == 0
+
+    def test_preflight_missing_src_exits_nonzero(self, tmp_path):
+        # reference preflight parity (cmd/export.py:346-360): a source that
+        # cannot be listed/read fails fast with exit 1, before any export
+        from s3_access_logs_spark.cli import main
+
+        env = {"SRC": str(tmp_path / "does-not-exist"),
+               "DST": str(tmp_path / "o"), "HOUR": "2019-02-06-00"}
+        assert main(env) == 1
+
+    def test_preflight_unwritable_dst_exits_nonzero(self, log_dir, tmp_path):
+        # reference preflight parity (cmd/export.py:362-376): the DST
+        # write/delete probe fails -> exit 1, and no partial export happens.
+        # (chmod can't make a dir unwritable for root, so the blocker is a
+        # plain FILE where a parent directory is required)
+        from s3_access_logs_spark.cli import main
+
+        blocker = tmp_path / "blocker"
+        blocker.write_text("i am a file, not a directory")
+        env = {"SRC": str(log_dir), "DST": str(blocker / "out"),
+               "HOUR": "2019-02-06-00"}
+        assert main(env) == 1
+        assert blocker.read_text() == "i am a file, not a directory"

@@ -43,6 +43,32 @@ class TestJaccard:
         df = _docs(spark, [(1, "a b c d"), (2, "x y z w")])
         assert jaccard_pairs(df, threshold=0.01).count() == 0
 
+    def test_hot_shingle_cap_bounds_pair_explosion(self, spark):
+        # 40 docs that share ONE stop-phrase shingle but nothing else: with
+        # the cap below the shingle's document frequency the posting list is
+        # dropped and no quadratic 40*39/2 pair fan-out happens; pairs that
+        # share only capped shingles never materialize.
+        docs = [(i, f"the quick fox u{i} v{i} w{i} x{i}") for i in range(40)]
+        df = _docs(spark, docs)
+        capped = jaccard_pairs(df, threshold=0.0, max_shingle_freq=10)
+        assert capped.count() == 0
+        uncapped = jaccard_pairs(df, threshold=0.0, max_shingle_freq=None)
+        assert uncapped.count() == 40 * 39 // 2
+
+    def test_cap_is_on_by_default(self):
+        import inspect
+
+        from s3_access_logs_spark.operators.dedup import (
+            DEFAULT_MAX_SHINGLE_FREQ,
+        )
+
+        sig = inspect.signature(jaccard_pairs)
+        assert (
+            sig.parameters["max_shingle_freq"].default
+            == DEFAULT_MAX_SHINGLE_FREQ
+            is not None
+        )
+
 
 class TestMinhash:
     def test_identical_docs_always_candidates(self, spark):
@@ -249,6 +275,39 @@ class TestConnectedComponents:
         )
         out = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
         assert out == {i: 0 for i in range(n)}
+
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        # cluster-durable path: reliable checkpoint() to a checkpoint dir
+        # instead of executor-local blocks (VERDICT r1 item 7)
+        from s3_access_logs_spark.operators.dedup import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 9]], ["id"])
+        edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            # auto-detect (dir set -> reliable) and forced both agree
+            for kw in ({}, {"reliable_checkpoint": True}):
+                out = {
+                    r.id: r.cluster_id
+                    for r in connected_components(nodes, edges, **kw).collect()
+                }
+                assert out == {1: 1, 2: 1, 3: 1, 9: 9}
+        finally:
+            # no public unset; null through the JVM API clears it
+            spark.sparkContext._jsc.sc().setCheckpointDir(None)
+
+    def test_unconverged_raises(self, spark):
+        import pytest as _pytest
+
+        from s3_access_logs_spark.operators.dedup import connected_components
+
+        n = 8
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(nodes, edges, max_iterations=2)
 
     def test_dedup_clusters_keep_policy(self, spark):
         from s3_access_logs_spark.operators.dedup import dedup_clusters
