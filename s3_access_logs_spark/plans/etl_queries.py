@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_access_logs_spark.functions.ip import ipv4_to_long, long_to_ipv4
 from s3_access_logs_spark.operators.parse import parse_logs
 from s3_access_logs_spark.plans.catalog import query
 from s3_access_logs_spark.sources.tables import load_table
@@ -165,37 +164,11 @@ def logs_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ipv4_roundtrip",
-    oracle="""
-    SELECT c_custkey,
-           ((c_custkey * 131) % 223 + 1) || '.' || ((c_custkey * 17) % 256)
-             || '.' || ((c_custkey * 29) % 256) || '.' || ((c_custkey * 43) % 256)
-             AS ip,
-           (((c_custkey * 131) % 223 + 1) * 16777216
-            + ((c_custkey * 17) % 256) * 65536
-            + ((c_custkey * 29) % 256) * 256
-            + ((c_custkey * 43) % 256))::BIGINT AS ip_int,
-           true AS roundtrip_ok
-    FROM customer
-    """,
-    tags=("etl", "ip"),
-)
-def ipv4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ipv4_to_long / long_to_ipv4 parity on constructed addresses
-    (reference: s3access/normalize.py:70; uint32 value space)."""
-    c = load_table(spark, sf_dir, "customer")
-    k = F.col("c_custkey")
-    ip = F.concat_ws(
-        ".",
-        (k * 131) % 223 + 1,
-        (k * 17) % 256,
-        (k * 29) % 256,
-        (k * 43) % 256,
-    )
-    df = c.select("c_custkey", ip.alias("ip"))
-    df = df.withColumn("ip_int", ipv4_to_long("ip"))
-    return df.withColumn("roundtrip_ok", long_to_ipv4("ip_int") == F.col("ip"))
+# (r2 consolidation: ipv4_roundtrip was folded into cidr_traffic, which
+# now emits per-group min/max remoteip_int plus a long_to_ipv4 rendering of
+# the min — so ipv4_to_long (inside the parser) and long_to_ipv4 are both
+# still value-checked against the oracle's arithmetic reconstruction.
+# Reference parity: s3access/normalize.py:70 (uint32 value space).)
 
 
 @query(
@@ -221,22 +194,30 @@ def ipv4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_width,
            ROUND(AVG(CASE WHEN m = 1 THEN sr END), 4) AS avg_sample_rate,
            ROUND(AVG(CASE WHEN m = 1 THEN dur END), 4) AS avg_duration_ms,
-           SUM(CASE WHEN m = 2 THEN nf ELSE 0 END)::BIGINT AS total_frames
+           SUM(CASE WHEN m = 2 THEN nf ELSE 0 END)::BIGINT AS total_frames,
+           SUM(CASE WHEN m = 2 THEN (nf + 2) // 3 ELSE 0 END)::BIGINT
+             AS frames_kept_stride3,
+           SUM(CASE WHEN m = 2 THEN ((nf + 2) // 3) * 16 ELSE 0 END)::BIGINT
+             AS sampled_frame_bytes
     FROM a GROUP BY 1
     """,
-    tags=("multimodal", "binary", "mapInPandas"),
+    tags=("multimodal", "binary", "video", "mapInPandas"),
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal round-trip: synthesize real container bytes (PNG/WAV/MVID)
     from documents, then *decode the headers back from raw bytes* via
     Arrow-batched mapInPandas (operators/multimodal.py) and aggregate the
-    typed metadata. The oracle recomputes every value from the synthesis
+    typed metadata. The frame-sampling columns (r2 fold of
+    video_frame_sample) run MM.sample_frames — the mapInPandas explode of
+    MVID payloads into kept frames (stride 3) — and re-aggregate to the
+    modality grain, so the frame plumbing's row counts and byte totals stay
+    value-checked. The oracle recomputes every value from the synthesis
     formulas, so a decode bug on either path mismatches."""
     from s3_access_logs_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")
-    decoded = MM.decode_metadata(MM.synthesize_assets(docs))
-    return decoded.groupBy("modality").agg(
+    assets = MM.synthesize_assets(docs)
+    decoded_agg = MM.decode_metadata(assets).groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
         F.round(F.avg(F.col("meta.width")), 4).alias("avg_width"),
@@ -246,29 +227,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_frames"),
     )
-
-
-@query(
-    "video_frame_sample",
-    oracle="""
-    SELECT doc_id AS asset_id,
-           ((1 + doc_id % 120) + 2) // 3 AS n_frames_kept,
-           (((1 + doc_id % 120) + 2) // 3 * 16)::BIGINT AS frame_bytes
-    FROM documents WHERE doc_id % 3 = 2
-    """,
-    tags=("multimodal", "video", "mapInPandas"),
-)
-def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling plumbing: explode MVID video payloads into one row per
-    kept frame (stride 3) and re-aggregate per asset. Row counts and byte
-    totals are fully determined by the synthesis formulas."""
-    from s3_access_logs_spark.operators import multimodal as MM
-
-    docs = load_table(spark, sf_dir, "documents")
-    frames = MM.sample_frames(MM.synthesize_assets(docs), stride=3)
-    return frames.groupBy("asset_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_frames_kept"),
-        F.sum(F.length("frame_payload")).cast("bigint").alias("frame_bytes"),
+    frames_agg = (
+        MM.sample_frames(assets, stride=3)
+        .select(F.lit("video").alias("modality"), "frame_payload")
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("frames_kept_stride3"),
+            F.sum(F.length("frame_payload"))
+            .cast("bigint")
+            .alias("sampled_frame_bytes"),
+        )
+    )
+    return decoded_agg.join(frames_agg, "modality", "left").select(
+        decoded_agg["*"],
+        F.coalesce("frames_kept_stride3", F.lit(0)).alias("frames_kept_stride3"),
+        F.coalesce("sampled_frame_bytes", F.lit(0).cast("bigint")).alias(
+            "sampled_frame_bytes"
+        ),
     )
 
 
@@ -348,15 +323,29 @@ def _cidr_traffic_oracle() -> str:
 
     lo, hi = cidr_range("10.5.0.0/16")
     return f"""
-    SELECT 'bucket' || (user_id % 3) AS bucket_name,
-           'REST.' || upper(event_type) || '.OBJECT' AS operation,
-           COUNT(*) AS n_requests,
-           SUM(CASE WHEN event_id % 5 = 0 THEN 0
-                    ELSE event_id % 10000 END)::BIGINT AS total_bytes
-    FROM events
-    WHERE (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
-           + (event_id * 7) % 256) BETWEEN {lo} AND {hi}
-    GROUP BY 1, 2
+    WITH t AS (
+      SELECT 'bucket' || (user_id % 3) AS bucket_name,
+             'REST.' || upper(event_type) || '.OBJECT' AS operation,
+             CASE WHEN event_id % 5 = 0 THEN 0
+                  ELSE event_id % 10000 END AS bytes,
+             (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
+              + (event_id * 7) % 256) AS ipint
+      FROM events
+    ),
+    g AS (
+      SELECT bucket_name, operation,
+             COUNT(*) AS n_requests,
+             SUM(bytes)::BIGINT AS total_bytes,
+             MIN(ipint)::BIGINT AS ip_lo,
+             MAX(ipint)::BIGINT AS ip_hi
+      FROM t
+      WHERE ipint BETWEEN {lo} AND {hi}
+      GROUP BY 1, 2
+    )
+    SELECT bucket_name, operation, n_requests, total_bytes, ip_lo, ip_hi,
+           (ip_lo // 16777216) || '.' || ((ip_lo // 65536) % 256) || '.'
+             || ((ip_lo // 256) % 256) || '.' || (ip_lo % 256) AS ip_lo_str
+    FROM g
     """
 
 
@@ -371,8 +360,10 @@ def cidr_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     CIDR containment compiled to a remoteip_int BETWEEN range at plan time.
     Over the partitioned/sorted parquet this predicate reaches the scan as
     a row-group min/max prune (pinned by test_plan_shapes); here it runs on
-    freshly parsed lines to keep the oracle independent."""
-    from s3_access_logs_spark.functions.ip import ip_in_cidr
+    freshly parsed lines to keep the oracle independent. The per-group
+    min/max remoteip_int and its long_to_ipv4 rendering keep the
+    int<->dotted-quad roundtrip (r2 fold of ipv4_roundtrip) on the hook."""
+    from s3_access_logs_spark.functions.ip import ip_in_cidr, long_to_ipv4
 
     parsed = parse_logs(_synthetic_log_lines(spark, sf_dir))
     return (
@@ -381,7 +372,10 @@ def cidr_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_requests"),
             F.sum("bytessent").alias("total_bytes"),
+            F.min("remoteip_int").alias("ip_lo"),
+            F.max("remoteip_int").alias("ip_hi"),
         )
+        .withColumn("ip_lo_str", long_to_ipv4(F.col("ip_lo")))
     )
 
 

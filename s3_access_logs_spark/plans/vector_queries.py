@@ -177,10 +177,20 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.3) on a bounded
     slice — exact pairwise at verification scale; the LSH variant above is
     the scale path for the full corpus."""
+    from s3_access_logs_spark.functions.vectors import cosine_from_norms, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim_raw = cosine_similarity("va", "vb")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    sim_raw = cosine_from_norms("va", "vb", "na", "nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim_raw", sim_raw)

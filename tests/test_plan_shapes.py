@@ -64,7 +64,7 @@ def test_aggregation_is_partial_then_final(spark, catalog):
 def test_topk_uses_take_ordered(spark, catalog):
     # orderBy().limit() must plan TakeOrderedAndProject: per-partition
     # heaps + single merge, never a global sort of the full input
-    plan = plan_of(catalog["top_customers"].builder(spark, SF))
+    plan = plan_of(catalog["q3_shipping_priority"].builder(spark, SF))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -90,7 +90,7 @@ def test_no_python_udfs_in_relational_catalog(spark, catalog):
         "minhash_signatures",
         "ngram_jaccard_pairs",
         "embedding_ivf_topk",
-        "token_stats_by_source",
+        "corpus_cleaning_pipeline",
     ):
         plan = plan_of(catalog[name].builder(spark, SF))
         assert "BatchEvalPython" not in plan, name
