@@ -94,26 +94,34 @@ def label_centroids(
     label_col: str = "label",
     vec_col: str = "embedding",
     decimals: int = 6,
+    dims: int | None = None,
 ) -> DataFrame:
     """(label, centroid: array<double>) — element-wise mean vector per
-    label, via posexplode -> (label, pos) avg -> re-assemble sorted by pos.
-    No UDFs: the whole thing is two hash aggregations.
+    label, as ``dims`` per-dimension ``avg(element_at(vec, i))`` aggregates
+    in ONE hash aggregation. The r1 posexplode formulation blew each row up
+    to ``dims`` (label, pos, val) rows — 64x the rows through the first
+    aggregate and a second shuffle to reassemble; per-dim aggs keep the
+    scan narrow, partial-aggregate map-side, and shuffle only
+    nlist x dims x partitions scalars.
 
     Components are rounded to ``decimals`` so a cross-engine oracle
     (different float summation order) reproduces the centroids exactly and
-    every downstream distance is bit-identical."""
-    pe = corpus.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
-            "pos", "val"
-        ),
+    every downstream distance is bit-identical. ``dims`` is inferred from
+    the first row when not given (one LIMIT-1 job)."""
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
+    v = F.col(vec_col)
+    per = corpus.groupBy(F.col(label_col).alias("label")).agg(
+        *[
+            F.round(F.avg(F.element_at(v, i).cast("double")), decimals).alias(
+                f"_m{i}"
+            )
+            for i in range(1, dims + 1)
+        ]
     )
-    per_dim = pe.groupBy("label", "pos").agg(F.avg("val").alias("m"))
-    return per_dim.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))),
-            lambda s: F.round(s["m"], decimals),
-        ).alias("centroid")
+    return per.select(
+        "label",
+        F.array(*[F.col(f"_m{i}") for i in range(1, dims + 1)]).alias("centroid"),
     )
 
 
@@ -130,43 +138,63 @@ def _assign_clusters(
     ``row_number`` window, which shuffled the ENTIRE corpus by vector id
     just to take an argmax over 10 values (VERDICT r1 item 4).
 
+    Plan-shape note (measured): the fold MUST be a runtime
+    ``F.aggregate`` over an array of (sim, label) structs. The obvious
+    chained form — ``best = when(sim > best.s, ...).otherwise(best)`` per
+    centroid — references ``best`` twice per step, and Catalyst inlines
+    (never CSEs) those references, so the expression tree doubles per
+    centroid: 2^nlist nodes, 48 s instead of 2 s at sf0.1 with nlist=10.
+    Inside a higher-order function the accumulator is a lambda variable
+    bound at runtime, so each centroid's similarity is evaluated exactly
+    once and the plan stays O(nlist).
+
     ``n_best > 1`` — the query-probe path (a handful of rows) — keeps the
     window formulation."""
     if n_best == 1:
         rows = sorted(cents.collect(), key=lambda r: str(r["label"]))
-        # one argmax fold over literal centroids; the row's own norm is
-        # hoisted into a column (referenced 2x per centroid, so Catalyst's
-        # CollapseProject keeps it materialized rather than re-inlining the
-        # l2 fold). Centroid norms are plain Python floats baked into the
-        # plan. Iterating labels ascending with a strict > comparison keeps
-        # the earlier (smaller) label on equal sims — exactly the window's
+        # The whole argmax is ONE generated SQL string parsed once: building
+        # it as nested Column objects costs ~7000 py4j round trips (~1 s of
+        # driver time per plan build for 10x64 centroids), while the parsed
+        # string builds in ~0.5 s. Each dot product stays a zip_with +
+        # aggregate fold — measured faster than the equivalent flat 640-term
+        # multiply-add chain (0.31 s vs 0.39 s warm at sf0.1), which grows
+        # the codegen'd method past JIT-friendly size. Float summation order
+        # (left-to-right by index) is identical either way, so oracle parity
+        # holds. The row's own norm is hoisted into __vnorm once. Array
+        # order is ascending label with a strict > merge, which keeps the
+        # earlier (smaller) label on equal sims — exactly the window's
         # ORDER BY sim DESC, label ASC tie-break.
-        vnorm = F.col("__vnorm")
+        def lab_lit(val) -> str:
+            if isinstance(val, str):
+                return "'" + val.replace("'", "''") + "'"
+            return repr(val)
 
-        def sim_to(r):
+        cands = []
+        for r in rows:
             centroid = [float(v) for v in r["centroid"]]
-            c_lit = F.array(*[F.lit(v) for v in centroid])
             c_norm = sum(v * v for v in centroid) ** 0.5
-            return F.coalesce(
-                F.when(
-                    (vnorm * F.lit(c_norm)) > 0,
-                    dot(vec, c_lit) / (vnorm * F.lit(c_norm)),
-                ),
-                F.lit(-2.0),
+            arr = ", ".join(repr(v) for v in centroid)
+            dot_s = (
+                f"aggregate(zip_with(CAST(`{vec}` AS ARRAY<DOUBLE>), "
+                f"array({arr}), (p, q) -> p * q), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )
-
-        best = F.struct(
-            sim_to(rows[0]).alias("s"), F.lit(rows[0]["label"]).alias("l")
+            sim_s = (
+                f"coalesce(CASE WHEN (__vnorm * {c_norm!r}) > 0 "
+                f"THEN ({dot_s}) / (__vnorm * {c_norm!r}) END, -2.0)"
+            )
+            cands.append(
+                f"named_struct('s', {sim_s}, 'l', {lab_lit(r['label'])})"
+            )
+        best = (
+            f"aggregate(array({', '.join(cands)}), "
+            f"named_struct('s', CAST(-1e9 AS DOUBLE), "
+            f"'l', {lab_lit(rows[0]['label'])}), "
+            f"(acc, x) -> IF(x.s > acc.s, x, acc)).l"
         )
-        for r in rows[1:]:
-            sim = sim_to(r)
-            best = F.when(
-                sim > best["s"],
-                F.struct(sim.alias("s"), F.lit(r["label"]).alias("l")),
-            ).otherwise(best)
         return (
             df.withColumn("__vnorm", l2_norm(vec))
-            .withColumn("cluster", best["l"])
+            .withColumn("cluster", F.expr(best))
             .drop("__vnorm")
         )
     scored = df.crossJoin(broadcast(cents)).withColumn(
