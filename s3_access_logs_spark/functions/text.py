@@ -187,6 +187,63 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def word_bigrams(col: Column | str) -> Column:
+    """Adjacent word 2-grams (order-sensitive, duplicates KEPT — this is a
+    frequency signal, unlike ``word_shingles``). Two shifted slices
+    zip_with-joined, so the token array is referenced a bounded number of
+    times (see the plan-shape note on ``shingles_from_word_hashes``)."""
+    toks = words(col)
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(toks, F.lit(1), m),
+        F.slice(toks, F.lit(2), m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repeated_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    (n - n_distinct) / n. One of the Gopher-style repetition filters."""
+    toks = words(col)
+    n = F.size(toks)
+    return (n - F.size(F.array_distinct(toks))).cast("double") / F.greatest(
+        n, F.lit(1)
+    ).cast("double")
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Occurrences of the most frequent word bigram / total bigrams — the
+    classic repeated-boilerplate signal (Gopher/C4 family).
+
+    Computed as the longest equal run in the SORTED bigram array (max run ==
+    max multiplicity), which keeps the whole metric a narrow per-row fold:
+    no explode, no shuffle. The count-per-distinct formulation —
+    ``transform(array_distinct(bg), d -> size(filter(bg, …)))`` — would
+    re-evaluate the bigram construction inside a lambda per distinct value
+    (lambdas are never CSE'd), going O(distinct x n) regexp scans per row."""
+    bg = word_bigrams(col)
+    m = F.size(bg)
+    bs = F.array_sort(bg)
+    m1 = F.greatest(m - F.lit(1), F.lit(0))
+    eq = F.zip_with(
+        F.slice(bs, F.lit(1), m1),
+        F.slice(bs, F.lit(2), m1),
+        lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        ncur = F.when(e == 1, acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            ncur.alias("cur"), F.greatest(acc["best"], ncur).alias("best")
+        )
+
+    run = F.aggregate(
+        eq, F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")), merge
+    )
+    topc = F.when(m == 0, F.lit(0)).otherwise(run["best"])
+    return topc.cast("double") / F.greatest(m, F.lit(1)).cast("double")
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     token hashes, mod P (multiplier 131)."""

@@ -107,6 +107,12 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_scores",
     oracle=f"""
     WITH t AS (SELECT doc_id, source, {SQL_WORDS} AS toks FROM documents),
+    b AS (
+      SELECT *,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      FROM t
+    ),
     q AS (
       SELECT doc_id, source,
              0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
@@ -116,28 +122,109 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_reduce(
                list_prepend(0::BIGINT,
                  list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P})),
-               (a, b) -> (a * 131 + b) % {P}) AS fingerprint
-      FROM t
+               (a, b) -> (a * 131 + b) % {P}) AS fingerprint,
+             (len(toks) - len(list_distinct(toks)))::DOUBLE
+               / greatest(len(toks), 1)::DOUBLE AS rep_ratio,
+             (CASE WHEN len(bg) = 0 THEN 0
+                   ELSE list_max(list_transform(list_distinct(bg),
+                          d -> len(list_filter(bg, x -> x = d))))
+              END)::DOUBLE / greatest(len(bg), 1)::DOUBLE AS topbg
+      FROM b
     )
     SELECT doc_id, source,
            ROUND(score, 6) AS quality6,
-           fingerprint
+           fingerprint,
+           ROUND(rep_ratio, 6) AS rep_token_ratio6,
+           ROUND(topbg, 6) AS top_bigram_frac6
     FROM q
     """,
-    tags=("text", "llm", "quality", "fingerprint"),
+    tags=("text", "llm", "quality", "fingerprint", "repetition"),
 )
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality score AND order-sensitive rolling-hash
-    fingerprint in one projection (r2 consolidation of doc_fingerprints
-    into this query — per-doc output now pins every individual score,
-    not just per-source aggregates). Pure codegen'd column expressions,
-    no shuffle."""
+    """Per-document quality score, order-sensitive rolling-hash fingerprint
+    (r2 consolidation of doc_fingerprints), and Gopher-style repetition
+    filters — repeated-token ratio and top-bigram fraction. All pure
+    codegen'd column expressions, no shuffle: the top-bigram count is a
+    longest-equal-run fold over the sorted bigram array (== max
+    multiplicity), while the oracle counts multiplicities directly —
+    independent formulations, same values."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         "source",
         F.round(T.quality_score("text"), 6).alias("quality6"),
         T.fingerprint("text").alias("fingerprint"),
+        F.round(T.repeated_token_ratio("text"), 6).alias("rep_token_ratio6"),
+        F.round(T.top_bigram_fraction("text"), 6).alias("top_bigram_frac6"),
+    )
+
+
+# Chunking constants: 16-token context windows advancing 12 tokens per step
+# (4-token overlap) — the fixed-window + overlap shape every packing/tokenize
+# stage needs. Tail chunks shorter than the window are kept.
+CHUNK_TOKENS = 16
+CHUNK_STEP = 12
+
+
+@query(
+    "doc_chunk_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t),
+    s AS (
+      SELECT doc_id, toks, n_tokens,
+             unnest(CASE WHEN n_tokens > 0
+                         THEN range(0, n_tokens, {CHUNK_STEP})
+                         ELSE [] END) AS tok_start
+      FROM n
+    )
+    SELECT doc_id,
+           (tok_start // {CHUNK_STEP})::BIGINT AS chunk_idx,
+           tok_start::BIGINT AS tok_start,
+           least({CHUNK_TOKENS}, n_tokens - tok_start)::BIGINT AS tok_len,
+           toks[tok_start + 1] AS head_tok,
+           n_tokens::BIGINT AS n_tokens
+    FROM s
+    """,
+    tags=("text", "llm", "chunking"),
+)
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: one row per (doc, chunk) with the
+    chunk's token span and head token. A narrow projection + generator —
+    sequence() of starts posexploded, no shuffle, no UDF — so at 100 TB it
+    pipelines inside the scan stage. head_tok pins slice alignment against
+    the oracle; downstream stages slice the real token array with the same
+    (tok_start, tok_len)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.words("text")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    starts = F.when(
+        F.col("n_tokens") > 0,
+        F.sequence(
+            F.lit(0), F.col("n_tokens") - 1, F.lit(CHUNK_STEP)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "tok_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("tok_start").cast("long").alias("tok_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n_tokens") - F.col("tok_start")
+            ).cast("long").alias("tok_len"),
+            F.element_at("toks", F.col("tok_start") + 1).alias("head_tok"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
 
 

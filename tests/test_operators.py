@@ -366,3 +366,54 @@ class TestZOrder:
         n_files = back.select(sf.input_file_name()).distinct().count()
         if n_files > 4:
             assert spread.adx < 63 and spread.ady < 63
+
+
+class TestRepetitionMetrics:
+    def test_top_bigram_fraction_hand_computed(self, spark):
+        from s3_access_logs_spark.functions.text import (
+            repeated_token_ratio,
+            top_bigram_fraction,
+        )
+
+        rows = [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> top 'a b' x3 of 5
+            (2, "x x x x"),          # bigrams: xx xx xx -> 3 of 3
+            (3, "one two three"),    # all distinct -> 1 of 2
+            (4, "solo"),             # no bigrams -> 0
+            (5, ""),                 # no tokens -> 0
+        ]
+        df = _docs(spark, rows)
+        out = {
+            r.doc_id: (r.rep, r.top)
+            for r in df.select(
+                "doc_id",
+                F.round(repeated_token_ratio("text"), 6).alias("rep"),
+                F.round(top_bigram_fraction("text"), 6).alias("top"),
+            ).collect()
+        }
+        assert out[1] == (round(4 / 6, 6), 0.6)
+        assert out[2] == (0.75, 1.0)
+        assert out[3] == (0.0, 0.5)
+        assert out[4] == (0.0, 0.0)
+        assert out[5] == (0.0, 0.0)
+
+
+class TestChunkSpans:
+    def test_spans_cover_and_overlap(self, spark):
+        from s3_access_logs_spark.plans.catalog import load_all
+        import tempfile
+
+        # 30 tokens -> starts 0,12,24; lens 16,16,6
+        text = " ".join(f"t{i}" for i in range(30))
+        with tempfile.TemporaryDirectory() as d:
+            df = spark.createDataFrame(
+                [(7, text, "en", "web", len(text))],
+                ["doc_id", "text", "lang", "source", "n_chars"],
+            )
+            df.write.parquet(f"{d}/documents.parquet")
+            q = load_all()["doc_chunk_spans"]
+            rows = sorted(
+                (r.chunk_idx, r.tok_start, r.tok_len, r.head_tok)
+                for r in q.builder(spark, d).collect()
+            )
+        assert rows == [(0, 0, 16, "t0"), (1, 12, 16, "t12"), (2, 24, 6, "t24")]
