@@ -244,6 +244,38 @@ def top_bigram_fraction(col: Column | str) -> Column:
     return topc.cast("double") / F.greatest(m, F.lit(1)).cast("double")
 
 
+# PII patterns (POSIX-safe subset that parses identically in Spark/Java and
+# DuckDB/RE2): emails, dotted-quad IPv4s, and long digit runs (phone/account
+# numbers). Order matters — emails first so their digits aren't eaten by the
+# digit-run rule.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def pii_count(col: Column | str) -> Column:
+    """Number of PII spans the scrubber would redact (emails + IPv4s +
+    long digit runs), counted on the progressively-scrubbed text so a span
+    is never double-counted across rules."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, repl)
+    return total
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Scrubbed text: each PII span replaced by its placeholder token.
+    Deterministic, rerun-stable — the standard pretraining scrub pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def fingerprint(col: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash over
     token hashes, mod P (multiplier 131)."""

@@ -606,24 +606,32 @@ SQL_SRC_RATE = (
     WITH t AS (
       SELECT doc_id, source, len({SQL_WORDS}) AS n_tokens,
              {SQL_ID_BUCKET} AS bucket,
-             {SQL_SRC_RATE} AS rate
+             {SQL_SRC_RATE} AS rate,
+             (('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % 100) AS sb
       FROM documents
     )
     SELECT source,
+           CASE WHEN sb < 80 THEN 'train'
+                WHEN sb < 90 THEN 'val'
+                ELSE 'test' END AS split,
            COUNT(*) AS n_kept,
            SUM(n_tokens)::BIGINT AS kept_tokens
     FROM t WHERE bucket < rate
-    GROUP BY source
+    GROUP BY 1, 2
     """,
-    tags=("llm", "pipeline", "sampling"),
+    tags=("llm", "pipeline", "sampling", "split"),
 )
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data source mixing: keep each document with a per-source
-    rate (90%/50%/15% tiers) decided by a hash of its id — the
-    reproducible alternative to rand()-based sampleBy. At 100 TB this is a
-    stateless narrow filter: no shuffle, no RNG seed coordination across
-    executors, and reruns keep exactly the same rows, so downstream caches
-    and dedup state stay valid."""
+    """Training-data source mixing AND deterministic train/val/test split
+    (80/10/10) in one pass: keep each document with a per-source rate
+    (90%/50%/15% tiers) decided by a hash of its id, then assign the split
+    from an independently-salted hash of the same id — the reproducible
+    alternative to rand()-based sampleBy/randomSplit. At 100 TB this is a
+    stateless narrow filter + projection: no shuffle, no RNG seed
+    coordination across executors, and reruns keep exactly the same rows
+    AND the same split membership, so downstream caches, dedup state and
+    eval sets stay valid."""
     docs = load_table(spark, sf_dir, "documents")
     src_idx = F.substring("source", 4, 10).cast("int")
     rate = (
@@ -633,9 +641,24 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 100
     )
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 100
+    )
+    split = (
+        F.when(split_bucket < 80, "train")
+        .when(split_bucket < 90, "val")
+        .otherwise("test")
+    )
     return (
         docs.filter(bucket < rate)
-        .groupBy("source")
+        .withColumn("split", split)
+        .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
             F.sum(T.token_count("text")).cast("bigint").alias("kept_tokens"),

@@ -417,3 +417,26 @@ class TestChunkSpans:
                 for r in q.builder(spark, d).collect()
             )
         assert rows == [(0, 0, 16, "t0"), (1, 12, 16, "t12"), (2, 24, 6, "t24")]
+
+
+class TestPiiScrub:
+    def test_redacts_and_counts(self, spark):
+        from s3_access_logs_spark.functions.text import pii_count, pii_redact
+
+        rows = [
+            (1, "contact bob.smith+x@example.co.uk or 10.1.2.3 now"),
+            (2, "card 1234567890123456 ok, short 12345 kept"),
+            (3, "nothing sensitive here"),
+        ]
+        df = _docs(spark, rows)
+        out = {
+            r.doc_id: (r.clean, r.n)
+            for r in df.select(
+                "doc_id",
+                pii_redact("text").alias("clean"),
+                pii_count("text").alias("n"),
+            ).collect()
+        }
+        assert out[1] == ("contact <EMAIL> or <IP> now", 2)
+        assert out[2] == ("card <NUM> ok, short 12345 kept", 1)
+        assert out[3] == ("nothing sensitive here", 0)
