@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import sys
+import threading
 import uuid
 from pathlib import Path
 
@@ -102,7 +103,35 @@ def main(env: dict[str, str] | None = None) -> int:
     rc = preflight(spark, cfg)
     if rc != 0:
         return rc
-    n = export_hour(spark, cfg.src, cfg.dst, hour=cfg.hour)
+    # Job-level timeout (reference: TIMEOUT env, 300 s default,
+    # export.py:259 + wg.py:27-31). A watchdog cancels every Spark job at
+    # the deadline; the interrupted action raises, we exit 1, and the next
+    # cron invocation's idempotent dynamic-overwrite write repairs the
+    # partial hour.
+    timed_out = threading.Event()
+
+    def _cancel() -> None:
+        timed_out.set()
+        log.error(
+            "timeout: %ds elapsed, cancelling all Spark jobs", cfg.timeout
+        )
+        spark.sparkContext.cancelAllJobs()
+
+    timer: threading.Timer | None = None
+    if cfg.timeout and cfg.timeout > 0:
+        timer = threading.Timer(cfg.timeout, _cancel)
+        timer.daemon = True
+        timer.start()
+    try:
+        n = export_hour(spark, cfg.src, cfg.dst, hour=cfg.hour)
+    except Exception:
+        if timed_out.is_set():
+            log.exception("export killed by %ds timeout", cfg.timeout)
+            return 1
+        raise
+    finally:
+        if timer is not None:
+            timer.cancel()
     if n == 0:
         log.info("no input files for hour %s", cfg.hour)
         return 0

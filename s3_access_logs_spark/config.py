@@ -12,8 +12,11 @@ Variables honored (reference source lines cited):
   The reference reads the input endpoint from OUTPUT_S3_ENDPOINT
   (export.py:247-250) — a documented bug (SURVEY §2.1); we read the input
   one, with the buggy var as fallback for drop-in parity.
-* ``TIMEOUT`` — kept for interface parity; Spark actions block, so it is
-  unused (reference: WaitGroup wait, s3access/wg.py:27-31).
+* ``TIMEOUT`` — job timeout in seconds, default 300 (export.py:259). The
+  reference's WaitGroup abandons unfinished worker tasks
+  (s3access/wg.py:27-31); here a watchdog cancels all Spark jobs and the
+  CLI exits non-zero, which is the cron-friendly equivalent (the next
+  invocation's idempotent write repairs the partial hour).
 
 Trailing slashes are normalized off (the reference instead *requires* them,
 export.py:276-292 — we accept both forms).
@@ -43,6 +46,7 @@ class JobConfig:
     output_endpoint: str | None
     input_region: str | None
     output_region: str | None
+    timeout: int = 300
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "JobConfig":
@@ -64,6 +68,7 @@ class JobConfig:
             output_endpoint=e.get("OUTPUT_S3_ENDPOINT"),
             input_region=e.get("INPUT_S3_ENDPOINT_REGION"),
             output_region=e.get("OUTPUT_S3_ENDPOINT_REGION"),
+            timeout=int(e.get("TIMEOUT", "300")),
         )
 
     def s3a_conf(self) -> dict[str, str]:

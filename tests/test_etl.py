@@ -168,3 +168,43 @@ class TestCliContract:
                "HOUR": "2019-02-06-00"}
         assert main(env) == 1
         assert blocker.read_text() == "i am a file, not a directory"
+
+    def test_timeout_parsed_from_env(self):
+        from s3_access_logs_spark.config import JobConfig
+
+        assert JobConfig.from_env({"SRC": "/i", "DST": "/o"}).timeout == 300
+        assert (
+            JobConfig.from_env(
+                {"SRC": "/i", "DST": "/o", "TIMEOUT": "7"}
+            ).timeout == 7
+        )
+
+    def test_timeout_kills_long_export(
+        self, spark, log_dir, tmp_path, monkeypatch
+    ):
+        # TIMEOUT parity (reference export.py:259 + wg.py:27-31): the
+        # watchdog cancels the running Spark jobs at the deadline and the
+        # CLI exits 1 instead of hanging the cron slot.
+        import time
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        from s3_access_logs_spark import cli
+
+        def slow_export(spark_, src, dst, hour=None):
+            sleeper = F.udf(lambda x: time.sleep(60) or x, LongType())
+            # sum (not count) so column pruning can't drop the sleeping UDF
+            return (
+                spark_.range(4, numPartitions=4)
+                .select(sleeper("id").alias("id"))
+                .agg(F.sum("id"))
+                .collect()[0][0]
+            )
+
+        monkeypatch.setattr(cli, "export_hour", slow_export)
+        env = {"SRC": str(log_dir), "DST": str(tmp_path / "o"),
+               "HOUR": "2019-02-06-00", "TIMEOUT": "3"}
+        t0 = time.monotonic()
+        assert cli.main(env) == 1
+        assert time.monotonic() - t0 < 45  # killed, not run to completion
