@@ -37,16 +37,46 @@ def write_logs(
     mode: str = "overwrite",
     compression: str = "snappy",
     repartition: bool = True,
+    files_per_partition: int = 1,
+    max_records_per_file: int = 5_000_000,
 ) -> None:
-    """Write the parsed table hive-partitioned, clustered, idempotent."""
+    """Write the parsed table hive-partitioned, clustered, idempotent.
+
+    Scale knobs:
+
+    * ``files_per_partition`` — a single bucket x op x hour output partition
+      is ONE task under plain ``repartition(part_cols)``; for a hot
+      partition (one bucket taking most of an hour's traffic) that task is
+      the straggler. >1 adds a deterministic salt (hash of the row-group
+      cluster columns) to the shuffle key, spreading the partition across N
+      writer tasks. Content is unchanged; only file layout varies, and
+      dynamic partition overwrite still replaces whole directories on
+      rerun, so idempotency is preserved.
+    * ``max_records_per_file`` — hard upper bound per output file so a big
+      partition can never produce a multi-GB parquet file that downstream
+      readers can't split row-group-parallel.
+    """
     part_cols = [c for c in PARTITION_COLS if c in df.columns]
     sort_cols = [c for c in ROW_GROUP_COLS if c in df.columns]
     out = df
     if repartition and part_cols:
-        out = out.repartition(*[F.col(c) for c in part_cols])
+        keys = [F.col(c) for c in part_cols]
+        if files_per_partition > 1:
+            salt_src = sort_cols if sort_cols else df.columns[:1]
+            keys.append(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in salt_src]),
+                    F.lit(files_per_partition),
+                )
+            )
+        out = out.repartition(*keys)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
-    writer = out.write.mode(mode).option("compression", compression)
+    writer = (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(dst)

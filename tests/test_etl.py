@@ -90,6 +90,38 @@ class TestWriteLogs:
         assert n1 == n2 == 3
         assert read_parsed(spark, dst).count() == 3  # no dup rows
 
+    def test_hot_partition_salting_spreads_files(self, spark, tmp_path):
+        # files_per_partition > 1: one hot bucket x op x hour partition is
+        # split across multiple writer tasks/files (straggler mitigation);
+        # content is unchanged and the layout stays a valid hive dir.
+        lines = [
+            AWS_DOC_LINE.replace("user/alice", f"user/u{i:04d}")
+            for i in range(200)
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "2019-02-06-00-00-38-AAAA").write_text("\n".join(lines) + "\n")
+        dst = str(tmp_path / "out")
+        parsed = parse_logs(read_logs(spark, str(src)))
+        # at production sizes AQE keeps the salted splits apart (they exceed
+        # the advisory partition size); at 200 test rows it would coalesce
+        # them back into one task, hiding the very thing under test
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            write_logs(parsed, dst, files_per_partition=4)
+        finally:
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "true"
+            )
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        assert len(files) > 1  # hot partition split across writers
+        assert read_parsed(spark, dst).count() == 200
+
     def test_partition_pruned_read(self, spark, log_dir, tmp_path):
         dst = str(tmp_path / "out")
         export_hour(spark, log_dir, dst)
