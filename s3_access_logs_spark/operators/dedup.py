@@ -250,13 +250,43 @@ def simhash_near_pairs(
     then exact popcount verification."""
     width = bits // chunks
     fp = simhash_fingerprints(df, id_col, text_col, bits)
+    # Everything below runs at the DISTINCT-FINGERPRINT grain, then expands
+    # back to doc pairs from per-fingerprint id lists. Real corpora carry
+    # heavy exact duplication, so the quadratic banding-candidate stage
+    # shrinks by (docs/distinct_fps)^2 while the doc-pair output is pure
+    # expansion. Two earlier lessons baked in: hamming is the native
+    # popcount-of-xor (the first cut's per-bit float-pow fold cost 235 s at
+    # sf0.1 vs seconds now), and the near filter runs BEFORE the pair
+    # distinct so only true near-pairs shuffle (a pair can match in up to
+    # ``chunks`` bands).
+    groups = fp.groupBy("simhash").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    # intra-group pairs: identical fingerprints, hamming 0. ids is sorted,
+    # so exploding (pos, id_a) then the tail slice after pos gives each
+    # unordered pair once with id_a < id_b.
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select("ids", F.posexplode("ids").alias("pa", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "ids", F.col("pa") + 2, F.size("ids") - F.col("pa") - 1
+                )
+            ).alias("id_b"),
+        )
+        .withColumn("hamming", F.lit(0).cast("int"))
+    )
+    # cross-group candidates via pigeonhole banding over distinct
+    # fingerprints only.
+    fps = groups.select("simhash")
     chunk_cols = [
         ((F.col("simhash") / F.lit(1 << (j * width))).cast("long") % F.lit(1 << width))
         .alias(f"c{j}")
         for j in range(chunks)
     ]
-    banded = fp.select(
-        "id",
+    banded = fps.select(
         "simhash",
         F.explode(
             F.array(
@@ -266,40 +296,50 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    ).select("simhash", "ch.chunk_idx", "ch.chunk_val")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    ).cast("int")
+    near_fp = (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
             F.col("a.simhash").alias("sh_a"),
-            F.col("b.id").alias("id_b"),
             F.col("b.simhash").alias("sh_b"),
         )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    xor_bits = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0),
-        lambda acc, i: acc
-        + (
-            (
-                (F.col("sh_a") / F.pow(F.lit(2.0), i.cast("double"))).cast("long")
-                + (F.col("sh_b") / F.pow(F.lit(2.0), i.cast("double"))).cast("long")
-            )
-            % 2
-        ).cast("int"),
+    cross = (
+        near_fp.join(
+            groups.select(
+                F.col("simhash").alias("sh_a"), F.col("ids").alias("ids_a")
+            ),
+            "sh_a",
+        )
+        .join(
+            groups.select(
+                F.col("simhash").alias("sh_b"), F.col("ids").alias("ids_b")
+            ),
+            "sh_b",
+        )
+        .select("hamming", "ids_b", F.explode("ids_a").alias("ia"))
+        .select("hamming", "ia", F.explode("ids_b").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
     )
-    return (
-        cand.withColumn("hamming", xor_bits)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return intra.select("id_a", "id_b", "hamming").unionByName(
+        cross.select("id_a", "id_b", "hamming")
     )
 
 
