@@ -267,6 +267,88 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    dst: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the IVF index on disk: every corpus vector written into
+    its nearest centroid's posting list as a ``cluster=<label>`` hive
+    partition, norms precomputed. This is the 100 TB shape ``ivf_topk``
+    documents: indexing is a one-time narrow scan (zero-exchange assignment,
+    see ``_assign_clusters``) + one shuffle on ``cluster`` for the
+    partitioned write; each posting list becomes a contiguous parquet
+    subtree. Returns the centroids (persist them next to the index — a
+    probe needs only these, never the corpus).
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        corpus, label_col, vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
+    assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
+    (
+        assigned.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst)
+    )
+    return cents
+
+
+def probe_ivf_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a materialized IVF index: rank the query's ``nprobe`` nearest
+    centroids (tiny side, window is fine), then scan ONLY those posting-list
+    partitions — the ``cluster IN (...)`` filter is a plan-time literal, so
+    partition pruning keeps nprobe/nlist of the index files out of the scan
+    entirely (pinned by ``TestIvfIndex.test_probe_prunes_partitions``).
+    Output contract matches ``ivf_topk``."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    q_probes = _assign_clusters(q, centroids, "q_vec", "query_id", nprobe)
+    probe_clusters = sorted(
+        {r["cluster"] for r in q_probes.select("cluster").distinct().collect()}
+    )
+    posting = spark.read.parquet(index_path).filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    scored = (
+        posting.join(broadcast(q_probes), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim", cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

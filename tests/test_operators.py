@@ -178,6 +178,34 @@ class TestIvfTopk:
         assert a == b
 
 
+class TestIvfIndex:
+    def test_probe_matches_inline_ivf_and_prunes_partitions(
+        self, spark, tmp_path
+    ):
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_topk,
+            probe_ivf_index,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 4)
+        dst = str(tmp_path / "ivf")
+        cents = build_ivf_index(emb, dst)
+        probed = probe_ivf_index(
+            spark, dst, queries, cents, k=5, nprobe=2
+        )
+        inline = ivf_topk(emb, queries, k=5, nprobe=2)
+        assert sorted(map(tuple, probed.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        # the posting-list scan must carry cluster partition filters —
+        # nprobe/nlist of the index subtree never enters the scan
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "cluster" in plan
+
+
 class TestSaltedJoin:
     def test_matches_plain_join_under_skew(self, spark):
         from s3_access_logs_spark.operators.joins import salted_join
