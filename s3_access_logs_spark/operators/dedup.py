@@ -64,6 +64,39 @@ def dedup_exact(
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Incremental ingestion dedup: of a new batch, keep one survivor per
+    normalized digest (min id) that is NOT already in the corpus digest
+    store. Returns (digest, keep_id) — append these rows to the store after
+    the batch commits, making the pipeline idempotent across crawls.
+
+    Scale shape: within-batch dedup is one hash aggregation on the batch
+    (small side); the store probe is a left-anti join on the digest. The
+    batch is typically orders of magnitude smaller than the corpus, so at
+    100 TB the anti join should run with the STORE partitioned/bucketed on
+    digest and the batch shuffled to it — never the reverse; Spark's
+    planner does exactly that when the store is the big side. No full-store
+    rewrite: the store only ever appends.
+    """
+    batch = (
+        new_docs.select(
+            normalized_digest(F.col(text_col)).alias(digest_col),
+            F.col(id_col),
+        )
+        .groupBy(digest_col)
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    return batch.join(
+        seen_digests.select(digest_col), digest_col, "left_anti"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -32,7 +32,28 @@ class TestDedupExact:
         assert out == {1: 2, 3: 1}
 
 
-class TestJaccard:
+class TestDedupIncremental:
+    def test_batch_minus_store_and_within_batch(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            dedup_incremental,
+            normalized_digest,
+        )
+
+        store = (
+            _docs(spark, [(1, "seen before"), (2, "also seen")])
+            .select(normalized_digest(F.col("text")).alias("digest"))
+        )
+        batch = _docs(
+            spark,
+            [
+                (10, "SEEN  before"),   # normalizes to a stored digest
+                (11, "fresh text"),
+                (12, "fresh text"),     # within-batch dup, survivor = 11
+                (13, "another new one"),
+            ],
+        )
+        out = {r.keep_id for r in dedup_incremental(batch, store).collect()}
+        assert out == {11, 13}
     def test_identical_docs_have_jaccard_one(self, spark):
         text = "a b c d e f g h"
         df = _docs(spark, [(1, text), (2, text), (3, "x y z w q r s t")])
