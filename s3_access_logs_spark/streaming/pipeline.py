@@ -229,6 +229,69 @@ def correlate_reads_after_writes(
     )
 
 
+def ingest_documents_stream(
+    spark: SparkSession,
+    src: str,
+    store: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming incremental corpus ingestion: JSONL document files land in
+    ``src``; each micro-batch is exact-deduped within itself AND against the
+    append-only digest store at ``store``, and only unseen survivors are
+    appended — the crawl-ingestion loop as one streaming pipeline.
+
+    Idempotency: survivors are written under a ``batch_id=<n>`` hive
+    partition with dynamic partition overwrite, so an at-least-once replay
+    of a micro-batch rewrites exactly its own partition instead of
+    double-appending digests. State lives entirely in the store (no
+    streaming state store), so the watermark-vs-state-size tradeoff never
+    arises and the store doubles as the batch pipeline's input.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from s3_access_logs_spark.operators.dedup import dedup_incremental
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = spark.readStream.schema(schema).json(src)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        try:
+            seen = sess.read.parquet(store).select("digest")
+        except Exception:  # first batch: store doesn't exist yet
+            seen = sess.createDataFrame(
+                [], "digest string"
+            )
+        survivors = dedup_incremental(batch_df, seen).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_request_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on the request id: at-least-once upstream
     delivery (S3 log files are occasionally re-delivered) becomes

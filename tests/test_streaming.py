@@ -279,3 +279,43 @@ class TestStreamingDedup:
         q.awaitTermination(120)
         got = sorted(r.requestid for r in spark.table("dedup_stream").collect())
         assert got == ["3E57427F3EXAMPLE", "OTHERREQ1EXAMPLE"]
+
+
+class TestIngestStream:
+    def test_incremental_dedup_across_batches(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            (src / name).write_text(
+                "\n".join(json.dumps(r) for r in rows) + "\n"
+            )
+
+        drop("b1.jsonl", [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "ALPHA  beta"},   # within-batch dup of 1
+            {"doc_id": 3, "text": "gamma delta"},
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        first = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert first == {1, 3}
+
+        drop("b2.jsonl", [
+            {"doc_id": 10, "text": "alpha beta"},   # already in the store
+            {"doc_id": 11, "text": "epsilon zeta"},
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r.keep_id for r in rows} == {1, 3, 11}
+        digests = [r.digest for r in rows]
+        assert len(digests) == len(set(digests))  # store stays unique
