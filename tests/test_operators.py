@@ -54,6 +54,9 @@ class TestDedupIncremental:
         )
         out = {r.keep_id for r in dedup_incremental(batch, store).collect()}
         assert out == {11, 13}
+
+
+class TestJaccard:
     def test_identical_docs_have_jaccard_one(self, spark):
         text = "a b c d e f g h"
         df = _docs(spark, [(1, text), (2, text), (3, "x y z w q r s t")])
@@ -489,3 +492,48 @@ class TestPiiScrub:
         assert out[1] == ("contact <EMAIL> or <IP> now", 2)
         assert out[2] == ("card <NUM> ok, short 12345 kept", 1)
         assert out[3] == ("nothing sensitive here", 0)
+
+
+class TestRepetitionProperty:
+    def test_run_length_equals_brute_force_multiplicity(self, spark):
+        """The sorted-run-length fold must equal brute-force max bigram
+        multiplicity on arbitrary token streams (incl. heavy repeats)."""
+        from collections import Counter
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from s3_access_logs_spark.functions.text import top_bigram_fraction
+
+        token = st.sampled_from(["a", "b", "ab", "x1", "zz"])
+        docs_strategy = st.lists(
+            st.lists(token, min_size=0, max_size=12), min_size=1, max_size=8
+        )
+
+        @given(docs_strategy)
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        def check(docs):
+            rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+            got = {
+                r.doc_id: r.frac
+                for r in _docs(spark, rows)
+                .select(
+                    "doc_id",
+                    F.round(top_bigram_fraction("text"), 6).alias("frac"),
+                )
+                .collect()
+            }
+            for i, toks in enumerate(docs):
+                bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                want = (
+                    round(max(Counter(bgs).values()) / len(bgs), 6)
+                    if bgs
+                    else 0.0
+                )
+                assert got[i] == want, (toks, got[i], want)
+
+        check()
