@@ -47,6 +47,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(words(col))
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset that
+# parses identically in Java regex (Spark) and RE2 (DuckDB): a token is a
+# letter run, a digit run, or a punctuation run, each with an optional
+# leading space. Close enough to BPE pre-tokenization for token accounting
+# (budgeting, packing) without shipping a merges table.
+BPE_ISH_REGEX = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count — the pre-tokenizer piece of a GPT-2-family
+    tokenizer (letter/digit/punct runs with leading-space affinity). Counts
+    pre-merge tokens, which upper-bounds and tracks real BPE counts closely
+    enough for context-window budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_REGEX), 0))
+
+
 def md5_long(col: Column, hex_chars: int = 8) -> Column:
     """First ``hex_chars`` hex digits of md5 as a bigint — the cross-engine
     hash primitive. DuckDB equivalent:

@@ -106,7 +106,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quality_scores",
     oracle=f"""
-    WITH t AS (SELECT doc_id, source, {SQL_WORDS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, source, text, {SQL_WORDS} AS toks FROM documents),
     b AS (
       SELECT *,
              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
@@ -128,14 +128,18 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              (CASE WHEN len(bg) = 0 THEN 0
                    ELSE list_max(list_transform(list_distinct(bg),
                           d -> len(list_filter(bg, x -> x = d))))
-              END)::DOUBLE / greatest(len(bg), 1)::DOUBLE AS topbg
+              END)::DOUBLE / greatest(len(bg), 1)::DOUBLE AS topbg,
+             len(regexp_extract_all(text,
+                 ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))::BIGINT
+               AS bpe_tokens
       FROM b
     )
     SELECT doc_id, source,
            ROUND(score, 6) AS quality6,
            fingerprint,
            ROUND(rep_ratio, 6) AS rep_token_ratio6,
-           ROUND(topbg, 6) AS top_bigram_frac6
+           ROUND(topbg, 6) AS top_bigram_frac6,
+           bpe_tokens
     FROM q
     """,
     tags=("text", "llm", "quality", "fingerprint", "repetition"),
@@ -156,6 +160,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.fingerprint("text").alias("fingerprint"),
         F.round(T.repeated_token_ratio("text"), 6).alias("rep_token_ratio6"),
         F.round(T.top_bigram_fraction("text"), 6).alias("top_bigram_frac6"),
+        T.bpe_token_count("text").cast("long").alias("bpe_tokens"),
     )
 
 

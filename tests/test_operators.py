@@ -537,3 +537,23 @@ class TestRepetitionProperty:
                 assert got[i] == want, (toks, got[i], want)
 
         check()
+
+
+class TestBpeTokenCount:
+    def test_hand_computed_counts(self, spark):
+        from s3_access_logs_spark.functions.text import bpe_token_count
+
+        rows = [
+            (1, "abc def"),        # 2 letter runs
+            (2, "abc, def!"),      # abc , _def ! -> 4
+            (3, "a1b2"),           # a 1 b 2 -> 4
+            (4, "price is 1234"),  # price _is _1234 -> 3
+            (5, ""),               # 0
+        ]
+        got = {
+            r.doc_id: r.n
+            for r in _docs(spark, rows)
+            .select("doc_id", bpe_token_count("text").alias("n"))
+            .collect()
+        }
+        assert got == {1: 2, 2: 4, 3: 4, 4: 3, 5: 0}
