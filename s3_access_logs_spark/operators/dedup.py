@@ -259,6 +259,61 @@ def jaccard_pairs(
     )
 
 
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap of ``corpus``
+    against the shingle set of ``benchmark`` (the eval/test suite whose
+    presence in training data would leak).
+
+    Returns one row per *contaminated* corpus document:
+    ``(id, *keep_cols, n_sh, n_hit, overlap)`` where ``n_sh`` is the doc's
+    distinct-shingle count, ``n_hit`` how many of those appear anywhere in
+    the benchmark, and ``overlap = n_hit / n_sh``. Documents with zero
+    overlap are absent (the common case — callers needing totals aggregate
+    them from the corpus directly, which avoids a corpus-sized left join).
+
+    Scale shape: benchmarks are small by construction (MBs against 100 TB
+    of corpus), so the benchmark shingle set is built with one tiny
+    aggregation and BROADCAST into a corpus-side semi-ish inner join — the
+    corpus is never shuffled by shingle; the only corpus-sized exchange is
+    the per-doc hit count, keyed by doc id. The shingle pipeline reuses the
+    md5-per-word + arithmetic-fold machinery (one md5 per word, shingles
+    derived arithmetically — see functions.text.shingles_from_word_hashes).
+    """
+    bench_sh = (
+        _shingle_table(benchmark, id_col, text_col, shingle_n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sh = corpus.select(
+        F.col(id_col).alias("id"),
+        *keep_cols,
+        word_hashes(F.col(text_col)).alias("wh"),
+    ).select(
+        "id",
+        *keep_cols,
+        shingles_from_word_hashes("wh", n=shingle_n).alias("shingles"),
+    )
+    exploded = sh.select(
+        "id",
+        *keep_cols,
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hits = exploded.join(F.broadcast(bench_sh), "shingle").groupBy(
+        "id", *keep_cols, "n_sh"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    return hits.withColumn(
+        "overlap", F.col("n_hit") / F.col("n_sh").cast("double")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -622,28 +622,73 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "price_percentiles_by_status",
+    "price_profile",
     oracle="""
-    SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
-           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
-           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
-    FROM orders GROUP BY o_orderstatus
+    WITH pct AS (
+      SELECT o_orderstatus AS key,
+             ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+      FROM orders GROUP BY 1
+    ),
+    hist AS (
+      SELECT LEAST(floor(l_extendedprice / 6000), 19)::BIGINT AS bin,
+             COUNT(*)::DOUBLE AS bin_n,
+             ROUND(MIN(l_extendedprice), 2) AS bin_lo,
+             ROUND(MAX(l_extendedprice), 2) AS bin_hi
+      FROM lineitem GROUP BY 1
+    )
+    SELECT metric, key, value FROM (
+      SELECT 'p25' AS metric, key, p25 AS value FROM pct
+      UNION ALL SELECT 'p50', key, p50 FROM pct
+      UNION ALL SELECT 'p75', key, p75 FROM pct
+      UNION ALL SELECT 'p95', key, p95 FROM pct
+      UNION ALL SELECT 'bin_n', bin::VARCHAR, bin_n FROM hist
+      UNION ALL SELECT 'bin_lo', bin::VARCHAR, bin_lo FROM hist
+      UNION ALL SELECT 'bin_hi', bin::VARCHAR, bin_hi FROM hist
+    )
     """,
-    tags=("agg", "percentile"),
+    tags=("agg", "percentile", "histogram", "profile"),
 )
-def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (Spark `percentile` = DuckDB
-    quantile_cont, both linear-interpolation). The approx variant for the
+def price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format price-distribution profile (df.summary() shape): exact
+    continuous percentiles of order totals by status (Spark `percentile` =
+    DuckDB quantile_cont, both linear-interpolation) plus a fixed-width
+    histogram (20 x 6000 bins, top bin open-ended) over line-item extended
+    price — (metric, key, value) rows, the schema profiling dashboards
+    ingest. (r2 consolidation of price_percentiles_by_status +
+    price_histogram into one catalog slot; both capabilities stay
+    value-checked.)
+
+    Scale shape: each arm is one partial-agg pass over its table — the
+    percentile shuffle carries one row per status, the histogram at most 20
+    rows per task; `unpivot` is a zero-shuffle local expansion and the
+    union of two tiny aggregates is free. The approx variant for the
     100 TB path is approx_percentile (t-digest, one pass, mergeable) —
     exact is the oracle-checkable form."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    pct = o.groupBy(F.col("o_orderstatus").alias("key")).agg(
         *[
             F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(name)
             for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
         ]
+    )
+    pct_long = pct.unpivot(["key"], ["p25", "p50", "p75", "p95"], "metric", "value")
+    li = _t(spark, sf_dir, "lineitem")
+    bin_ = F.least(F.floor(F.col("l_extendedprice") / 6000), F.lit(19)).cast(
+        "bigint"
+    )
+    hist = li.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("bin_n"),
+        F.round(F.min("l_extendedprice"), 2).alias("bin_lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("bin_hi"),
+    )
+    hist_long = hist.withColumn("key", F.col("bin").cast("string")).unpivot(
+        ["key"], ["bin_n", "bin_lo", "bin_hi"], "metric", "value"
+    )
+    return pct_long.select("metric", "key", "value").unionByName(
+        hist_long.select("metric", "key", "value")
     )
 
 
@@ -922,31 +967,5 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "price_histogram",
-    oracle="""
-    SELECT LEAST(floor(l_extendedprice / 6000), 19)::BIGINT AS bin,
-           COUNT(*) AS n,
-           ROUND(MIN(l_extendedprice), 2) AS lo,
-           ROUND(MAX(l_extendedprice), 2) AS hi
-    FROM lineitem
-    GROUP BY 1
-    """,
-    tags=("agg", "histogram"),
-)
-def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram (20 x 6000 bins, top bin open-ended) over
-    extended price — one partial-agg pass; the shuffle carries at most 20
-    rows per task regardless of data size."""
-    li = _t(spark, sf_dir, "lineitem")
-    bin_ = F.least(F.floor(F.col("l_extendedprice") / 6000), F.lit(19)).cast(
-        "bigint"
-    )
-    return (
-        li.groupBy(bin_.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.min("l_extendedprice"), 2).alias("lo"),
-            F.round(F.max("l_extendedprice"), 2).alias("hi"),
-        )
-    )
+# (r2 consolidation: price_histogram folded into price_profile above —
+# the histogram arm is value-checked there in long format.)

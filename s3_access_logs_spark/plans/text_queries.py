@@ -720,3 +720,93 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         F.round(F.sum("n_tokens") / F.lit(256.0), 6).alias("fill"),
     )
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {SQL_WORDS} AS toks,
+             (('0x' || substr(md5('bench:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % 20) AS eb
+      FROM documents
+    ),
+    w AS (SELECT doc_id, source, eb, {SQL_WORD_HASHES} AS wh FROM t),
+    h AS (SELECT doc_id, source, eb, {SQL_SHINGLE_HASHES} AS sh FROM w),
+    bench_sh AS (SELECT DISTINCT unnest(sh) AS shingle FROM h WHERE eb = 0),
+    train AS (SELECT doc_id, source, len(sh) AS n_sh, sh FROM h WHERE eb != 0),
+    ex AS (SELECT doc_id, source, n_sh, unnest(sh) AS shingle FROM train),
+    hits AS (
+      SELECT doc_id, source, n_sh, COUNT(*) AS n_hit
+      FROM ex JOIN bench_sh USING (shingle)
+      GROUP BY 1, 2, 3
+    ),
+    contam AS (
+      SELECT source, COUNT(*)::BIGINT AS n_contaminated,
+             ROUND(AVG(n_hit::DOUBLE / n_sh), 6) AS avg_overlap,
+             ROUND(MAX(n_hit::DOUBLE / n_sh), 6) AS max_overlap
+      FROM hits GROUP BY 1
+    ),
+    tot AS (SELECT source, COUNT(*)::BIGINT AS n_docs FROM train GROUP BY 1)
+    SELECT tot.source, n_docs,
+           COALESCE(n_contaminated, 0)::BIGINT AS n_contaminated,
+           ROUND(COALESCE(n_contaminated, 0)::DOUBLE / n_docs, 6)
+             AS contam_rate,
+           COALESCE(avg_overlap, 0.0) AS avg_overlap,
+           COALESCE(max_overlap, 0.0) AS max_overlap
+    FROM tot LEFT JOIN contam ON tot.source = contam.source
+    """,
+    tags=("llm", "pipeline", "decontamination", "dedup"),
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report: a deterministic ~5% slice of the
+    corpus (salted id-hash bucket, same reproducible-split machinery as
+    ``mixture_sample``) stands in for the eval benchmark; every remaining
+    document is checked for 3-gram shingle overlap against it, and the
+    result is a per-source contamination profile (docs flagged, rate, mean
+    and worst overlap ratio).
+
+    Scale shape (operators/dedup.py:ngram_overlap): the benchmark shingle
+    set is one tiny aggregation broadcast into the corpus scan — the corpus
+    is never shuffled by shingle; per-doc hit counts shuffle by doc id
+    once, and everything after is per-source (tiny) aggregation. Real
+    pipelines pass the actual benchmark suite as ``benchmark``; the salted
+    split here is what makes the query oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    eb = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bench:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 20
+    )
+    tagged = docs.withColumn("eb", eb)
+    bench = tagged.filter(F.col("eb") == 0)
+    train = tagged.filter(F.col("eb") != 0)
+    contam = (
+        D.ngram_overlap(train, bench, keep_cols=("source",))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+            F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+            F.round(F.max("overlap"), 6).alias("max_overlap"),
+        )
+    )
+    tot = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return tot.join(contam, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) / F.col("n_docs").cast("double"),
+            6,
+        ).alias("contam_rate"),
+        F.coalesce("avg_overlap", F.lit(0.0)).alias("avg_overlap"),
+        F.coalesce("max_overlap", F.lit(0.0)).alias("max_overlap"),
+    )

@@ -557,3 +557,40 @@ class TestBpeTokenCount:
             .collect()
         }
         assert got == {1: 2, 2: 4, 3: 4, 4: 3, 5: 0}
+
+
+class TestNgramOverlap:
+    def test_hand_computed_overlap(self, spark):
+        from s3_access_logs_spark.operators.dedup import ngram_overlap
+
+        # benchmark doc: words a b c d  -> 3-gram shingles {abc, bcd}
+        bench = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+        corpus = spark.createDataFrame(
+            [
+                # shares shingle (a,b,c) only: 3 shingles {abc, bcx, cxy}
+                (1, "a b c x y", "s1"),
+                # identical to bench: both shingles hit, 2/2
+                (2, "a b c d", "s1"),
+                # no overlap
+                (3, "p q r s t", "s2"),
+                # too short for any 3-gram
+                (4, "a b", "s2"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        rows = {
+            r.id: (r.source, r.n_sh, r.n_hit, round(r.overlap, 6))
+            for r in ngram_overlap(corpus, bench, keep_cols=("source",)).collect()
+        }
+        # only contaminated docs appear
+        assert set(rows) == {1, 2}
+        assert rows[1] == ("s1", 3, 1, round(1 / 3, 6))
+        assert rows[2] == ("s1", 2, 2, 1.0)
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        from s3_access_logs_spark.operators.dedup import ngram_overlap
+
+        bench = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        corpus = spark.createDataFrame([(2, "a b c x")], ["doc_id", "text"])
+        plan = ngram_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
