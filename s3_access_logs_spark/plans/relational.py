@@ -21,7 +21,12 @@ from s3_access_logs_spark.sources.tables import load_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    # The relational catalog is scan/join/agg-bound: per-row expression work
+    # is light, so the under-split remediation's extra exchange costs more
+    # than the single-task scan it parallelizes (measured: q1 0.31 s -> 0.92,
+    # q5 1.18 -> 1.88 at sf0.1 with it on). Expression-heavy catalogs
+    # (parse/shingle/vector) keep it on via their own loaders.
+    return load_table(spark, sf_dir, name, parallelize=False)
 
 
 # --------------------------------------------------------------------------

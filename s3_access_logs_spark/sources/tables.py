@@ -38,11 +38,54 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Under-split remediation threshold: files smaller than this are dimension
+# tables (region/nation/part/customer/...) that exist to be broadcast —
+# parallelizing their scan would just add an exchange in front of the
+# broadcast. Everything bigger is fact-side and worth splitting.
+_MIN_SPLIT_BYTES = 512 << 10
+
+
+def _ensure_splits(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Fix under-split inputs: parquet is only task-parallel at row-group
+    granularity, and the driver's test files are written as ONE row group —
+    so every scan (and the whole query above it) runs as a single task no
+    matter how many cores the session has, byte-range splits
+    notwithstanding (tasks whose range holds no row-group midpoint read
+    nothing). One round-robin repartition to the session's parallelism
+    unlocks every core for the price of shuffling the (small) file once.
+
+    At production scale this is a no-op by construction: a well-written
+    100 TB table has thousands of row groups (>= cores), and single huge
+    unsplittable files (the classic gzip problem) hit exactly this
+    remediation — which is then the right call too."""
+    try:
+        import os
+
+        if os.path.getsize(path) < _MIN_SPLIT_BYTES:
+            return df
+        row_groups = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if row_groups >= max(target // 2, 1):
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
+    """Load one driver table. ``parallelize=True`` applies the under-split
+    remediation (see ``_ensure_splits``) — right for pipelines whose
+    per-row expression work dwarfs the scan (parse, shingles, vector
+    folds). Scan/join-bound queries pass ``False``: for them the one-time
+    reshuffle costs more than the single-task scan it fixes, the same
+    call a cost-based planner would make."""
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return _ensure_splits(spark, df, path) if parallelize else df
     # Read NANOS as raw int64 then truncate to microseconds — same
     # truncation DuckDB applies (its timestamps are microsecond), so both
     # engines see identical values.
@@ -62,7 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
         )
-    return df
+    return _ensure_splits(spark, df, path) if parallelize else df
 
 
 def load_tables(
