@@ -391,3 +391,64 @@ def lsh_bucketed_topk(
             "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
         )
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    ``(id, cluster, keep)`` for every corpus vector.
+
+    Shape (Abbas et al., SemDeDup): cluster the corpus with the coarse
+    quantizer, then look for near-duplicates ONLY within a cluster —
+    the quadratic pair search is confined to cluster-sized blocks, never
+    the corpus. A vector is dropped when a lower-id vector in the same
+    cluster has cosine similarity above ``threshold`` (the deterministic
+    "keep the most canonical representative of each epsilon-ball" variant:
+    kept = not dominated by any smaller id, which unlike greedy-sequential
+    needs no iteration and is expressible in one SQL EXISTS — documented
+    difference: a chain a~b, b~c, a!~c keeps {a, c} under greedy but only
+    {a} here).
+
+    Scale: cluster assignment is the zero-exchange literal-centroid argmax
+    (``_assign_clusters``); the within-cluster self-join shuffles each side
+    once by cluster. With nlist ~ sqrt(N) (the standard IVF sizing) cluster
+    populations stay bounded, so no pair block is quadratic in the corpus.
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        corpus, label_col, vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("n"),
+    )
+    assigned = _assign_clusters(c, cents, "v", "id", 1)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.id") < F.col("a.id"))
+            & (
+                cosine_from_norms("a.v", "b.v", "a.n", "b.n")
+                > F.lit(threshold)
+            ),
+            "leftsemi",
+        )
+        .select("id")
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -226,29 +226,96 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "embedding_label_centroids",
-    oracle="""
-    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT label,
-           COUNT(*) AS n,
-           ROUND(AVG(v[1]), 6) AS centroid_d0,
-           ROUND(AVG(v[2]), 6) AS centroid_d1,
-           ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
-    FROM e GROUP BY label
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
+    cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
+           FROM e CROSS JOIN dims GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+    train AS (SELECT label, COUNT(*)::BIGINT AS n,
+              ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
+              FROM e GROUP BY label),
+    ca AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {SQL_COSINE.format(a='e.v', b='cent.c')} DESC,
+                          cent.label) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id FROM ca a JOIN ca b
+        ON a.cl = b.cl AND b.vec_id < a.vec_id
+           AND {SQL_COSINE.format(a='a.v', b='b.v')} > 0.3
+    ),
+    stats AS (
+      SELECT cl, COUNT(*)::BIGINT AS n_assigned,
+             SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+      FROM ca GROUP BY cl
+    )
+    SELECT train.label AS cluster, train.n,
+           cent.c[1] AS centroid_d0, cent.c[2] AS centroid_d1,
+           train.avg_sq_norm,
+           COALESCE(stats.n_assigned, 0)::BIGINT AS n_assigned,
+           COALESCE(stats.n_dropped, 0)::BIGINT AS n_dropped,
+           (COALESCE(stats.n_assigned, 0)
+            - COALESCE(stats.n_dropped, 0))::BIGINT AS n_kept
+    FROM train
+    JOIN cent ON cent.label = train.label
+    LEFT JOIN stats ON stats.cl = train.label
     """,
-    tags=("similarity", "llm", "agg"),
+    tags=("similarity", "llm", "dedup", "agg"),
 )
-def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid components + mean squared norm — the aggregation
-    shape of a k-means/IVF training step (array agg without UDFs)."""
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup report per cluster: quantizer-training stats (count,
+    leading centroid components, mean squared norm — the k-means/IVF
+    training aggregation, r2 consolidation of embedding_label_centroids)
+    plus SemDeDup keep/drop counts at cosine threshold 0.3 — see
+    operators/similarity.py:semantic_dedup for the dedup semantics and
+    100 TB shape. One full-corpus aggregation trains; assignment is a
+    zero-exchange argmax projection; the pair search is confined to
+    within-cluster blocks."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    return emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.element_at(v, 1)), 6).alias("centroid_d0"),
-        F.round(F.avg(F.element_at(v, 2)), 6).alias("centroid_d1"),
+    dims = 64
+    train = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.avg(sq), 6).alias("avg_sq_norm"),
+        *[
+            F.round(F.avg(F.element_at(v, i).cast("double")), 6).alias(f"_m{i}")
+            for i in range(1, dims + 1)
+        ],
+    )
+    cents = train.select(
+        "label", F.array(*[F.col(f"_m{i}") for i in range(1, dims + 1)]).alias(
+            "centroid"
+        )
+    )
+    flags = S.semantic_dedup(emb, threshold=0.3, centroids=cents)
+    stats = flags.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),
+    )
+    return (
+        train.join(stats, train["label"] == stats["cluster"], "left")
+        .select(
+            train["label"].alias("cluster"),
+            "n",
+            F.col("_m1").alias("centroid_d0"),
+            F.col("_m2").alias("centroid_d1"),
+            "avg_sq_norm",
+            F.coalesce("n_assigned", F.lit(0)).cast("bigint").alias("n_assigned"),
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (
+                F.coalesce("n_assigned", F.lit(0))
+                - F.coalesce("n_dropped", F.lit(0))
+            ).cast("bigint").alias("n_kept"),
+        )
     )
 
 

@@ -594,3 +594,41 @@ class TestNgramOverlap:
         corpus = spark.createDataFrame([(2, "a b c x")], ["doc_id", "text"])
         plan = ngram_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestSemanticDedup:
+    def test_keep_drop_within_clusters(self, spark):
+        from s3_access_logs_spark.operators.similarity import semantic_dedup
+
+        # Two well-separated clusters on axes x and y. Within cluster A,
+        # ids 1/2 are near-identical (cos ~ 1 > 0.9); id 5 is orthogonal-ish
+        # to nothing in its own cluster. Cross-cluster near-dups must NOT
+        # drop anything (pair search is within-cluster only).
+        rows = [
+            (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.999, 0.01, 0.0], "a"),   # dominated by id 1
+            (3, [0.0, 1.0, 0.0], "b"),
+            (4, [0.01, 0.999, 0.0], "b"),   # dominated by id 3
+            (5, [0.9, 0.1, 0.0], "a"),       # near id 1 too -> dominated
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {
+            r.id: (r.cluster, r.keep)
+            for r in semantic_dedup(emb, threshold=0.9).collect()
+        }
+        assert out[1] == ("a", True)
+        assert out[2] == ("a", False)
+        assert out[3] == ("b", True)
+        assert out[4] == ("b", False)
+        assert out[5] == ("a", False)
+
+    def test_below_threshold_keeps_all(self, spark):
+        from s3_access_logs_spark.operators.similarity import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.0, 1.0], "a"),  # orthogonal: cos 0 < any threshold
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = semantic_dedup(emb, threshold=0.5).collect()
+        assert all(r.keep for r in out)
