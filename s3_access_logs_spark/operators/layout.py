@@ -66,3 +66,32 @@ def zorder_write(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "epoch0:",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order randomization step
+    of a data pipeline, without RNG state: total order by
+    ``md5(salt || key)``. Same salt -> the same permutation on every rerun
+    (downstream caches and resumable training stay valid); a new epoch is
+    just a new salt.
+
+    Scale shape: ``repartitionByRange`` on the hash samples range bounds
+    and gives a TOTAL order across output partitions (partition i's keys
+    all sort before partition i+1's) without ever materializing a global
+    single-task sort; ``sortWithinPartitions`` orders inside each range.
+    Reading the output files in partition order replays the permutation.
+    Rows whose keys collide on md5 have no defined relative order — use a
+    unique key."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("_shuffle_hash", h)
+    out = (
+        out.repartitionByRange(partitions, "_shuffle_hash")
+        if partitions
+        else out.repartitionByRange("_shuffle_hash")
+    )
+    return out.sortWithinPartitions("_shuffle_hash").drop("_shuffle_hash")

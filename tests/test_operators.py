@@ -632,3 +632,27 @@ class TestSemanticDedup:
         emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
         out = semantic_dedup(emb, threshold=0.5).collect()
         assert all(r.keep for r in out)
+
+
+class TestShuffleRows:
+    def test_permutation_matches_md5_order_and_is_rerun_stable(self, spark):
+        import hashlib
+
+        from s3_access_logs_spark.operators.layout import shuffle_rows
+
+        rows = [(i, f"doc{i}") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = [r.doc_id for r in shuffle_rows(df, "doc_id", salt="s1:", partitions=4).collect()]
+        expect = [
+            i for i in sorted(
+                range(100),
+                key=lambda i: hashlib.md5(f"s1:{i}".encode()).hexdigest(),
+            )
+        ]
+        assert got == expect
+        # rerun-stable
+        again = [r.doc_id for r in shuffle_rows(df, "doc_id", salt="s1:", partitions=4).collect()]
+        assert again == got
+        # a different salt is a different permutation
+        other = [r.doc_id for r in shuffle_rows(df, "doc_id", salt="s2:", partitions=4).collect()]
+        assert other != got and sorted(other) == sorted(got)
