@@ -419,6 +419,10 @@ def semantic_dedup(
     (``_assign_clusters``); the within-cluster self-join shuffles each side
     once by cluster. With nlist ~ sqrt(N) (the standard IVF sizing) cluster
     populations stay bounded, so no pair block is quadratic in the corpus.
+    The self-join evaluates the assignment projection once per side; for a
+    recurring 100 TB job, materialize the assignment first
+    (``build_ivf_index`` writes exactly that) and run the pair search over
+    the stored posting lists instead.
     """
     cents = centroids if centroids is not None else label_centroids(
         corpus, label_col, vec_col

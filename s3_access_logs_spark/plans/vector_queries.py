@@ -173,11 +173,18 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partitioner), so caching cannot change any result, only skip the
 # recurring full-corpus training job; a cold session still trains
 # transparently on first use.
-_CENTROIDS: dict[str, list] = {}
+_CENTROIDS: dict[tuple, list] = {}
 
 
 def _cached_centroids(spark: SparkSession, sf_dir: str):
-    key = sf_dir.rstrip("/")
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (path, mtime)  # rewritten corpus -> retrain, not a stale hit
     if key not in _CENTROIDS:
         emb = load_table(spark, sf_dir, "embeddings")
         _CENTROIDS[key] = S.label_centroids(emb, "label", "embedding").collect()

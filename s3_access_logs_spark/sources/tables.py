@@ -57,7 +57,12 @@ def _ensure_splits(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     At production scale this is a no-op by construction: a well-written
     100 TB table has thousands of row groups (>= cores), and single huge
     unsplittable files (the classic gzip problem) hit exactly this
-    remediation — which is then the right call too."""
+    remediation — which is then the right call too.
+
+    The size/row-group inspection uses local-filesystem access; on an
+    object store it falls back to no remediation (the except branch) —
+    there, rely on healthy row-group sizing at write time or repartition
+    explicitly."""
     try:
         import os
 
