@@ -363,11 +363,15 @@ def cidr_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     freshly parsed lines to keep the oracle independent. The per-group
     min/max remoteip_int and its long_to_ipv4 rendering keep the
     int<->dotted-quad roundtrip (r2 fold of ipv4_roundtrip) on the hook."""
+    from s3_access_logs_spark.functions.expr import filter_unpushed
     from s3_access_logs_spark.functions.ip import ip_in_cidr, long_to_ipv4
 
     parsed = parse_logs(_synthetic_log_lines(spark, sf_dir))
     return (
-        parsed.filter(ip_in_cidr("remoteip_int", "10.5.0.0/16"))
+        # filter_unpushed: the predicate's input is a parsed column; letting
+        # it push below the projection inlines the tokenizer into the filter
+        # (6 regexp evals/row measured — see functions/expr.py).
+        filter_unpushed(parsed, ip_in_cidr("remoteip_int", "10.5.0.0/16"))
         .groupBy("bucket_name", "operation")
         .agg(
             F.count(F.lit(1)).alias("n_requests"),

@@ -298,12 +298,13 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, dims + 1)
         ],
     )
-    cents = train.select(
-        "label", F.array(*[F.col(f"_m{i}") for i in range(1, dims + 1)]).alias(
-            "centroid"
-        )
+    # Assignment reuses the cached trained quantizer (identical values:
+    # label_centroids rounds per-dim means to 6 dp exactly like the _m
+    # columns above) instead of re-collecting the training aggregation at
+    # every plan build; the train stats stay in-plan and execute once.
+    flags = S.semantic_dedup(
+        emb, threshold=0.3, centroids=_cached_centroids(spark, sf_dir)
     )
-    flags = S.semantic_dedup(emb, threshold=0.3, centroids=cents)
     stats = flags.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.sum((~F.col("keep")).cast("long")).cast("bigint").alias("n_dropped"),

@@ -135,3 +135,16 @@ def test_subquery_queries_decorrelate(spark, catalog):
     assert "Join" in p17 and "Subquery" not in p17
     p22 = plan_of(catalog["q22_idle_rich_customers"].builder(spark, SF))
     assert "LeftAnti" in p22
+
+
+def test_cidr_traffic_filter_not_pushed_into_parse(spark):
+    """The catalog cidr_traffic filters a PARSED column; Catalyst's
+    cost-blind alias substitution would inline the tokenizer into the
+    Filter and the scan's DataFilters (6 regexp evals/row measured, ~6x
+    slower). functions/expr.py:filter_unpushed pins the predicate above
+    the projection — exactly one tokenizer evaluation in the whole plan."""
+    from s3_access_logs_spark.plans.catalog import load_all
+
+    df = load_all()["cidr_traffic"].builder(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1
