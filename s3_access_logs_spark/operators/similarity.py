@@ -361,17 +361,19 @@ def lsh_bucketed_topk(
     """Approximate top-k: probe only the query's LSH bucket. Same output
     contract as brute_force_topk (rank within bucket)."""
     planes = _lcg_planes(n_planes, dims)
-    bucket = lambda col: random_projection_bucket(col, planes)  # noqa: E731
+    # Pass the column NAME: the bucket expression is then one generated SQL
+    # string instead of ~n_planes x dims literal Columns (py4j chatter —
+    # see random_projection_bucket).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        random_projection_bucket(vec_col, planes).alias("bucket"),
         l2_norm(vec_col).alias("c_norm"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        bucket(F.col(vec_col)).alias("bucket"),
+        random_projection_bucket(vec_col, planes).alias("bucket"),
         l2_norm(vec_col).alias("q_norm"),
     )
     scored = (
