@@ -149,12 +149,37 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
     return F.array(*sigs)
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """SimHash over word tokens: bit b of the fingerprint is the sign of
-    sum_t (bit_b(h(t)) ? 1 : -1). Division-based bit extraction keeps the
-    expression portable to the DuckDB oracle."""
-    toks = F.array_distinct(words(col))
-    hs = F.transform(toks, lambda t: md5_long(t))
+def simhash_token_hashes(col: Column | str) -> Column:
+    """Distinct-token md5 hash array — materialize this as its OWN projected
+    column before ``simhash_from_hashes``: the fingerprint references the
+    array once per bit, and an inlined EXPRESSION is re-evaluated per
+    reference (HOF folds are outside codegen CSE — trap #2), i.e. 32x the
+    md5 work per row. A column attribute is free to re-reference, and
+    CollapseProject will not inline a multi-referenced expensive
+    expression."""
+    return F.transform(F.array_distinct(words(col)), lambda t: md5_long(t))
+
+
+def simhash_from_hashes(hs: Column | str, bits: int = 32) -> Column:
+    """SimHash fingerprint from a token-hash array column: bit b is the
+    sign of sum_t (bit_b(h(t)) ? 1 : -1). Division-based bit extraction
+    keeps the expression portable to the DuckDB oracle.
+
+    With a column NAME the whole fingerprint is ONE generated SQL string:
+    32 py4j-built aggregate folds cost ~1.5 s of driver time per plan
+    build (same chatter trap as the LSH buckets / IVF argmax); the parsed
+    text builds in ~50 ms with identical per-bit arithmetic."""
+    if isinstance(hs, str):
+        terms = []
+        for b in range(bits):
+            pw = 1 << b
+            fold = (
+                f"aggregate(`{hs}`, CAST(0 AS BIGINT), (s, h) -> "
+                f"s + IF(CAST(h / {pw} AS BIGINT) % 2 = 1, 1, -1))"
+            )
+            terms.append(f"IF({fold} > 0, {pw}, 0)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    hsc = hs
 
     def _bit_merge(pw: int):
         def merge(s: Column, h: Column) -> Column:
@@ -166,9 +191,17 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     acc = F.lit(0).cast("long")
     for b in range(bits):
         pw = 1 << b
-        bit_sum = F.aggregate(hs, F.lit(0).cast("long"), _bit_merge(pw))
+        bit_sum = F.aggregate(hsc, F.lit(0).cast("long"), _bit_merge(pw))
         acc = acc + F.when(bit_sum > 0, F.lit(pw)).otherwise(F.lit(0))
     return acc
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """Single-expression SimHash convenience form — re-evaluates the token
+    md5 array per bit when used directly (fine for tests/small data). Hot
+    paths project ``simhash_token_hashes`` first and fold with
+    ``simhash_from_hashes``; both produce identical values."""
+    return simhash_from_hashes(simhash_token_hashes(col), bits)
 
 
 def stopword_hits(col: Column | str, lang: str) -> Column:

@@ -317,9 +317,19 @@ def ngram_overlap(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits=bits).alias("simhash")
+    """(id, simhash). The token md5 array is materialized in its own
+    projection so the per-bit folds reference a column attribute, not an
+    inlined expression — one md5 per token instead of ``bits`` per token
+    (see functions.text.simhash_token_hashes)."""
+    from s3_access_logs_spark.functions.text import (
+        simhash_from_hashes,
+        simhash_token_hashes,
     )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash_token_hashes(F.col(text_col)).alias("_hs"),
+    ).select("id", simhash_from_hashes("_hs", bits=bits).alias("simhash"))
 
 
 def simhash_near_pairs(
