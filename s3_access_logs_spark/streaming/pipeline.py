@@ -235,11 +235,20 @@ def ingest_documents_stream(
     store: str,
     checkpoint: str,
     available_now: bool = True,
+    min_quality: float | None = None,
+    scrub_pii: bool = False,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
     append-only digest store at ``store``, and only unseen survivors are
     appended — the crawl-ingestion loop as one streaming pipeline.
+
+    ``min_quality`` drops documents scoring below the threshold
+    (functions.text.quality_score) BEFORE digesting, and ``scrub_pii``
+    redacts emails/IPs/digit-runs in the stored text — the same narrow
+    column expressions as the batch cleaning pipeline, composed into the
+    stream at zero extra shuffle cost (filters and projections ride the
+    micro-batch scan).
 
     Idempotency: survivors are written under a ``batch_id=<n>`` hive
     partition with dynamic partition overwrite, so an at-least-once replay
@@ -250,6 +259,7 @@ def ingest_documents_stream(
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    from s3_access_logs_spark.functions.text import pii_redact, quality_score
     from s3_access_logs_spark.operators.dedup import dedup_incremental
 
     schema = StructType(
@@ -264,13 +274,20 @@ def ingest_documents_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
+        cleaned = batch_df
+        if min_quality is not None:
+            cleaned = cleaned.filter(quality_score("text") >= min_quality)
+        if scrub_pii:
+            # scrub BEFORE digesting: two crawls of the same page with
+            # different session tokens in the text dedup to one document.
+            cleaned = cleaned.withColumn("text", pii_redact("text"))
         try:
             seen = sess.read.parquet(store).select("digest")
         except Exception:  # first batch: store doesn't exist yet
             seen = sess.createDataFrame(
                 [], "digest string"
             )
-        survivors = dedup_incremental(batch_df, seen).withColumn(
+        survivors = dedup_incremental(cleaned, seen).withColumn(
             "batch_id", F.lit(batch_id)
         )
         sess.conf.set(

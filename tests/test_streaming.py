@@ -319,3 +319,42 @@ class TestIngestStream:
         assert {r.keep_id for r in rows} == {1, 3, 11}
         digests = [r.digest for r in rows]
         assert len(digests) == len(set(digests))  # store stays unique
+
+    def test_ingest_with_quality_filter_and_pii_scrub(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        long_text = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "it runs far away into the green forest to rest for a while"
+        )
+        (src / "b1.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    # passes quality, contains an email to scrub
+                    {"doc_id": 1, "text": long_text + " contact bob@example.com"},
+                    # junk: one repeated token -> low quality score, dropped
+                    {"doc_id": 2, "text": "zz zz zz zz"},
+                    # same page crawled with a different email: after the
+                    # scrub both digests match -> within-batch dedup to doc 1
+                    {"doc_id": 3, "text": long_text + " contact eve@example.org"},
+                ]
+            )
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, min_quality=0.5, scrub_pii=True
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        # doc 2 dropped by the quality gate; docs 1 and 3 differ ONLY in
+        # their email address, so keep == {1} is itself the proof the PII
+        # scrub ran before digesting (unscrubbed they digest differently
+        # and both would survive).
+        assert {r.keep_id for r in rows} == {1}
