@@ -656,3 +656,49 @@ class TestShuffleRows:
         # a different salt is a different permutation
         other = [r.doc_id for r in shuffle_rows(df, "doc_id", salt="s2:", partitions=4).collect()]
         assert other != got and sorted(other) == sorted(got)
+
+
+class TestStratifiedSample:
+    def test_exact_counts_and_determinism(self, spark):
+        import hashlib
+
+        from s3_access_logs_spark.operators.sampling import stratified_sample
+
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        out = stratified_sample(df, "source", 4, "doc_id", salt="x:")
+        got = sorted((r.source, r.doc_id) for r in out.collect())
+        assert len(got) == 12
+        # per-stratum expectation straight from Python md5
+        expect = []
+        for s in ["s0", "s1", "s2"]:
+            ids = [i for i, src in rows if src == s]
+            ids.sort(key=lambda i: (hashlib.md5(f"x:{i}".encode()).hexdigest(), i))
+            expect += [(s, i) for i in ids[:4]]
+        assert got == sorted(expect)
+        # rerun-stable
+        again = sorted((r.source, r.doc_id) for r in out.collect())
+        assert again == got
+
+    def test_small_stratum_returns_all(self, spark):
+        from s3_access_logs_spark.operators.sampling import stratified_sample
+
+        df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "g"])
+        out = stratified_sample(df, "g", 5, "id")
+        assert out.count() == 3
+
+
+class TestFilterUnpushed:
+    def test_same_rows_as_plain_filter(self, spark):
+        from pyspark.sql import functions as F
+
+        from s3_access_logs_spark.functions.expr import filter_unpushed
+
+        df = spark.range(100).select(
+            "id", (F.col("id") * 3 % 7).alias("derived")
+        )
+        pred = F.col("derived") > 3
+        a = sorted(r.id for r in filter_unpushed(df, pred).collect())
+        b = sorted(r.id for r in df.filter(pred).collect())
+        assert a == b and len(a) > 0
+        assert filter_unpushed(df, pred).columns == df.columns
