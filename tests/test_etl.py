@@ -240,3 +240,33 @@ class TestCliContract:
         t0 = time.monotonic()
         assert cli.main(env) == 1
         assert time.monotonic() - t0 < 45  # killed, not run to completion
+
+
+class TestEnsureSplits:
+    def test_small_file_untouched_big_single_rowgroup_split(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from s3_access_logs_spark.sources.tables import load_table
+
+        sf_dir = str(tmp_path)
+        # small dim-sized file: remediation must NOT fire
+        small = pa.table({"r_regionkey": list(range(5))})
+        pq.write_table(small, f"{sf_dir}/region.parquet")
+        assert (
+            load_table(spark, sf_dir, "region").rdd.getNumPartitions() == 1
+        )
+        # >512 KiB single-row-group file: scans as ONE task without the
+        # remediation; with it, the session's full parallelism
+        big = pa.table({"doc_id": list(range(200_000)),
+                        "text": [f"t{i}" * 4 for i in range(200_000)]})
+        pq.write_table(big, f"{sf_dir}/documents.parquet", row_group_size=1_000_000)
+        assert pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_row_groups == 1
+        df = load_table(spark, sf_dir, "documents")
+        assert (
+            df.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+        assert load_table(
+            spark, sf_dir, "documents", parallelize=False
+        ).rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
