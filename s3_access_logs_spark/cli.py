@@ -89,8 +89,49 @@ def preflight(spark: SparkSession, cfg: JobConfig) -> int:
     return 0
 
 
+def run_query(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark query <name> [sf_dir] [--out PATH]`
+    — run one catalog query against the table directory and print (or
+    write) the result. The reference delegates all querying to Athena
+    (SURVEY §2.2); this engine owns the query layer, so the CLI exposes
+    it: `query list` enumerates the catalog."""
+    from s3_access_logs_spark.plans.catalog import load_all
+
+    queries = load_all()
+    if not argv or argv[0] in ("list", "--list"):
+        for name in sorted(queries):
+            print(name)
+        return 0
+    name = argv[0]
+    if name not in queries:
+        log.error(
+            "unknown query %r — `query list` prints the catalog", name
+        )
+        return 2
+    out = None
+    rest = [a for a in argv[1:] if not a.startswith("--")]
+    if "--out" in argv:
+        out = argv[argv.index("--out") + 1]
+        rest = [a for a in rest if a != out]
+    import os
+
+    sf_dir = rest[0] if rest else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("s3-access-logs-query")
+    df = queries[name].builder(spark, sf_dir)
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        log.info("query %s -> %s", name, out)
+    else:
+        df.show(50, truncate=False)
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    if len(sys.argv) > 1 and sys.argv[1] == "query":
+        return run_query(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():

@@ -270,3 +270,13 @@ class TestEnsureSplits:
         assert load_table(
             spark, sf_dir, "documents", parallelize=False
         ).rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+
+
+class TestQueryCli:
+    def test_list_and_unknown(self, capsys):
+        from s3_access_logs_spark.cli import run_query
+
+        assert run_query(["list"]) == 0
+        names = capsys.readouterr().out.split()
+        assert "q1_pricing_summary" in names and len(names) == 50
+        assert run_query(["no_such_query"]) == 2
