@@ -50,6 +50,11 @@ def get_spark(
         # permanently rather than toggled per-read so correctness never
         # depends on when Spark captures the conf (ADVICE r1).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Tz-naive parquet timestamps (timestamp[us], isAdjustedToUTC=false)
+        # read as plain TIMESTAMP — stored micros = UTC instant, matching
+        # DuckDB epoch() — instead of TIMESTAMP_NTZ, which has no numeric
+        # cast and would break every epoch-seconds expression.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -87,6 +87,15 @@ def load_table(
     reshuffle costs more than the single-task scan it fixes, the same
     call a cost-based planner would make."""
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) — what pyarrow writes for a
+    # tz-naive timestamp[us] column — would otherwise infer as TIMESTAMP_NTZ
+    # (Spark 3.4+ default), which supports no numeric cast and breaks every
+    # epoch-seconds expression downstream. Reading it as plain TIMESTAMP
+    # treats the stored micros as the UTC instant — the same interpretation
+    # DuckDB's epoch() applies — and keeps filters pushable at the scan
+    # (no conversion projection in front of the relation). Runtime-settable;
+    # left on for the session like nanosAsLong below.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
         df = spark.read.parquet(path)
