@@ -55,6 +55,19 @@ def get_spark(
         # DuckDB epoch() — instead of TIMESTAMP_NTZ, which has no numeric
         # cast and would break every epoch-seconds expression.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # InferFiltersFromGenerate adds `size(e)>0 AND isnotnull(e)` above
+        # every explode — semantically redundant (explode already skips
+        # null/empty inputs) — and predicate pushdown then INLINES the
+        # generator's defining expression into that filter with no cost
+        # model. For computed arrays (md5 shingle pipelines, banded
+        # signatures) the whole expensive expression re-evaluates several
+        # times per row: ngram_jaccard_pairs measured 3.0 s -> 1.3 s at
+        # sf0.1 with the rule off. Stored-array explodes lose nothing
+        # (the scan-level null filter they'd gain is marginal).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")

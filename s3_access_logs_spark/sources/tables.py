@@ -96,6 +96,16 @@ def load_table(
     # (no conversion projection in front of the relation). Runtime-settable;
     # left on for the session like nanosAsLong below.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # See session.py: the inferred explode filter re-evaluates expensive
+    # generator inputs; excluded here too so sessions the driver builds
+    # itself (bypassing get_spark) run with the same optimizer set.
+    _excl = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _excl not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{cur},{_excl}" if cur else _excl,
+        )
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
         df = spark.read.parquet(path)
