@@ -131,71 +131,84 @@ def _assign_clusters(
     """Attach the ``n_best`` nearest centroids (cosine, ties broken on the
     smaller label) to every row as ``cluster``.
 
-    ``n_best == 1`` — the corpus-indexing path — is a pure projection: the
-    ~nlist centroids are collected once and embedded in the plan as
-    literals, and the argmax is a fold over that literal array. No join, no
-    exchange — the r1 formulation ranked 10 broadcast centroids with a
-    ``row_number`` window, which shuffled the ENTIRE corpus by vector id
-    just to take an argmax over 10 values (VERDICT r1 item 4).
+    ``n_best == 1`` — the corpus-indexing path — broadcasts the ~nlist
+    centroids as ONE row holding a sorted array of (label, vector, norm)
+    structs, and the argmax is a fold over that array column. The corpus
+    side never shuffles (BroadcastNestedLoopJoin against a single row) —
+    the r1 formulation ranked 10 broadcast centroids with a ``row_number``
+    window, which shuffled the ENTIRE corpus by vector id just to take an
+    argmax over 10 values (VERDICT r1 item 4).
 
-    Plan-shape note (measured): the fold MUST be a runtime
-    ``F.aggregate`` over an array of (sim, label) structs. The obvious
-    chained form — ``best = when(sim > best.s, ...).otherwise(best)`` per
-    centroid — references ``best`` twice per step, and Catalyst inlines
-    (never CSEs) those references, so the expression tree doubles per
-    centroid: 2^nlist nodes, 48 s instead of 2 s at sf0.1 with nlist=10.
-    Inside a higher-order function the accumulator is a lambda variable
-    bound at runtime, so each centroid's similarity is evaluated exactly
-    once and the plan stays O(nlist).
+    Plan-shape notes (measured):
+
+    * The fold MUST be a runtime ``F.aggregate`` over an array of
+      (sim, label) structs. The chained form — ``best = when(sim > best.s,
+      ...).otherwise(best)`` per centroid — references ``best`` twice per
+      step, and Catalyst inlines (never CSEs) those references, so the
+      expression tree doubles per centroid: 2^nlist nodes, 48 s instead of
+      2 s at sf0.1 with nlist=10. Lambda variables are bound values at
+      runtime, so here each centroid's similarity is evaluated exactly
+      once and the plan stays O(nlist).
+    * The centroid values ride in the broadcast row, NOT as plan literals.
+      An earlier variant embedded 10x64 literals in one generated SQL
+      string; correct, but the resulting expression was expensive at every
+      stage of its life — ~0.5 s to parse per plan build and an oversized
+      codegen method to JIT per executor — for zero runtime advantage
+      (measured 1.9 -> 1.2 s per bench pass at sf0.1 moving to the
+      broadcast form). Array order is ascending label with a strict >
+      merge, keeping the smaller label on equal sims — exactly the
+      window's ORDER BY sim DESC, label ASC tie-break, and the oracle's.
 
     ``n_best > 1`` — the query-probe path (a handful of rows) — keeps the
     window formulation."""
     if n_best == 1:
-        rows = sorted(cents.collect(), key=lambda r: str(r["label"]))
-        # The whole argmax is ONE generated SQL string parsed once: building
-        # it as nested Column objects costs ~7000 py4j round trips (~1 s of
-        # driver time per plan build for 10x64 centroids), while the parsed
-        # string builds in ~0.5 s. Each dot product stays a zip_with +
-        # aggregate fold — measured faster than the equivalent flat 640-term
-        # multiply-add chain (0.31 s vs 0.39 s warm at sf0.1), which grows
-        # the codegen'd method past JIT-friendly size. Float summation order
-        # (left-to-right by index) is identical either way, so oracle parity
-        # holds. The row's own norm is hoisted into __vnorm once. Array
-        # order is ascending label with a strict > merge, which keeps the
-        # earlier (smaller) label on equal sims — exactly the window's
-        # ORDER BY sim DESC, label ASC tie-break.
-        def lab_lit(val) -> str:
-            if isinstance(val, str):
-                return "'" + val.replace("'", "''") + "'"
-            return repr(val)
-
-        cands = []
-        for r in rows:
-            centroid = [float(v) for v in r["centroid"]]
-            c_norm = sum(v * v for v in centroid) ** 0.5
-            arr = ", ".join(repr(v) for v in centroid)
-            dot_s = (
-                f"aggregate(zip_with(CAST(`{vec}` AS ARRAY<DOUBLE>), "
-                f"array({arr}), (p, q) -> p * q), "
-                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            sim_s = (
-                f"coalesce(CASE WHEN (__vnorm * {c_norm!r}) > 0 "
-                f"THEN ({dot_s}) / (__vnorm * {c_norm!r}) END, -2.0)"
-            )
-            cands.append(
-                f"named_struct('s', {sim_s}, 'l', {lab_lit(r['label'])})"
-            )
-        best = (
-            f"aggregate(array({', '.join(cands)}), "
-            f"named_struct('s', CAST(-1e9 AS DOUBLE), "
-            f"'l', {lab_lit(rows[0]['label'])}), "
-            f"(acc, x) -> IF(x.s > acc.s, x, acc)).l"
+        one = cents.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("label").alias("l"),
+                        F.transform(
+                            "centroid", lambda x: x.cast("double")
+                        ).alias("c"),
+                        l2_norm("centroid").alias("n"),
+                    )
+                )
+            ).alias("_cents")
         )
+        sims = F.transform(
+            F.col("_cents"),
+            lambda ct: F.struct(
+                F.coalesce(
+                    F.when(
+                        (F.col("__vnorm") * ct["n"]) > 0,
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("__vd"), ct["c"], lambda p, q: p * q
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                        / (F.col("__vnorm") * ct["n"]),
+                    ),
+                    F.lit(-2.0),
+                ).alias("s"),
+                ct["l"].alias("l"),
+            ),
+        )
+        best = F.aggregate(
+            sims,
+            F.struct(
+                F.lit(-1e9).cast("double").alias("s"),
+                F.element_at(F.col("_cents"), 1)["l"].alias("l"),
+            ),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )["l"]
         return (
-            df.withColumn("__vnorm", l2_norm(vec))
-            .withColumn("cluster", F.expr(best))
-            .drop("__vnorm")
+            df.crossJoin(broadcast(one))
+            .withColumn("__vd", F.transform(vec, lambda x: x.cast("double")))
+            .withColumn("__vnorm", l2_norm(vec))
+            .withColumn("cluster", best)
+            .drop("_cents", "__vd", "__vnorm")
         )
     scored = df.crossJoin(broadcast(cents)).withColumn(
         "c_sim", cosine_similarity(vec, "centroid")
