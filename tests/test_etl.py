@@ -280,3 +280,37 @@ class TestQueryCli:
         names = capsys.readouterr().out.split()
         assert "q1_pricing_summary" in names and len(names) == 50
         assert run_query(["no_such_query"]) == 2
+
+
+class TestTimestampLoading:
+    def test_naive_micros_load_as_instant_timestamp(self, spark, tmp_path):
+        """Tz-naive timestamp[us] parquet (what the driver's generator
+        writes) must load as plain TIMESTAMP — stored micros = UTC
+        instant, matching DuckDB epoch() — never TIMESTAMP_NTZ, which
+        supports no numeric cast and breaks every epoch-seconds
+        expression (r3 driver regression)."""
+        import datetime as dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
+
+        from s3_access_logs_spark.sources.tables import load_table
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        ts = dt.datetime(2024, 1, 1, 0, 9, 58, 778549)  # naive wall clock
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([ts], type=pa.timestamp("us")),
+                    "v": pa.array([1], type=pa.int64()),
+                }
+            ),
+            d / "events.parquet",
+        )
+        df = load_table(spark, str(d), "events", parallelize=False)
+        assert isinstance(df.schema["ts"].dataType, TimestampType)
+        epoch = df.select(F.col("ts").cast("double").alias("e")).first()["e"]
+        assert abs(epoch - 1704067798.778549) < 1e-6

@@ -148,3 +148,40 @@ def test_cidr_traffic_filter_not_pushed_into_parse(spark):
     df = load_all()["cidr_traffic"].builder(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_extract_all") == 1
+
+
+def test_shingle_explode_evaluates_hash_pipeline_once(spark, catalog):
+    """InferFiltersFromGenerate used to add `size(e)>0 AND isnotnull(e)`
+    above the shingle explode, and predicate pushdown inlined the md5
+    pipeline into that filter — 12 md5 evaluations per row in the physical
+    plan (the rule is excluded in session.py / sources/tables.py). The
+    whole jaccard plan must evaluate the word-hash expression exactly
+    once."""
+    df = catalog["ngram_jaccard_pairs"].builder(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("md5") == 1
+
+
+def test_jaccard_pairs_generate_in_codegen(spark, catalog):
+    """Posting-list pair generation must be chained Generate nodes
+    (posexplode + explode run in whole-stage codegen), never a nested
+    transform/flatten HOF (interpreted, O(c^3) array copies)."""
+    plan = plan_of(catalog["ngram_jaccard_pairs"].builder(spark, SF))
+    assert plan.count("Generate") >= 2
+    assert "flatten" not in plan
+
+
+def test_ivf_centroids_ride_broadcast_not_plan_literals(spark, catalog):
+    """Centroid components must reach the executors as broadcast DATA.
+    The literal-SQL variant embedded 10x64 floats in the plan: ~0.5 s
+    parse per build and an oversized codegen method — and could never
+    scale to production nlist."""
+    df = catalog["embedding_ivf_topk"].builder(spark, SF)
+    plan = plan_of(df)
+    # one row of collect_list'd centroids is broadcast to both sides
+    assert "BroadcastNestedLoopJoin" in plan
+    # no plan-literal centroid arrays: a 64-element literal array would
+    # print hundreds of comma-separated doubles in one expression
+    assert max(
+        (len(line) for line in plan.splitlines()), default=0
+    ) < 20_000
