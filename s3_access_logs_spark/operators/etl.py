@@ -107,3 +107,163 @@ def export_hour(
     finally:
         parsed.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+#
+# The streaming ingest path (streaming/pipeline.py) and incremental hourly
+# reruns leave each hive partition with one parquet file per micro-batch /
+# run. At 100 TB that is the classic small-file problem: a scan pays
+# open/footer costs per file, and task scheduling degenerates to
+# file-granularity. Plain parquet has no snapshot metadata (that is
+# Iceberg/Delta territory), so compaction must STAGE new files and swap
+# them in: Spark refuses to overwrite a path it is reading
+# ("Cannot overwrite a path that is also being read from"), and even if it
+# did not, a mid-job failure would destroy data. The swap is per-file
+# delete+rename from the driver — metadata-only on HDFS/local; on object
+# stores rename is a copy, which is the same cost every
+# compactor (including Iceberg's rewrite action) pays to move bytes.
+# ---------------------------------------------------------------------------
+
+
+def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
+    """Inventory the leaf partition directories of a hive-layout table via
+    the Hadoop FileSystem API (works on file://, hdfs:// and s3a:// alike):
+    one dict per leaf dir with its data-file count and total bytes."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(root)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    root_uri = fs.makeQualified(jpath).toString().rstrip("/")
+    per_dir: dict[str, dict] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith(("_", ".")):  # markers, checkpoints, staging
+            continue
+        parent = p.getParent().toString()
+        rel = parent[len(root_uri):].strip("/")
+        if "_compact_staging" in rel:
+            continue
+        d = per_dir.setdefault(
+            rel, {"partition": rel, "n_files": 0, "bytes": 0}
+        )
+        d["n_files"] += 1
+        d["bytes"] += st.getLen()
+    return sorted(per_dir.values(), key=lambda d: d["partition"])
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    max_records_per_file: int = 5_000_000,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Rewrite over-fragmented partitions of a hive-layout parquet table
+    down to ``ceil(bytes / target_file_bytes)`` files each.
+
+    Scale shape: victim selection is pure file-listing (no data read); the
+    rewrite is ONE Spark job over only the victim partitions' bytes — each
+    victim is read, shuffled once on (partition cols, salt) so that every
+    output file is produced by exactly one task, and staged under
+    ``<root>/_compact_staging``. Untouched partitions are never read,
+    never rewritten. The driver then swaps data files per victim dir.
+    Idempotent: a rerun finds every partition already at its target count
+    and selects nothing; a crash before the swap leaves only an inert
+    staging dir (ignored by ``partition_file_stats``, invisible to readers
+    as a ``_``-prefixed path).
+
+    Returns the victim inventory (partition, n_files, bytes,
+    target_files); with ``dry_run`` it only returns the plan."""
+    import math
+
+    stats = partition_file_stats(spark, root)
+    victims = []
+    for d in stats:
+        target = max(1, math.ceil(d["bytes"] / target_file_bytes))
+        if d["n_files"] > target:
+            victims.append({**d, "target_files": target})
+    if not victims or dry_run:
+        return victims
+
+    part_cols: list[str] = []
+    for seg in victims[0]["partition"].split("/"):
+        if "=" not in seg:
+            raise ValueError(
+                f"not a hive partition dir: {victims[0]['partition']!r}"
+            )
+        part_cols.append(seg.split("=", 1)[0])
+
+    # (partition-col values as path strings) -> target file count; joined
+    # broadcast so one job covers every victim with per-partition fan-out.
+    stats_rows = []
+    for v in victims:
+        vals = tuple(seg.split("=", 1)[1] for seg in v["partition"].split("/"))
+        stats_rows.append(vals + (v["target_files"],))
+    stats_df = spark.createDataFrame(
+        stats_rows, [f"_pv_{c}" for c in part_cols] + ["_target_files"]
+    )
+    data = spark.read.option("basePath", root).parquet(
+        *[f"{root.rstrip('/')}/{v['partition']}" for v in victims]
+    )
+    cond = None
+    for c in part_cols:
+        eq = F.col(c).cast("string") == F.col(f"_pv_{c}")
+        cond = eq if cond is None else (cond & eq)
+    # Deterministic salt: a nondeterministic key (monotonically_increasing_id,
+    # rand) under repartition loses/duplicates rows when a task retries after
+    # a fetch failure — the exact failure mode a 1000-executor compaction job
+    # WILL hit. Hash every hashable column instead (maps are not hashable;
+    # everything else is), so a retried task re-derives identical routing.
+    from pyspark.sql.types import MapType
+
+    hashable = [
+        f.name
+        for f in data.schema.fields
+        if f.name not in part_cols and not isinstance(f.dataType, MapType)
+    ]
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.col("_target_files"))
+        if hashable
+        else F.lit(0)
+    )
+    salted = (
+        data.join(F.broadcast(stats_df), cond)
+        .withColumn("_salt", salt)
+        .drop(*[f"_pv_{c}" for c in part_cols], "_target_files")
+    )
+    staging = f"{root.rstrip('/')}/_compact_staging"
+    out = salted.repartition(
+        *[F.col(c) for c in part_cols], F.col("_salt")
+    ).drop("_salt")
+    cluster_cols = [c for c in ROW_GROUP_COLS if c in data.columns]
+    if cluster_cols:  # keep the log table's row-group clustering intact
+        out = out.sortWithinPartitions(*cluster_cols)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*part_cols)
+        .parquet(staging)
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(root).getFileSystem(conf)
+    for v in victims:
+        old_dir = HPath(f"{root.rstrip('/')}/{v['partition']}")
+        new_dir = HPath(f"{staging}/{v['partition']}")
+        for st in fs.listStatus(old_dir):
+            if not st.getPath().getName().startswith(("_", ".")):
+                fs.delete(st.getPath(), False)
+        for st in fs.listStatus(new_dir):
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                fs.rename(st.getPath(), HPath(old_dir, name))
+    fs.delete(HPath(staging), True)
+    return victims

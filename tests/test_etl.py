@@ -314,3 +314,77 @@ class TestTimestampLoading:
         assert isinstance(df.schema["ts"].dataType, TimestampType)
         epoch = df.select(F.col("ts").cast("double").alias("e")).first()["e"]
         assert abs(epoch - 1704067798.778549) < 1e-6
+
+
+class TestCompaction:
+    def _fragmented_table(self, spark, root):
+        """3 partitions x 6 tiny files each, one hive level."""
+        df = spark.range(600).select(
+            (F.col("id") % 3).alias("part"),
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        df.repartition(6).write.mode("overwrite").partitionBy("part").parquet(
+            root
+        )
+
+    def test_compacts_to_target_and_preserves_rows(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.etl import (
+            compact_partitions,
+            partition_file_stats,
+        )
+
+        root = str(tmp_path / "tbl")
+        self._fragmented_table(spark, root)
+        before = {d["partition"]: d for d in partition_file_stats(spark, root)}
+        assert all(d["n_files"] == 6 for d in before.values())
+        rows_before = sorted(
+            map(tuple, spark.read.parquet(root).collect())
+        )
+
+        victims = compact_partitions(spark, root)  # 128 MB target -> 1 file
+        assert {v["partition"] for v in victims} == set(before)
+        assert all(v["target_files"] == 1 for v in victims)
+
+        after = {d["partition"]: d for d in partition_file_stats(spark, root)}
+        assert all(d["n_files"] == 1 for d in after.values())
+        rows_after = sorted(map(tuple, spark.read.parquet(root).collect()))
+        assert rows_after == rows_before
+        assert not (tmp_path / "tbl" / "_compact_staging").exists()
+
+    def test_rerun_is_noop_and_healthy_partitions_untouched(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from s3_access_logs_spark.operators.etl import compact_partitions
+
+        root = str(tmp_path / "tbl")
+        self._fragmented_table(spark, root)
+        compact_partitions(spark, root)
+        # snapshot file mtimes, then rerun: nothing is selected or rewritten
+        def snapshot():
+            out = {}
+            for dirpath, _, files in os.walk(root):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        p = os.path.join(dirpath, f)
+                        out[p] = os.path.getmtime(p)
+            return out
+
+        snap = snapshot()
+        assert compact_partitions(spark, root) == []
+        assert snapshot() == snap
+
+    def test_dry_run_plans_without_writing(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.etl import (
+            compact_partitions,
+            partition_file_stats,
+        )
+
+        root = str(tmp_path / "tbl")
+        self._fragmented_table(spark, root)
+        plan = compact_partitions(spark, root, dry_run=True)
+        assert len(plan) == 3
+        after = partition_file_stats(spark, root)
+        assert all(d["n_files"] == 6 for d in after)
