@@ -33,8 +33,8 @@ from s3_access_logs_spark.functions.vectors import (
 _LCG_A, _LCG_C, _LCG_M = 1_103_515_245, 12_345, 1 << 31
 
 
-def _lcg_planes(n_planes: int, dims: int) -> list[list[float]]:
-    state = 42
+def _lcg_planes(n_planes: int, dims: int, seed: int = 42) -> list[list[float]]:
+    state = seed
     planes = []
     for _ in range(n_planes):
         row = []
@@ -470,4 +470,235 @@ def semantic_dedup(
             "cluster",
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+#
+# The memory layer of billion-scale ANN (the PQ in IVF-PQ): each vector is
+# split into ``m`` subvectors and every subvector is replaced by the id of
+# its nearest codebook centroid — a 64-dim float32 vector (256 B) becomes
+# m=8 one-byte codes, 32x smaller, so a 100 TB embedding corpus's index
+# fits in cluster memory. Search never decodes: a query precomputes one
+# lookup table of subspace distances per codebook entry, and a corpus
+# row's approximate distance is m table lookups (ADC — asymmetric distance
+# computation).
+#
+# Codebook training is deterministic by design (the repo-wide contract
+# that makes approximate structures oracle/test-checkable): instead of
+# randomized k-means, each subspace buckets its subvectors by fixed LCG
+# hyperplane signs and takes the rounded per-dimension mean of each
+# non-empty bucket — "LSH-initialized one-step k-means". Same corpus,
+# same codebook, bit for bit, in any engine.
+# ---------------------------------------------------------------------------
+
+
+def _subspace_slices(vec: str, dims: int, m: int) -> list[Column]:
+    d = dims // m
+    return [F.slice(F.col(vec), j * d + 1, d) for j in range(m)]
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    n_planes: int = 4,
+    decimals: int = 6,
+) -> DataFrame:
+    """(subspace, code, centroid: array<double>) — ks <= 2^n_planes dense
+    codes per subspace. One narrow pass over the corpus: every row emits m
+    (subspace, bucket, subvector) tuples via a single generator, one
+    partial-aggregated groupBy computes the per-dimension means, and a
+    window over the tiny (m x ks) result densifies bucket ids into
+    contiguous codes."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    d = dims // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("subspace"),
+                random_projection_bucket(
+                    F.transform(sv, lambda x: x.cast("double")),
+                    _lcg_planes(n_planes, d, seed=42 + j),
+                ).alias("bucket"),
+                F.transform(sv, lambda x: x.cast("double")).alias("sv"),
+            )
+            for j, sv in enumerate(_subspace_slices(vec_col, dims, m))
+        ]
+    )
+    exploded = corpus.select(F.explode(subs).alias("s")).select("s.*")
+    per = exploded.groupBy("subspace", "bucket").agg(
+        *[
+            F.round(F.avg(F.element_at("sv", i)), decimals).alias(f"_m{i}")
+            for i in range(1, d + 1)
+        ]
+    )
+    w = Window.partitionBy("subspace").orderBy("bucket")
+    return per.select(
+        "subspace",
+        (F.row_number().over(w) - 1).alias("code"),
+        F.array(*[F.col(f"_m{i}") for i in range(1, d + 1)]).alias("centroid"),
+    )
+
+
+def _codebook_array(codebook: DataFrame) -> Column:
+    """One-row broadcastable nested array: cb[j+1][code+1] = centroid."""
+    per_sub = codebook.groupBy("subspace").agg(
+        F.array_sort(
+            F.collect_list(F.struct("code", "centroid"))
+        ).alias("cents")
+    )
+    return per_sub.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "cents"))),
+            lambda s: F.transform(s["cents"], lambda c: c["centroid"]),
+        ).alias("_cb")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Attach ``out_col``: array of m codebook ids (the 32x-compressed
+    representation). Pure broadcast + projection — the corpus never
+    shuffles; each subspace's argmin is the same runtime fold as IVF's
+    cluster assignment (lambda-variable accumulator, O(ks) plan)."""
+    codes = F.array(
+        *[
+            F.aggregate(
+                F.transform(
+                    F.element_at(F.col("_cb"), j + 1),
+                    lambda c: _l2sq(
+                        F.transform(sv, lambda x: x.cast("double")), c
+                    ),
+                ),
+                F.struct(
+                    F.lit(float("inf")).alias("d"),
+                    F.lit(-1).alias("i"),
+                    F.lit(0).alias("n"),
+                ),
+                lambda acc, dist: F.struct(
+                    F.when(dist < acc["d"], dist).otherwise(acc["d"]).alias(
+                        "d"
+                    ),
+                    F.when(dist < acc["d"], acc["n"]).otherwise(
+                        acc["i"]
+                    ).alias("i"),
+                    (acc["n"] + 1).alias("n"),
+                ),
+            )["i"]
+            for j, sv in enumerate(_subspace_slices(vec_col, dims, m))
+        ]
+    )
+    return (
+        df.crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn(out_col, codes)
+        .drop("_cb")
+    )
+
+
+def pq_topk(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    dims: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, rank, adist) by approximate L2
+    distance, ascending. Each query precomputes lut[j][code] =
+    ||q_j - centroid||^2 once (m x ks doubles, built on the tiny query
+    side); a corpus row's distance is then m array lookups over its code
+    array — the corpus is scanned once, never decoded, never shuffled
+    until the final per-query top-k window."""
+    lut = F.transform(
+        F.col("_cb"),
+        lambda cents, j: F.transform(
+            cents,
+            lambda c: _l2sq(
+                F.transform(
+                    F.slice(F.col("q_vec"), j * (dims // m) + 1, dims // m),
+                    lambda x: x.cast("double"),
+                ),
+                c,
+            ),
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn("_lut", lut)
+        .select("query_id", "_lut")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("_lut"),
+            lambda code, sub_lut: F.element_at(sub_lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        encoded_corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(codes_col)
+        )
+        .join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adist", 6).alias("adist"),
+        )
+    )
+
+
+def pq_reconstruct(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    codes_col: str = "pq_codes",
+    out_col: str = "reconstructed",
+) -> DataFrame:
+    """Decode codes back to the concatenated centroid vector (test /
+    diagnostics path — search itself never reconstructs)."""
+    rec = F.flatten(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("_cb"),
+            lambda code, cents: F.element_at(cents, code + 1),
+        )
+    )
+    return (
+        encoded.crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn(out_col, rec)
+        .drop("_cb")
     )
