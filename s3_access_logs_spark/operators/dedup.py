@@ -570,3 +570,32 @@ def dedup_clusters(
     return connected_components(nodes, pairs).select(
         F.col("id").alias(id_col), "cluster_id"
     )
+
+
+def drop_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Intra-document paragraph dedup (the C4/RefinedWeb cleanup step:
+    boilerplate paragraphs repeat WITHIN a page long before they repeat
+    across pages): keep only the first occurrence of each paragraph,
+    preserving order, and rejoin.
+
+    Scale shape: a pure projection — split, keep-first filter, rejoin all
+    happen inside the row, so the operator is fully narrow: no shuffle, no
+    join, no window, regardless of corpus size. The paragraph array is
+    materialized as its own column first so the keep-first filter
+    references a column attribute (free) rather than re-evaluating the
+    split per element. Keep-first via ``array_position`` is O(p^2) per doc
+    over p paragraphs — in-row and vectorizable, the right trade against
+    any shuffle-based formulation for real document sizes."""
+    out = out_col or text_col
+    c = F.col("_paras")
+    kept = F.filter(c, lambda p, i: F.array_position(c, p) == i + F.lit(1))
+    return (
+        df.withColumn("_paras", F.split(F.col(text_col), sep))
+        .withColumn(out, F.concat_ws(sep.replace("\\", ""), kept))
+        .drop("_paras")
+    )

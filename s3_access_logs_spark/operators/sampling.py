@@ -38,3 +38,58 @@ def stratified_sample(
         .filter(F.col("_sample_rank") <= n_per_stratum)
         .drop("_sample_rank")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+    salt: str = "temp0:",
+) -> DataFrame:
+    """Temperature-weighted source mixing — the ``count^alpha`` re-balancing
+    LLM data recipes apply so giant web crawls don't drown small
+    high-quality sources (alpha=1 keeps natural proportions, alpha=0 gives
+    every source equal share). Per-source keep rates are derived from the
+    observed source sizes, then applied as the same deterministic
+    hash-rate filter ``mixture_sample`` uses: md5(salt || key) as a uniform
+    [0,1) draw, so reruns keep identical rows and a fresh draw is a new
+    salt.
+
+    Scale shape: one tiny count aggregation (per-source row counts,
+    map-side partial), broadcast back into a narrow filter — the corpus
+    itself never shuffles. ``target_rows`` defaults to the input size
+    (pure re-balancing); rates are capped at 1 (a source cannot be
+    upsampled by filtering — log the shortfall and duplicate explicitly if
+    the recipe demands it).
+
+    Returns rows with a ``_keep_rate`` column (diagnostics; drop it for
+    training)."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    rows = counts.collect()
+    total = sum(r["_n"] for r in rows)
+    budget = total if target_rows is None else target_rows
+    wsum = sum(r["_n"] ** alpha for r in rows)
+    rates = [
+        (
+            r[source_col],
+            min(1.0, (budget * (r["_n"] ** alpha) / wsum) / r["_n"]),
+        )
+        for r in rows
+    ]
+    rates_df = df.sparkSession.createDataFrame(
+        rates, [source_col, "_keep_rate"]
+    )
+    # md5 first 8 hex chars as a uniform draw in [0, 1) — cross-engine
+    # reproducible (same primitive as functions/text.py:md5_long)
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 32))
+    return df.join(F.broadcast(rates_df), source_col).filter(
+        draw < F.col("_keep_rate")
+    )

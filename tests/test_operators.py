@@ -819,3 +819,105 @@ class TestProductQuantization:
             pq_topk(enc, q, cb, k=5).collect()
             == pq_topk(enc, q, cb, k=5).collect()
         )
+
+
+class TestTemperatureMixture:
+    def _df(self, spark):
+        rows = (
+            [("web", i) for i in range(300)]
+            + [("books", 1000 + i) for i in range(30)]
+            + [("code", 2000 + i) for i in range(3)]
+        )
+        return spark.createDataFrame(rows, ["source", "doc_id"])
+
+    def test_alpha_zero_equalizes_and_caps_small_sources(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        out = temperature_mixture(df, "source", "doc_id", alpha=0.0)
+        rates = {
+            r.source: r._keep_rate
+            for r in out.select("source", "_keep_rate").distinct().collect()
+        }
+        # equal 111-row budget per source: big source downsampled, small
+        # sources capped at keep-everything
+        assert rates["books"] == 1.0 and rates["code"] == 1.0
+        assert abs(rates["web"] - 111 / 300) < 1e-9
+        kept = out.groupBy("source").count().collect()
+        by = {r.source: r["count"] for r in kept}
+        assert by["books"] == 30 and by["code"] == 3
+        assert 60 <= by["web"] <= 160  # hash-rate keep around 111
+
+    def test_alpha_one_is_identity(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        assert temperature_mixture(df, "source", "doc_id", alpha=1.0).count() == 333
+
+    def test_deterministic_and_matches_python_md5(self, spark):
+        import hashlib
+
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = self._df(spark)
+        out = temperature_mixture(df, "source", "doc_id", alpha=0.0)
+        kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+        assert kept == sorted(
+            r.doc_id for r in
+            temperature_mixture(df, "source", "doc_id", alpha=0.0)
+            .select("doc_id").collect()
+        )
+        # replicate the draw for the downsampled source in plain Python
+        rate = 111 / 300
+        expect = [
+            i
+            for i in range(300)
+            if int(
+                hashlib.md5(f"temp0:{i}".encode()).hexdigest()[:8], 16
+            ) / 2**32 < rate
+        ] + list(range(1000, 1030)) + list(range(2000, 2003))
+        assert kept == sorted(expect)
+
+
+class TestDropRepeatedParagraphs:
+    def test_keeps_first_occurrence_in_order(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_repeated_paragraphs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\n\nb\n\na\n\nc"),
+                (2, "x\n\nx\n\nx"),
+                (3, "p\n\nq"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r.text
+            for r in drop_repeated_paragraphs(df).collect()
+        }
+        assert out == {1: "a\n\nb\n\nc", 2: "x", 3: "p\n\nq"}
+
+    def test_fully_narrow_plan(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_repeated_paragraphs,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(
+            spark, "/root/testdata/sf0.001", "documents", parallelize=False
+        )
+        plan = (
+            drop_repeated_paragraphs(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # split/filter/rejoin are in-row
