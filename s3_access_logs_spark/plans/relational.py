@@ -80,17 +80,64 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entry fits inside the driver's 50-row correctness window.)
 
 
+_KMV_K = 64
+
+
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL++ estimates are engine-specific; rows-only check
-    tags=("agg", "approx"),
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, u,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN COUNT(*)::DOUBLE
+                ELSE ROUND(({_KMV_K} - 1) / MAX(u), 6) END AS approx_users
+    FROM r WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    """,
+    tags=("agg", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
-    counts — fixed-size sketch per group instead of a distinct shuffle."""
+    """Sketch-based distinct estimation, made oracle-checkable: a KMV
+    (k-minimum-values) estimator over md5-hashed user ids. With U_k the
+    k-th smallest distinct hash mapped into [0,1), E[distinct] = (k-1)/U_k
+    (Bar-Yossef et al.); when a group holds fewer than k distinct hashes
+    the sketch IS the distinct set and the estimate is exact. Every
+    arithmetic step (md5 -> first-8-hex int -> /2^32 -> (k-1)/U_k) is
+    IEEE-identical cross-engine, so unlike HLL++ — whose estimate depends
+    on the engine's register layout and is checked only by an accuracy
+    bound (tests/test_operators.py::TestApproxDistinct) — the oracle
+    verifies the values bit-for-bit. approx_count_distinct (HLL++)
+    remains the production path at 100 TB: its sketch is fixed-size per
+    group, while KMV's distinct pre-shuffle is the price of cross-engine
+    determinism here."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    ).alias("u")
+    h = ev.select("event_type", u).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    topk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    return topk.groupBy("event_type").agg(
+        F.when(
+            F.count(F.lit(1)) < _KMV_K,
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(F.round((_KMV_K - 1) / F.max("u"), 6))
+        .alias("approx_users")
     )
 
 

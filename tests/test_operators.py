@@ -921,3 +921,40 @@ class TestDropRepeatedParagraphs:
             .toString()
         )
         assert "Exchange" not in plan  # split/filter/rejoin are in-row
+
+
+class TestApproxDistinct:
+    def test_hll_within_rsd_and_kmv_within_sketch_error(self, spark):
+        """HLL++ stays the production distinct-sketch path (engine-internal
+        estimate, so the catalog's oracle-checked query uses a
+        deterministic KMV instead); pin both estimators' accuracy against
+        the exact count on real testdata."""
+        from s3_access_logs_spark.plans.catalog import load_all
+        from s3_access_logs_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        exact = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        hll = {
+            r.event_type: r.approx
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", rsd=0.01).alias("approx")
+            )
+            .collect()
+        }
+        for et, n in exact.items():
+            assert abs(hll[et] - n) / n < 0.05
+        kmv = {
+            r.event_type: r.approx_users
+            for r in load_all()["approx_distinct_users"]
+            .builder(spark, "/root/testdata/sf0.001")
+            .collect()
+        }
+        for et, n in exact.items():
+            # k=64 KMV: ~1/sqrt(k-2) ≈ 13% rsd; allow 4 sigma
+            assert abs(kmv[et] - n) / n < 0.5
