@@ -958,3 +958,61 @@ class TestApproxDistinct:
         for et, n in exact.items():
             # k=64 KMV: ~1/sqrt(k-2) ≈ 13% rsd; allow 4 sigma
             assert abs(kmv[et] - n) / n < 0.5
+
+
+class TestDropRepeatedParagraphsEdges:
+    def _run(self, spark, texts):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_repeated_paragraphs,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), ["doc_id", "text"]
+        )
+        return [
+            r.text
+            for r in drop_repeated_paragraphs(df).orderBy("doc_id").collect()
+        ]
+
+    def test_empty_and_no_separator_and_unicode(self, spark):
+        out = self._run(
+            spark,
+            ["", "single paragraph no sep", "héllo\n\nwörld\n\nhéllo"],
+        )
+        assert out == ["", "single paragraph no sep", "héllo\n\nwörld"]
+
+    def test_idempotent(self, spark):
+        texts = ["a\n\nb\n\na\n\nc\n\nb", "x\n\nx", "p"]
+        once = self._run(spark, texts)
+        assert self._run(spark, once) == once
+
+
+class TestTemperatureMixtureEdges:
+    def test_output_is_subset_and_rates_bounded(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(50)] + [("b", 100 + i) for i in range(5)],
+            ["source", "doc_id"],
+        )
+        out = temperature_mixture(df, "source", "doc_id", alpha=0.5)
+        ids_in = {r.doc_id for r in df.collect()}
+        for r in out.collect():
+            assert r.doc_id in ids_in
+            assert 0.0 < r._keep_rate <= 1.0
+
+    def test_target_rows_shrinks_output(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i) for i in range(200)], ["source", "doc_id"]
+        )
+        out = temperature_mixture(
+            df, "source", "doc_id", alpha=1.0, target_rows=50
+        )
+        n = out.count()
+        assert 20 <= n <= 90  # hash-rate keep around 50
