@@ -36,9 +36,14 @@ def main() -> None:
     for name, q in queries.items():
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm-up
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: one GC pause / scheduler hiccup
+            t0 = time.perf_counter()  # can't double a query's number
+            q.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -255,15 +255,24 @@ def compact_partitions(
     conf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(root).getFileSystem(conf)
+    # Swap order matters for crash safety: the old dir is renamed to a
+    # trash path FIRST, then the staged dir takes its place — a crash in
+    # the window leaves the partition momentarily absent (and fully
+    # recoverable from `_compact_trash`), never destroyed. The reverse
+    # order (delete old files, then move staged in) loses the partition if
+    # the process dies between the two steps.
+    trash = f"{root.rstrip('/')}/_compact_trash"
     for v in victims:
         old_dir = HPath(f"{root.rstrip('/')}/{v['partition']}")
         new_dir = HPath(f"{staging}/{v['partition']}")
-        for st in fs.listStatus(old_dir):
-            if not st.getPath().getName().startswith(("_", ".")):
-                fs.delete(st.getPath(), False)
-        for st in fs.listStatus(new_dir):
-            name = st.getPath().getName()
-            if not name.startswith(("_", ".")):
-                fs.rename(st.getPath(), HPath(old_dir, name))
+        trash_dir = HPath(f"{trash}/{v['partition']}")
+        fs.mkdirs(trash_dir.getParent())
+        fs.delete(trash_dir, True)  # stale trash from a crashed run
+        if not fs.rename(old_dir, trash_dir):
+            raise IOError(f"compaction swap: cannot move {old_dir} aside")
+        if not fs.rename(new_dir, old_dir):
+            fs.rename(trash_dir, old_dir)  # roll back, partition restored
+            raise IOError(f"compaction swap: cannot install {new_dir}")
+    fs.delete(HPath(trash), True)
     fs.delete(HPath(staging), True)
     return victims
