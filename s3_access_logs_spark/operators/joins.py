@@ -110,3 +110,67 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return l_salted.join(r_salted, [on, "_salt"], how).drop("_salt")
+
+
+def key_skew_stats(
+    df: DataFrame, key_cols: list[str] | str, top_n: int = 10
+) -> dict:
+    """Pre-flight skew diagnostics for a join/groupBy key: the numbers
+    that decide whether a plain shuffle is safe, AQE's skew split is
+    enough, or an a-priori ``salted_join`` is required.
+
+    One aggregation pass over the key counts (map-side partial, shuffle
+    carries one row per distinct key) plus a driver-side top-N. Returns
+    ``{rows, n_keys, max_count, p50, p99, skew_ratio, top_keys}`` where
+    ``skew_ratio = max_count / mean_count`` — the factor by which the
+    hottest key's task outweighs an average task. A ratio near 1 is
+    uniform; 10+ means the hot key dominates its shuffle partition and
+    the stage's wall clock is that one task.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    summary = counts.agg(
+        F.sum("_n").alias("rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_count"),
+        F.expr("percentile_approx(_n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(_n, 0.99)").alias("p99"),
+    ).first()
+    top = (
+        counts.orderBy(F.col("_n").desc(), *[F.col(k) for k in keys])
+        .limit(top_n)
+        .collect()
+    )
+    mean = summary["rows"] / max(summary["n_keys"], 1)
+    return {
+        "rows": summary["rows"],
+        "n_keys": summary["n_keys"],
+        "max_count": summary["max_count"],
+        "p50": summary["p50"],
+        "p99": summary["p99"],
+        "skew_ratio": summary["max_count"] / max(mean, 1e-12),
+        "top_keys": [
+            ({k: r[k] for k in keys}, r["_n"]) for r in top
+        ],
+    }
+
+
+def suggest_salt(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    target_rows_per_task: int = 1_000_000,
+    max_salt: int = 256,
+) -> int:
+    """Salt factor for ``salted_join`` derived from measured skew: enough
+    sub-keys that the hottest key's rows split into tasks of at most
+    ``target_rows_per_task`` (1 = no salting needed). Capped because the
+    right side is replicated ``salt``× — past the cap, fix the data model
+    (pre-aggregate the hot key or split it out) instead of salting
+    harder."""
+    import math
+
+    stats = key_skew_stats(df, key_cols, top_n=1)
+    return max(
+        1,
+        min(max_salt, math.ceil(stats["max_count"] / target_rows_per_task)),
+    )

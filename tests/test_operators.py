@@ -1016,3 +1016,44 @@ class TestTemperatureMixtureEdges:
         )
         n = out.count()
         assert 20 <= n <= 90  # hash-rate keep around 50
+
+
+class TestKeySkew:
+    def _skewed(self, spark):
+        rows = [("hot", i) for i in range(900)] + [
+            (f"k{j}", j) for j in range(100)
+        ]
+        return spark.createDataFrame(rows, ["k", "v"])
+
+    def test_stats_find_the_hot_key(self, spark):
+        from s3_access_logs_spark.operators.joins import key_skew_stats
+
+        s = key_skew_stats(self._skewed(spark), "k")
+        assert s["rows"] == 1000 and s["n_keys"] == 101
+        assert s["max_count"] == 900
+        assert s["top_keys"][0] == ({"k": "hot"}, 900)
+        assert s["skew_ratio"] > 80  # 900 / (1000/101) ≈ 91
+        assert s["p50"] == 1
+
+    def test_suggest_salt_scales_with_hot_key(self, spark):
+        from s3_access_logs_spark.operators.joins import suggest_salt
+
+        df = self._skewed(spark)
+        assert suggest_salt(df, "k", target_rows_per_task=100) == 9
+        assert suggest_salt(df, "k", target_rows_per_task=10**6) == 1
+        assert suggest_salt(df, "k", target_rows_per_task=1, max_salt=64) == 64
+
+    def test_composes_with_salted_join(self, spark):
+        from s3_access_logs_spark.operators.joins import (
+            salted_join,
+            suggest_salt,
+        )
+
+        left = self._skewed(spark)
+        right = spark.createDataFrame(
+            [("hot", "H")] + [(f"k{j}", f"V{j}") for j in range(100)],
+            ["k", "lbl"],
+        )
+        n = suggest_salt(left, "k", target_rows_per_task=100)
+        out = salted_join(left, right, "k", salt=n)
+        assert out.count() == 1000  # every left row matched exactly once
