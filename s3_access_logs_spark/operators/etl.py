@@ -147,7 +147,10 @@ def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
             continue
         parent = p.getParent().toString()
         rel = parent[len(root_uri):].strip("/")
-        if "_compact_staging" in rel:
+        # Hive readers ignore underscore/dot-prefixed directories; so does
+        # the inventory — this is also what keeps `_compact_staging` and a
+        # crashed run's `_compact_trash` out of the victim set.
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
         d = per_dir.setdefault(
             rel, {"partition": rel, "n_files": 0, "bytes": 0}
