@@ -388,3 +388,39 @@ class TestCompaction:
         assert len(plan) == 3
         after = partition_file_stats(spark, root)
         assert all(d["n_files"] == 6 for d in after)
+
+
+class TestCompactionRecovery:
+    def test_stale_trash_and_staging_are_ignored_and_cleaned(
+        self, spark, tmp_path
+    ):
+        """A run that crashed mid-swap leaves _compact_trash/_compact_staging
+        behind; they must never be inventoried as data partitions, and the
+        next compaction must proceed normally and clean them up."""
+        from s3_access_logs_spark.operators.etl import (
+            compact_partitions,
+            partition_file_stats,
+        )
+
+        root = tmp_path / "tbl"
+        df = spark.range(600).select(
+            (F.col("id") % 3).alias("part"),
+            F.col("id").alias("k"),
+        )
+        df.repartition(6).write.mode("overwrite").partitionBy("part").parquet(
+            str(root)
+        )
+        # fake crash leftovers holding real-looking parquet
+        for leftover in ("_compact_trash", "_compact_staging"):
+            d = root / leftover / "part=9"
+            d.mkdir(parents=True)
+            (d / "part-00000.parquet").write_bytes(b"junk")
+        stats = partition_file_stats(spark, str(root))
+        assert {s["partition"] for s in stats} == {
+            "part=0", "part=1", "part=2"
+        }
+        victims = compact_partitions(spark, str(root))
+        assert len(victims) == 3
+        assert spark.read.parquet(str(root)).count() == 600
+        assert not (root / "_compact_trash").exists()
+        assert not (root / "_compact_staging").exists()

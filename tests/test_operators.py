@@ -1057,3 +1057,26 @@ class TestKeySkew:
         n = suggest_salt(left, "k", target_rows_per_task=100)
         out = salted_join(left, right, "k", salt=n)
         assert out.count() == 1000  # every left row matched exactly once
+
+
+class TestKmvSketch:
+    def test_exact_below_k_distinct(self, spark):
+        """KMV falls back to the exact distinct count when a group holds
+        fewer than k distinct hashes — the sketch IS the set."""
+        from s3_access_logs_spark.plans.catalog import load_all
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            rows = [(i, "click", i % 30) for i in range(500)] + [
+                (1000 + i, "view", i % 7) for i in range(100)
+            ]
+            spark.createDataFrame(
+                rows, ["event_id", "event_type", "user_id"]
+            ).write.parquet(os.path.join(d, "events.parquet"))
+            out = {
+                r.event_type: r.approx_users
+                for r in load_all()["approx_distinct_users"]
+                .builder(spark, d)
+                .collect()
+            }
+        assert out == {"click": 30.0, "view": 7.0}
