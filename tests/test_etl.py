@@ -424,3 +424,42 @@ class TestCompactionRecovery:
         assert spark.read.parquet(str(root)).count() == 600
         assert not (root / "_compact_trash").exists()
         assert not (root / "_compact_staging").exists()
+
+
+class TestJsonlCorpus:
+    def test_corrupt_lines_quarantined_not_dropped(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from s3_access_logs_spark.sources.corpus import (
+            ingest_report,
+            read_jsonl_corpus,
+            split_corrupt,
+        )
+
+        f = tmp_path / "dump.jsonl"
+        f.write_text(
+            '{"doc_id": 1, "text": "good one"}\n'
+            '{"doc_id": 2, "text": "also fine"}\n'
+            "{truncated nonsense\n"
+            '{"doc_id": "not-a-number", "text": 3}\n'
+        )
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        df = read_jsonl_corpus(spark, str(f), schema)
+        rep = ingest_report(df)
+        assert rep["rows"] == 4 and rep["corrupt"] == 2
+        assert abs(rep["corrupt_pct"] - 50.0) < 1e-9
+        clean, quarantine = split_corrupt(df)
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+        q = quarantine.collect()
+        assert len(q) == 2
+        assert all(r.raw_line and "dump.jsonl" in r.source_file for r in q)
