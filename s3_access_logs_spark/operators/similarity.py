@@ -129,56 +129,57 @@ def _assign_clusters(
     df: DataFrame, cents: DataFrame, vec: str, out_id: str, n_best: int
 ) -> DataFrame:
     """Attach the ``n_best`` nearest centroids (cosine, ties broken on the
-    smaller label) to every row as ``cluster``.
+    smaller label) to every row as ``cluster`` (one output row per
+    (input row, probed centroid)).
 
-    ``n_best == 1`` — the corpus-indexing path — broadcasts the ~nlist
-    centroids as ONE row holding a sorted array of (label, vector, norm)
-    structs, and the argmax is a fold over that array column. The corpus
-    side never shuffles (BroadcastNestedLoopJoin against a single row) —
-    the r1 formulation ranked 10 broadcast centroids with a ``row_number``
-    window, which shuffled the ENTIRE corpus by vector id just to take an
-    argmax over 10 values (VERDICT r1 item 4).
+    One shuffle-free shape for both the corpus-indexing path (n_best=1)
+    and the query-probe path (n_best=nprobe): the ~nlist centroids are
+    broadcast as ONE row holding a sorted array of (label, vector, norm)
+    structs; per input row the similarity array is computed once, sorted
+    by (sim desc, label asc) via an ascending struct sort on
+    (-sim, label), and the first ``n_best`` entries explode out. The r1
+    formulation ranked broadcast centroids with a ``row_number`` window,
+    which shuffled the ENTIRE corpus by vector id just to take an argmax
+    over 10 values (VERDICT r1 item 4); the round-3 unification removes
+    the same window+shuffle from the probe side too.
 
     Plan-shape notes (measured):
 
-    * The fold MUST be a runtime ``F.aggregate`` over an array of
-      (sim, label) structs. The chained form — ``best = when(sim > best.s,
-      ...).otherwise(best)`` per centroid — references ``best`` twice per
-      step, and Catalyst inlines (never CSEs) those references, so the
-      expression tree doubles per centroid: 2^nlist nodes, 48 s instead of
-      2 s at sf0.1 with nlist=10. Lambda variables are bound values at
-      runtime, so here each centroid's similarity is evaluated exactly
-      once and the plan stays O(nlist).
-    * The centroid values ride in the broadcast row, NOT as plan literals.
-      An earlier variant embedded 10x64 literals in one generated SQL
-      string; correct, but the resulting expression was expensive at every
-      stage of its life — ~0.5 s to parse per plan build and an oversized
-      codegen method to JIT per executor — for zero runtime advantage
-      (measured 1.9 -> 1.2 s per bench pass at sf0.1 moving to the
-      broadcast form). Array order is ascending label with a strict >
-      merge, keeping the smaller label on equal sims — exactly the
-      window's ORDER BY sim DESC, label ASC tie-break, and the oracle's.
-
-    ``n_best > 1`` — the query-probe path (a handful of rows) — keeps the
-    window formulation."""
-    if n_best == 1:
-        one = cents.agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("label").alias("l"),
-                        F.transform(
-                            "centroid", lambda x: x.cast("double")
-                        ).alias("c"),
-                        l2_norm("centroid").alias("n"),
-                    )
+    * Per-centroid work must live inside higher-order-function lambdas
+      (lambda variables are bound values at runtime). The chained
+      column form — ``best = when(sim > best.s, ...).otherwise(best)``
+      per centroid — references ``best`` twice per step, and Catalyst
+      inlines (never CSEs) those references: 2^nlist expression nodes,
+      48 s instead of 2 s at sf0.1 with nlist=10.
+    * The centroid values ride in the broadcast row, NOT as plan
+      literals. An earlier variant embedded 10x64 literals in one
+      generated SQL string; correct, but expensive at every stage of its
+      life — ~0.5 s to parse per plan build and an oversized codegen
+      method to JIT per executor — for zero runtime advantage, and a
+      dead end at production nlist.
+    * ``array_sort`` over nlist (sim, label) structs is O(nlist log
+      nlist) per row vs the fold's O(nlist); at nlist where that matters
+      the argmax fold for n_best=1 is the right special case to
+      resurrect — at nlist=10 the sort is measurably identical and one
+      code path is worth more."""
+    one = cents.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("label").alias("l"),
+                    F.transform(
+                        "centroid", lambda x: x.cast("double")
+                    ).alias("c"),
+                    l2_norm("centroid").alias("n"),
                 )
-            ).alias("_cents")
-        )
-        sims = F.transform(
-            F.col("_cents"),
-            lambda ct: F.struct(
-                F.coalesce(
+            )
+        ).alias("_cents")
+    )
+    sims = F.transform(
+        F.col("_cents"),
+        lambda ct: F.struct(
+            (
+                -F.coalesce(
                     F.when(
                         (F.col("__vnorm") * ct["n"]) > 0,
                         F.aggregate(
@@ -191,33 +192,19 @@ def _assign_clusters(
                         / (F.col("__vnorm") * ct["n"]),
                     ),
                     F.lit(-2.0),
-                ).alias("s"),
-                ct["l"].alias("l"),
-            ),
-        )
-        best = F.aggregate(
-            sims,
-            F.struct(
-                F.lit(-1e9).cast("double").alias("s"),
-                F.element_at(F.col("_cents"), 1)["l"].alias("l"),
-            ),
-            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
-        )["l"]
-        return (
-            df.crossJoin(broadcast(one))
-            .withColumn("__vd", F.transform(vec, lambda x: x.cast("double")))
-            .withColumn("__vnorm", l2_norm(vec))
-            .withColumn("cluster", best)
-            .drop("_cents", "__vd", "__vnorm")
-        )
-    scored = df.crossJoin(broadcast(cents)).withColumn(
-        "c_sim", cosine_similarity(vec, "centroid")
+                )
+            ).alias("ns"),
+            ct["l"].alias("l"),
+        ),
     )
-    w = Window.partitionBy(out_id).orderBy(F.col("c_sim").desc(), F.col("label"))
+    probes = F.slice(F.array_sort(sims), 1, n_best)
     return (
-        scored.withColumn("c_rank", F.row_number().over(w))
-        .filter(F.col("c_rank") <= n_best)
-        .select(df["*"], F.col("label").alias("cluster"))
+        df.crossJoin(broadcast(one))
+        .withColumn("__vd", F.transform(vec, lambda x: x.cast("double")))
+        .withColumn("__vnorm", l2_norm(vec))
+        .withColumn("_probe", F.explode(probes))
+        .withColumn("cluster", F.col("_probe")["l"])
+        .drop("_cents", "__vd", "__vnorm", "_probe")
     )
 
 
