@@ -106,6 +106,16 @@ def load_table(
             "spark.sql.optimizer.excludedRules",
             f"{cur},{_excl}" if cur else _excl,
         )
+    # Engine parallelism default: a session still on Spark's stock 200
+    # shuffle partitions pays ~200/cores empty-task overhead on every
+    # small shuffle. Only the untouched default is replaced (a deliberate
+    # setting, even if 200, is indistinguishable — but then the cost was
+    # chosen); get_spark sessions already carry the tuned value.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
         df = spark.read.parquet(path)
