@@ -130,7 +130,7 @@ def minhash_signatures(
     )
 
 
-def minhash_candidates(
+def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -138,11 +138,13 @@ def minhash_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b) whose signatures collide in >= 1
-    band. k/bands rows per band; P(collide) ~ jaccard^(k/bands) per band."""
+    """(id, band_idx, band_key) — each doc's LSH band keys, ``bands`` rows
+    per doc. The shared banding primitive: self-joined for within-corpus
+    candidates (``minhash_candidates``), probed against an on-disk band
+    store for incremental near-dup (``near_dup_incremental``)."""
     rows = k // bands
     sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -162,6 +164,19 @@ def minhash_candidates(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_key")
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) whose signatures collide in >= 1
+    band. k/bands rows per band; P(collide) ~ jaccard^(k/bands) per band."""
+    banded = minhash_bands(df, id_col, text_col, k, bands, shingle_n)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -599,3 +614,50 @@ def drop_repeated_paragraphs(
         .withColumn(out, F.concat_ws(sep.replace("\\", ""), kept))
         .drop("_paras")
     )
+
+
+def near_dup_incremental(
+    new_docs: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup (the fuzzy twin of ``dedup_incremental``):
+    probe a new batch's MinHash band keys against the corpus's
+    append-only band store.
+
+    Returns ``(hits, new_bands)``:
+
+    * ``hits`` — (new_id, seen_id) for every new doc sharing >= 1 band
+      with an already-ingested doc (near-dup candidates; verify with
+      ``jaccard_pairs`` on the hit set if the pipeline wants exact
+      similarity before dropping).
+    * ``new_bands`` — the batch's (id, band_idx, band_key) rows. Append
+      to the store AFTER the batch commits; replaying the batch then
+      reproduces the same rows, keeping ingestion idempotent.
+
+    Scale shape: the store only ever appends (bands x rows per doc, tiny
+    vs the text) and the probe is one equi-join on (band_idx, band_key).
+    The batch side is orders of magnitude smaller: keep the STORE
+    bucketed on the band key so the probe shuffles only the batch;
+    within-batch near-dups are the same band table self-joined
+    (``minhash_candidates``) — run both against one banding pass."""
+    batch_bands = minhash_bands(
+        new_docs, id_col, text_col, k, bands, shingle_n
+    )
+    hits = (
+        batch_bands.alias("b")
+        .join(
+            seen_bands.alias("s"),
+            (F.col("b.band_idx") == F.col("s.band_idx"))
+            & (F.col("b.band_key") == F.col("s.band_key")),
+        )
+        .select(
+            F.col("b.id").alias("new_id"), F.col("s.id").alias("seen_id")
+        )
+        .distinct()
+    )
+    return hits, batch_bands

@@ -1080,3 +1080,52 @@ class TestKmvSketch:
                 .collect()
             }
         assert out == {"click": 30.0, "view": 7.0}
+
+
+class TestNearDupIncremental:
+    def test_cross_batch_near_dup_detected(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            near_dup_incremental,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        batch1 = _docs(spark, [(1, base), (2, "totally different words here now ok fine yes sure")])
+        empty = spark.createDataFrame(
+            [], "id long, band_idx int, band_key string"
+        )
+        hits1, bands1 = near_dup_incremental(batch1, empty)
+        assert hits1.count() == 0  # empty store, nothing to collide with
+        # batch 2: one near-copy of doc 1, one unrelated doc
+        batch2 = _docs(
+            spark,
+            [
+                (10, base),  # exact near-dup of seen doc 1
+                (11, "unrelated fresh content that matches nothing at all"),
+            ],
+        )
+        hits2, bands2 = near_dup_incremental(batch2, bands1)
+        got = {(r.new_id, r.seen_id) for r in hits2.collect()}
+        assert got == {(10, 1)}
+        # store append keeps working: a third batch collides with batch 2
+        store = bands1.unionByName(bands2)
+        batch3 = _docs(spark, [(20, base)])
+        hits3, _ = near_dup_incremental(batch3, store)
+        assert {(r.new_id, r.seen_id) for r in hits3.collect()} == {
+            (20, 1),
+            (20, 10),
+        }
+
+    def test_replay_idempotent(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            near_dup_incremental,
+        )
+
+        batch = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+        empty = spark.createDataFrame(
+            [], "id long, band_idx int, band_key string"
+        )
+        _, b1 = near_dup_incremental(batch, empty)
+        _, b2 = near_dup_incremental(batch, empty)
+        assert sorted(map(tuple, b1.collect())) == sorted(
+            map(tuple, b2.collect())
+        )
