@@ -335,3 +335,49 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * F.lit(131) + h) % F.lit(HASH_P),
     )
+
+
+# Compact hand-written valence lexicon (own wording, AFINN-style scale
+# -5..5). Deliberately small: the POINT is the evaluation shape — token
+# lookup + mean — which is identical at any lexicon size; a production
+# lexicon loads as a DataFrame and takes the broadcast-join path below.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 4, "excellent": 5, "amazing": 4, "love": 4,
+    "loved": 4, "wonderful": 4, "best": 4, "happy": 3, "nice": 2,
+    "helpful": 2, "fast": 1, "works": 1, "perfect": 5, "awesome": 4,
+    "fantastic": 4, "clean": 1, "correct": 2, "reliable": 2, "clear": 1,
+    "bad": -3, "terrible": -4, "awful": -4, "horrible": -4, "hate": -4,
+    "hated": -4, "worst": -4, "sad": -2, "broken": -2, "slow": -1,
+    "fails": -2, "failed": -2, "wrong": -2, "buggy": -3, "useless": -3,
+    "poor": -2, "confusing": -2, "crash": -3, "crashes": -3, "dirty": -1,
+}
+
+
+def sentiment_score(
+    col: Column | str, lexicon: dict[str, int] | None = None
+) -> Column:
+    """Mean lexicon valence of matched tokens, NULL when none match
+    (distinct from a genuinely neutral 0.0 balance).
+
+    Narrow path for literal lexicons: the word list rides in one
+    ``create_map`` expression, so scoring is a pure projection — no
+    explode, no join, no shuffle at any corpus size. For a lexicon too
+    big for an expression (100k+ entries), the same semantics are
+    tokens -> explode -> broadcast-join(lexicon) -> avg, which shuffles
+    one row per doc for the re-aggregation; this literal form is the
+    default because real valence lexicons are small."""
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(lex.items()) for x in kv]
+    )
+    vals = F.filter(
+        F.transform(words(col), lambda t: F.element_at(m, t)),
+        lambda v: v.isNotNull(),
+    )
+    return F.when(
+        F.size(vals) > 0,
+        F.aggregate(
+            vals, F.lit(0.0), lambda acc, v: acc + v.cast("double")
+        )
+        / F.size(vals),
+    )

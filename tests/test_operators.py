@@ -1129,3 +1129,38 @@ class TestNearDupIncremental:
         assert sorted(map(tuple, b1.collect())) == sorted(
             map(tuple, b2.collect())
         )
+
+
+class TestSentiment:
+    def test_valence_sign_and_null_on_no_hits(self, spark):
+        from s3_access_logs_spark.functions.text import sentiment_score
+
+        df = spark.createDataFrame(
+            [
+                (1, "this release is great and works perfect, love it"),
+                (2, "terrible update, broken and slow, crashes always"),
+                (3, "the quarterly report covers fiscal obligations"),
+                (4, "good but slow"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", sentiment_score("text").alias("s")
+            ).collect()
+        }
+        assert out[1] > 2  # (3+1+5+4)/4
+        assert out[2] < -2
+        assert out[3] is None  # no lexicon hits ≠ neutral
+        assert abs(out[4] - 1.0) < 1e-9  # (3 + -1)/2
+    def test_custom_lexicon_and_narrow_plan(self, spark):
+        from s3_access_logs_spark.functions.text import sentiment_score
+
+        df = spark.createDataFrame([(1, "foo bar baz")], ["doc_id", "text"])
+        q = df.select(
+            sentiment_score("text", {"foo": 5, "bar": -1}).alias("s")
+        )
+        assert abs(q.first()["s"] - 2.0) < 1e-9
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
