@@ -689,3 +689,125 @@ def pq_reconstruct(
         .withColumn(out_col, rec)
         .drop("_cb")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed billion-scale index. IVF prunes WHICH rows a query
+# reads (nprobe/nlist of the corpus, enforced as parquet partition
+# pruning); PQ shrinks WHAT each row costs (m one-byte codes instead of
+# dims floats, scored by ADC table lookup). Together: a 100 TB embedding
+# corpus becomes a few-hundred-GB index whose per-query scan touches a
+# couple of partitions and never decodes a vector.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    dst: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dims: int = 64,
+    m: int = 8,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One pass over the corpus: assign each vector its nearest coarse
+    centroid AND its PQ codes, write (neighbor_id, pq_codes) posting lists
+    hive-partitioned by cluster. Returns (centroids, codebook) — persist
+    both next to the index; a probe needs only these plus the pruned
+    partitions, never the corpus."""
+    cents = centroids if centroids is not None else label_centroids(
+        corpus, label_col, vec_col
+    )
+    cb = codebook if codebook is not None else train_pq_codebook(
+        corpus, vec_col, dims=dims, m=m
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
+    encoded = pq_encode(assigned, cb, vec_col="c_vec", dims=dims, m=m)
+    (
+        encoded.select("neighbor_id", "pq_codes", "cluster")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(dst)
+    )
+    return cents, cb
+
+
+def probe_ivfpq_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """ADC search over the pruned posting lists: rank each query's
+    ``nprobe`` nearest coarse centroids, scan ONLY those ``cluster=``
+    partitions (plan-time literal filter -> partition pruning, as
+    ``probe_ivf_index``), score rows by m lookup-table accesses. Output
+    (query_id, neighbor_id, rank, adist), approximate L2 ascending."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_probes = _assign_clusters(q, centroids, "q_vec", "query_id", nprobe)
+    probe_clusters = sorted(
+        {r["cluster"] for r in q_probes.select("cluster").distinct().collect()}
+    )
+    posting = spark.read.parquet(index_path).filter(
+        F.col("cluster").isin(probe_clusters)
+    )
+    lut = F.transform(
+        F.col("_cb"),
+        lambda cents_j, j: F.transform(
+            cents_j,
+            lambda c: _l2sq(
+                F.transform(
+                    F.slice(F.col("q_vec"), j * (dims // m) + 1, dims // m),
+                    lambda x: x.cast("double"),
+                ),
+                c,
+            ),
+        ),
+    )
+    q_lut = (
+        q_probes.crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn("_lut", lut)
+        .select("query_id", "cluster", "_lut")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.col("_lut"),
+            lambda code, sub_lut: F.element_at(sub_lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        posting.join(broadcast(q_lut), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adist", adist)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adist", 6).alias("adist"),
+        )
+    )
