@@ -592,6 +592,7 @@ def drop_repeated_paragraphs(
     text_col: str = "text",
     out_col: str | None = None,
     sep: str = "\n\n",
+    split_pattern: str | None = None,
 ) -> DataFrame:
     """Intra-document paragraph dedup (the C4/RefinedWeb cleanup step:
     boilerplate paragraphs repeat WITHIN a page long before they repeat
@@ -605,13 +606,21 @@ def drop_repeated_paragraphs(
     references a column attribute (free) rather than re-evaluating the
     split per element. Keep-first via ``array_position`` is O(p^2) per doc
     over p paragraphs — in-row and vectorizable, the right trade against
-    any shuffle-based formulation for real document sizes."""
+    any shuffle-based formulation for real document sizes.
+
+    ``sep`` is the LITERAL separator used to rejoin; the split pattern
+    defaults to ``re.escape(sep)`` so the two always agree — pass
+    ``split_pattern`` explicitly (e.g. ``r"\\n{2,}"``) to split more
+    permissively than you rejoin."""
+    import re
+
     out = out_col or text_col
+    pattern = re.escape(sep) if split_pattern is None else split_pattern
     c = F.col("_paras")
     kept = F.filter(c, lambda p, i: F.array_position(c, p) == i + F.lit(1))
     return (
-        df.withColumn("_paras", F.split(F.col(text_col), sep))
-        .withColumn(out, F.concat_ws(sep.replace("\\", ""), kept))
+        df.withColumn("_paras", F.split(F.col(text_col), pattern))
+        .withColumn(out, F.concat_ws(sep, kept))
         .drop("_paras")
     )
 

@@ -160,6 +160,39 @@ def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
     return sorted(per_dir.values(), key=lambda d: d["partition"])
 
 
+def _recover_trash(spark: SparkSession, root: str) -> None:
+    """Complete a crashed swap before doing anything else. A run that died
+    between moving a partition aside and installing its replacement left
+    that partition's ONLY copy under ``_compact_trash``; restore it (the
+    live dir is absent in exactly that crash window). A trash entry whose
+    live dir exists was superseded by a completed install and is safe to
+    drop. Without this pass, a rerun's end-of-run trash cleanup would
+    destroy the sole surviving copy."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    trash = HPath(f"{root.rstrip('/')}/_compact_trash")
+    if not fs.exists(trash):
+        return
+    trash_uri = fs.makeQualified(trash).toString().rstrip("/")
+    # leaf dirs inside the trash = partition dirs moved aside
+    stack, leaves = [trash], []
+    while stack:
+        d = stack.pop()
+        kids = [s for s in fs.listStatus(d) if s.isDirectory()]
+        if kids:
+            stack.extend(s.getPath() for s in kids)
+        elif d.toString() != trash_uri:
+            leaves.append(d)
+    for d in leaves:
+        rel = fs.makeQualified(d).toString()[len(trash_uri):].strip("/")
+        live = HPath(f"{root.rstrip('/')}/{rel}")
+        if not fs.exists(live):
+            fs.mkdirs(live.getParent())
+            fs.rename(d, live)
+    fs.delete(trash, True)
+
+
 def compact_partitions(
     spark: SparkSession,
     root: str,
@@ -185,6 +218,7 @@ def compact_partitions(
     target_files); with ``dry_run`` it only returns the plan."""
     import math
 
+    _recover_trash(spark, root)
     stats = partition_file_stats(spark, root)
     victims = []
     for d in stats:
@@ -204,19 +238,45 @@ def compact_partitions(
 
     # (partition-col values as path strings) -> target file count; joined
     # broadcast so one job covers every victim with per-partition fan-out.
+    # Matching is done on the EXACT path representation: partition-column
+    # type inference is disabled for this read so a zero-padded `hour=01`
+    # stays the string "01" (inference would read int 1, whose string cast
+    # "1" matches nothing), path values are hive-unescaped before
+    # comparison (`ts=00%3A00` stores ':'), and the null-partition
+    # sentinel maps to an IS NULL predicate. Values written back re-escape
+    # identically, so the staged dirs' names match the victims' names.
+    from urllib.parse import unquote
+
+    _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
     stats_rows = []
     for v in victims:
-        vals = tuple(seg.split("=", 1)[1] for seg in v["partition"].split("/"))
+        vals = tuple(
+            None if raw == _NULL_PART else unquote(raw)
+            for raw in (
+                seg.split("=", 1)[1] for seg in v["partition"].split("/")
+            )
+        )
         stats_rows.append(vals + (v["target_files"],))
-    stats_df = spark.createDataFrame(
-        stats_rows, [f"_pv_{c}" for c in part_cols] + ["_target_files"]
+    stats_schema = ", ".join(
+        [f"`_pv_{c}` string" for c in part_cols] + ["`_target_files` int"]
     )
-    data = spark.read.option("basePath", root).parquet(
-        *[f"{root.rstrip('/')}/{v['partition']}" for v in victims]
-    )
+    stats_df = spark.createDataFrame(stats_rows, stats_schema)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        # partition discovery resolves eagerly at read time, so the conf
+        # can be restored as soon as the DataFrame exists
+        data = spark.read.option("basePath", root).parquet(
+            *[f"{root.rstrip('/')}/{v['partition']}" for v in victims]
+        )
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     cond = None
     for c in part_cols:
-        eq = F.col(c).cast("string") == F.col(f"_pv_{c}")
+        eq = (F.col(c) == F.col(f"_pv_{c}")) | (
+            F.col(c).isNull() & F.col(f"_pv_{c}").isNull()
+        )
         cond = eq if cond is None else (cond & eq)
     # Deterministic salt: a nondeterministic key (monotonically_increasing_id,
     # rand) under repartition loses/duplicates rows when a task retries after

@@ -128,20 +128,37 @@ def key_skew_stats(
     the stage's wall clock is that one task.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    summary = counts.agg(
-        F.sum("_n").alias("rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("_n").alias("max_count"),
-        F.expr("percentile_approx(_n, 0.5)").alias("p50"),
-        F.expr("percentile_approx(_n, 0.99)").alias("p99"),
-    ).first()
-    top = (
-        counts.orderBy(F.col("_n").desc(), *[F.col(k) for k in keys])
-        .limit(top_n)
-        .collect()
-    )
-    mean = summary["rows"] / max(summary["n_keys"], 1)
+    # Persisted across the two actions (summary aggregate + top-N): the
+    # expensive part is the input scan + count shuffle, and without the
+    # persist the second action recomputes both — doubling the cost of
+    # the diagnostic on exactly the giant inputs it exists for.
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).persist()
+    try:
+        summary = counts.agg(
+            F.sum("_n").alias("rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("_n").alias("max_count"),
+            F.expr("percentile_approx(_n, 0.5)").alias("p50"),
+            F.expr("percentile_approx(_n, 0.99)").alias("p99"),
+        ).first()
+        if not summary["n_keys"]:  # empty input: all-zero stats, no crash
+            return {
+                "rows": 0,
+                "n_keys": 0,
+                "max_count": 0,
+                "p50": 0,
+                "p99": 0,
+                "skew_ratio": 0.0,
+                "top_keys": [],
+            }
+        top = (
+            counts.orderBy(F.col("_n").desc(), *[F.col(k) for k in keys])
+            .limit(top_n)
+            .collect()
+        )
+    finally:
+        counts.unpersist()
+    mean = summary["rows"] / summary["n_keys"]
     return {
         "rows": summary["rows"],
         "n_keys": summary["n_keys"],

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from s3_access_logs_spark.functions.text import md5_long
+
 
 def stratified_sample(
     df: DataFrame,
@@ -68,6 +70,8 @@ def temperature_mixture(
     training)."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     rows = counts.collect()
+    if not rows:  # empty input flows through as empty, not a crash
+        return df.withColumn("_keep_rate", F.lit(0.0))
     total = sum(r["_n"] for r in rows)
     budget = total if target_rows is None else target_rows
     wsum = sum(r["_n"] ** alpha for r in rows)
@@ -81,14 +85,10 @@ def temperature_mixture(
     rates_df = df.sparkSession.createDataFrame(
         rates, [source_col, "_keep_rate"]
     )
-    # md5 first 8 hex chars as a uniform draw in [0, 1) — cross-engine
-    # reproducible (same primitive as functions/text.py:md5_long)
-    draw = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
+    # md5 first 8 hex chars as a uniform draw in [0, 1) — the shared
+    # cross-engine hash primitive, not a re-derivation of it
+    draw = md5_long(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ).cast("double") / F.lit(float(1 << 32))
     return df.join(F.broadcast(rates_df), source_col).filter(
         draw < F.col("_keep_rate")

@@ -563,9 +563,16 @@ def pq_encode(
     out_col: str = "pq_codes",
 ) -> DataFrame:
     """Attach ``out_col``: array of m codebook ids (the 32x-compressed
-    representation). Pure broadcast + projection — the corpus never
-    shuffles; each subspace's argmin is the same runtime fold as IVF's
-    cluster assignment (lambda-variable accumulator, O(ks) plan)."""
+    representation), or NULL for a row whose vector cannot be encoded
+    (NULL / shorter than ``dims`` — its subspace distances come back NULL
+    and the argmin never fires). A NULL marker instead of a partial code
+    matters downstream: a sentinel -1 inside the array would turn ADC's
+    ``element_at(lut, code+1)`` into a runtime error that kills the whole
+    scan; search paths (`pq_topk`, `probe_ivfpq_index`) skip NULL-coded
+    rows instead, and ``filter(out_col IS NULL)`` is the malformed-vector
+    diagnostic. Pure broadcast + projection — the corpus never shuffles;
+    each subspace's argmin is the same runtime fold as IVF's cluster
+    assignment (lambda-variable accumulator, O(ks) plan)."""
     codes = F.array(
         *[
             F.aggregate(
@@ -595,7 +602,10 @@ def pq_encode(
     )
     return (
         df.crossJoin(broadcast(_codebook_array(codebook)))
-        .withColumn(out_col, codes)
+        .withColumn(
+            out_col,
+            F.when(F.array_min(codes) >= 0, codes),
+        )
         .drop("_cb")
     )
 
@@ -651,6 +661,7 @@ def pq_topk(
         encoded_corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(codes_col)
         )
+        .filter(F.col(codes_col).isNotNull())  # malformed vectors skipped
         .join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adist", adist)
     )
@@ -794,7 +805,8 @@ def probe_ivfpq_index(
         lambda acc, x: acc + x,
     )
     scored = (
-        posting.join(broadcast(q_lut), "cluster")
+        posting.filter(F.col("pq_codes").isNotNull())
+        .join(broadcast(q_lut), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("adist", adist)
     )

@@ -90,7 +90,7 @@ _KMV_K = 64
       SELECT DISTINCT event_type,
              ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT
                / 4294967296.0 AS u
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     r AS (
       SELECT event_type, u,
@@ -126,7 +126,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / F.lit(float(1 << 32))
     ).alias("u")
-    h = ev.select("event_type", u).distinct()
+    # NULL ids are excluded BEFORE hashing on both sides: md5(NULL) -> NULL
+    # would survive the distinct and then sort NULLS FIRST in Spark's
+    # window but NULLS LAST in DuckDB's, silently shifting the k-th value.
+    h = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", u)
+        .distinct()
+    )
     w = Window.partitionBy("event_type").orderBy("u")
     topk = h.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _KMV_K

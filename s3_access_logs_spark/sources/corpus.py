@@ -68,15 +68,21 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def ingest_report(df: DataFrame) -> dict:
-    """One-pass ingest accounting: {rows, parsed, corrupt, corrupt_pct}.
-    A corrupt_pct spike between crawls is the cheapest possible
-    schema-drift alarm — it fires before any downstream job sees the
-    batch. (The parsed-row count doubles as the real-column reference the
-    raw-JSON scan requires — see ``split_corrupt``.)"""
+    """One-pass ingest accounting: {rows, parsed, corrupt, corrupt_pct},
+    with rows == parsed + corrupt always. A corrupt_pct spike between
+    crawls is the cheapest possible schema-drift alarm — it fires before
+    any downstream job sees the batch.
+
+    ``parsed`` is derived as rows - corrupt, NOT as non-null counts of a
+    data column — a cleanly parsed row whose first field is legitimately
+    null must still count as parsed. The first data column is counted
+    anyway (as ``first_field_nonnull``, a useful null-rate signal) because
+    a raw-JSON scan whose required schema is only the corrupt-record
+    column is rejected by Spark — see ``split_corrupt``."""
     first_data = next(c for c in df.columns if c != CORRUPT_COL)
     row = df.agg(
         F.count(F.lit(1)).alias("rows"),
-        F.count(first_data).alias("parsed"),
+        F.count(first_data).alias("first_nonnull"),
         F.sum(
             F.when(F.col(CORRUPT_COL).isNotNull(), 1).otherwise(0)
         ).alias("corrupt"),
@@ -84,7 +90,8 @@ def ingest_report(df: DataFrame) -> dict:
     corrupt = row["corrupt"] or 0
     return {
         "rows": row["rows"],
-        "parsed": row["parsed"],
+        "parsed": row["rows"] - corrupt,
         "corrupt": corrupt,
         "corrupt_pct": (100.0 * corrupt / row["rows"]) if row["rows"] else 0.0,
+        "first_field_nonnull": row["first_nonnull"],
     }

@@ -391,12 +391,16 @@ class TestCompaction:
 
 
 class TestCompactionRecovery:
-    def test_stale_trash_and_staging_are_ignored_and_cleaned(
+    def test_crashed_swap_is_recovered_before_compacting(
         self, spark, tmp_path
     ):
-        """A run that crashed mid-swap leaves _compact_trash/_compact_staging
-        behind; they must never be inventoried as data partitions, and the
-        next compaction must proceed normally and clean them up."""
+        """Simulate a run that died between moving a partition aside and
+        installing its replacement: the partition's ONLY copy sits under
+        _compact_trash. The next run must restore it first — deleting the
+        trash without recovery would destroy the data — then compact
+        normally and clean up."""
+        import shutil
+
         from s3_access_logs_spark.operators.etl import (
             compact_partitions,
             partition_file_stats,
@@ -410,20 +414,53 @@ class TestCompactionRecovery:
         df.repartition(6).write.mode("overwrite").partitionBy("part").parquet(
             str(root)
         )
-        # fake crash leftovers holding real-looking parquet
-        for leftover in ("_compact_trash", "_compact_staging"):
-            d = root / leftover / "part=9"
-            d.mkdir(parents=True)
-            (d / "part-00000.parquet").write_bytes(b"junk")
-        stats = partition_file_stats(spark, str(root))
-        assert {s["partition"] for s in stats} == {
-            "part=0", "part=1", "part=2"
-        }
+        # crash window: part=2 moved aside, replacement never installed
+        (root / "_compact_trash").mkdir()
+        shutil.move(str(root / "part=2"), str(root / "_compact_trash" / "part=2"))
+        # stale staging junk from the same crashed run
+        d = root / "_compact_staging" / "part=2"
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"junk")
+
         victims = compact_partitions(spark, str(root))
-        assert len(victims) == 3
-        assert spark.read.parquet(str(root)).count() == 600
+        assert {v["partition"] for v in victims} == {
+            "part=0", "part=1", "part=2"  # restored partition compacts too
+        }
+        assert spark.read.parquet(str(root)).count() == 600  # nothing lost
+        after = {x["partition"]: x for x in partition_file_stats(spark, str(root))}
+        assert all(x["n_files"] == 1 for x in after.values())
         assert not (root / "_compact_trash").exists()
         assert not (root / "_compact_staging").exists()
+
+    def test_zero_padded_string_partitions_compact_exactly(
+        self, spark, tmp_path
+    ):
+        """Partition values must match on the exact path representation:
+        a string column holding '01' must not be type-inferred into int 1
+        (whose string cast would match nothing and silently empty the
+        rewrite)."""
+        from s3_access_logs_spark.operators.etl import (
+            compact_partitions,
+            partition_file_stats,
+        )
+
+        root = str(tmp_path / "tbl")
+        df = spark.range(300).select(
+            F.format_string("%02d", (F.col("id") % 3)).alias("part"),
+            F.col("id").alias("k"),
+        )
+        df.repartition(5).write.mode("overwrite").partitionBy("part").parquet(
+            root
+        )
+        before = sorted(map(tuple, spark.read.parquet(root).collect()))
+        victims = compact_partitions(spark, root)
+        assert {v["partition"] for v in victims} == {
+            "part=00", "part=01", "part=02"
+        }
+        after = {d["partition"]: d for d in partition_file_stats(spark, root)}
+        assert set(after) == {"part=00", "part=01", "part=02"}
+        assert all(d["n_files"] == 1 for d in after.values())
+        assert sorted(map(tuple, spark.read.parquet(root).collect())) == before
 
 
 class TestJsonlCorpus:

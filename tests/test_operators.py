@@ -1226,3 +1226,65 @@ class TestIvfPq:
         }
         approx = {(r.query_id, r.neighbor_id) for r in rows}
         assert len(exact & approx) / len(exact) >= 0.15
+
+
+class TestReviewFixes:
+    def test_pq_null_vector_skipped_not_crashing(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = train_pq_codebook(emb)
+        broken = spark.createDataFrame(
+            [(9999, None)], "vec_id long, embedding array<float>"
+        )
+        enc = pq_encode(
+            emb.unionByName(broken, allowMissingColumns=True), cb
+        )
+        assert (
+            enc.filter(F.col("vec_id") == 9999).first()["pq_codes"] is None
+        )
+        out = pq_topk(enc, emb.filter(F.col("vec_id") < 2), cb, k=5)
+        rows = out.collect()  # must not raise element_at(lut, 0)
+        assert len(rows) == 10
+        assert all(r.neighbor_id != 9999 for r in rows)
+
+    def test_skew_stats_empty_input(self, spark):
+        from s3_access_logs_spark.operators.joins import (
+            key_skew_stats,
+            suggest_salt,
+        )
+
+        empty = spark.createDataFrame([], "k string, v long")
+        s = key_skew_stats(empty, "k")
+        assert s["rows"] == 0 and s["top_keys"] == []
+        assert suggest_salt(empty, "k") == 1
+
+    def test_temperature_mixture_empty_input(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        empty = spark.createDataFrame([], "source string, doc_id long")
+        assert temperature_mixture(empty, "source", "doc_id").count() == 0
+
+    def test_paragraph_sep_is_literal_for_rejoin(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_repeated_paragraphs,
+        )
+
+        df = spark.createDataFrame([(1, "a|b|a|c")], ["doc_id", "text"])
+        # '|' is a regex alternation if passed raw; must be escaped for
+        # the split and used literally for the rejoin
+        out = drop_repeated_paragraphs(df, sep="|").first()["text"]
+        assert out == "a|b|c"
+        # custom split pattern, literal rejoin
+        df2 = spark.createDataFrame([(1, "a\n\nb\n\n\na")], ["doc_id", "text"])
+        out2 = drop_repeated_paragraphs(
+            df2, sep="\n\n", split_pattern=r"\n{2,}"
+        ).first()["text"]
+        assert out2 == "a\n\nb"
