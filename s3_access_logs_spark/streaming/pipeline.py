@@ -237,6 +237,7 @@ def ingest_documents_stream(
     available_now: bool = True,
     min_quality: float | None = None,
     scrub_pii: bool = False,
+    band_store: str | None = None,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -250,17 +251,29 @@ def ingest_documents_stream(
     stream at zero extra shuffle cost (filters and projections ride the
     micro-batch scan).
 
-    Idempotency: survivors are written under a ``batch_id=<n>`` hive
-    partition with dynamic partition overwrite, so an at-least-once replay
-    of a micro-batch rewrites exactly its own partition instead of
-    double-appending digests. State lives entirely in the store (no
-    streaming state store), so the watermark-vs-state-size tradeoff never
-    arises and the store doubles as the batch pipeline's input.
+    ``band_store`` additionally gates NEAR-dups: survivors of the exact
+    gate probe the append-only MinHash band store
+    (operators.dedup.near_dup_incremental) and documents colliding with
+    any already-ingested document are dropped; the kept documents' bands
+    are appended under the same ``batch_id`` partitioning. A re-crawled
+    page with a few edited sentences — different digest, same bands — is
+    caught here, not by the digest gate.
+
+    Idempotency: survivors (and bands) are written under a
+    ``batch_id=<n>`` hive partition with dynamic partition overwrite, so
+    an at-least-once replay of a micro-batch rewrites exactly its own
+    partitions instead of double-appending. State lives entirely in the
+    stores (no streaming state store), so the watermark-vs-state-size
+    tradeoff never arises and the stores double as the batch pipeline's
+    inputs.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from s3_access_logs_spark.functions.text import pii_redact, quality_score
-    from s3_access_logs_spark.operators.dedup import dedup_incremental
+    from s3_access_logs_spark.operators.dedup import (
+        dedup_incremental,
+        near_dup_incremental,
+    )
 
     schema = StructType(
         [
@@ -287,12 +300,41 @@ def ingest_documents_stream(
             seen = sess.createDataFrame(
                 [], "digest string"
             )
-        survivors = dedup_incremental(cleaned, seen).withColumn(
-            "batch_id", F.lit(batch_id)
-        )
+        survivors = dedup_incremental(cleaned, seen)
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
+        if band_store is not None:
+            kept_docs = cleaned.join(
+                survivors.select(F.col("keep_id").alias("doc_id")), "doc_id"
+            )
+            try:
+                seen_bands = sess.read.parquet(band_store).select(
+                    "id", "band_idx", "band_key"
+                )
+            except Exception:
+                seen_bands = sess.createDataFrame(
+                    [], "id long, band_idx int, band_key string"
+                )
+            hits, bands = near_dup_incremental(kept_docs, seen_bands)
+            near_dup_ids = hits.select(
+                F.col("new_id").alias("doc_id")
+            ).distinct()
+            kept_ids = kept_docs.select("doc_id").join(
+                near_dup_ids, "doc_id", "left_anti"
+            )
+            survivors = survivors.join(
+                kept_ids.select(F.col("doc_id").alias("keep_id")), "keep_id"
+            )
+            kept_bands = bands.join(
+                kept_ids.select(F.col("doc_id").alias("id")), "id"
+            ).withColumn("batch_id", F.lit(batch_id))
+            (
+                kept_bands.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(band_store)
+            )
+        survivors = survivors.withColumn("batch_id", F.lit(batch_id))
         (
             survivors.write.mode("overwrite")
             .partitionBy("batch_id")

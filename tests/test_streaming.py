@@ -358,3 +358,53 @@ class TestIngestStream:
         # scrub ran before digesting (unscrubbed they digest differently
         # and both would survive).
         assert {r.keep_id for r in rows} == {1}
+
+
+class TestIngestNearDup:
+    def test_near_dup_gate_drops_edited_recrawl(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bands = str(tmp_path / "bands")
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest to rest for a long while"
+        )
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": base}) + "\n"
+        )
+        ckpt = str(tmp_path / "ckpt_nd")
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, band_store=bands
+        ).awaitTermination(120)
+        assert {r.keep_id for r in spark.read.parquet(store).collect()} == {1}
+        assert spark.read.parquet(bands).count() == 4  # 4 bands per doc
+
+        # batch 2: an edited re-crawl (different digest, same shingle mass)
+        # plus a genuinely new doc
+        (src / "b2.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 10, "text": base + " minor footer edit"},
+                    {
+                        "doc_id": 11,
+                        "text": "completely unrelated fresh content about "
+                        "cooking pasta with garlic and olive oil tonight",
+                    },
+                ]
+            )
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, band_store=bands
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1, 11}  # 10 caught by the band store, not digests
+        band_ids = {r.id for r in spark.read.parquet(bands).collect()}
+        assert band_ids == {1, 11}  # dropped near-dup leaves no bands
