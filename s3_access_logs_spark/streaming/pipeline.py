@@ -257,7 +257,10 @@ def ingest_documents_stream(
     any already-ingested document are dropped; the kept documents' bands
     are appended under the same ``batch_id`` partitioning. A re-crawled
     page with a few edited sentences — different digest, same bands — is
-    caught here, not by the digest gate.
+    caught here, not by the digest gate. Scope: the gate guards against
+    HISTORY; two near-dups arriving in the same micro-batch both pass
+    (within-batch near-dup is the batch pipeline's
+    ``minhash_candidates`` job, pointless to re-run per micro-batch).
 
     Idempotency: survivors (and bands) are written under a
     ``batch_id=<n>`` hive partition with dynamic partition overwrite, so
