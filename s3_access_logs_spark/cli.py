@@ -128,10 +128,41 @@ def run_query(argv: list[str]) -> int:
     return 0
 
 
+def run_compact(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark compact <table_root> [--target-mb N]
+    [--dry-run]` — the maintenance half of the incremental write paths:
+    inventory the hive partitions and rewrite over-fragmented ones (see
+    operators.etl.compact_partitions). ``--dry-run`` prints the plan."""
+    from s3_access_logs_spark.operators.etl import compact_partitions
+
+    if not argv:
+        log.error("usage: compact <table_root> [--target-mb N] [--dry-run]")
+        return 2
+    root = argv[0]
+    target_mb = 128
+    if "--target-mb" in argv:
+        target_mb = int(argv[argv.index("--target-mb") + 1])
+    dry = "--dry-run" in argv
+    spark = get_spark("s3-access-logs-compact")
+    victims = compact_partitions(
+        spark, root, target_file_bytes=target_mb << 20, dry_run=dry
+    )
+    verb = "would rewrite" if dry else "rewrote"
+    for v in victims:
+        log.info(
+            "%s %s: %d files (%d bytes) -> %d",
+            verb, v["partition"], v["n_files"], v["bytes"], v["target_files"],
+        )
+    log.info("%d partition(s) %s", len(victims), verb)
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
         return run_query(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "compact":
+        return run_compact(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():
