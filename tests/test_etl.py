@@ -500,3 +500,43 @@ class TestJsonlCorpus:
         q = quarantine.collect()
         assert len(q) == 2
         assert all(r.raw_line and "dump.jsonl" in r.source_file for r in q)
+
+
+class TestCompactionPathEncoding:
+    def test_escaped_chars_and_null_partitions_match(self, spark, tmp_path):
+        """Partition values that don't round-trip trivially through hive
+        paths: ':' is %-escaped in the dir name, and NULL becomes the
+        __HIVE_DEFAULT_PARTITION__ sentinel. The victim match must hit
+        both (a silent mismatch would empty the staged rewrite and fail
+        the swap)."""
+        from s3_access_logs_spark.operators.etl import (
+            compact_partitions,
+            partition_file_stats,
+        )
+
+        root = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [("ts 00:00", i) for i in range(100)]
+            + [(None, 1000 + i) for i in range(100)],
+            ["part", "k"],
+        )
+        df.repartition(5).write.mode("overwrite").partitionBy("part").parquet(
+            root
+        )
+        before = {d["partition"]: d for d in partition_file_stats(spark, root)}
+        assert len(before) == 2 and all(
+            d["n_files"] == 5 for d in before.values()
+        )
+        rows_before = sorted(
+            map(tuple, spark.read.parquet(root).collect()),
+            key=repr,
+        )
+        victims = compact_partitions(spark, root)
+        assert {v["partition"] for v in victims} == set(before)
+        after = {d["partition"]: d for d in partition_file_stats(spark, root)}
+        assert set(after) == set(before)
+        assert all(d["n_files"] == 1 for d in after.values())
+        rows_after = sorted(
+            map(tuple, spark.read.parquet(root).collect()), key=repr
+        )
+        assert rows_after == rows_before
