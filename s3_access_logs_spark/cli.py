@@ -135,13 +135,18 @@ def run_compact(argv: list[str]) -> int:
     operators.etl.compact_partitions). ``--dry-run`` prints the plan."""
     from s3_access_logs_spark.operators.etl import compact_partitions
 
-    if not argv:
-        log.error("usage: compact <table_root> [--target-mb N] [--dry-run]")
+    usage = "usage: compact <table_root> [--target-mb N] [--dry-run]"
+    if not argv or argv[0].startswith("--"):
+        log.error(usage)
         return 2
     root = argv[0]
     target_mb = 128
     if "--target-mb" in argv:
-        target_mb = int(argv[argv.index("--target-mb") + 1])
+        try:
+            target_mb = int(argv[argv.index("--target-mb") + 1])
+        except (IndexError, ValueError):
+            log.error("--target-mb needs an integer value; %s", usage)
+            return 2
     dry = "--dry-run" in argv
     spark = get_spark("s3-access-logs-compact")
     victims = compact_partitions(

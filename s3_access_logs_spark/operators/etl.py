@@ -189,7 +189,14 @@ def _recover_trash(spark: SparkSession, root: str) -> None:
         live = HPath(f"{root.rstrip('/')}/{rel}")
         if not fs.exists(live):
             fs.mkdirs(live.getParent())
-            fs.rename(d, live)
+            # This rename is the partition's ONLY copy coming back; a
+            # silent failure followed by the trash delete below would be
+            # permanent loss, so a failure here must abort the run.
+            if not fs.rename(d, live):
+                raise IOError(
+                    f"compaction recovery: cannot restore {d} to {live}; "
+                    "trash left in place for manual recovery"
+                )
     fs.delete(trash, True)
 
 

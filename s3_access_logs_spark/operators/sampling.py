@@ -70,8 +70,15 @@ def temperature_mixture(
     training)."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     rows = counts.collect()
-    if not rows:  # empty input flows through as empty, not a crash
-        return df.withColumn("_keep_rate", F.lit(0.0))
+    if not rows:
+        # empty input flows through as empty, not a crash — with the SAME
+        # column order the join path produces (join moves source_col
+        # first), so the output schema never depends on the input's
+        # emptiness
+        others = [c for c in df.columns if c != source_col]
+        return df.select(source_col, *others).withColumn(
+            "_keep_rate", F.lit(0.0)
+        )
     total = sum(r["_n"] for r in rows)
     budget = total if target_rows is None else target_rows
     wsum = sum(r["_n"] ** alpha for r in rows)

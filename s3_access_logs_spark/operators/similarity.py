@@ -126,7 +126,7 @@ def label_centroids(
 
 
 def _assign_clusters(
-    df: DataFrame, cents: DataFrame, vec: str, out_id: str, n_best: int
+    df: DataFrame, cents: DataFrame, vec: str, n_best: int
 ) -> DataFrame:
     """Attach the ``n_best`` nearest centroids (cosine, ties broken on the
     smaller label) to every row as ``cluster`` (one output row per
@@ -246,8 +246,8 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
     )
-    c_assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
-    q_probes = _assign_clusters(q, cents, "q_vec", "query_id", nprobe)
+    c_assigned = _assign_clusters(c, cents, "c_vec", 1)
+    q_probes = _assign_clusters(q, cents, "q_vec", nprobe)
     scored = (
         c_assigned.join(broadcast(q_probes), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -292,7 +292,7 @@ def build_ivf_index(
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("c_norm"),
     )
-    assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
+    assigned = _assign_clusters(c, cents, "c_vec", 1)
     (
         assigned.repartition("cluster")
         .write.mode("overwrite")
@@ -323,7 +323,7 @@ def probe_ivf_index(
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("q_norm"),
     )
-    q_probes = _assign_clusters(q, centroids, "q_vec", "query_id", nprobe)
+    q_probes = _assign_clusters(q, centroids, "q_vec", nprobe)
     probe_clusters = sorted(
         {r["cluster"] for r in q_probes.select("cluster").distinct().collect()}
     )
@@ -434,7 +434,7 @@ def semantic_dedup(
         F.col(vec_col).alias("v"),
         l2_norm(vec_col).alias("n"),
     )
-    assigned = _assign_clusters(c, cents, "v", "id", 1)
+    assigned = _assign_clusters(c, cents, "v", 1)
     a, b = assigned.alias("a"), assigned.alias("b")
     dominated = (
         a.join(
@@ -737,7 +737,7 @@ def build_ivfpq_index(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    assigned = _assign_clusters(c, cents, "c_vec", "neighbor_id", 1)
+    assigned = _assign_clusters(c, cents, "c_vec", 1)
     encoded = pq_encode(assigned, cb, vec_col="c_vec", dims=dims, m=m)
     (
         encoded.select("neighbor_id", "pq_codes", "cluster")
@@ -770,7 +770,7 @@ def probe_ivfpq_index(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    q_probes = _assign_clusters(q, centroids, "q_vec", "query_id", nprobe)
+    q_probes = _assign_clusters(q, centroids, "q_vec", nprobe)
     probe_clusters = sorted(
         {r["cluster"] for r in q_probes.select("cluster").distinct().collect()}
     )

@@ -110,12 +110,18 @@ def load_table(
     # shuffle partitions pays ~200/cores empty-task overhead on every
     # small shuffle. Only the untouched default is replaced (a deliberate
     # setting, even if 200, is indistinguishable — but then the cost was
-    # chosen); get_spark sessions already carry the tuned value.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(spark.sparkContext.defaultParallelism),
-        )
+    # chosen); get_spark sessions already carry the tuned value. This is
+    # deliberately a loader side effect because the harness sessions this
+    # engine must run under are built elsewhere; a caller that wants the
+    # stock default anyway opts out with SPARK_GRAFT_NO_SESSION_TUNING=1.
+    import os as _os
+
+    if not _os.environ.get("SPARK_GRAFT_NO_SESSION_TUNING"):
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
         df = spark.read.parquet(path)

@@ -297,52 +297,73 @@ def ingest_documents_stream(
             # scrub BEFORE digesting: two crawls of the same page with
             # different session tokens in the text dedup to one document.
             cleaned = cleaned.withColumn("text", pii_redact("text"))
-        try:
-            seen = sess.read.parquet(store).select("digest")
-        except Exception:  # first batch: store doesn't exist yet
-            seen = sess.createDataFrame(
-                [], "digest string"
-            )
+        # Replay safety: every store read EXCLUDES the current batch_id.
+        # foreachBatch is at-least-once — if an attempt wrote a store
+        # partition and crashed before the checkpoint committed, the
+        # replay would otherwise see the batch's OWN rows as history:
+        # its digests/bands all self-collide, every document is dropped,
+        # and the batch is silently lost forever. Filtered to prior
+        # batches, the replay recomputes the same survivors and the
+        # dynamic overwrite rewrites exactly the stale partitions.
+        def read_prior(path: str, empty_schema: str):
+            try:
+                prior = sess.read.parquet(path)
+                return prior.filter(F.col("batch_id") != batch_id)
+            except Exception:  # first batch: store doesn't exist yet
+                return sess.createDataFrame([], empty_schema)
+
+        seen = read_prior(store, "digest string").select("digest")
         survivors = dedup_incremental(cleaned, seen)
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         if band_store is not None:
+            # Persist the per-batch frames that BOTH writes consume: the
+            # doc and band writes would otherwise each re-trigger the
+            # full lineage (scan -> quality/PII -> digest shuffle ->
+            # minhash banding -> store joins) from scratch.
+            cleaned = cleaned.persist()
             kept_docs = cleaned.join(
                 survivors.select(F.col("keep_id").alias("doc_id")), "doc_id"
             )
-            try:
-                seen_bands = sess.read.parquet(band_store).select(
-                    "id", "band_idx", "band_key"
-                )
-            except Exception:
-                seen_bands = sess.createDataFrame(
-                    [], "id long, band_idx int, band_key string"
-                )
+            seen_bands = read_prior(
+                band_store, "id long, band_idx int, band_key string"
+            ).select("id", "band_idx", "band_key")
             hits, bands = near_dup_incremental(kept_docs, seen_bands)
             near_dup_ids = hits.select(
                 F.col("new_id").alias("doc_id")
             ).distinct()
             kept_ids = kept_docs.select("doc_id").join(
                 near_dup_ids, "doc_id", "left_anti"
-            )
+            ).persist()
             survivors = survivors.join(
                 kept_ids.select(F.col("doc_id").alias("keep_id")), "keep_id"
             )
             kept_bands = bands.join(
                 kept_ids.select(F.col("doc_id").alias("id")), "id"
             ).withColumn("batch_id", F.lit(batch_id))
+        try:
+            # Doc store first: its rows are the commit the band contract
+            # keys on ("append bands AFTER the batch commits") — a crash
+            # between the writes leaves documents without bands (missed
+            # future near-dups, recoverable) rather than bands without
+            # documents.
+            survivors = survivors.withColumn("batch_id", F.lit(batch_id))
             (
-                kept_bands.write.mode("overwrite")
+                survivors.write.mode("overwrite")
                 .partitionBy("batch_id")
-                .parquet(band_store)
+                .parquet(store)
             )
-        survivors = survivors.withColumn("batch_id", F.lit(batch_id))
-        (
-            survivors.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(store)
-        )
+            if band_store is not None:
+                (
+                    kept_bands.write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(band_store)
+                )
+        finally:
+            if band_store is not None:
+                cleaned.unpersist()
+                kept_ids.unpersist()
 
     writer = (
         docs.writeStream.outputMode("append")
