@@ -408,3 +408,50 @@ class TestIngestNearDup:
         assert kept == {1, 11}  # 10 caught by the band store, not digests
         band_ids = {r.id for r in spark.read.parquet(bands).collect()}
         assert band_ids == {1, 11}  # dropped near-dup leaves no bands
+
+
+class TestIngestReplaySafety:
+    def test_stale_same_batch_rows_do_not_self_collide(self, spark, tmp_path):
+        """Simulate the at-least-once crash window: a prior ATTEMPT of this
+        same micro-batch wrote its batch_id=0 partitions (docs in the band
+        store, digests in the doc store) but the checkpoint never
+        committed. The replay must NOT see those rows as history — with
+        self-collision every document would silently vanish."""
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+        from s3_access_logs_spark.operators.dedup import (
+            minhash_bands,
+            normalized_digest,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bands = str(tmp_path / "bands")
+        text = (
+            "the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest to rest for a long while"
+        )
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": text}) + "\n"
+        )
+        # fabricate the crashed attempt's partitions: batch_id=0 rows for
+        # exactly this document in BOTH stores
+        doc_df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        doc_df.select(
+            normalized_digest(F.col("text")).alias("digest"),
+            F.col("doc_id").alias("keep_id"),
+            F.lit(0).alias("batch_id"),
+        ).write.partitionBy("batch_id").parquet(store)
+        minhash_bands(doc_df).withColumn("batch_id", F.lit(0)).write.partitionBy(
+            "batch_id"
+        ).parquet(bands)
+
+        # fresh checkpoint -> this run IS batch 0, i.e. the replay
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"), band_store=bands
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1}  # survived: stale self-rows were excluded
+        assert spark.read.parquet(bands).filter("id = 1").count() == 4
