@@ -21,8 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from s3_access_logs_spark.functions.text import (
-    HASH_P,
-    MINHASH_COEFFS,
+    minhash_signature,
     shingles_from_word_hashes,
     simhash,
     word_hashes,
@@ -104,29 +103,22 @@ def minhash_signatures(
     k: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>) MinHash signatures via explode + groupBy-min.
+    """(id, sig: array<long>) MinHash signatures as a pure per-row
+    projection: the shingle-hash array is materialized as its OWN column
+    (the multi-reference barrier — CollapseProject will not inline a
+    non-cheap expression referenced k times), then the k universal-hash
+    mins fold over that column attribute. ZERO exchanges: signatures ride
+    the scan stage, so at any corpus size the operator adds no shuffle.
 
-    Deliberately NOT the single-expression form
-    (functions.text.minhash_signature): Catalyst's project collapsing would
-    inline the shingle+md5 computation into each of the k min-terms (k x
-    recompute — measured 20x slower at sf0.1). Exploding computes each
-    shingle hash once and the k mins aggregate map-side, so the shuffle
-    carries one partial row per doc; this is also the plan that scales —
-    no per-row array of the whole shingle set needs to stay in memory."""
-    ex = _shingle_table(df, id_col, text_col, shingle_n).select(
-        "id", F.explode_outer("shingles").alias("sh")
-    )
-    mins = ex.groupBy("id").agg(
-        *[
-            F.coalesce(
-                F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(HASH_P)),
-                F.lit(HASH_P).cast("long"),
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
-        ]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig")
+    History: round 1 used explode + groupBy(id)-of-k-mins because the
+    single-expression form (shingles inlined into each min-term) measured
+    20x slower — the real culprit was the missing projection barrier, not
+    the per-row fold. With the barrier the per-row form is ~3x faster
+    than the explode+groupBy at sf0.1 (no 52-rows-per-doc explosion, no
+    corpus-wide shuffle by doc id) and bit-identical."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    return sh.select(
+        "id", minhash_signature(F.col("shingles"), k=k).alias("sig")
     )
 
 
