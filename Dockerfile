@@ -15,6 +15,16 @@ ENV JAVA_HOME=/usr/lib/jvm/java-17-openjdk-amd64
 RUN pip install --no-cache-dir --upgrade pip \
     && pip install --no-cache-dir pyspark==4.1.2 pyarrow pandas numpy
 
+# pip pyspark does NOT bundle the S3A filesystem. For s3a:// SRC/DST the
+# hadoop-aws + aws-sdk-bundle jars matching the bundled Hadoop version
+# must be provided at deploy time — either bake them in here:
+#   ADD https://repo1.maven.org/maven2/org/apache/hadoop/hadoop-aws/... \
+#       /usr/local/lib/python3.11/site-packages/pyspark/jars/
+# or pass --conf spark.jars.packages=org.apache.hadoop:hadoop-aws:<ver>
+# via SPARK_SUBMIT_OPTS. Not baked in: this build must stay
+# network-free, and the version must match the deploy cluster's Hadoop.
+# file:// and hdfs:// paths work as shipped.
+
 COPY s3_access_logs_spark /app/s3_access_logs_spark
 WORKDIR /app
 

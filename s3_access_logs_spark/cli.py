@@ -111,7 +111,11 @@ def run_query(argv: list[str]) -> int:
     out = None
     rest = [a for a in argv[1:] if not a.startswith("--")]
     if "--out" in argv:
-        out = argv[argv.index("--out") + 1]
+        try:
+            out = argv[argv.index("--out") + 1]
+        except IndexError:
+            log.error("--out needs a path: query <name> [sf_dir] --out PATH")
+            return 2
         rest = [a for a in rest if a != out]
     import os
 
@@ -177,14 +181,13 @@ def main(env: dict[str, str] | None = None) -> int:
         log.info("hour %s already exported, skipping", cfg.hour)
         return 0
     spark = get_spark("s3-access-logs-export", extra_conf=cfg.s3a_conf())
-    rc = preflight(spark, cfg)
-    if rc != 0:
-        return rc
     # Job-level timeout (reference: TIMEOUT env, 300 s default,
     # export.py:259 + wg.py:27-31). A watchdog cancels every Spark job at
     # the deadline; the interrupted action raises, we exit 1, and the next
     # cron invocation's idempotent dynamic-overwrite write repairs the
-    # partial hour.
+    # partial hour. Armed BEFORE preflight: its read test counts lines of
+    # a real input file, which is exactly where a stalling endpoint (or a
+    # multi-GB first file) would otherwise hang the cron slot forever.
     timed_out = threading.Event()
 
     def _cancel() -> None:
@@ -200,6 +203,9 @@ def main(env: dict[str, str] | None = None) -> int:
         timer.daemon = True
         timer.start()
     try:
+        rc = preflight(spark, cfg)
+        if rc != 0:
+            return rc
         n = export_hour(spark, cfg.src, cfg.dst, hour=cfg.hour)
     except Exception:
         if timed_out.is_set():

@@ -29,6 +29,23 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 
+def _int_env(raw: str | None, default: int, name: str) -> int:
+    """Env ints fail soft: compose-style passthrough of an unset host var
+    arrives as the EMPTY STRING, and `TIMEOUT=300s` is a typo away — both
+    should mean "use the default", not a traceback before preflight."""
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s=%r is not an integer; using default %d", name, raw, default
+        )
+        return default
+
+
 def previous_hour(now: datetime | None = None) -> str:
     """The reference's default unit of work: the hour before now, UTC
     (cmd/export.py:238-241)."""
@@ -68,7 +85,7 @@ class JobConfig:
             output_endpoint=e.get("OUTPUT_S3_ENDPOINT"),
             input_region=e.get("INPUT_S3_ENDPOINT_REGION"),
             output_region=e.get("OUTPUT_S3_ENDPOINT_REGION"),
-            timeout=int(e.get("TIMEOUT", "300")),
+            timeout=_int_env(e.get("TIMEOUT"), 300, "TIMEOUT"),
         )
 
     def s3a_conf(self) -> dict[str, str]:

@@ -543,15 +543,26 @@ def connected_components(
         if not changed:
             break
     if changed:
-        # exhausted max_iterations with labels still moving: the clustering
-        # is NOT a fixed point (e.g. a chain graph with diameter >
-        # max_iterations). Silent wrong output is worse than failure.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"iterations ({changed} labels still changing); raise "
-            "max_iterations — min-label propagation needs rounds >= graph "
-            "diameter"
+        # the LAST allowed round still changed labels — but changing INTO
+        # the fixed point on the final round is legitimate (graph diameter
+        # == max_iterations). One verification round distinguishes the
+        # two; only a result that would still move is rejected. Silent
+        # wrong output is worse than failure.
+        verify = (
+            und.join(labels, und["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .join(labels, "id")
+            .filter(F.col("nbr_min") < F.col("cluster_id"))
         )
+        still_moving = verify.limit(1).count()
+        if still_moving:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (labels still changing); raise "
+                "max_iterations — min-label propagation needs rounds >= "
+                "graph diameter"
+            )
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

@@ -109,7 +109,13 @@ def label_centroids(
     every downstream distance is bit-identical. ``dims`` is inferred from
     the first row when not given (one LIMIT-1 job)."""
     if dims is None:
-        dims = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "label_centroids: empty corpus (or first vector NULL) — "
+                "cannot infer dims; pass dims= explicitly"
+            )
+        dims = len(first[0])
     v = F.col(vec_col)
     per = corpus.groupBy(F.col(label_col).alias("label")).agg(
         *[

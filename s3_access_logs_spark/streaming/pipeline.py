@@ -306,14 +306,27 @@ def ingest_documents_stream(
         # batches, the replay recomputes the same survivors and the
         # dynamic overwrite rewrites exactly the stale partitions.
         def read_prior(path: str, empty_schema: str):
-            try:
-                prior = sess.read.parquet(path)
-                return prior.filter(F.col("batch_id") != batch_id)
-            except Exception:  # first batch: store doesn't exist yet
+            # Missing store = first batch; any OTHER read failure must
+            # surface. A swallowed transient error here would silently
+            # re-ingest the whole batch as if nothing had ever been seen —
+            # breaking the store-uniqueness invariant with no error.
+            jvm = sess._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
                 return sess.createDataFrame([], empty_schema)
+            return sess.read.parquet(path).filter(
+                F.col("batch_id") != batch_id
+            )
 
         seen = read_prior(store, "digest string").select("digest")
-        survivors = dedup_incremental(cleaned, seen)
+        # Survivors carry the (scrubbed) TEXT, not just digests: the store
+        # doubles as the batch pipeline's corpus input, so the document
+        # body must actually land in it.
+        survivors = dedup_incremental(cleaned, seen).join(
+            cleaned.select(F.col("doc_id").alias("keep_id"), "text"),
+            "keep_id",
+        )
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
