@@ -540,3 +540,14 @@ class TestCompactionPathEncoding:
             map(tuple, spark.read.parquet(root).collect()), key=repr
         )
         assert rows_after == rows_before
+
+
+class TestConfigParsing:
+    def test_timeout_env_fails_soft(self):
+        from s3_access_logs_spark.config import JobConfig
+
+        base = {"SRC": "/tmp/a", "DST": "/tmp/b"}
+        assert JobConfig.from_env({**base}).timeout == 300
+        assert JobConfig.from_env({**base, "TIMEOUT": ""}).timeout == 300
+        assert JobConfig.from_env({**base, "TIMEOUT": "300s"}).timeout == 300
+        assert JobConfig.from_env({**base, "TIMEOUT": "42"}).timeout == 42
