@@ -35,12 +35,10 @@ def _marker(cfg: JobConfig) -> Path | None:
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
-    """(FileSystem, Path) for any Hadoop-supported scheme (file://, s3a://…)
-    — the same abstraction Spark's own readers resolve paths through, so the
-    preflight sees exactly what the job will see."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+    """(FileSystem, Path) — shared plumbing in sources/fsutil.py."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path_str)
 
 
 def preflight(spark: SparkSession, cfg: JobConfig) -> int:
@@ -109,14 +107,20 @@ def run_query(argv: list[str]) -> int:
         )
         return 2
     out = None
-    rest = [a for a in argv[1:] if not a.startswith("--")]
+    consumed: set[int] = set()
     if "--out" in argv:
-        try:
-            out = argv[argv.index("--out") + 1]
-        except IndexError:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
             log.error("--out needs a path: query <name> [sf_dir] --out PATH")
             return 2
-        rest = [a for a in rest if a != out]
+        out = argv[i + 1]
+        consumed = {i, i + 1}  # by INDEX — an sf_dir equal to the out
+        # path must not be swallowed with it
+    rest = [
+        a
+        for i, a in enumerate(argv)
+        if i != 0 and i not in consumed and not a.startswith("--")
+    ]
     import os
 
     sf_dir = rest[0] if rest else os.environ.get(

@@ -110,12 +110,19 @@ def minhash_signatures(
     mins fold over that column attribute. ZERO exchanges: signatures ride
     the scan stage, so at any corpus size the operator adds no shuffle.
 
+    Grain: one signature row per INPUT ROW — ``id_col`` is assumed unique
+    (the corpus contract everywhere in this package). Duplicate ids yield
+    one signature per duplicate row; the removed explode+groupBy form
+    would instead have merged their shingle sets into one signature, an
+    accidental semantics nothing depended on.
+
     History: round 1 used explode + groupBy(id)-of-k-mins because the
     single-expression form (shingles inlined into each min-term) measured
     20x slower — the real culprit was the missing projection barrier, not
     the per-row fold. With the barrier the per-row form is ~3x faster
     than the explode+groupBy at sf0.1 (no 52-rows-per-doc explosion, no
-    corpus-wide shuffle by doc id) and bit-identical."""
+    corpus-wide shuffle by doc id) and bit-identical on unique-id
+    input."""
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     return sh.select(
         "id", minhash_signature(F.col("shingles"), k=k).alias("sig")

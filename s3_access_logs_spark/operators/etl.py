@@ -131,9 +131,9 @@ def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
     """Inventory the leaf partition directories of a hive-layout table via
     the Hadoop FileSystem API (works on file://, hdfs:// and s3a:// alike):
     one dict per leaf dir with its data-file count and total bytes."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(root)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, root)
     if not fs.exists(jpath):
         return []
     root_uri = fs.makeQualified(jpath).toString().rstrip("/")
@@ -168,9 +168,10 @@ def _recover_trash(spark: SparkSession, root: str) -> None:
     live dir exists was superseded by a completed install and is safe to
     drop. Without this pass, a rerun's end-of-run trash cleanup would
     destroy the sole surviving copy."""
-    jvm = spark._jvm
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs, _ = hadoop_fs(spark, root)
     trash = HPath(f"{root.rstrip('/')}/_compact_trash")
     if not fs.exists(trash):
         return
@@ -321,10 +322,10 @@ def compact_partitions(
         .parquet(staging)
     )
 
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(root).getFileSystem(conf)
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs, _ = hadoop_fs(spark, root)
     # Swap order matters for crash safety: the old dir is renamed to a
     # trash path FIRST, then the staged dir takes its place — a crash in
     # the window leaves the partition momentarily absent (and fully

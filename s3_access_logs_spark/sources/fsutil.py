@@ -1,0 +1,49 @@
+"""Shared Hadoop FileSystem access — ONE copy of the py4j plumbing.
+
+Every path the engine touches (file://, hdfs://, s3a://) resolves through
+the same FileSystem abstraction Spark's own readers use, so preflight
+checks, compaction swaps and store probes all see exactly what a
+subsequent job will see. Centralized here because the pattern had grown
+independent copies in cli.py, operators/etl.py and streaming/pipeline.py
+— each of which had to stay individually correct about configuration
+plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def has_data_files(spark: SparkSession, path_str: str) -> bool:
+    """True iff the directory holds at least one COMMITTED data file
+    (recursively; underscore/dot-prefixed names — _SUCCESS, _temporary,
+    .spark-staging — don't count).
+
+    The distinction matters for store-probing: a dir can EXIST while
+    holding no data (an empty first write leaves only _SUCCESS; a crashed
+    first attempt leaves staging debris), and `spark.read.parquet` on such
+    a dir throws "Unable to infer schema" — which must read as "empty
+    store", not as a permanent failure."""
+    fs, jpath = hadoop_fs(spark, path_str)
+    if not fs.exists(jpath):
+        return False
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        # any ancestor dir under a hidden segment is hidden too
+        parts = p.toString().split("/")
+        if any(seg.startswith(("_", ".")) for seg in parts[:-1] if seg):
+            # scheme://host segments never start with _ or .; partition
+            # dirs like part=1 don't either — only markers/staging do
+            continue
+        return True
+    return False

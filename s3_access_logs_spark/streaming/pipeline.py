@@ -276,6 +276,7 @@ def ingest_documents_stream(
     from s3_access_logs_spark.operators.dedup import (
         dedup_incremental,
         near_dup_incremental,
+        normalized_digest,
     )
 
     schema = StructType(
@@ -306,14 +307,15 @@ def ingest_documents_stream(
         # batches, the replay recomputes the same survivors and the
         # dynamic overwrite rewrites exactly the stale partitions.
         def read_prior(path: str, empty_schema: str):
-            # Missing store = first batch; any OTHER read failure must
-            # surface. A swallowed transient error here would silently
-            # re-ingest the whole batch as if nothing had ever been seen —
-            # breaking the store-uniqueness invariant with no error.
-            jvm = sess._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(sess._jsc.hadoopConfiguration())
-            if not fs.exists(jpath):
+            # A store that holds no COMMITTED data files — never written,
+            # or an empty/crashed first write that left only _SUCCESS and
+            # staging debris — means "no history". Anything else that
+            # fails to read must surface: a swallowed transient error here
+            # would silently re-ingest the whole batch as if nothing had
+            # ever been seen, breaking the store-uniqueness invariant.
+            from s3_access_logs_spark.sources.fsutil import has_data_files
+
+            if not has_data_files(sess, path):
                 return sess.createDataFrame([], empty_schema)
             return sess.read.parquet(path).filter(
                 F.col("batch_id") != batch_id
@@ -322,10 +324,18 @@ def ingest_documents_stream(
         seen = read_prior(store, "digest string").select("digest")
         # Survivors carry the (scrubbed) TEXT, not just digests: the store
         # doubles as the batch pipeline's corpus input, so the document
-        # body must actually land in it.
+        # body must actually land in it. The text attaches on
+        # (digest, keep_id), not keep_id alone — a batch carrying the same
+        # doc_id with two different texts would otherwise cross-product
+        # into rows whose stored digest is not the digest of the stored
+        # text.
+        texts = cleaned.select(
+            normalized_digest(F.col("text")).alias("digest"),
+            F.col("doc_id").alias("keep_id"),
+            "text",
+        ).dropDuplicates(["digest", "keep_id"])
         survivors = dedup_incremental(cleaned, seen).join(
-            cleaned.select(F.col("doc_id").alias("keep_id"), "text"),
-            "keep_id",
+            texts, ["digest", "keep_id"]
         )
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
