@@ -628,9 +628,16 @@ def drop_repeated_paragraphs(
     pattern = re.escape(sep) if split_pattern is None else split_pattern
     c = F.col("_paras")
     kept = F.filter(c, lambda p, i: F.array_position(c, p) == i + F.lit(1))
+    # concat_ws over a NULL array yields '' not NULL — guard so NULL docs
+    # stay NULL (downstream `text IS NULL` filters must not change meaning)
     return (
         df.withColumn("_paras", F.split(F.col(text_col), pattern))
-        .withColumn(out, F.concat_ws(sep, kept))
+        .withColumn(
+            out,
+            F.when(
+                F.col(text_col).isNotNull(), F.concat_ws(sep, kept)
+            ),
+        )
         .drop("_paras")
     )
 

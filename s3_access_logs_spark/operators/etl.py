@@ -289,14 +289,24 @@ def compact_partitions(
     # Deterministic salt: a nondeterministic key (monotonically_increasing_id,
     # rand) under repartition loses/duplicates rows when a task retries after
     # a fetch failure — the exact failure mode a 1000-executor compaction job
-    # WILL hit. Hash every hashable column instead (maps are not hashable;
-    # everything else is), so a retried task re-derives identical routing.
-    from pyspark.sql.types import MapType
+    # WILL hit. Hash every hashable column instead (maps are not hashable —
+    # even nested inside structs/arrays, xxhash64 rejects them), so a
+    # retried task re-derives identical routing.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
 
     hashable = [
         f.name
         for f in data.schema.fields
-        if f.name not in part_cols and not isinstance(f.dataType, MapType)
+        if f.name not in part_cols and not _contains_map(f.dataType)
     ]
     salt = (
         F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.col("_target_files"))

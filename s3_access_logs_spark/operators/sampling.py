@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from s3_access_logs_spark.functions.text import md5_long
 
@@ -72,13 +73,9 @@ def temperature_mixture(
     rows = counts.collect()
     if not rows:
         # empty input flows through as empty, not a crash — with the SAME
-        # column order the join path produces (join moves source_col
-        # first), so the output schema never depends on the input's
-        # emptiness
-        others = [c for c in df.columns if c != source_col]
-        return df.select(source_col, *others).withColumn(
-            "_keep_rate", F.lit(0.0)
-        )
+        # column order the join path produces (df columns then the rate),
+        # so the output schema never depends on the input's emptiness
+        return df.withColumn("_keep_rate", F.lit(0.0))
     total = sum(r["_n"] for r in rows)
     budget = total if target_rows is None else target_rows
     wsum = sum(r["_n"] ** alpha for r in rows)
@@ -89,14 +86,29 @@ def temperature_mixture(
         )
         for r in rows
     ]
+    # explicit schema: an all-NULL source group would defeat type inference
+    rates_schema = T.StructType(
+        [
+            T.StructField("_tm_source", df.schema[source_col].dataType),
+            T.StructField("_keep_rate", T.DoubleType()),
+        ]
+    )
     rates_df = df.sparkSession.createDataFrame(
-        rates, [source_col, "_keep_rate"]
+        [(s, float(r)) for s, r in rates], rates_schema
     )
     # md5 first 8 hex chars as a uniform draw in [0, 1) — the shared
     # cross-engine hash primitive, not a re-derivation of it
     draw = md5_long(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ).cast("double") / F.lit(float(1 << 32))
-    return df.join(F.broadcast(rates_df), source_col).filter(
-        draw < F.col("_keep_rate")
+    # null-safe equality: a NULL source group was counted into the
+    # budget/weight math above, so its rows must reach the rate filter
+    # too — a plain equi-join would silently drop them (NULL != NULL)
+    return (
+        df.join(
+            F.broadcast(rates_df),
+            F.col(source_col).eqNullSafe(F.col("_tm_source")),
+        )
+        .drop("_tm_source")
+        .filter(draw < F.col("_keep_rate"))
     )

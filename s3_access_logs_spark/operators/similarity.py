@@ -168,6 +168,14 @@ def _assign_clusters(
       the argmax fold for n_best=1 is the right special case to
       resurrect — at nlist=10 the sort is measurably identical and one
       code path is worth more."""
+    # fail loud on an empty quantizer: explode over the empty probes array
+    # would silently emit ZERO rows (build_ivf_index / build_ivfpq_index
+    # accept caller-supplied centroids and would write an empty index)
+    if cents.isEmpty():
+        raise ValueError(
+            "_assign_clusters: empty centroid set — a quantizer with no "
+            "centroids would silently drop every input row"
+        )
     one = cents.agg(
         F.sort_array(
             F.collect_list(

@@ -376,6 +376,32 @@ class TestCompaction:
         assert compact_partitions(spark, root) == []
         assert snapshot() == snap
 
+    def test_compacts_table_with_nested_map_column(self, spark, tmp_path):
+        """xxhash64 rejects maps even nested inside structs/arrays — the
+        deterministic salt must skip such columns recursively, not just
+        top-level MapType (round-3 ADVICE finding)."""
+        from s3_access_logs_spark.operators.etl import compact_partitions
+
+        root = str(tmp_path / "tbl")
+        df = spark.range(60).select(
+            (F.col("id") % 2).alias("part"),
+            F.col("id").alias("k"),
+            F.struct(
+                F.create_map(F.lit("a"), F.col("id")).alias("m"),
+                F.col("id").alias("plain"),
+            ).alias("meta"),
+            F.array(
+                F.create_map(F.lit("b"), F.col("id").cast("string"))
+            ).alias("tags"),
+        )
+        df.repartition(4).write.mode("overwrite").partitionBy("part").parquet(
+            root
+        )
+        rows_before = spark.read.parquet(root).count()
+        victims = compact_partitions(spark, root)
+        assert victims  # something was rewritten, and without raising
+        assert spark.read.parquet(root).count() == rows_before
+
     def test_dry_run_plans_without_writing(self, spark, tmp_path):
         from s3_access_logs_spark.operators.etl import (
             compact_partitions,

@@ -1288,3 +1288,60 @@ class TestReviewFixes:
             df2, sep="\n\n", split_pattern=r"\n{2,}"
         ).first()["text"]
         assert out2 == "a\n\nb"
+
+
+class TestAdviceR4Fixes:
+    """Regression tests for the round-3 ADVICE findings."""
+
+    def test_temperature_mixture_keeps_null_source_rows(self, spark):
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        # 100 NULL-source rows + 100 'web' rows; alpha=1 is pure
+        # re-balancing, so every row's keep rate is 1.0 — before the
+        # null-safe join fix the NULL group vanished entirely
+        rows = [(None if i < 100 else "web", i) for i in range(200)]
+        df = spark.createDataFrame(rows, "source string, doc_id long")
+        out = temperature_mixture(df, "source", "doc_id", alpha=1.0)
+        kept_null = out.filter(F.col("source").isNull()).count()
+        assert kept_null == 100
+        assert out.count() == 200
+        # rate math still sees the NULL group as its own source
+        assert (
+            out.filter(F.col("source").isNull())
+            .select("_keep_rate")
+            .first()[0]
+            == 1.0
+        )
+
+    def test_assign_clusters_empty_centroids_fails_loud(self, spark):
+        import pytest
+
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        vecs = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        empty_cents = spark.createDataFrame(
+            [], "label string, centroid array<double>"
+        )
+        with pytest.raises(ValueError, match="empty centroid set"):
+            _assign_clusters(vecs, empty_cents, "embedding", 1)
+
+    def test_paragraph_dedup_preserves_null_text(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_repeated_paragraphs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a\n\na\n\nb")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["text"]
+            for r in drop_repeated_paragraphs(df).collect()
+        }
+        assert out[1] is None  # NULL in, NULL out — not ''
+        assert out[2] == "a\n\nb"
