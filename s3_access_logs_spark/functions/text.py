@@ -149,15 +149,28 @@ def minhash_signature(hashes: Column, k: int = 16) -> Column:
     return F.array(*sigs)
 
 
-def simhash_token_hashes(col: Column | str) -> Column:
+def simhash_token_hashes(col: Column | str, word: int = 0) -> Column:
     """Distinct-token md5 hash array — materialize this as its OWN projected
     column before ``simhash_from_hashes``: the fingerprint references the
     array once per bit, and an inlined EXPRESSION is re-evaluated per
     reference (HOF folds are outside codegen CSE — trap #2), i.e. 32x the
     md5 work per row. A column attribute is free to re-reference, and
     CollapseProject will not inline a multi-referenced expensive
-    expression."""
-    return F.transform(F.array_distinct(words(col)), lambda t: md5_long(t))
+    expression.
+
+    ``word`` selects the 32-bit plane: hex chars ``8*word+1 .. 8*word+8``
+    of the md5 digest. Word 0 is the historical ``md5_long`` slice; words
+    1-3 give independent 32-bit hashes for 64/96/128-bit fingerprints
+    without ever leaving non-negative BIGINT range on either engine (a
+    single 64-bit hash value would overflow signed 64-bit and DuckDB's
+    ``::BIGINT``)."""
+    start = 8 * word + 1
+    return F.transform(
+        F.array_distinct(words(col)),
+        lambda t: F.conv(F.substring(F.md5(t), start, 8), 16, 10).cast(
+            "long"
+        ),
+    )
 
 
 def simhash_from_hashes(hs: Column | str, bits: int = 32) -> Column:

@@ -362,42 +362,87 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "simhash", "lsh"),
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding.
-    Fully deterministic, so the oracle reproduces the banding and verifies
-    every candidate pair and Hamming distance (bit_count(xor(...)))."""
+    """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding,
+    at the scale-safe default: 64-bit fingerprints (two 32-bit words),
+    16-bit band keys, hot-bucket cap ON. Fully deterministic, so the
+    oracle reproduces the banding — including the cap at the
+    distinct-fingerprint grain — and verifies every candidate pair and
+    Hamming distance (bit_count(xor(...)) summed across words)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, bits=32, max_hamming=3, chunks=4)
+    return D.simhash_near_pairs(docs, bits=64, max_hamming=3, chunks=4)
 
 
-def _simhash_near_pairs_sql(
-    bits: int = 32, chunks: int = 4, max_hamming: int = 3
-) -> str:
-    width = bits // chunks
-    terms = "\n         + ".join(
-        f"CASE WHEN coalesce(list_sum(list_transform(hs, "
+def _simhash_word_terms(hs: str, bits: int = 32) -> str:
+    """One 32-bit SimHash word from the token-hash list column ``hs``."""
+    return "\n         + ".join(
+        f"CASE WHEN coalesce(list_sum(list_transform({hs}, "
         f"x -> CASE WHEN (x // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
         f"THEN {1 << b}::BIGINT ELSE 0 END"
         for b in range(bits)
     )
+
+
+def _simhash_near_pairs_sql(
+    bits: int = 64,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    max_band_freq: int = D.DEFAULT_MAX_BAND_FREQ,
+) -> str:
+    """Oracle for the 64-bit two-word formulation: word w's token hashes
+    are md5 hex chars 8w+1..8w+8 (never leaves non-negative BIGINT range,
+    matching functions.text.simhash_token_hashes), and the hot-bucket cap
+    counts DISTINCT fingerprints per (band, key), mirroring the Spark
+    side. Identical-fingerprint (hamming 0) pairs bypass banding and the
+    cap on both engines."""
+    assert bits == 64 and chunks == 4, "oracle is written for the default"
+    width = bits // chunks  # 16-bit band keys
     return f"""
     WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks FROM documents),
     h AS (SELECT doc_id,
-                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs
+                 list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs0,
+                 list_transform(toks,
+                     t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS hs1
           FROM t),
-    sim AS (SELECT doc_id, ({terms}) AS simhash FROM h),
+    sim AS (SELECT doc_id,
+                   ({_simhash_word_terms('hs0')}) AS w0,
+                   ({_simhash_word_terms('hs1')}) AS w1
+            FROM h),
+    intra AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming
+      FROM sim a JOIN sim b
+        ON a.w0 = b.w0 AND a.w1 = b.w1 AND a.doc_id < b.doc_id
+    ),
     ch AS (
-      SELECT doc_id, simhash, j,
-             (simhash // (1 << (j * {width}))) % {1 << width} AS cv
+      SELECT doc_id, w0, w1, j,
+             CASE WHEN j < 2
+                  THEN (w0 // (1::BIGINT << (j * {width}))) % {1 << width}
+                  ELSE (w1 // (1::BIGINT << ((j - 2) * {width}))) % {1 << width}
+             END AS cv
       FROM sim CROSS JOIN range(0, {chunks}) r(j)
     ),
+    hot AS (
+      SELECT j, cv FROM (SELECT DISTINCT w0, w1, j, cv FROM ch)
+      GROUP BY j, cv HAVING COUNT(*) > {max_band_freq}
+    ),
+    cold AS (
+      SELECT ch.* FROM ch LEFT JOIN hot
+        ON ch.j = hot.j AND ch.cv = hot.cv
+      WHERE hot.j IS NULL
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
-             b.doc_id AS id_b, b.simhash AS sh_b
-      FROM ch a JOIN ch b
+      SELECT DISTINCT a.doc_id AS id_a, a.w0 AS a0, a.w1 AS a1,
+             b.doc_id AS id_b, b.w0 AS b0, b.w1 AS b1
+      FROM cold a JOIN cold b
         ON a.j = b.j AND a.cv = b.cv AND a.doc_id < b.doc_id
+      WHERE a.w0 != b.w0 OR a.w1 != b.w1
     )
-    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    SELECT id_a, id_b, hamming FROM (
+      SELECT id_a, id_b,
+             (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)))::INT AS hamming
+      FROM cand
+    ) WHERE hamming <= {max_hamming}
+    UNION ALL
+    SELECT id_a, id_b, hamming FROM intra
     """
 
 
@@ -413,7 +458,7 @@ _Q["dedup_minhash_pairs"] = _dc.replace(
     _Q["dedup_minhash_pairs"], oracle=_minhash_pairs_sql()
 )
 _Q["simhash_near_pairs"] = _dc.replace(
-    _Q["simhash_near_pairs"], oracle=_simhash_near_pairs_sql(32, 4, 3)
+    _Q["simhash_near_pairs"], oracle=_simhash_near_pairs_sql(64, 4, 3)
 )
 
 

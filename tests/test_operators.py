@@ -110,6 +110,75 @@ class TestSimhash:
         out = simhash_near_pairs(df, max_hamming=0).collect()
         assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
 
+    def test_64bit_banding_matches_brute_force(self, spark):
+        """Pigeonhole banding at the 64-bit/16-bit-chunk default finds
+        EXACTLY the pairs a brute-force all-pairs hamming scan finds."""
+        import itertools
+
+        from s3_access_logs_spark.operators.dedup import (
+            simhash_fingerprint_words,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        fps = simhash_fingerprint_words(docs).collect()
+        expect = set()
+        for a, b in itertools.combinations(fps, 2):
+            h = bin(a.w0 ^ b.w0).count("1") + bin(a.w1 ^ b.w1).count("1")
+            if h <= 3:
+                expect.add((min(a.id, b.id), max(a.id, b.id), h))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in simhash_near_pairs(docs, max_band_freq=None).collect()
+        }
+        assert got == expect
+
+    def test_word0_is_the_historical_32bit_fingerprint(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            simhash_fingerprint_words,
+            simhash_fingerprints,
+        )
+
+        df = _docs(
+            spark,
+            [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        )
+        w = {r.id: r.w0 for r in simhash_fingerprint_words(df).collect()}
+        old = {
+            r.id: r.simhash
+            for r in simhash_fingerprints(df, bits=32).collect()
+        }
+        assert w == old
+
+    def test_hot_bucket_cap_degrades_to_lower_bound(self, spark):
+        """max_band_freq drops any band bucket holding more distinct
+        fingerprints than the cap: with cap=1 every multi-fingerprint
+        bucket is dropped, so only identical-fingerprint (hamming 0)
+        pairs — which bypass banding — survive. Cross pairs are a
+        documented lower bound under the cap, never an OOM."""
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        full = simhash_near_pairs(docs, max_band_freq=None)
+        capped = simhash_near_pairs(docs, max_band_freq=1)
+        n_cross_full = full.filter(F.col("hamming") > 0).count()
+        assert n_cross_full > 0  # the corpus does carry near pairs
+        assert capped.filter(F.col("hamming") > 0).count() == 0
+        # hamming-0 pairs are unaffected by the cap
+        assert (
+            capped.filter(F.col("hamming") == 0).count()
+            == full.filter(F.col("hamming") == 0).count()
+        )
+
+    def test_invalid_geometry_fails_loud(self, spark):
+        import pytest
+
+        df = _docs(spark, [(1, "a b c")])
+        with pytest.raises(ValueError):
+            simhash_near_pairs(df, bits=48)  # not a multiple of 32
+        with pytest.raises(ValueError):
+            simhash_near_pairs(df, bits=64, chunks=3)  # 64 % 3 != 0
+
 
 class TestAsofJoin:
     def test_backward_picks_latest_prior(self, spark):

@@ -171,6 +171,21 @@ def test_jaccard_pairs_generate_in_codegen(spark, catalog):
     assert "flatten" not in plan
 
 
+def test_simhash_banding_has_no_candidate_join(spark, catalog):
+    """The band-bucket candidate stage must be posting lists
+    (group-then-generate, the jaccard_pairs pattern): in-bucket pairs come
+    from codegen generators over the collected list, so the whole plan has
+    ZERO join nodes — nothing for skew or a missing equi-condition to
+    degrade into a nested-loop join at corpus scale."""
+    plan = plan_of(catalog["simhash_near_pairs"].builder(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Generate") >= 2  # pair generators, not HOF flatten
+    assert "flatten" not in plan
+    # the md5 token-hash pipeline is evaluated once per 32-bit word per
+    # union branch (2 words x 2 branches), never once per bit
+    assert plan.count("md5") <= 4
+
+
 def test_ivf_centroids_ride_broadcast_not_plan_literals(spark, catalog):
     """Centroid components must reach the executors as broadcast DATA.
     The literal-SQL variant embedded 10x64 floats in the plan: ~0.5 s
