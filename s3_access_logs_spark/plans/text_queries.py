@@ -360,6 +360,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_pairs",
     oracle=None,  # filled below (generated SQL)
     tags=("dedup", "llm", "simhash", "lsh"),
+    bench=True,
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding,
@@ -546,6 +547,7 @@ def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=None,  # filled below (generated recursive-CTE SQL)
     tags=("dedup", "llm", "minhash", "graph", "iterative"),
+    bench=True,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: MinHash+LSH candidate pairs -> connected
@@ -602,6 +604,7 @@ _Q["dedup_clusters"] = _dc.replace(
     ) WHERE rnk <= 3
     """,
     tags=("llm", "text", "tfidf", "window"),
+    bench=True,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))+1,

@@ -276,6 +276,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN stats ON stats.cl = train.label
     """,
     tags=("similarity", "llm", "dedup", "agg"),
+    bench=True,
 )
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup report per cluster: quantizer-training stats (count,
