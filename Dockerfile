@@ -12,8 +12,11 @@ RUN apt-get update \
     && rm -rf /var/lib/apt/lists/*
 ENV JAVA_HOME=/usr/lib/jvm/java-17-openjdk-amd64
 
+# pillow backs operators/multimodal.decode_pixels for non-PNG formats
+# (JPEG etc.); PNG decode also has a pure-stdlib fallback, so the image
+# pipeline degrades gracefully where pillow is absent.
 RUN pip install --no-cache-dir --upgrade pip \
-    && pip install --no-cache-dir pyspark==4.1.2 pyarrow pandas numpy
+    && pip install --no-cache-dir pyspark==4.1.2 pyarrow pandas numpy pillow
 
 # pip pyspark does NOT bundle the S3A filesystem. For s3a:// SRC/DST the
 # hadoop-aws + aws-sdk-bundle jars matching the bundled Hadoop version
