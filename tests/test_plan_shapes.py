@@ -36,6 +36,20 @@ def test_brute_force_topk_broadcasts_queries(spark, catalog):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_brute_force_topk_window_input_is_bounded(spark, catalog):
+    """The per-query ranking window must consume the Arrow per-batch
+    top-k pre-reduce (~batches x k x queries rows), never the raw
+    |corpus| x |queries| score stream — and the pre-reduce must see only
+    the three narrow scalar columns, vectors already pruned."""
+    plan = plan_of(catalog["embedding_topk"].builder(spark, SF))
+    assert "MapInPandas" in plan
+    # plan prints top-down: the reducer sits BELOW the window (i.e. later
+    # in the string), so the window's exchange carries reduced rows only
+    assert plan.index("MapInPandas") > plan.index("Window")
+    # and the reducer emits only the three narrow scalar columns
+    assert "MapInPandas" in plan and "query_id" in plan.split("MapInPandas")[1].splitlines()[0]
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark):
     li = load_table(spark, SF, "lineitem")
     q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
