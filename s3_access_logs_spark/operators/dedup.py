@@ -544,6 +544,86 @@ def simhash_near_pairs(
     )
 
 
+def _star_components(und: DataFrame, ckpt, max_iterations: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over a SYMMETRIC edge
+    list ``(src, dst)`` -> (id, cluster_id) labels for every non-isolated
+    node. O(log n) rounds on any topology (public algorithm: Kiveris et
+    al. 2014); each round is two posting-list groupBys with generator
+    fan-out — the same bounded-neighborhood shape the banding operators
+    use, no joins inside the loop.
+
+    * large-star: per node u with neighborhood N(u), m = min(N(u) + {u});
+      emit (v, m) for v in N(u), v > u — long paths fold towards local
+      minima without ever growing a neighborhood.
+    * small-star: per node u over min-oriented edges (u > v), m = min
+      neighbor; emit (v, m) for the other neighbors and (u, m) —
+      contracts each low neighborhood onto its min.
+
+    Fixed point = the small-star output is a star forest (every node
+    points straight at its component min), detected by edge-set equality
+    between rounds; exceeding ``max_iterations`` raises (same fail-loud
+    contract as min-label propagation)."""
+    # canonical min-orientation (big, small); self-loops dropped
+    cur = ckpt(
+        und.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("a"),
+            F.least("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    for _ in range(max_iterations):
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        g = sym.groupBy("a").agg(
+            F.min("b").alias("mn"), F.collect_list("b").alias("vs")
+        )
+        large = (
+            g.select(
+                F.col("a"),
+                F.least("mn", F.col("a")).alias("m"),
+                F.explode("vs").alias("v"),
+            )
+            .filter(F.col("v") > F.col("a"))
+            # v > a >= m, so (v, m) is already min-oriented and loop-free
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        g2 = large.groupBy("a").agg(
+            F.min("b").alias("m"), F.collect_list("b").alias("vs")
+        )
+        small = ckpt(
+            g2.select(
+                "m",
+                F.explode(
+                    F.concat(F.array(F.col("a")), F.col("vs"))
+                ).alias("v"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        converged = small.exceptAll(cur).limit(1).count() == 0 and (
+            cur.exceptAll(small).limit(1).count() == 0
+        )
+        cur = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iterations} "
+            "rounds — raise max_iterations (expected rounds ~ log2(n))"
+        )
+    # fixed point is a star forest: every (a, b) points at the component
+    # min b; centers label themselves
+    return (
+        cur.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+        .union(
+            cur.select(F.col("b").alias("id"), F.col("b").alias("cluster_id"))
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -552,6 +632,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iterations: int = 25,
     reliable_checkpoint: bool | None = None,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Cluster assignment (id, cluster_id) for an undirected graph given as
     candidate pairs: cluster_id = min node id in the connected component;
@@ -561,12 +642,21 @@ def connected_components(
     generation says *which* documents look alike; components turn pairwise
     hits into keep-one-per-cluster groups.
 
-    Algorithm: min-label propagation (hash-to-min) — each round every node
-    takes the min of its own label and its neighbors' labels, until a round
-    changes nothing. Rounds = graph diameter; dedup graphs are
-    near-cliques of duplicates, so this converges in 2-3 rounds at any
-    data scale (the O(log n) large-star/small-star variant only pays off on
-    long-chain graphs, which near-dup clusters are not).
+    Two algorithms, same contract (verified convergence, fail-loud):
+
+    * ``min_label`` (default) — hash-to-min label propagation: each round
+      every node takes the min of its own label and its neighbors'
+      labels, until a round changes nothing. Rounds = graph diameter;
+      dedup graphs are near-cliques of duplicates, so this converges in
+      2-3 rounds at any data scale.
+    * ``star`` — alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", public
+      algorithm): each round rewires high neighbors to the neighborhood
+      min (large-star) then contracts low neighbors onto it
+      (small-star), halving long paths — O(log n) rounds regardless of
+      diameter. The right mode when duplicate CHAINS appear (doc A ~ B,
+      B ~ C, ... — e.g. successive versions of a page), where
+      propagation would need diameter rounds.
 
     Scale design: the loop touches only nodes that appear in at least one
     edge — at 100 TB near-dup graph nodes are a small fraction of the
@@ -601,6 +691,9 @@ def connected_components(
             else df.localCheckpoint(eager=True)
         )
 
+    if algorithm not in ("min_label", "star"):
+        raise ValueError("algorithm must be 'min_label' or 'star'")
+
     # materialize the edge list once — without this, every iteration's join
     # re-executes the full upstream plan that produced the pairs (for
     # dedup_clusters that is the whole MinHash+LSH pipeline, x rounds)
@@ -608,6 +701,15 @@ def connected_components(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     )
+    if algorithm == "star":
+        labels = _star_components(und, ckpt, max_iterations)
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(labels, "id", "left")
+            .select(
+                "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+            )
+        )
     labels = ckpt(
         und.select(F.col("src").alias("id"))
         .distinct()
