@@ -398,6 +398,96 @@ def ingest_documents_stream(
     return writer.start()
 
 
+def compact_ingest_store(
+    spark: SparkSession,
+    store: str,
+    keep_recent: int = 1,
+    base_batch_id: int = -1,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Maintenance for the append-only stores ``ingest_documents_stream``
+    grows (digest store, MinHash band store): every micro-batch appends
+    one ``batch_id=<n>`` hive partition forever, so after N batches a
+    probe join lists N directories of small files. This entry point FOLDS
+    committed history into a single ``batch_id=<base_batch_id>`` base
+    partition, deletes the folded partitions, then runs
+    ``operators.etl.compact_partitions`` over the store so everything
+    remaining obeys the target file size.
+
+    Replay-safety interaction (the reason ``keep_recent`` exists and
+    defaults to 1): ``ingest_batch`` excludes the CURRENT batch_id from
+    its store reads so an at-least-once replay never self-collides. Only
+    the single most recent micro-batch can be in that uncommitted state
+    (foreachBatch runs batches sequentially), so folding is safe for
+    every batch EXCEPT the newest — fold it and a replay would find its
+    own rows under the base id and silently drop the whole batch. With
+    the stream STOPPED (all batches committed) ``keep_recent=0`` is
+    legal. ``base_batch_id`` must be negative: streaming epoch ids count
+    up from 0, so a negative base can never collide with a live batch's
+    replay exclusion.
+
+    Crash posture: the fold writes the new base partition (dynamic
+    partition overwrite) BEFORE deleting folded partitions. A crash
+    between the two leaves duplicate history rows — harmless to
+    semantics (the digest probe is an anti-join and near-dup hits are
+    de-duplicated, so duplicated store rows can only re-find the same
+    matches) — and the next maintenance run folds them away. Returns
+    ``{"folded": [...], "kept": [...], "compacted": [...]}``."""
+    from s3_access_logs_spark.operators.etl import compact_partitions
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
+
+    if base_batch_id >= 0:
+        raise ValueError(
+            "base_batch_id must be negative (streaming batch ids count up "
+            "from 0; a non-negative base could collide with a live batch)"
+        )
+    if keep_recent < 0:
+        raise ValueError("keep_recent must be >= 0")
+    if not has_data_files(spark, store):
+        return {"folded": [], "kept": [], "compacted": []}
+    fs, root_path = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    batch_ids = []
+    for st in fs.listStatus(root_path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            batch_ids.append(int(name.split("=", 1)[1]))
+    live = sorted(b for b in batch_ids if b != base_batch_id)
+    folded = live[: len(live) - keep_recent] if keep_recent else live
+    if not folded:
+        return {
+            "folded": [],
+            "kept": live,
+            "compacted": [c["partition"] for c in compact_partitions(
+                spark, store, target_file_bytes=target_file_bytes
+            )],
+        }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        history = spark.read.parquet(store).filter(
+            F.col("batch_id").isin([base_batch_id] + folded)
+        )
+        (
+            history.withColumn("batch_id", F.lit(base_batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in folded:
+        fs.delete(HPath(f"{store.rstrip('/')}/batch_id={b}"), True)
+    compacted = compact_partitions(
+        spark, store, target_file_bytes=target_file_bytes
+    )
+    return {
+        "folded": folded,
+        "kept": [b for b in live if b not in folded],
+        "compacted": [c["partition"] for c in compacted],
+    }
+
+
 def dedup_request_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on the request id: at-least-once upstream
     delivery (S3 log files are occasionally re-delivered) becomes

@@ -410,6 +410,100 @@ class TestIngestNearDup:
         assert band_ids == {1, 11}  # dropped near-dup leaves no bands
 
 
+class TestIngestStoreMaintenance:
+    def test_compact_folds_history_and_near_dup_gate_still_fires(
+        self, spark, tmp_path
+    ):
+        """VERDICT r3 item 6: the append-only stores grow one batch_id
+        partition per micro-batch forever. Fold committed history into
+        the base partition, then prove an edited re-crawl of a FOLDED
+        batch's document is still caught by the band store."""
+        import json
+        import os
+
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bands = str(tmp_path / "bands")
+        ckpt = str(tmp_path / "ckpt")
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog and then it "
+            "runs far away into the deep green forest to rest a while",
+            2: "completely unrelated fresh content about cooking pasta "
+            "with garlic and olive oil for dinner again tonight folks",
+            3: "a third totally distinct document discussing distributed "
+            "query engines shuffling partitions across big clusters",
+        }
+        for i in (1, 2, 3):  # three separate micro-batches
+            (src / f"b{i}.jsonl").write_text(
+                json.dumps({"doc_id": i, "text": texts[i]}) + "\n"
+            )
+            ingest_documents_stream(
+                spark, str(src), store, ckpt, band_store=bands
+            ).awaitTermination(120)
+
+        def part_dirs(path):
+            return sorted(
+                d for d in os.listdir(path) if d.startswith("batch_id=")
+            )
+
+        assert len(part_dirs(store)) == 3 and len(part_dirs(bands)) == 3
+        res_s = compact_ingest_store(spark, store)
+        res_b = compact_ingest_store(spark, bands)
+        # keep_recent=1: batches 0,1 folded into base; newest kept intact
+        assert res_s["folded"] == [0, 1] and res_s["kept"] == [2]
+        assert res_b["folded"] == [0, 1]
+        assert part_dirs(store) == ["batch_id=-1", "batch_id=2"]
+        assert part_dirs(bands) == ["batch_id=-1", "batch_id=2"]
+        # no rows lost, no duplicates introduced
+        assert {r.keep_id for r in spark.read.parquet(store).collect()} == {
+            1, 2, 3,
+        }
+        assert spark.read.parquet(bands).count() == 12  # 4 bands x 3 docs
+
+        # batch 4: edited re-crawl of doc 1 (whose bands now live ONLY in
+        # the folded base partition) + one genuinely new doc
+        (src / "b4.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 10, "text": texts[1] + " minor footer edit"},
+                    {
+                        "doc_id": 11,
+                        "text": "entirely new material on growing tomatoes "
+                        "in small gardens with plenty of afternoon sun",
+                    },
+                ]
+            )
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, band_store=bands
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1, 2, 3, 11}  # 10 caught via the FOLDED bands
+        band_ids = {r.id for r in spark.read.parquet(bands).collect()}
+        assert band_ids == {1, 2, 3, 11}
+
+    def test_guards(self, spark, tmp_path):
+        import pytest
+
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        with pytest.raises(ValueError, match="negative"):
+            compact_ingest_store(spark, str(tmp_path / "s"), base_batch_id=0)
+        with pytest.raises(ValueError, match="keep_recent"):
+            compact_ingest_store(spark, str(tmp_path / "s"), keep_recent=-1)
+        # empty / never-written store is a no-op, not a crash
+        out = compact_ingest_store(spark, str(tmp_path / "nope"))
+        assert out == {"folded": [], "kept": [], "compacted": []}
+
+
 class TestIngestReplaySafety:
     def test_stale_same_batch_rows_do_not_self_collide(self, spark, tmp_path):
         """Simulate the at-least-once crash window: a prior ATTEMPT of this
