@@ -83,10 +83,24 @@ def salted_join(
     across ``salt`` tasks.
 
     Use when the right side is too big to broadcast but much smaller than
-    the left (replication costs |right| x salt shuffle rows). AQE's skew
-    split (enabled in session.py) handles sort-merge skew after the fact;
-    salting is the a-priori fix that also covers the aggregations-after-join
-    pattern AQE can't rebalance.
+    the left (replication costs |right| x salt shuffle rows).
+
+    Decision rule vs AQE (measured, pinned by
+    ``tests/test_operators.py::TestSkewVsAqe``): AQE's skew split
+    (enabled in session.py) rewrites a skewed sort-merge join by
+    replicating the matching partition — when the join's output feeds a
+    partitioning-agnostic consumer (write, limit, global agg), AQE
+    handles the skew and salting buys nothing, so DON'T salt. But when
+    the join's output partitioning is REUSED by a same-key downstream
+    operator (groupBy on the join key, another join on it, a window),
+    AQE declines the split — splitting would break the distribution the
+    downstream stage requires without inserting a new exchange — and the
+    hot key's entire join fan-out lands back on one straggler task.
+    That aggregation-after-join shape is where a-priori salting pays:
+    the join work spreads across ``salt`` tasks, and the downstream
+    groupBy re-shuffles through map-side partial aggregation, which
+    compresses the hot key before it can re-concentrate. Use
+    ``key_skew_stats``/``suggest_salt`` to decide and size.
 
     Only left-preserving joins are valid: the right side is replicated
     ``salt`` times, so a right/full-outer (or right-anti) join would emit up

@@ -323,6 +323,107 @@ class TestSaltedJoin:
         assert out == {(1, "r"), (99, None)}
 
 
+class TestSkewVsAqe:
+    """Pins the salted_join-vs-AQE decision rule (VERDICT r3 item 8):
+    AQE's skew split handles a standalone skewed SMJ, but DECLINES when
+    the join's output partitioning is reused by a same-key aggregation —
+    the case salted_join exists for."""
+
+    SKEW_CONF = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+
+    def _skewed_sides(self, spark):
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 4 == 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        return left, right
+
+    def _with_conf(self, spark):
+        saved = {
+            k: spark.conf.get(k, None) for k in self.SKEW_CONF
+        }
+        for k, v in self.SKEW_CONF.items():
+            spark.conf.set(k, v)
+        return saved
+
+    def _restore(self, spark, saved):
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    def test_aqe_splits_standalone_skewed_join(self, spark):
+        saved = self._with_conf(spark)
+        try:
+            left, right = self._skewed_sides(spark)
+            # global count is partitioning-agnostic: AQE may split freely
+            j = left.join(right, "k").groupBy().count()
+            assert j.collect()[0][0] == 500_000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan  # AQE handled it: don't salt here
+        finally:
+            self._restore(spark, saved)
+
+    def test_aqe_declines_when_same_key_agg_reuses_partitioning(self, spark):
+        saved = self._with_conf(spark)
+        try:
+            left, right = self._skewed_sides(spark)
+            agg = (
+                left.join(right, "k")
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"))
+            )
+            rows = agg.collect()
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            # the split would break the distribution the agg reuses, so
+            # AQE leaves the hot key on one straggler — salting territory
+            assert "skew=true" not in plan
+            # 1000 % 4 == 0, so keys divisible by 4 all collapse into the
+            # hot key 7: 750 surviving groups
+            assert len(rows) == 750
+        finally:
+            self._restore(spark, saved)
+
+    def test_salted_join_spreads_the_declined_case(self, spark):
+        from s3_access_logs_spark.operators.joins import salted_join
+
+        saved = self._with_conf(spark)
+        try:
+            left, right = self._skewed_sides(spark)
+            plain = {
+                (r.k, r.s)
+                for r in left.join(right, "k")
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"))
+                .collect()
+            }
+            salted = salted_join(left, right, "k", salt=8).groupBy("k").agg(
+                F.sum("v").alias("s")
+            )
+            assert {(r.k, r.s) for r in salted.collect()} == plain
+            plan = salted._jdf.queryExecution().executedPlan().toString()
+            # the join key is (k, _salt): the hot key occupies 8 shuffle
+            # partitions of the join instead of one
+            assert "_salt" in plan
+        finally:
+            self._restore(spark, saved)
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
         from s3_access_logs_spark.sources.tables import load_table, write_bucketed
