@@ -210,7 +210,13 @@ def main(env: dict[str, str] | None = None) -> int:
         rc = preflight(spark, cfg)
         if rc != 0:
             return rc
-        n = export_hour(spark, cfg.src, cfg.dst, hour=cfg.hour)
+        n = export_hour(
+            spark,
+            cfg.src,
+            cfg.dst,
+            hour=cfg.hour,
+            reference_filenames=cfg.reference_filenames,
+        )
     except Exception:
         if timed_out.is_set():
             log.exception("export killed by %ds timeout", cfg.timeout)

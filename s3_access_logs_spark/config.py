@@ -64,6 +64,9 @@ class JobConfig:
     input_region: str | None
     output_region: str | None
     timeout: int = 300
+    # opt-in byte-parity with the reference's per-partition file naming
+    # (cmd/export.py:147); see operators/etl.py apply_reference_filenames
+    reference_filenames: bool = False
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "JobConfig":
@@ -86,6 +89,8 @@ class JobConfig:
             input_region=e.get("INPUT_S3_ENDPOINT_REGION"),
             output_region=e.get("OUTPUT_S3_ENDPOINT_REGION"),
             timeout=_int_env(e.get("TIMEOUT"), 300, "TIMEOUT"),
+            reference_filenames=(e.get("REFERENCE_FILENAMES") or "").lower()
+            in ("1", "true", "yes"),
         )
 
     def s3a_conf(self) -> dict[str, str]:

@@ -39,6 +39,7 @@ def write_logs(
     repartition: bool = True,
     files_per_partition: int = 1,
     max_records_per_file: int = 5_000_000,
+    reference_filenames: bool = False,
 ) -> None:
     """Write the parsed table hive-partitioned, clustered, idempotent.
 
@@ -55,6 +56,10 @@ def write_logs(
     * ``max_records_per_file`` — hard upper bound per output file so a big
       partition can never produce a multi-GB parquet file that downstream
       readers can't split row-group-parallel.
+    * ``reference_filenames`` — after the commit, rename each partition's
+      data file(s) to the reference's deterministic
+      ``<bucket>-<op>-<y>-<m>-<d>-<h>.parquet`` scheme
+      (cmd/export.py:147) via :func:`apply_reference_filenames`.
     """
     part_cols = [c for c in PARTITION_COLS if c in df.columns]
     sort_cols = [c for c in ROW_GROUP_COLS if c in df.columns]
@@ -80,6 +85,127 @@ def write_logs(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(dst)
+    if reference_filenames and part_cols:
+        apply_reference_filenames(df.sparkSession, dst)
+
+
+def apply_reference_filenames(spark: SparkSession, root: str) -> int:
+    """Rename every committed data file under a hive-layout table to the
+    reference's deterministic per-partition name: the partition VALUES
+    joined with ``-`` plus ``.parquet`` (cmd/export.py:147
+    ``partition_filename_cb=lambda x: "-".join(...) + ".parquet"``), e.g.
+    ``mybucket/REST.GET.OBJECT/2019/02/06/0/
+    mybucket-REST.GET.OBJECT-2019-02-06-0.parquet`` — closing SURVEY §7
+    hard-part 3 (byte-level layout parity) without a custom commit
+    protocol.
+
+    Shape and scale:
+
+    * Runs AFTER the parquet commit, so the job's fault tolerance is
+      unchanged — a crash mid-rename leaves every file either Spark-named
+      or reference-named, all committed data, and a rerun of the hour
+      (dynamic partition overwrite) or of this helper converges the names.
+    * One ``listFiles`` walk + one ``rename`` per data file, driver-side
+      through the Hadoop FileSystem API (file/hdfs/s3a alike). Renames are
+      metadata-only on HDFS/local; on S3 a rename is a server-side copy —
+      the same per-partition object count the reference itself uploads.
+      The walk is O(partition dirs) per hour job (buckets x operations),
+      the reference's own driver-side ``groupby`` grain, so this is not a
+      data-volume-bound step.
+    * When a partition holds several files (``files_per_partition`` > 1 or
+      a ``maxRecordsPerFile`` split — cases the reference cannot produce,
+      since it buffers the whole partition in RAM), the first file keeps
+      the bare reference name and the rest get a stable ``-NNNN`` suffix
+      in committed-name order, so reruns are still deterministic.
+    * Hive-escaped path values are unescaped for the filename, except the
+      two characters a Hadoop path segment cannot carry — ``/`` (the
+      separator) and ``:`` (parsed as a URI scheme by ``Path`` and by the
+      local ChecksumFileSystem's own ``.crc`` sibling) stay
+      percent-encoded. Real S3 access-log partition values (bucket names
+      ``[a-z0-9.-]``, operations ``[A-Z._]``, date parts) contain
+      neither, so on the reference's actual domain the names are
+      byte-identical to its ``str(value)``. NULL partition values keep
+      Spark's ``__HIVE_DEFAULT_PARTITION__`` sentinel in the name —
+      pandas ``groupby`` silently DROPS null-key rows, so the reference
+      never writes such a partition at all; keeping the row under a
+      deterministic name is the lossless choice.
+
+    Returns the number of files renamed (already-conforming files are
+    left alone, so rerunning is a no-op).
+    """
+    from urllib.parse import unquote
+
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+    fs, jpath = hadoop_fs(spark, root)
+    if not fs.exists(jpath):
+        return 0
+    root_uri = fs.makeQualified(jpath).toString().rstrip("/")
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+
+    per_dir: dict[str, list] = {}
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        parent = p.getParent().toString()
+        rel = parent[len(root_uri):].strip("/")
+        if not rel or any(
+            seg.startswith(("_", ".")) or "=" not in seg
+            for seg in rel.split("/")
+        ):
+            continue  # root-level files / staging dirs / non-hive layout
+        per_dir.setdefault(rel, []).append(p)
+
+    renamed = 0
+    for rel, files in sorted(per_dir.items()):
+        values = [
+            raw
+            if raw == _NULL_PART
+            else unquote(raw).replace("/", "%2F").replace(":", "%3A")
+            for raw in (seg.split("=", 1)[1] for seg in rel.split("/"))
+        ]
+        stem = "-".join(values)
+
+        def target(i: int) -> str:
+            return f"{stem}.parquet" if i == 0 else f"{stem}-{i:04d}.parquet"
+
+        # Never delete: names already in the reference scheme are "taken"
+        # and kept (rerun no-op; append-mode commits mix conforming and
+        # Spark-named files), every other file takes the next free slot in
+        # committed-name order — deterministic given the commit.
+        taken = {p.getName() for p in files}
+        pending = sorted(
+            (p for p in files if p.getName() not in
+             {target(i) for i in range(len(files))}),
+            key=lambda p: p.getName(),
+        )
+        i = 0
+        for src in pending:
+            while target(i) in taken:
+                i += 1
+            name = target(i)
+            taken.add(name)
+            # Path(parent, name) would parse a ':' in the value as a URI
+            # scheme (java.net.URISyntaxException); building the child
+            # from an explicit URI path component keeps such names legal
+            # wherever the underlying store allows them (local, s3a).
+            parent_uri = src.getParent().toUri()
+            dst_path = Path(
+                spark._jvm.java.net.URI(
+                    parent_uri.getScheme(),
+                    parent_uri.getAuthority(),
+                    parent_uri.getPath() + "/" + name,
+                    None,
+                    None,
+                )
+            )
+            if not fs.rename(src, dst_path):
+                raise IOError(f"rename failed: {src} -> {dst_path}")
+            renamed += 1
+    return renamed
 
 
 def read_parsed(spark: SparkSession, path: str) -> DataFrame:
@@ -94,6 +220,7 @@ def export_hour(
     dst: str,
     hour: str | None = None,
     compat_is_user: bool = True,
+    reference_filenames: bool = False,
 ) -> int:
     """The reference's whole job (cmd/export.py main, :204-397) as one
     Spark plan: scan -> parse -> partitioned write. Returns rows written."""
@@ -103,7 +230,7 @@ def export_hour(
     try:
         n = parsed.count()
         if n:
-            write_logs(parsed, dst)
+            write_logs(parsed, dst, reference_filenames=reference_filenames)
     finally:
         parsed.unpersist()
     return n

@@ -134,6 +134,122 @@ class TestWriteLogs:
         assert "PartitionFilters: [" in plan and "hour" in plan
 
 
+class TestReferenceFilenames:
+    """Deterministic per-partition file names, byte-parity with the
+    reference's ``partition_filename_cb`` (cmd/export.py:147): the
+    partition VALUES joined by '-' + '.parquet', one data file per
+    bucket x op x hour dir (SURVEY §7 hard-part 3, closed round 4)."""
+
+    @staticmethod
+    def _leaf_files(dst):
+        out = {}
+        for r, _, fs in os.walk(dst):
+            pq_files = [f for f in fs if f.endswith(".parquet")]
+            if pq_files:
+                out[os.path.relpath(r, dst)] = sorted(pq_files)
+        return out
+
+    def test_one_reference_named_file_per_partition(
+        self, spark, log_dir, tmp_path
+    ):
+        dst = str(tmp_path / "out")
+        parsed = parse_logs(read_logs(spark, log_dir))
+        write_logs(parsed, dst, reference_filenames=True)
+        leaves = self._leaf_files(dst)
+        assert leaves  # at least one partition written
+        for rel, files in leaves.items():
+            values = [seg.split("=", 1)[1] for seg in rel.split(os.sep)]
+            assert files == ["-".join(values) + ".parquet"]
+        # data unaffected by the rename pass
+        back = read_parsed(spark, dst)
+        assert back.count() == 4
+        assert back.filter(F.col("operation") == "REST.PUT.OBJECT").count() == 1
+
+    def test_rerun_and_second_pass_are_noops(self, spark, log_dir, tmp_path):
+        from s3_access_logs_spark.operators.etl import (
+            apply_reference_filenames,
+        )
+
+        dst = str(tmp_path / "out")
+        parsed = parse_logs(read_logs(spark, log_dir))
+        write_logs(parsed, dst, reference_filenames=True)
+        first = self._leaf_files(dst)
+        # rerun the whole hour: dynamic overwrite replaces the partitions,
+        # names converge to the same layout
+        write_logs(parsed, dst, reference_filenames=True)
+        assert self._leaf_files(dst) == first
+        # an extra rename pass finds nothing to do
+        assert apply_reference_filenames(spark, dst) == 0
+
+    def test_multi_file_partitions_get_stable_suffixes(self, spark, tmp_path):
+        dst = str(tmp_path / "out")
+        rows = [("b", "REST.GET.OBJECT", 2019, 2, 6, 0, i) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "bucket_name string, operation string, year int, "
+            "month int, day int, hour int, v int"
+        )
+        write_logs(df, dst, max_records_per_file=20, reference_filenames=True)
+        (files,) = self._leaf_files(dst).values()
+        stem = "b-REST.GET.OBJECT-2019-2-6-0"
+        assert len(files) > 1  # maxRecordsPerFile split the partition
+        assert set(files) == {f"{stem}.parquet"} | {
+            f"{stem}-{i:04d}.parquet" for i in range(1, len(files))
+        }
+        assert read_parsed(spark, dst).count() == 50
+
+    def test_hive_escaped_values_in_filename(self, spark, tmp_path):
+        dst = str(tmp_path / "out")
+        df = spark.createDataFrame(
+            [("buck:et", "REST GET", 2019, 2, 6, 0, 1)],
+            "bucket_name string, operation string, year int, month int, "
+            "day int, hour int, v int",
+        )
+        write_logs(df, dst, reference_filenames=True)
+        (files,) = self._leaf_files(dst).values()
+        # a space unescapes to the raw value (reference str(value) parity);
+        # ':' must STAY encoded — Hadoop Path parses it as a URI scheme and
+        # the local ChecksumFileSystem's .crc sibling rejects it outright,
+        # and real bucket/operation values never contain one
+        assert files == ["buck%3Aet-REST GET-2019-2-6-0.parquet"]
+
+    def test_env_flag_and_export_hour_plumb_through(
+        self, spark, log_dir, tmp_path
+    ):
+        from s3_access_logs_spark.config import JobConfig
+
+        cfg = JobConfig.from_env(
+            {"SRC": log_dir, "DST": str(tmp_path), "REFERENCE_FILENAMES": "1"}
+        )
+        assert cfg.reference_filenames is True
+        dst = str(tmp_path / "out")
+        export_hour(
+            spark, log_dir, dst, hour="2019-02-06-00",
+            reference_filenames=True,
+        )
+        for rel, files in self._leaf_files(dst).items():
+            values = [seg.split("=", 1)[1] for seg in rel.split(os.sep)]
+            assert files == ["-".join(values) + ".parquet"]
+
+    def test_append_mode_never_loses_files(self, spark, tmp_path):
+        dst = str(tmp_path / "out")
+        schema = (
+            "bucket_name string, operation string, year int, month int, "
+            "day int, hour int, v int"
+        )
+        df1 = spark.createDataFrame(
+            [("b", "REST.GET.OBJECT", 2019, 2, 6, 0, 1)], schema
+        )
+        df2 = spark.createDataFrame(
+            [("b", "REST.GET.OBJECT", 2019, 2, 6, 0, 2)], schema
+        )
+        write_logs(df1, dst, reference_filenames=True)
+        write_logs(df2, dst, mode="append", reference_filenames=True)
+        (files,) = self._leaf_files(dst).values()
+        stem = "b-REST.GET.OBJECT-2019-2-6-0"
+        assert files == [f"{stem}-0001.parquet", f"{stem}.parquet"]
+        assert read_parsed(spark, dst).count() == 2  # both rows survive
+
+
 class TestCliContract:
     """Env-var entry point parity (reference cmd/export.py main)."""
 
@@ -224,7 +340,7 @@ class TestCliContract:
 
         from s3_access_logs_spark import cli
 
-        def slow_export(spark_, src, dst, hour=None):
+        def slow_export(spark_, src, dst, hour=None, **kw):
             sleeper = F.udf(lambda x: time.sleep(60) or x, LongType())
             # sum (not count) so column pruning can't drop the sleeping UDF
             return (
