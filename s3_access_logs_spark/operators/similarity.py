@@ -165,6 +165,131 @@ def label_centroids(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    sample_fraction: float | None = None,
+    init: list | None = None,
+    decimals: int = 6,
+    dims: int | None = None,
+) -> DataFrame:
+    """Train ``k`` centroids with distributed Lloyd's iterations (spherical
+    k-means: assignment by cosine, matching how :func:`ivf_topk` /
+    :func:`build_ivf_index` / :func:`semantic_dedup` will later probe
+    them), so an IVF index no longer needs a pre-labeled corpus.
+
+    Shape per iteration — the textbook scalable k-means plan:
+
+    * **assign**: :func:`_assign_clusters` with ``n_best=1`` — centroids
+      ride in ONE broadcast row, the corpus is never shuffled;
+    * **update**: one hash aggregation of per-dimension means
+      (``groupBy(cluster)`` of ``dims`` avgs, map-side partial — the
+      shuffle carries k x dims x partitions scalars, not data);
+    * **converge**: the k new centroids are collected (k rows) and the
+      max component shift is compared against ``tol`` driver-side —
+      the same tiny control-plane collect the IVF plan build already
+      does (`plans/vector_queries.py:190`).
+
+    So the cost is ``iterations`` corpus scans and nothing quadratic. At
+    100 TB you do not Lloyd the full corpus: pass ``sample_fraction`` — a
+    deterministic hash-rate filter (``xxhash64(vec) % 1e6``, the
+    mixture-sampling mechanism, no shuffle) — train on the sample, then
+    assign the full corpus ONCE via :func:`build_ivf_index`.
+
+    Determinism: seeds are the ``k`` distinct vectors with the smallest
+    ``xxhash64`` (TakeOrderedAndProject, no full sort), per-iteration
+    means are rounded to ``decimals`` exactly like
+    :func:`label_centroids`, and every assignment tie breaks on the
+    smaller label — reruns are bit-identical. A cluster that captures no
+    rows keeps its previous centroid (documented Lloyd's convention;
+    re-seeding would trade determinism for marginal quality).
+
+    ``init`` (list of k vectors) overrides seeding — warm restarts, or
+    externally chosen seeds. Returns (label int, centroid array<double>),
+    directly pluggable as the ``centroids=`` argument downstream.
+    """
+    spark = corpus.sparkSession
+    if k < 1:
+        raise ValueError(f"kmeans_fit: k must be >= 1, got {k}")
+    train = corpus.select(F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"kmeans_fit: sample_fraction must be in (0, 1], got "
+                f"{sample_fraction}"
+            )
+        train = train.filter(
+            F.pmod(F.xxhash64("_v"), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    train = train.persist()
+    try:
+        if init is not None:
+            if len(init) != k:
+                raise ValueError(
+                    f"kmeans_fit: init has {len(init)} vectors, need k={k}"
+                )
+            cents = [[float(x) for x in v] for v in init]
+        else:
+            # k distinct seeds by hash order: distinct() first (duplicate
+            # vectors share one hash, so any constant candidate margin
+            # over the raw rows can collapse to < k distinct), then
+            # TakeOrderedAndProject — the distinct is one shuffle of the
+            # (sampled) train set, which sample_fraction bounds at scale
+            cand = (
+                train.distinct().orderBy(F.xxhash64("_v")).limit(k).collect()
+            )
+            if len(cand) < k:
+                raise ValueError(
+                    f"kmeans_fit: corpus holds only {len(cand)} distinct "
+                    f"vectors, need k={k}; lower k or raise sample_fraction"
+                )
+            cents = [[float(x) for x in r[0]] for r in cand]
+        if dims is None:
+            dims = len(cents[0])
+
+        schema = "label int, centroid array<double>"
+        for _ in range(max_iter):
+            cdf = spark.createDataFrame(list(enumerate(cents)), schema)
+            new_rows = (
+                _assign_clusters(train, cdf, "_v", 1)
+                .groupBy("cluster")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at("_v", i).cast("double")),
+                            decimals,
+                        ).alias(f"_m{i}")
+                        for i in range(1, dims + 1)
+                    ]
+                )
+                .collect()
+            )
+            got = {
+                r["cluster"]: [r[f"_m{i}"] for i in range(1, dims + 1)]
+                for r in new_rows
+            }
+            shift = 0.0
+            nxt = []
+            for label, old in enumerate(cents):
+                new = got.get(label, old)  # empty cluster: stays put
+                shift = max(
+                    shift, max(abs(a - b) for a, b in zip(old, new))
+                )
+                nxt.append(new)
+            cents = nxt
+            if shift <= tol:
+                break
+    finally:
+        train.unpersist()
+    return spark.createDataFrame(list(enumerate(cents)), schema)
+
+
 def _assign_clusters(
     df: DataFrame, cents: DataFrame, vec: str, n_best: int
 ) -> DataFrame:

@@ -299,6 +299,122 @@ class TestIvfIndex:
         assert "PartitionFilters: [" in plan and "cluster" in plan
 
 
+class TestKmeansFit:
+    """Distributed Lloyd's training (spherical k-means) — the trainer that
+    frees IVF from pre-labeled corpora."""
+
+    @staticmethod
+    def _blobs(spark):
+        # 3 well-separated directions in R^4, 30 points each, deterministic
+        # small offsets; cosine assignment must recover the generator
+        base = {0: [10, 0, 0, 1], 1: [0, 10, 0, 1], 2: [0, 0, 10, 1]}
+        rows = []
+        for label, b in base.items():
+            for i in range(30):
+                off = [((i * 7 + d * 3) % 5) / 10.0 for d in range(4)]
+                rows.append(
+                    (label * 30 + i, label, [b[d] + off[d] for d in range(4)])
+                )
+        return spark.createDataFrame(
+            rows, "vec_id int, true_label int, embedding array<double>"
+        )
+
+    def test_recovers_separated_blobs(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+            kmeans_fit,
+        )
+
+        df = self._blobs(spark)
+        cents = kmeans_fit(df, k=3, max_iter=10)
+        assert cents.count() == 3
+        assigned = _assign_clusters(df, cents, "embedding", 1)
+        # every trained cluster maps 1:1 onto one generator blob
+        purity = (
+            assigned.groupBy("true_label")
+            .agg(F.countDistinct("cluster").alias("nc"))
+            .collect()
+        )
+        assert all(r.nc == 1 for r in purity)
+        assert assigned.select("cluster").distinct().count() == 3
+
+    def test_deterministic_across_runs(self, spark):
+        from s3_access_logs_spark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        a = sorted(map(tuple, kmeans_fit(df, k=3).collect()))
+        b = sorted(map(tuple, kmeans_fit(df, k=3).collect()))
+        assert a == b
+
+    def test_empty_cluster_keeps_seed_position(self, spark):
+        from s3_access_logs_spark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        # an init centroid pointing AWAY from every blob captures nothing
+        dead = [-10.0, -10.0, -10.0, -10.0]
+        cents = kmeans_fit(
+            df,
+            k=4,
+            init=[[10, 0, 0, 1], [0, 10, 0, 1], [0, 0, 10, 1], dead],
+        )
+        rows = {r.label: list(r.centroid) for r in cents.collect()}
+        assert len(rows) == 4
+        assert rows[3] == dead  # unmoved, not dropped, not NaN
+
+    def test_sample_fraction_is_deterministic(self, spark):
+        from s3_access_logs_spark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        a = sorted(
+            map(tuple, kmeans_fit(df, k=3, sample_fraction=0.5).collect())
+        )
+        b = sorted(
+            map(tuple, kmeans_fit(df, k=3, sample_fraction=0.5).collect())
+        )
+        assert a == b and len(a) == 3
+
+    def test_trained_centroids_plug_into_ivf(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            ivf_topk,
+            kmeans_fit,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = kmeans_fit(emb, k=5, max_iter=5, vec_col="embedding")
+        queries = emb.filter(F.col("vec_id") < 2)
+        out = ivf_topk(emb, queries, k=3, nprobe=5, centroids=cents)
+        # nprobe == nlist probes every posting list -> exact: must equal
+        # the brute-force oracle
+        from s3_access_logs_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        exact = brute_force_topk(emb, queries, k=3)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+    def test_validation_failures_are_loud(self, spark):
+        import pytest
+
+        from s3_access_logs_spark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            kmeans_fit(df, k=0)
+        with pytest.raises(ValueError, match="init has"):
+            kmeans_fit(df, k=3, init=[[1.0, 0, 0, 0]])
+        with pytest.raises(ValueError, match="sample_fraction"):
+            kmeans_fit(df, k=2, sample_fraction=1.5)
+        two = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id int, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            kmeans_fit(two, k=3)
+
+
 class TestSaltedJoin:
     def test_matches_plain_join_under_skew(self, spark):
         from s3_access_logs_spark.operators.joins import salted_join
