@@ -96,6 +96,55 @@ def dedup_incremental(
     )
 
 
+def dedup_incremental_bloom(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+    digest_bloom: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """:func:`dedup_incremental` with a Bloom pre-filter over the digest
+    store (``digest_bloom`` built by :func:`functions.bloom.bloom_build`
+    on the store's digest column, persisted and grown with
+    :func:`functions.bloom.bloom_merge` per committed batch).
+
+    Why: the plain anti-join's big side is the WHOLE append-only store —
+    every batch re-scans it even though almost every batch row is new. A
+    Bloom filter has NO false negatives, so rows it rejects are
+    definitely-new and skip the store entirely; only the maybe-seen slice
+    (true dups + the fp rate) pays the anti-join. At a 10^9-digest store
+    and 1% fp, a clean batch's store scan shrinks to ~1% of rows probing
+    it — the join cost tracks the DUPLICATE volume, not the store size.
+
+    Exactness preserved: maybe-rows still anti-join the real store, so the
+    output equals :func:`dedup_incremental` bit-for-bit (pinned by
+    ``TestBloomFilter::test_incremental_bloom_equals_plain``). Returns the
+    same (digest, keep_id) contract — append survivors to the store AND
+    fold their bloom (``bloom_build`` of the survivors, ``bloom_merge``)
+    after the batch commits."""
+    from s3_access_logs_spark.functions.bloom import bloom_probe
+
+    batch = (
+        new_docs.select(
+            normalized_digest(F.col(text_col)).alias(digest_col),
+            F.col(id_col),
+        )
+        .groupBy(digest_col)
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    flagged = bloom_probe(batch, digest_col, digest_bloom, "_maybe")
+    sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
+    survivors = maybes.join(
+        seen_digests.select(digest_col), digest_col, "left_anti"
+    )
+    # the two branches re-evaluate the batch agg + probe (both cheap and
+    # narrow past the one batch-sized shuffle); at scale persist `batch`
+    # upstream if the batch itself is expensive to produce
+    return sure_new.unionByName(survivors)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

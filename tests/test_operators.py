@@ -1429,6 +1429,125 @@ class TestKmvSketch:
         assert out == {"click": 30.0, "view": 7.0}
 
 
+class TestBloomFilter:
+    """DataFrame-native Bloom filter (functions/bloom.py): persistent,
+    mergeable, UDF-free — the store pre-filter for incremental dedup."""
+
+    def test_no_false_negatives_and_low_fp(self, spark):
+        from s3_access_logs_spark.functions.bloom import (
+            bloom_build,
+            bloom_fp_rate,
+            bloom_probe,
+        )
+
+        inserted = spark.range(0, 2000).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k")
+        )
+        bloom = bloom_build(inserted, "k", num_bits=1 << 16, num_hashes=5)
+        # every inserted key must flag maybe (no false negatives)
+        hits = bloom_probe(inserted, "k", bloom, "m")
+        assert hits.filter(~F.col("m")).count() == 0
+        # disjoint keys: measured fp stays near the analytic rate
+        fresh = spark.range(10_000, 14_000).select(
+            F.concat(F.lit("key-"), F.col("id")).alias("k")
+        )
+        fp = bloom_probe(fresh, "k", bloom, "m").filter(F.col("m")).count()
+        expect = bloom_fp_rate(2000, 1 << 16, 5)
+        assert fp / 4000 < max(4 * expect, 0.02)
+
+    def test_probe_is_udf_free_and_null_safe(self, spark):
+        from s3_access_logs_spark.functions.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        df = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+        bloom = bloom_build(df, "k", num_bits=1 << 10, num_hashes=3)
+        probed = bloom_probe(df, "k", bloom, "m")
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        rows = {r.k: r.m for r in probed.collect()}
+        assert rows["a"] is True and rows["b"] is True
+        assert rows[None] is None  # NULL probes stay NULL, not False
+
+    def test_merge_unions_sets_and_rejects_mismatched_params(self, spark):
+        import pytest
+
+        from s3_access_logs_spark.functions.bloom import (
+            bloom_build,
+            bloom_merge,
+            bloom_probe,
+        )
+
+        a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+        b = spark.createDataFrame([("b1",), ("b2",)], "k string")
+        fa = bloom_build(a, "k", num_bits=1 << 12, num_hashes=4)
+        fb = bloom_build(b, "k", num_bits=1 << 12, num_hashes=4)
+        merged = bloom_merge(fa, fb)
+        both = a.unionByName(b)
+        assert (
+            bloom_probe(both, "k", merged, "m").filter(~F.col("m")).count()
+            == 0
+        )
+        wrong = bloom_build(b, "k", num_bits=1 << 13, num_hashes=4)
+        with pytest.raises(ValueError, match="disagree"):
+            bloom_merge(fa, wrong)
+
+    def test_probe_requires_meta_rows(self, spark):
+        import pytest
+
+        from s3_access_logs_spark.functions.bloom import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        df = spark.createDataFrame([("a",)], "k string")
+        bloom = bloom_build(df, "k", num_bits=1 << 10)
+        stripped = bloom.filter(F.col("word") >= 0)
+        with pytest.raises(ValueError, match="meta rows"):
+            bloom_probe(df, "k", stripped, "m")
+
+    def test_incremental_bloom_equals_plain(self, spark):
+        from s3_access_logs_spark.functions.bloom import bloom_build
+        from s3_access_logs_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_bloom,
+            normalized_digest,
+        )
+
+        store_docs = spark.createDataFrame(
+            [(i, f"seen doc {i % 50}") for i in range(100)],
+            "doc_id bigint, text string",
+        )
+        store = store_docs.select(
+            normalized_digest(F.col("text")).alias("digest")
+        ).distinct()
+        bloom = bloom_build(store, "digest", num_bits=1 << 14)
+        batch = spark.createDataFrame(
+            # 10 dup texts (in store), 40 new, plus an intra-batch dup
+            [(1000 + i, f"seen doc {i}") for i in range(10)]
+            + [(2000 + i, f"new doc {i}") for i in range(40)]
+            + [(3000, "new doc 0")],
+            "doc_id bigint, text string",
+        )
+        plain = dedup_incremental(batch, store)
+        fast = dedup_incremental_bloom(batch, store, bloom)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+        assert fast.count() == 40  # dups dropped, intra-batch folded
+
+    def test_sizing_helper_round_trips(self, spark):
+        from s3_access_logs_spark.functions.bloom import (
+            bloom_fp_rate,
+            bloom_size_for,
+        )
+
+        m, k = bloom_size_for(1_000_000, 0.01)
+        assert m % 64 == 0
+        assert bloom_fp_rate(1_000_000, m, k) < 0.011
+
+
 class TestNearDupIncremental:
     def test_cross_batch_near_dup_detected(self, spark):
         from s3_access_logs_spark.operators.dedup import (
