@@ -126,10 +126,25 @@ def bloom_build(
 
 
 def _read_meta(bloom_rows: list) -> tuple[int, int, dict[int, int]]:
+    """Fold raw filter rows — possibly the CONCATENATION of several
+    filters (a multi-partition bloom store read as one table): duplicate
+    words OR together (the representation is union-idempotent), duplicate
+    meta rows must agree or the mix of differently-parameterized filters
+    fails loudly (silently OR-ing mismatched bitmaps would produce false
+    negatives)."""
     words: dict[int, int] = {}
     meta: dict[int, int] = {}
     for r in bloom_rows:
-        (meta if r["word"] < 0 else words)[r["word"]] = r["bits"]
+        w, b = r["word"], r["bits"]
+        if w < 0:
+            if w in meta and meta[w] != b:
+                raise ValueError(
+                    "bloom filter rows disagree on num_bits/num_hashes — "
+                    "mixed filters built with different parameters"
+                )
+            meta[w] = b
+        else:
+            words[w] = words.get(w, 0) | b
     if _META_BITS not in meta or _META_HASHES not in meta:
         raise ValueError(
             "bloom filter table is missing its meta rows (word=-1/-2) — "

@@ -113,9 +113,13 @@ def dedup_incremental_bloom(
     every batch re-scans it even though almost every batch row is new. A
     Bloom filter has NO false negatives, so rows it rejects are
     definitely-new and skip the store entirely; only the maybe-seen slice
-    (true dups + the fp rate) pays the anti-join. At a 10^9-digest store
-    and 1% fp, a clean batch's store scan shrinks to ~1% of rows probing
-    it — the join cost tracks the DUPLICATE volume, not the store size.
+    (true dups + the fp rate) checks the real store — and with the maybe
+    set broadcast, the store is SCANNED but never SHUFFLED (the plain
+    left-anti must build its hash table from the store side, so it
+    exchanges the whole store every batch). Join work tracks the
+    DUPLICATE volume, not the store size; the residual full-store scan
+    disappears too once the store is hive-partitioned by a digest prefix
+    (the broadcast probe set then prunes partitions).
 
     Exactness preserved: maybe-rows still anti-join the real store, so the
     output equals :func:`dedup_incremental` bit-for-bit (pinned by
@@ -136,9 +140,16 @@ def dedup_incremental_bloom(
     flagged = bloom_probe(batch, digest_col, digest_bloom, "_maybe")
     sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
     maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
-    survivors = maybes.join(
-        seen_digests.select(digest_col), digest_col, "left_anti"
+    # Join-direction matters: `maybes LEFT ANTI store` must build a hash
+    # table from the RIGHT side — the store — so it can never broadcast
+    # and the whole store would SHUFFLE every batch. Flipped into (a)
+    # store INNER JOIN broadcast(maybes): the store is scanned, probed
+    # against the tiny maybe set, never exchanged; then (b) a broadcast
+    # anti-join of maybes against the found digests (small vs small).
+    present = seen_digests.select(digest_col).join(
+        F.broadcast(maybes.select(digest_col)), digest_col
     )
+    survivors = maybes.join(F.broadcast(present), digest_col, "left_anti")
     # the two branches re-evaluate the batch agg + probe (both cheap and
     # narrow past the one batch-sized shuffle); at scale persist `batch`
     # upstream if the batch itself is expensive to produce

@@ -1,4 +1,5 @@
 from s3_access_logs_spark.streaming.pipeline import (  # noqa: F401
+    backfill_bloom_store,
     compact_ingest_store,
     correlate_reads_after_writes,
     dedup_request_stream,

@@ -238,6 +238,9 @@ def ingest_documents_stream(
     min_quality: float | None = None,
     scrub_pii: bool = False,
     band_store: str | None = None,
+    bloom_store: str | None = None,
+    bloom_num_bits: int | None = None,
+    bloom_num_hashes: int | None = None,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -262,13 +265,28 @@ def ingest_documents_stream(
     (within-batch near-dup is the batch pipeline's
     ``minhash_candidates`` job, pointless to re-run per micro-batch).
 
-    Idempotency: survivors (and bands) are written under a
-    ``batch_id=<n>`` hive partition with dynamic partition overwrite, so
-    an at-least-once replay of a micro-batch rewrites exactly its own
-    partitions instead of double-appending. State lives entirely in the
-    stores (no streaming state store), so the watermark-vs-state-size
-    tradeoff never arises and the stores double as the batch pipeline's
-    inputs.
+    ``bloom_store`` keeps a per-batch Bloom filter of the digest store
+    (functions.bloom): each micro-batch probes the concatenation of all
+    PRIOR batches' filters — a broadcast-sized bitmap — so
+    definitely-new documents never touch the digest store, and the
+    maybe-seen slice checks it with broadcast joins (the store is
+    scanned, never shuffled). Crash ordering makes this exact: the
+    batch's filter partition is written BEFORE its documents, so a crash
+    between the writes can only leave the filter OVER-approximating the
+    store (false positives = wasted probes, never false negatives =
+    duplicates). Enabling it on a store that already has history without
+    a filter fails loudly — run :func:`backfill_bloom_store` once first.
+    ``bloom_num_bits``/``bloom_num_hashes`` size NEW filter stores
+    (defaults: functions.bloom); an existing store's parameters always
+    win, so every partition stays mergeable.
+
+    Idempotency: survivors (and bands, and the bloom partition) are
+    written under a ``batch_id=<n>`` hive partition with dynamic
+    partition overwrite, so an at-least-once replay of a micro-batch
+    rewrites exactly its own partitions instead of double-appending.
+    State lives entirely in the stores (no streaming state store), so
+    the watermark-vs-state-size tradeoff never arises and the stores
+    double as the batch pipeline's inputs.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -334,9 +352,39 @@ def ingest_documents_stream(
             F.col("doc_id").alias("keep_id"),
             "text",
         ).dropDuplicates(["digest", "keep_id"])
-        survivors = dedup_incremental(cleaned, seen).join(
-            texts, ["digest", "keep_id"]
-        )
+        prior_bloom = None
+        bloom_params = (bloom_num_bits, bloom_num_hashes)
+        if bloom_store is not None:
+            from s3_access_logs_spark.functions.bloom import _read_meta
+            from s3_access_logs_spark.operators.dedup import (
+                dedup_incremental_bloom,
+            )
+            from s3_access_logs_spark.sources.fsutil import has_data_files
+
+            if has_data_files(sess, bloom_store):
+                candidate = read_prior(
+                    bloom_store, "word bigint, bits bigint"
+                ).select("word", "bits")
+                # a replayed FIRST batch sees only its own (excluded)
+                # filter partition -> no prior filter, plain path
+                meta_rows = candidate.filter(F.col("word") < 0).collect()
+                if meta_rows:
+                    prior_bloom = candidate
+                    nb, nh, _ = _read_meta(meta_rows)
+                    bloom_params = (nb, nh)  # existing store's params win
+            elif has_data_files(sess, store):
+                raise ValueError(
+                    "ingest_documents_stream: bloom_store is enabled but "
+                    f"{store!r} already holds history with no filter — a "
+                    "probe would miss those digests (false negatives = "
+                    "duplicate documents). Run backfill_bloom_store once, "
+                    "then restart the stream."
+                )
+        if prior_bloom is not None:
+            deduped = dedup_incremental_bloom(cleaned, seen, prior_bloom)
+        else:
+            deduped = dedup_incremental(cleaned, seen)
+        survivors = deduped.join(texts, ["digest", "keep_id"])
         sess.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
@@ -366,12 +414,35 @@ def ingest_documents_stream(
                 kept_ids.select(F.col("doc_id").alias("id")), "id"
             ).withColumn("batch_id", F.lit(batch_id))
         try:
-            # Doc store first: its rows are the commit the band contract
-            # keys on ("append bands AFTER the batch commits") — a crash
-            # between the writes leaves documents without bands (missed
-            # future near-dups, recoverable) rather than bands without
-            # documents.
-            survivors = survivors.withColumn("batch_id", F.lit(batch_id))
+            # Write order is the exactness argument: bloom partition
+            # FIRST (a crash after it leaves the filter covering digests
+            # the store never committed — over-approximation, safe),
+            # then the doc store — its rows are the commit the band
+            # contract keys on ("append bands AFTER the batch commits").
+            # A crash between doc and band writes leaves documents
+            # without bands (missed future near-dups, recoverable)
+            # rather than bands without documents.
+            survivors = survivors.withColumn(
+                "batch_id", F.lit(batch_id)
+            ).persist()
+            if bloom_store is not None:
+                from s3_access_logs_spark.functions.bloom import (
+                    DEFAULT_NUM_BITS,
+                    DEFAULT_NUM_HASHES,
+                    bloom_build,
+                )
+
+                nb = bloom_params[0] or DEFAULT_NUM_BITS
+                nh = bloom_params[1] or DEFAULT_NUM_HASHES
+                (
+                    bloom_build(
+                        survivors.select("digest"), "digest", nb, nh
+                    )
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(bloom_store)
+                )
             (
                 survivors.write.mode("overwrite")
                 .partitionBy("batch_id")
@@ -384,6 +455,7 @@ def ingest_documents_stream(
                     .parquet(band_store)
                 )
         finally:
+            survivors.unpersist()
             if band_store is not None:
                 cleaned.unpersist()
                 kept_ids.unpersist()
@@ -396,6 +468,51 @@ def ingest_documents_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def backfill_bloom_store(
+    spark: SparkSession,
+    store: str,
+    bloom_store: str,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    base_batch_id: int = -1,
+) -> None:
+    """One-time filter backfill for a digest store that predates
+    ``bloom_store``: build ONE Bloom filter over every digest already
+    committed and write it under ``batch_id=<base_batch_id>`` (negative,
+    so it can never collide with a live micro-batch's replay exclusion —
+    the same convention as ``compact_ingest_store``). After this,
+    ``ingest_documents_stream(..., bloom_store=...)`` accepts the store
+    and keeps the filter current per batch. Sizing: pass num_bits from
+    :func:`functions.bloom.bloom_size_for` on the store's current row
+    count plus expected growth; the per-batch partitions must reuse the
+    same parameters (they will — ingest reads them from the meta rows)."""
+    from s3_access_logs_spark.functions.bloom import (
+        DEFAULT_NUM_BITS,
+        DEFAULT_NUM_HASHES,
+        bloom_build,
+    )
+
+    if base_batch_id >= 0:
+        raise ValueError(
+            f"backfill_bloom_store: base_batch_id must be negative "
+            f"(streaming epochs count up from 0), got {base_batch_id}"
+        )
+    digests = spark.read.parquet(store).select("digest")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        bloom_build(
+            digests,
+            "digest",
+            num_bits or DEFAULT_NUM_BITS,
+            num_hashes or DEFAULT_NUM_HASHES,
+        )
+        .withColumn("batch_id", F.lit(base_batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(bloom_store)
+    )
 
 
 def compact_ingest_store(

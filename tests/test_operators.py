@@ -1536,6 +1536,11 @@ class TestBloomFilter:
             map(tuple, fast.collect())
         )
         assert fast.count() == 40  # dups dropped, intra-batch folded
+        # the store side must never shuffle: both store joins are
+        # broadcast (scan-and-probe), no sort-merge join anywhere
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
 
     def test_sizing_helper_round_trips(self, spark):
         from s3_access_logs_spark.functions.bloom import (

@@ -360,6 +360,122 @@ class TestIngestStream:
         assert {r.keep_id for r in rows} == {1}
 
 
+class TestIngestBloom:
+    """Bloom-gated streaming ingest: cross-batch dedup through the
+    persistent filter store, write-order exactness, mid-stream
+    enablement guard, backfill path."""
+
+    @staticmethod
+    def _drop(src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def test_bloom_gated_ingest_dedups_across_batches(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "ALPHA  beta"},  # within-batch dup
+            {"doc_id": 3, "text": "gamma delta"},
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt,
+            bloom_store=bloom, bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        assert {r.keep_id for r in spark.read.parquet(store).collect()} == {1, 3}
+        # the filter store got batch 0's partition, meta rows included
+        b0 = spark.read.parquet(bloom)
+        assert b0.filter(F.col("word") < 0).count() == 2
+
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 10, "text": "alpha beta"},     # dup of batch 0
+            {"doc_id": 11, "text": "epsilon zeta"},   # new
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt,
+            bloom_store=bloom, bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r.keep_id for r in rows} == {1, 3, 11}
+        digests = [r.digest for r in rows]
+        assert len(digests) == len(set(digests))
+        # every committed batch carries its filter partition
+        assert (
+            spark.read.parquet(bloom)
+            .select("batch_id").distinct().count() == 2
+        )
+
+    def test_enabling_on_unfiltered_history_fails_loud_then_backfill(
+        self, spark, tmp_path
+    ):
+        import pytest
+
+        from s3_access_logs_spark.streaming import (
+            backfill_bloom_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 0: filter-less history
+        self._drop(src, "b1.jsonl", [{"doc_id": 1, "text": "alpha beta"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+
+        # turning the bloom on over that history must not silently ingest
+        # duplicates: batch 1 fails loudly instead
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 2, "text": "alpha beta"},     # dup of batch 0
+            {"doc_id": 20, "text": "eta theta"},     # genuinely new
+        ])
+        q = ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom
+        )
+        with pytest.raises(Exception, match="backfill_bloom_store"):
+            q.awaitTermination(120)
+
+        # backfill once, restart the SAME checkpoint: batch 1 replays
+        # through the backfilled filter — the dup is flagged maybe by the
+        # batch_id=-1 base partition and dropped against the store
+        backfill_bloom_store(spark, store, bloom, num_bits=1 << 12)
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r.keep_id for r in rows} == {1, 20}
+        assert len({r.digest for r in rows}) == 2
+
+        # batch 2: a dup of batch 1's doc is caught through batch 1's OWN
+        # filter partition (written with the backfill's parameters)
+        self._drop(src, "b3.jsonl", [{"doc_id": 30, "text": "eta  THETA"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom
+        ).awaitTermination(120)
+        assert {
+            r.keep_id for r in spark.read.parquet(store).collect()
+        } == {1, 20}
+        from s3_access_logs_spark.functions.bloom import _read_meta
+
+        nb, nh, _ = _read_meta(
+            spark.read.parquet(bloom).filter(F.col("word") < 0).collect()
+        )
+        assert nb == 1 << 12  # every partition shares the backfill sizing
+
+
 class TestIngestNearDup:
     def test_near_dup_gate_drops_edited_recrawl(self, spark, tmp_path):
         import json
