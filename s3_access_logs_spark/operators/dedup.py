@@ -844,6 +844,183 @@ def dedup_clusters(
     )
 
 
+DEFAULT_MAX_GRAM_FREQ = 1000
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 43,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkes & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): per document, hash every character
+    ``k``-gram, then in every sliding window of ``window`` consecutive
+    hashes select the rightmost minimum. Guarantee: any verbatim substring
+    of length >= t = window + k - 1 shared by two documents yields at
+    least one selected fingerprint at the SAME k-gram in both, with
+    expected density 2/(window+1) — the sound sparse sampling that "0 mod
+    p" hashing lacks.
+
+    Returns (id, pos, gram): ``pos`` is the 0-based character offset and
+    ``gram`` the raw selected k-gram. Downstream joins key on the gram
+    ITSELF (k=8 chars costs what an 8-byte hash would), so hash values
+    only steer the selection and collisions cannot fabricate matches.
+
+    Shape: a pure per-row projection — sequence/transform/aggregate HOFs
+    build the hash array and run the sliding minima in one pass, then the
+    distinct selections explode. O(len * window) element_at probes per
+    document, no slice copies, NO shuffle at any corpus size. Documents
+    shorter than t emit their single global minimum (standard edge rule)
+    and empty/NULL texts emit nothing."""
+    t = F.col(text_col)
+    n_grams = F.length(t) - F.lit(k - 1)  # number of k-grams
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    )
+    maxlong = F.lit(9223372036854775807)
+    m = F.col("_m")  # n_grams, materialized — `text` is renamed away
+    # window j covers hash indexes [j+1, min(j+window, m)] (1-based);
+    # aggregate keeps (value, idx) of the rightmost minimum
+    selected = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
+        lambda j: F.aggregate(
+            F.sequence(
+                j + F.lit(1), F.least(j + F.lit(window), m)
+            ),
+            F.struct(
+                maxlong.alias("v"), F.lit(0).cast("bigint").alias("i")
+            ),
+            lambda acc, idx: F.when(
+                F.element_at(F.col("_h"), idx.cast("int")) <= acc["v"],
+                F.struct(
+                    F.element_at(F.col("_h"), idx.cast("int")).alias("v"),
+                    idx.cast("bigint").alias("i"),
+                ),
+            ).otherwise(acc),
+        ),
+    )
+    return (
+        df.filter(F.length(t) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            t.alias("_t"),
+            n_grams.alias("_m"),
+            hashes.alias("_h"),
+        )
+        .select(
+            "id",
+            "_t",
+            F.explode(F.array_distinct(selected)).alias("_s"),
+        )
+        .select(
+            "id",
+            (F.col("_s.i") - 1).alias("pos"),
+            F.col("_t").substr(
+                F.col("_s.i").cast("int"), F.lit(k)
+            ).alias("gram"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 43,
+    min_span_len: int | None = None,
+    max_gram_freq: int | None = DEFAULT_MAX_GRAM_FREQ,
+) -> DataFrame:
+    """Cross-document verbatim-substring detection: every pair of
+    documents sharing a copied span of >= t = window + k - 1 characters
+    (default 50), with the span's position in both — the exact-substring
+    family of training-data dedup (cf. Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, which uses a
+    monolithic suffix array; winnowing fingerprints give the same
+    detection guarantee as banded equi-joins Spark can actually shard).
+
+    Pipeline: :func:`winnow_fingerprints` (zero-shuffle projection) ->
+    inverted index on the raw gram -> ordered pairs explode from each
+    posting list (the `jaccard_pairs` codegen generator shape) -> matches
+    on the same alignment DIAGONAL (pos_a - pos_b constant across one
+    contiguous copy) merge gaps-and-islands style: within (id_a, id_b,
+    diagonal), consecutive selected grams <= ``window`` apart belong to
+    one span (winnowing guarantees that density inside a verbatim copy).
+
+    ``max_gram_freq`` drops grams whose posting list exceeds N documents
+    (boilerplate guard — a license header shared by a million files would
+    otherwise explode quadratically); dropped grams can only shorten or
+    split reported spans, never fabricate them. Spans are fingerprint
+    evidence: a bridged gap can hide an edit of < window chars —
+    MOSS-standard behavior; pair it with ``jaccard_pairs`` when
+    edit-level certainty matters.
+
+    Returns (id_a, id_b, start_a, start_b, span_len, n_grams) with
+    ``span_len >= min_span_len`` (default t)."""
+    if min_span_len is None:
+        min_span_len = window + k - 1
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    grouped = (
+        fps.groupBy("gram")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "pos"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    if max_gram_freq is not None:
+        grouped = grouped.filter(F.size("ms") <= max_gram_freq)
+    matches = (
+        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select(
+            "a",
+            F.explode(
+                F.slice("ms", F.col("i") + F.lit(2), F.size("ms"))
+            ).alias("b"),
+        )
+        # same doc twice in one posting list = intra-doc repetition;
+        # that is drop_repeated_paragraphs' job, not pair dedup's
+        .filter(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.pos").alias("pos_b"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w_ord = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (
+        matches.select("id_a", "id_b", "pos_a", "pos_b", diag)
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("pos_a") - F.lag("pos_a").over(w_ord) <= window,
+                F.lit(0),
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_new").over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("id_a", "id_b", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("span_len") >= min_span_len)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len", "n_grams")
+    )
+    return spans
+
+
 def drop_repeated_paragraphs(
     df: DataFrame,
     text_col: str = "text",

@@ -1429,6 +1429,103 @@ class TestKmvSketch:
         assert out == {"click": 30.0, "view": 7.0}
 
 
+class TestWinnowing:
+    """Winnowing fingerprints + verbatim-span detection (SIGMOD'03 MOSS
+    guarantee: any shared substring of length >= window + k - 1 is
+    caught)."""
+
+    K, W = 8, 17  # guarantee t = 24 chars for fast tests
+
+    @staticmethod
+    def _mk(spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _spans(self, df, **kw):
+        from s3_access_logs_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(df, k=self.K, window=self.W, **kw)
+
+    def test_copied_paragraph_detected_with_positions(self, spark):
+        shared = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun"
+        )  # 112 chars, well past t=24
+        a = "AAAA unique lead-in text. " + shared + " AAAA trailing."
+        b = "totally different document opening here -- " + shared
+        df = self._mk(spark, [(1, a), (2, b), (3, "unrelated text body")])
+        rows = self._spans(df).collect()
+        assert len(rows) == 1
+        (r,) = rows
+        assert (r.id_a, r.id_b) == (1, 2)
+        # the reported span must actually BE the shared text region
+        assert r.span_len >= len(shared) - 2 * (self.W + self.K)
+        assert a[r.start_a : r.start_a + r.span_len] == \
+            b[r.start_b : r.start_b + r.span_len]
+
+    def test_no_spans_between_distinct_texts(self, spark):
+        df = self._mk(spark, [
+            (1, "completely original sentence number one about rivers"),
+            (2, "an entirely different musing on mountain weather here"),
+        ])
+        assert self._spans(df).count() == 0
+
+    def test_guarantee_boundary(self, spark):
+        # a shared substring of exactly t chars must be detected
+        t = self.W + self.K - 1
+        shared = "Zq3vLm8xRw5tYp2sNd7kQa9u"[:t]
+        assert len(shared) == t
+        df = self._mk(spark, [
+            (1, "prefix_one_" + shared + "_suffix_one"),
+            (2, "other_lead_" + shared + "_other_tail"),
+        ])
+        rows = self._spans(df, min_span_len=self.K).collect()
+        assert any(r.id_a == 1 and r.id_b == 2 for r in rows)
+
+    def test_two_separate_copies_give_two_spans(self, spark):
+        s1 = "first shared passage with plenty of characters in it ok"
+        s2 = "second borrowed fragment also long enough to be caught!!"
+        df = self._mk(spark, [
+            (1, s1 + " ### middle filler junk text here ### " + s2),
+            (2, s2 + " --- unrelated middle part of doc 2 --- " + s1),
+        ])
+        rows = self._spans(df).collect()
+        assert len(rows) == 2  # distinct diagonals -> distinct spans
+
+    def test_hot_gram_cap_drops_boilerplate(self, spark):
+        header = "SPDX-License-Identifier: Apache-2.0 standard header"
+        docs = [(i, header + f" body variant {i}") for i in range(20)]
+        capped = self._spans(self._mk(spark, docs), max_gram_freq=10)
+        assert capped.count() == 0  # boilerplate suppressed, not 190 pairs
+        uncapped = self._spans(self._mk(spark, docs), max_gram_freq=None)
+        assert uncapped.count() == 190  # every ordered pair, for contrast
+
+    def test_fingerprints_are_zero_shuffle_and_sparse(self, spark):
+        from s3_access_logs_spark.operators.dedup import winnow_fingerprints
+
+        text = "x" * 50 + "abcdefghijklmnopqrstuvwxyz" * 40
+        df = self._mk(spark, [(1, text)])
+        fps = winnow_fingerprints(df, k=self.K, window=self.W)
+        plan = fps._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
+        n = fps.count()
+        # density ~ 2/(w+1): sparse, not every position
+        assert 0 < n < 2 * len(text) * 3 // (self.W + 1)
+        # every emitted gram matches the text at its position
+        for r in fps.collect():
+            assert text[r.pos : r.pos + self.K] == r.gram
+
+    def test_short_and_null_docs_are_safe(self, spark):
+        from s3_access_logs_spark.operators.dedup import winnow_fingerprints
+
+        df = self._mk(spark, [
+            (1, None), (2, ""), (3, "tiny"), (4, "exactly8"),
+        ])
+        fps = winnow_fingerprints(df, k=self.K, window=self.W)
+        rows = fps.collect()
+        assert {r.id for r in rows} == {4}  # only the k-length doc emits
+        assert rows[0].gram == "exactly8" and rows[0].pos == 0
+
+
 class TestBloomFilter:
     """DataFrame-native Bloom filter (functions/bloom.py): persistent,
     mergeable, UDF-free — the store pre-filter for incremental dedup."""
