@@ -1021,6 +1021,82 @@ def duplicate_spans(
     return spans
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`' findings: excise each detected span
+    from the HIGHER-id document of its pair (``id_a < id_b`` by the
+    posting-list ordering, so the lower id keeps the canonical copy —
+    Lee et al.'s remove-all-but-one policy). Documents not named in any
+    span pass through byte-identical.
+
+    Fully distributed and single-pass per document: the doc's cut
+    intervals are collected into one array (a per-doc groupBy of span
+    rows — tiny relative to the corpus), overlapping/adjacent intervals
+    are merged with an ``aggregate`` fold over the sorted array, and the
+    surviving text is rebuilt by concatenating the gaps in a second fold
+    with a finish lambda — no UDFs, no explode of the text, offsets all
+    interpreted against the ORIGINAL text so multiple cuts cannot shift
+    each other."""
+    iv = F.struct(
+        F.col("start_b").cast("bigint").alias("s"),
+        (F.col("start_b") + F.col("span_len")).cast("bigint").alias("e"),
+    )
+    per_doc = (
+        spans.select(F.col("id_b").alias("_cid"), iv.alias("_iv"))
+        .groupBy("_cid")
+        .agg(F.sort_array(F.collect_list("_iv")).alias("_ivs"))
+    )
+    t = F.col(text_col)
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    merged = F.aggregate(
+        F.col("_ivs"),
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) == 0) | (x["s"] > F.element_at(acc, -1)["e"]),
+            F.concat(acc, F.array(x)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], x["e"]
+                        ).alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    rebuilt = F.aggregate(
+        F.col("_merged"),
+        F.struct(F.lit("").alias("out"), F.lit(0).cast("bigint").alias("cur")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"], t.substr(acc["cur"] + 1, x["s"] - acc["cur"])
+            ).alias("out"),
+            F.greatest(acc["cur"], x["e"]).alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            t.substr(acc["cur"] + 1, F.length(t).cast("bigint") - acc["cur"]),
+        ),
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_cid"], "left")
+        .withColumn("_merged", merged)
+        .withColumn(
+            text_col,
+            F.when(F.col("_cid").isNull(), t).otherwise(rebuilt),
+        )
+        .drop("_cid", "_ivs", "_merged")
+    )
+
+
 def drop_repeated_paragraphs(
     df: DataFrame,
     text_col: str = "text",

@@ -1525,6 +1525,47 @@ class TestWinnowing:
         assert {r.id for r in rows} == {4}  # only the k-length doc emits
         assert rows[0].gram == "exactly8" and rows[0].pos == 0
 
+    def test_cut_duplicate_spans_removes_later_copy(self, spark):
+        from s3_access_logs_spark.operators.dedup import cut_duplicate_spans
+
+        shared = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill in the afternoon sun"
+        )
+        a = "AAAA unique lead-in text. " + shared + " AAAA trailing."
+        b_head, b_tail = "totally different document opening here -- ", "!!"
+        df = self._mk(spark, [
+            (1, a), (2, b_head + shared + b_tail), (3, "unrelated body"),
+        ])
+        spans = self._spans(df)
+        out = {r.doc_id: r.text for r in cut_duplicate_spans(df, spans).collect()}
+        # lower id keeps the canonical copy, untouched bystander untouched
+        assert out[1] == a
+        assert out[3] == "unrelated body"
+        # higher id loses the detected span but keeps its own head/tail
+        assert shared not in out[2]
+        assert out[2].startswith(b_head[: len(b_head) - self.W - self.K])
+        assert out[2].endswith(b_tail)
+        assert len(out[2]) < len(b_head + shared + b_tail) - 50
+
+    def test_cut_merges_overlapping_intervals(self, spark):
+        from s3_access_logs_spark.operators.dedup import cut_duplicate_spans
+
+        # hand-built overlapping + disjoint spans against one doc
+        text = "0123456789" * 6  # 60 chars
+        df = self._mk(spark, [(7, text)])
+        spans = spark.createDataFrame(
+            [
+                (1, 7, 0, 10, 20, 3),   # cut [10, 30)
+                (1, 7, 0, 25, 10, 2),   # overlaps -> merged to [10, 35)
+                (1, 7, 0, 50, 5, 1),    # disjoint  [50, 55)
+            ],
+            "id_a bigint, id_b bigint, start_a bigint, start_b bigint, "
+            "span_len bigint, n_grams bigint",
+        )
+        (r,) = cut_duplicate_spans(df, spans).collect()
+        assert r.text == text[:10] + text[35:50] + text[55:]
+
 
 class TestBloomFilter:
     """DataFrame-native Bloom filter (functions/bloom.py): persistent,
