@@ -869,39 +869,38 @@ def winnow_fingerprints(
     ITSELF (k=8 chars costs what an 8-byte hash would), so hash values
     only steer the selection and collisions cannot fabricate matches.
 
-    Shape: a pure per-row projection — sequence/transform/aggregate HOFs
-    build the hash array and run the sliding minima in one pass, then the
-    distinct selections explode. O(len * window) element_at probes per
-    document, no slice copies, NO shuffle at any corpus size. Documents
-    shorter than t emit their single global minimum (standard edge rule)
-    and empty/NULL texts emit nothing."""
+    Shape: a pure per-row projection — sequence/transform HOFs build the
+    hash array and the per-window minima, the distinct selections
+    explode, NO shuffle at any corpus size. The window minimum is
+    ``array_min``/``array_position`` over a ``slice`` (leftmost minimum —
+    any rule that is a pure function of the window's contents preserves
+    the guarantee, and both documents see identical windows inside a
+    shared region): the slice copies cost O(len * window) longs, but the
+    min/position loops are the JVM's vectorized array kernels rather
+    than a per-step Catalyst ``aggregate`` fold — measured 4.1 s -> 1.5 s
+    over 5000 sf0.1 documents for identical output (modulo hash-tie
+    picks). Documents shorter than t emit their single global minimum
+    (standard edge rule) and empty/NULL texts emit nothing."""
     t = F.col(text_col)
     n_grams = F.length(t) - F.lit(k - 1)  # number of k-grams
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.xxhash64(t.substr(i, F.lit(k))),
     )
-    maxlong = F.lit(9223372036854775807)
     m = F.col("_m")  # n_grams, materialized — `text` is renamed away
-    # window j covers hash indexes [j+1, min(j+window, m)] (1-based);
-    # aggregate keeps (value, idx) of the rightmost minimum
-    selected = F.transform(
-        F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0))),
-        lambda j: F.aggregate(
+    # window j (0-based) covers hash indexes [j+1, j+window] (1-based,
+    # slice clamps at the array end); selected = leftmost min's index
+    selected = F.array_distinct(
+        F.transform(
             F.sequence(
-                j + F.lit(1), F.least(j + F.lit(window), m)
+                F.lit(0), F.greatest(m - F.lit(window), F.lit(0))
             ),
-            F.struct(
-                maxlong.alias("v"), F.lit(0).cast("bigint").alias("i")
+            lambda j: j
+            + F.array_position(
+                F.slice(F.col("_h"), j + 1, F.lit(window)),
+                F.array_min(F.slice(F.col("_h"), j + 1, F.lit(window))),
             ),
-            lambda acc, idx: F.when(
-                F.element_at(F.col("_h"), idx.cast("int")) <= acc["v"],
-                F.struct(
-                    F.element_at(F.col("_h"), idx.cast("int")).alias("v"),
-                    idx.cast("bigint").alias("i"),
-                ),
-            ).otherwise(acc),
-        ),
+        )
     )
     return (
         df.filter(F.length(t) >= k)
@@ -914,14 +913,14 @@ def winnow_fingerprints(
         .select(
             "id",
             "_t",
-            F.explode(F.array_distinct(selected)).alias("_s"),
+            F.explode(selected).alias("_i"),
         )
         .select(
             "id",
-            (F.col("_s.i") - 1).alias("pos"),
-            F.col("_t").substr(
-                F.col("_s.i").cast("int"), F.lit(k)
-            ).alias("gram"),
+            (F.col("_i") - 1).alias("pos"),
+            F.col("_t").substr(F.col("_i").cast("int"), F.lit(k)).alias(
+                "gram"
+            ),
         )
     )
 
