@@ -981,20 +981,29 @@ def duplicate_spans(
         # same doc twice in one posting list = intra-doc repetition;
         # that is drop_repeated_paragraphs' job, not pair dedup's
         .filter(F.col("a.id") != F.col("b.id"))
+        # pos_b never ships: it is pos_a - diag, reconstructed at the end
         .select(
             F.col("a.id").alias("id_a"),
-            F.col("a.pos").alias("pos_a"),
             F.col("b.id").alias("id_b"),
-            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("pos_a"),
         )
     )
+    # Islands per (pair, diagonal) with window functions: one shuffle of
+    # the (id_a, id_b, diag, pos_a) match rows, a lag to flag gaps over
+    # ``window``, a running sum for island ids, then the span aggregate.
+    # Measured ALTERNATIVE (rejected): groupBy + collect_list of the
+    # positions per diagonal with vectorized boundary kernels — 7.2 s vs
+    # 3.4 s end-to-end at sf0.1; 5M match structs through
+    # ObjectHashAggregate's list accumulation lose badly to the
+    # codegen'd window machinery, even though the windows sort the same
+    # rows. Matches carry no pos_b (it is pos_a - diag, reconstructed at
+    # the end) so the shuffle rows stay 4 longs wide.
     from pyspark.sql import Window as W
 
-    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     w_ord = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    spans = (
-        matches.select("id_a", "id_b", "pos_a", "pos_b", diag)
-        .withColumn(
+    return (
+        matches.withColumn(
             "_new",
             F.when(
                 F.col("pos_a") - F.lag("pos_a").over(w_ord) <= window,
@@ -1010,14 +1019,19 @@ def duplicate_spans(
         .groupBy("id_a", "id_b", "diag", "_island")
         .agg(
             F.min("pos_a").alias("start_a"),
-            F.min("pos_b").alias("start_b"),
             (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_len"),
             F.count(F.lit(1)).alias("n_grams"),
         )
         .filter(F.col("span_len") >= min_span_len)
-        .select("id_a", "id_b", "start_a", "start_b", "span_len", "n_grams")
+        .select(
+            "id_a",
+            "id_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            "span_len",
+            "n_grams",
+        )
     )
-    return spans
 
 
 def cut_duplicate_spans(
