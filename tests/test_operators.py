@@ -1525,6 +1525,37 @@ class TestWinnowing:
         assert {r.id for r in rows} == {4}  # only the k-length doc emits
         assert rows[0].gram == "exactly8" and rows[0].pos == 0
 
+    def test_guarantee_property_random_plants(self, spark):
+        # property sweep without hypothesis-per-Spark-job overhead: many
+        # random plantings checked in ONE job. Any shared substring of
+        # length >= t must be detected regardless of content/position.
+        import random
+
+        from s3_access_logs_spark.operators.dedup import duplicate_spans
+
+        rng = random.Random(42)
+        alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+        t = self.W + self.K - 1
+        rows, expected = [], set()
+        for case in range(25):
+            shared_len = rng.randint(t, t + 60)
+            shared = "".join(rng.choice(alpha) for _ in range(shared_len))
+            pad = lambda n: "".join(  # noqa: E731
+                rng.choice(alpha) for _ in range(n)
+            )
+            a_id, b_id = 1000 + case * 2, 1001 + case * 2
+            rows.append((a_id, pad(rng.randint(0, 40)) + shared + pad(rng.randint(0, 40))))
+            rows.append((b_id, pad(rng.randint(0, 40)) + shared + pad(rng.randint(0, 40))))
+            expected.add((a_id, b_id))
+        df = self._mk(spark, rows)
+        got = {
+            (r.id_a, r.id_b)
+            for r in self._spans(df, min_span_len=self.K).collect()
+        }
+        # every planted pair found (random filler may add a few extra
+        # coincidental short matches between pad regions — allowed)
+        assert expected <= got
+
     def test_cut_duplicate_spans_removes_later_copy(self, spark):
         from s3_access_logs_spark.operators.dedup import cut_duplicate_spans
 

@@ -414,6 +414,46 @@ class TestIngestBloom:
             .select("batch_id").distinct().count() == 2
         )
 
+    def test_bloom_store_survives_compaction(self, spark, tmp_path):
+        # the (word, bits) representation is union-idempotent, so folding
+        # batch partitions into the base partition preserves probes
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+
+        for i, text in enumerate(["alpha beta", "gamma delta", "eps zeta"]):
+            self._drop(src, f"b{i}.jsonl", [{"doc_id": i * 10, "text": text}])
+            ingest_documents_stream(
+                spark, str(src), store, ckpt,
+                bloom_store=bloom, bloom_num_bits=1 << 12,
+            ).awaitTermination(120)
+        assert (
+            spark.read.parquet(bloom).select("batch_id").distinct().count()
+            == 3
+        )
+        res = compact_ingest_store(spark, bloom, keep_recent=1)
+        assert res["folded"] == [0, 1]
+        # dups of EVERY earlier batch are still caught post-fold
+        self._drop(src, "b3.jsonl", [
+            {"doc_id": 90, "text": "ALPHA beta"},
+            {"doc_id": 91, "text": "eps  zeta"},
+            {"doc_id": 92, "text": "brand new content"},
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt,
+            bloom_store=bloom, bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r.keep_id for r in rows} == {0, 10, 20, 92}
+        assert len({r.digest for r in rows}) == 4
+
     def test_enabling_on_unfiltered_history_fails_loud_then_backfill(
         self, spark, tmp_path
     ):
