@@ -51,6 +51,10 @@ DEFAULT_NUM_HASHES = 5
 
 _META_BITS = -1
 _META_HASHES = -2
+# coverage marker written by a backfill: bits = highest doc-store batch
+# id whose digests the base filter partition covers (per-store
+# bookkeeping; bloom_merge drops it, _read_meta keeps the max)
+_COVER_MAX_BATCH = -3
 
 # powers of two as signed-long literals (bit 63 wraps to the sign bit)
 _POW2 = F.array(
@@ -137,12 +141,16 @@ def _read_meta(bloom_rows: list) -> tuple[int, int, dict[int, int]]:
     for r in bloom_rows:
         w, b = r["word"], r["bits"]
         if w < 0:
-            if w in meta and meta[w] != b:
+            # only the PARAMETER rows must agree; other negative words
+            # (e.g. a backfill's coverage marker) may differ per partition
+            if w in (_META_BITS, _META_HASHES) and meta.get(w, b) != b:
                 raise ValueError(
                     "bloom filter rows disagree on num_bits/num_hashes — "
                     "mixed filters built with different parameters"
                 )
-            meta[w] = b
+            meta[w] = max(meta.get(w, b), b) if w not in (
+                _META_BITS, _META_HASHES
+            ) else b
         else:
             words[w] = words.get(w, 0) | b
     if _META_BITS not in meta or _META_HASHES not in meta:
@@ -164,7 +172,7 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     for b in blooms[1:]:
         u = u.unionByName(b)
     bad = (
-        u.filter(F.col("word") < 0)
+        u.filter(F.col("word").isin(_META_BITS, _META_HASHES))
         .groupBy("word")
         .agg(F.count_distinct("bits").alias("n"))
         .filter(F.col("n") > 1)
@@ -175,13 +183,23 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
             "bloom_merge: filters disagree on num_bits/num_hashes — "
             "rebuild with one parameter set"
         )
-    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    # non-parameter meta rows (e.g. a backfill coverage marker) are
+    # per-store bookkeeping — OR-ing them would fabricate values, so the
+    # merged filter carries only bitmap words + the parameter rows
+    return (
+        u.filter(
+            (F.col("word") >= 0)
+            | F.col("word").isin(_META_BITS, _META_HASHES)
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
 
 
 def bloom_probe(
     df: DataFrame,
     col: str,
-    bloom: DataFrame,
+    bloom: DataFrame | list,
     result_col: str = "maybe_seen",
 ) -> DataFrame:
     """Attach ``result_col`` (boolean): False = DEFINITELY not in the
@@ -192,8 +210,11 @@ def bloom_probe(
     control-plane collect grain as the IVF centroid build) and rides in
     one broadcast row; each input row then runs k constant-time
     element_at + bitwiseAND tests inside a codegen'd ``forall``. NULL
-    probe values yield NULL."""
-    rows = bloom.collect()
+    probe values yield NULL. ``bloom`` may be the filter DataFrame or
+    its ALREADY-COLLECTED rows — callers that inspect the meta rows
+    anyway (the streaming ingest gate) pass the rows to avoid scanning
+    the filter store twice per batch."""
+    rows = bloom if isinstance(bloom, list) else bloom.collect()
     num_bits, num_hashes, words = _read_meta(rows)
     n_words = num_bits // 64
     dense = [0] * n_words

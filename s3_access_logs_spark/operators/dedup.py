@@ -99,7 +99,7 @@ def dedup_incremental(
 def dedup_incremental_bloom(
     new_docs: DataFrame,
     seen_digests: DataFrame,
-    digest_bloom: DataFrame,
+    digest_bloom: DataFrame | list,
     id_col: str = "doc_id",
     text_col: str = "text",
     digest_col: str = "digest",
@@ -138,7 +138,13 @@ def dedup_incremental_bloom(
         .agg(F.min(id_col).alias("keep_id"))
     )
     flagged = bloom_probe(batch, digest_col, digest_bloom, "_maybe")
-    sure_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
+    # NULL digest (NULL text) probes NULL: route it with the
+    # definitely-new rows — plain dedup_incremental keeps it too (NULL
+    # never equals in its anti-join), and bit-for-bit parity is the
+    # contract
+    sure_new = flagged.filter(
+        ~F.coalesce(F.col("_maybe"), F.lit(False))
+    ).drop("_maybe")
     maybes = flagged.filter(F.col("_maybe")).drop("_maybe")
     # Join-direction matters: `maybes LEFT ANTI store` must build a hash
     # table from the RIGHT side — the store — so it can never broadcast
@@ -950,10 +956,16 @@ def duplicate_spans(
     diagonal), consecutive selected grams <= ``window`` apart belong to
     one span (winnowing guarantees that density inside a verbatim copy).
 
-    ``max_gram_freq`` drops grams whose posting list exceeds N documents
-    (boilerplate guard — a license header shared by a million files would
-    otherwise explode quadratically); dropped grams can only shorten or
-    split reported spans, never fabricate them. Spans are fingerprint
+    ``max_gram_freq`` drops grams with more than N selected fingerprint
+    OCCURRENCES corpus-wide (intra-document repeats count — the limit
+    bounds pair fan-out, which repeats drive just as hard as document
+    spread; boilerplate like a license header shared by a million files
+    would otherwise explode quadratically). The cap is enforced with a
+    window count BEFORE any posting list materializes: a WindowExec
+    buffer spills a degenerate gram's partition to disk, whereas a
+    single collect_list group's array cannot spill — so the guard holds
+    at exactly the input it exists for. Dropped grams can only shorten
+    or split reported spans, never fabricate them. Spans are fingerprint
     evidence: a bridged gap can hide an edit of < window chars —
     MOSS-standard behavior; pair it with ``jaccard_pairs`` when
     edit-level certainty matters.
@@ -962,14 +974,22 @@ def duplicate_spans(
     ``span_len >= min_span_len`` (default t)."""
     if min_span_len is None:
         min_span_len = window + k - 1
+    from pyspark.sql import Window as W
+
     fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    if max_gram_freq is not None:
+        fps = (
+            fps.withColumn(
+                "_n", F.count(F.lit(1)).over(W.partitionBy("gram"))
+            )
+            .filter(F.col("_n") <= max_gram_freq)
+            .drop("_n")
+        )
     grouped = (
         fps.groupBy("gram")
         .agg(F.sort_array(F.collect_list(F.struct("id", "pos"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    if max_gram_freq is not None:
-        grouped = grouped.filter(F.size("ms") <= max_gram_freq)
     matches = (
         grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
         .select(
@@ -999,7 +1019,6 @@ def duplicate_spans(
     # codegen'd window machinery, even though the windows sort the same
     # rows. Matches carry no pos_b (it is pos_a - diag, reconstructed at
     # the end) so the shuffle rows stay 4 longs wide.
-    from pyspark.sql import Window as W
 
     w_ord = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     return (

@@ -252,6 +252,15 @@ def kmeans_fit(
             cents = [[float(x) for x in r[0]] for r in cand]
         if dims is None:
             dims = len(cents[0])
+        # fail loud on ragged vectors: element_at past a short array is
+        # NULL, which would silently average over a subset (or surface as
+        # a driver TypeError on the shift check after a wasted iteration)
+        bad = train.filter(F.size("_v") != dims).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"kmeans_fit: corpus contains a vector of "
+                f"{len(bad[0][0])} dims, expected {dims}"
+            )
 
         schema = "label int, centroid array<double>"
         for _ in range(max_iter):

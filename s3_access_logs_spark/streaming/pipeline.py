@@ -352,36 +352,72 @@ def ingest_documents_stream(
             F.col("doc_id").alias("keep_id"),
             "text",
         ).dropDuplicates(["digest", "keep_id"])
-        prior_bloom = None
+        prior_rows = None
         bloom_params = (bloom_num_bits, bloom_num_hashes)
         if bloom_store is not None:
-            from s3_access_logs_spark.functions.bloom import _read_meta
+            from s3_access_logs_spark.functions.bloom import (
+                _COVER_MAX_BATCH,
+                _read_meta,
+            )
             from s3_access_logs_spark.operators.dedup import (
                 dedup_incremental_bloom,
             )
-            from s3_access_logs_spark.sources.fsutil import has_data_files
 
-            if has_data_files(sess, bloom_store):
-                candidate = read_prior(
-                    bloom_store, "word bigint, bits bigint"
-                ).select("word", "bits")
-                # a replayed FIRST batch sees only its own (excluded)
-                # filter partition -> no prior filter, plain path
-                meta_rows = candidate.filter(F.col("word") < 0).collect()
-                if meta_rows:
-                    prior_bloom = candidate
-                    nb, nh, _ = _read_meta(meta_rows)
-                    bloom_params = (nb, nh)  # existing store's params win
-            elif has_data_files(sess, store):
+            # ONE read of the filter store per batch: the collected rows
+            # feed the meta/coverage checks AND the probe (bloom_probe
+            # accepts pre-collected rows)
+            rows = read_prior(
+                bloom_store, "word bigint, bits bigint"
+            ).select("word", "bits").collect()
+            meta = {r["word"]: r["bits"] for r in rows if r["word"] < 0}
+            # COVERAGE, not mere existence: every committed doc-store
+            # batch must have its filter partition, or predate the last
+            # backfill's coverage marker, or be a fold of covered batches
+            # (negative ids — compact_ingest_store folds rows, and the
+            # folded batches' own filter partitions remain). A stream
+            # that ran with the gate OFF for some batches would otherwise
+            # probe an under-approximating filter -> false negatives ->
+            # silent duplicates.
+            cover_max = meta.get(_COVER_MAX_BATCH, -1)
+            doc_batches = _hive_batch_ids(sess, store)
+            bloom_batches = _hive_batch_ids(sess, bloom_store)
+            bloom_live = {b for b in bloom_batches if b >= 0}
+            has_base = any(b < 0 for b in bloom_batches)
+            min_live = min(bloom_live) if bloom_live else None
+            # a doc batch with no filter partition is still covered when
+            # (a) a backfill marker claims it, or (b) the filter store
+            # has a base partition and the batch predates every live
+            # filter partition — compact_ingest_store folded its filter
+            # ROWS into the base (union-idempotent), and the fold state
+            # is only reachable if coverage held at every earlier gated
+            # batch (this check raises at the first violation)
+            def covered(b: int) -> bool:
+                if b in bloom_live or b <= cover_max:
+                    return True
+                return has_base and (min_live is None or b < min_live)
+
+            uncovered = [
+                b
+                for b in doc_batches
+                if b >= 0 and b != batch_id and not covered(b)
+            ]
+            if uncovered:
                 raise ValueError(
-                    "ingest_documents_stream: bloom_store is enabled but "
-                    f"{store!r} already holds history with no filter — a "
-                    "probe would miss those digests (false negatives = "
-                    "duplicate documents). Run backfill_bloom_store once, "
-                    "then restart the stream."
+                    "ingest_documents_stream: digest-store batches "
+                    f"{uncovered} have no filter partition in "
+                    f"{bloom_store!r} (gate enabled after unfiltered "
+                    "history?) — a probe would miss those digests "
+                    "(false negatives = duplicate documents). Run "
+                    "backfill_bloom_store once, then restart the stream."
                 )
-        if prior_bloom is not None:
-            deduped = dedup_incremental_bloom(cleaned, seen, prior_bloom)
+            # a replayed FIRST batch sees only its own (excluded)
+            # filter partition -> no prior filter, plain path
+            if meta:
+                prior_rows = rows
+                nb, nh, _ = _read_meta(rows)
+                bloom_params = (nb, nh)  # existing store's params win
+        if prior_rows is not None:
+            deduped = dedup_incremental_bloom(cleaned, seen, prior_rows)
         else:
             deduped = dedup_incremental(cleaned, seen)
         survivors = deduped.join(texts, ["digest", "keep_id"])
@@ -422,10 +458,11 @@ def ingest_documents_stream(
             # A crash between doc and band writes leaves documents
             # without bands (missed future near-dups, recoverable)
             # rather than bands without documents.
-            survivors = survivors.withColumn(
-                "batch_id", F.lit(batch_id)
-            ).persist()
+            survivors = survivors.withColumn("batch_id", F.lit(batch_id))
             if bloom_store is not None:
+                # two consumers (filter write + doc write) -> persist;
+                # on the plain path the doc write is the only consumer
+                survivors = survivors.persist()
                 from s3_access_logs_spark.functions.bloom import (
                     DEFAULT_NUM_BITS,
                     DEFAULT_NUM_HASHES,
@@ -455,7 +492,8 @@ def ingest_documents_stream(
                     .parquet(band_store)
                 )
         finally:
-            survivors.unpersist()
+            if bloom_store is not None:
+                survivors.unpersist()
             if band_store is not None:
                 cleaned.unpersist()
                 kept_ids.unpersist()
@@ -468,6 +506,26 @@ def ingest_documents_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _hive_batch_ids(spark: SparkSession, path: str) -> set[int]:
+    """The ``batch_id=<n>`` partition ids present under a store — one
+    directory listing, no data read (the grain compact_ingest_store
+    already walks)."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, root = hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            try:
+                out.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
 
 
 def backfill_bloom_store(
@@ -489,6 +547,7 @@ def backfill_bloom_store(
     count plus expected growth; the per-batch partitions must reuse the
     same parameters (they will — ingest reads them from the meta rows)."""
     from s3_access_logs_spark.functions.bloom import (
+        _COVER_MAX_BATCH,
         DEFAULT_NUM_BITS,
         DEFAULT_NUM_HASHES,
         bloom_build,
@@ -500,14 +559,22 @@ def backfill_bloom_store(
             f"(streaming epochs count up from 0), got {base_batch_id}"
         )
     digests = spark.read.parquet(store).select("digest")
+    covered = [b for b in _hive_batch_ids(spark, store) if b >= 0]
+    base = bloom_build(
+        digests,
+        "digest",
+        num_bits or DEFAULT_NUM_BITS,
+        num_hashes or DEFAULT_NUM_HASHES,
+    )
+    # coverage marker: the ingest gate accepts doc-store batches <= this
+    # id with no per-batch filter partition — the base covers them
+    marker = spark.createDataFrame(
+        [(_COVER_MAX_BATCH, max(covered) if covered else -1)],
+        "word bigint, bits bigint",
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     (
-        bloom_build(
-            digests,
-            "digest",
-            num_bits or DEFAULT_NUM_BITS,
-            num_hashes or DEFAULT_NUM_HASHES,
-        )
+        base.unionByName(marker)
         .withColumn("batch_id", F.lit(base_batch_id))
         .write.mode("overwrite")
         .partitionBy("batch_id")

@@ -413,6 +413,12 @@ class TestKmeansFit:
         )
         with pytest.raises(ValueError, match="distinct"):
             kmeans_fit(two, k=3)
+        ragged = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5])],
+            "vec_id int, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="dims"):
+            kmeans_fit(ragged, k=2)
 
 
 class TestSaltedJoin:
@@ -1710,6 +1716,31 @@ class TestBloomFilter:
         plan = fast._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
         assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_null_text_parity_with_plain(self, spark):
+        # NULL digest probes NULL; it must follow plain dedup_incremental
+        # (kept — NULL never matches the anti-join), not be dropped
+        from s3_access_logs_spark.functions.bloom import bloom_build
+        from s3_access_logs_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_bloom,
+        )
+
+        store = spark.createDataFrame([("d1",)], "digest string")
+        bloom = bloom_build(store, "digest", num_bits=1 << 10)
+        batch = spark.createDataFrame(
+            [(1, None), (2, "real text")], "doc_id bigint, text string"
+        )
+        plain = sorted(
+            map(tuple, dedup_incremental(batch, store).collect()),
+            key=lambda t: (t[0] or "", t[1]),
+        )
+        fast = sorted(
+            map(tuple, dedup_incremental_bloom(batch, store, bloom).collect()),
+            key=lambda t: (t[0] or "", t[1]),
+        )
+        assert plain == fast
+        assert any(d is None for d, _ in fast)  # the NULL row survived
 
     def test_sizing_helper_round_trips(self, spark):
         from s3_access_logs_spark.functions.bloom import (

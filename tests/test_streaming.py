@@ -414,6 +414,50 @@ class TestIngestBloom:
             .select("batch_id").distinct().count() == 2
         )
 
+    def test_partial_coverage_gap_fails_loud(self, spark, tmp_path):
+        # the gate ON -> OFF -> ON sequence: batches committed while the
+        # gate was off have no filter partition, and re-enabling must
+        # raise (an existence-only check would silently under-probe)
+        import pytest
+
+        from s3_access_logs_spark.streaming import (
+            backfill_bloom_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+
+        self._drop(src, "b0.jsonl", [{"doc_id": 1, "text": "alpha beta"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom,
+            bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        # gate OFF for batch 1
+        self._drop(src, "b1.jsonl", [{"doc_id": 2, "text": "gamma delta"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        # gate back ON: batch 1's digests are invisible to the filter
+        self._drop(src, "b2.jsonl", [{"doc_id": 3, "text": "GAMMA delta"}])
+        q = ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom,
+            bloom_num_bits=1 << 12,
+        )
+        with pytest.raises(Exception, match="no filter partition"):
+            q.awaitTermination(120)
+        # backfill repairs coverage; the replayed batch drops the dup
+        backfill_bloom_store(spark, store, bloom, num_bits=1 << 12)
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom,
+            bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert {r.keep_id for r in rows} == {1, 2}
+
     def test_bloom_store_survives_compaction(self, spark, tmp_path):
         # the (word, bits) representation is union-idempotent, so folding
         # batch partitions into the base partition preserves probes
