@@ -305,13 +305,25 @@ def jaccard_pairs(
     inv = sh.select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
+    if max_shingle_freq is not None:
+        # enforce the cap BEFORE any posting list materializes: a
+        # WindowExec partition spills a degenerate hot shingle to disk,
+        # whereas a single collect_list group's array cannot — and the
+        # window's sort feeds the adjacent groupBy's exchange reuse
+        from pyspark.sql import Window as W
+
+        inv = (
+            inv.withColumn(
+                "_n", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+            )
+            .filter(F.col("_n") <= max_shingle_freq)
+            .drop("_n")
+        )
     grouped = (
         inv.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    if max_shingle_freq is not None:
-        grouped = grouped.filter(F.size("ms") <= max_shingle_freq)
     pairs = (
         grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
         .select(
@@ -562,13 +574,27 @@ def simhash_near_pairs(
         ).alias("ch"),
         entry,
     ).select("ch.chunk_idx", "ch.chunk_val", "e")
+    if max_band_freq is not None:
+        # cap before the bucket list materializes (window partitions
+        # spill; one collect_list group's array cannot) — same guard
+        # shape as jaccard_pairs/duplicate_spans
+        from pyspark.sql import Window as W
+
+        banded = (
+            banded.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    W.partitionBy("chunk_idx", "chunk_val")
+                ),
+            )
+            .filter(F.col("_n") <= max_band_freq)
+            .drop("_n")
+        )
     buckets = (
         banded.groupBy("chunk_idx", "chunk_val")
         .agg(F.sort_array(F.collect_list("e")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    if max_band_freq is not None:
-        buckets = buckets.filter(F.size("ms") <= max_band_freq)
     pair_pool = (
         buckets.select(F.posexplode("ms").alias("i", "a"), "ms")
         .select(
