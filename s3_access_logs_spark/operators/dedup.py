@@ -506,6 +506,13 @@ def simhash_near_pairs(
     (pairs are still found via their other bands when any other chunk
     agrees) instead of an executor OOM.
 
+    The DISTINCT-FINGERPRINT groups themselves are the one uncapped
+    accumulation: a corpus with a massive exact-duplicate clique puts
+    every clone's id in one group's list, and the hamming-0 output is
+    quadratic in the clique by SPEC (every pair really is a near-dup).
+    Run :func:`dedup_exact` first on such corpora — the package-wide
+    contract that ids are unique per distinct content.
+
     Everything runs at the DISTINCT-FINGERPRINT grain, then expands back
     to doc pairs from per-fingerprint id lists riding inside the bucket
     entries. Real corpora carry heavy exact duplication, so the banding
