@@ -749,3 +749,55 @@ class TestIngestReplaySafety:
         kept = {r.keep_id for r in spark.read.parquet(store).collect()}
         assert kept == {1}  # survived: stale self-rows were excluded
         assert spark.read.parquet(bands).filter("id = 1").count() == 4
+
+    def test_bloom_without_docs_crash_window_is_safe(self, spark, tmp_path):
+        """The bloom gate's write order (filter partition BEFORE the doc
+        partition) means a crash can leave a batch's filter with no
+        matching documents. The replay of that batch — and every later
+        batch — must tolerate the orphan: it only OVER-approximates
+        (false positives), never drops documents, and the coverage check
+        must not demand a doc partition for it."""
+        import json
+
+        from s3_access_logs_spark.functions.bloom import bloom_build
+        from s3_access_logs_spark.operators.dedup import normalized_digest
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        (src / "b0.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n"
+        )
+        # fabricate the crashed attempt: batch 0's FILTER committed, its
+        # documents did not
+        crashed = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+        bloom_build(
+            crashed.select(normalized_digest(F.col("text")).alias("d")),
+            "d",
+            num_bits=1 << 12,
+        ).withColumn("batch_id", F.lit(0)).write.partitionBy(
+            "batch_id"
+        ).parquet(bloom)
+
+        # fresh checkpoint -> this run IS batch 0, the replay
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            bloom_store=bloom, bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        assert {
+            r.keep_id for r in spark.read.parquet(store).collect()
+        } == {1}  # not dropped by its own crashed filter
+        # and a later batch still dedups against batch 0 correctly
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 2, "text": "ALPHA  beta"}) + "\n"
+            + json.dumps({"doc_id": 3, "text": "new thing"}) + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            bloom_store=bloom, bloom_num_bits=1 << 12,
+        ).awaitTermination(120)
+        assert {
+            r.keep_id for r in spark.read.parquet(store).collect()
+        } == {1, 3}
