@@ -1435,6 +1435,91 @@ class TestKmvSketch:
         assert out == {"click": 30.0, "view": 7.0}
 
 
+class TestCountMin:
+    """Count-min sketch (functions/cms.py): mergeable bounded-memory
+    frequency estimation, overestimate-only."""
+
+    def test_never_underestimates_and_is_exact_without_collisions(
+        self, spark
+    ):
+        from s3_access_logs_spark.functions.cms import cms_build, cms_estimate
+
+        # zipf-ish: key i appears (50 - i) times
+        rows = [(f"k{i}",) for i in range(50) for _ in range(50 - i)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = cms_build(df, "k", width=1 << 12, depth=5)
+        keys = spark.createDataFrame([(f"k{i}", 50 - i) for i in range(50)],
+                                     "k string, true_cnt bigint")
+        est = cms_estimate(keys, "k", sk)
+        for r in est.collect():
+            assert r.est_count >= r.true_cnt  # CMS never underestimates
+        # 50 keys in 4096 columns x 5 rows: collisions essentially never
+        # survive the min, so estimates are exact here
+        assert est.filter(F.col("est_count") != F.col("true_cnt")).count() == 0
+
+    def test_additive_error_within_bound_under_pressure(self, spark):
+        from s3_access_logs_spark.functions.cms import (
+            cms_build,
+            cms_error_bound,
+            cms_estimate,
+        )
+
+        n_keys, width, depth = 2000, 1 << 8, 5  # heavy collision pressure
+        df = spark.createDataFrame([(f"k{i}",) for i in range(n_keys)], "k string")
+        sk = cms_build(df, "k", width=width, depth=depth)
+        eps, delta = cms_error_bound(n_keys, width, depth)
+        est = cms_estimate(df.distinct(), "k", sk)
+        over = est.filter(F.col("est_count") > 1 + eps).count()
+        assert over <= max(1, 2 * delta * n_keys)
+
+    def test_merge_is_linear_and_rejects_mismatch(self, spark):
+        import pytest
+
+        from s3_access_logs_spark.functions.cms import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        a = spark.createDataFrame([("x",), ("x",), ("y",)], "k string")
+        b = spark.createDataFrame([("x",), ("z",)], "k string")
+        sa = cms_build(a, "k", width=1 << 10, depth=4)
+        sb = cms_build(b, "k", width=1 << 10, depth=4)
+        both = cms_build(a.unionByName(b), "k", width=1 << 10, depth=4)
+        merged = cms_merge(sa, sb)
+        keys = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+        got = {
+            r.k: r.est_count for r in cms_estimate(keys, "k", merged).collect()
+        }
+        want = {
+            r.k: r.est_count for r in cms_estimate(keys, "k", both).collect()
+        }
+        assert got == want == {"x": 3, "y": 1, "z": 1}
+        with pytest.raises(ValueError, match="disagree"):
+            cms_merge(sa, cms_build(b, "k", width=1 << 11, depth=4))
+
+    def test_weighted_counts_and_nulls(self, spark):
+        from s3_access_logs_spark.functions.cms import cms_build, cms_estimate
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 2), (None, 99)],
+            "k string, w bigint",
+        )
+        sk = cms_build(df, "k", width=1 << 10, depth=4, weight_col="w")
+        keys = spark.createDataFrame([("a",), ("b",), (None,)], "k string")
+        got = {r.k: r.est_count for r in cms_estimate(keys, "k", sk).collect()}
+        assert got["a"] == 15 and got["b"] == 2
+        assert got[None] is None  # NULL estimates NULL, and NULLs not counted
+
+    def test_probe_is_udf_free(self, spark):
+        from s3_access_logs_spark.functions.cms import cms_build, cms_estimate
+
+        df = spark.createDataFrame([("a",)], "k string")
+        est = cms_estimate(df, "k", cms_build(df, "k", width=64, depth=3))
+        plan = est._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestWinnowing:
     """Winnowing fingerprints + verbatim-span detection (SIGMOD'03 MOSS
     guarantee: any shared substring of length >= window + k - 1 is
