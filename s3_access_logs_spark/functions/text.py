@@ -394,3 +394,85 @@ def sentiment_score(
         )
         / F.size(vals),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the one text-cleaning step with no builtin
+# equivalent — Spark has no NFC/NFKC expression, so this is a documented
+# Arrow escape hatch, the multimodal.decode_metadata pattern: batched
+# mapInPandas, never a row-at-a-time UDF.)
+# ---------------------------------------------------------------------------
+
+# mojibake markers: UTF-8 bytes mis-decoded as cp1252/latin-1 surface as
+# these lead characters followed by continuation debris
+_MOJIBAKE_MARKERS = ("Ã", "â€", "Â", "ï¿")
+
+
+def _mojibake_score(s: str) -> int:
+    return sum(s.count(m) for m in _MOJIBAKE_MARKERS)
+
+
+def _repair_mojibake(s: str) -> str:
+    """Undo one round of UTF-8-read-as-cp1252 (falling back to latin-1),
+    accepting the repair only when BOTH the strict round-trip succeeds
+    and the marker count strictly drops. Legitimate text containing the
+    marker characters (Portuguese 'NÃO') fails the strict round-trip —
+    0xC3 followed by an ASCII byte is not valid UTF-8 — and passes
+    through untouched."""
+    for enc in ("cp1252", "latin-1"):
+        try:
+            repaired = s.encode(enc).decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if _mojibake_score(repaired) < _mojibake_score(s):
+            return repaired
+    return s
+
+
+def normalize_unicode(
+    df,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFKC",
+    fix_mojibake: bool = True,
+):
+    """Unicode-normalize a text column (default NFKC: compatibility fold —
+    ligatures ﬁ->fi, fullwidth Ａ->A, composed accents canonicalized),
+    optionally repairing one round of mojibake first. Every other column
+    passes through untouched; NULL stays NULL.
+
+    Why it matters upstream of everything else in this package: the
+    md5/xxhash digests, shingles and winnowing grams are all
+    byte-sensitive, so 'café' (NFC) and 'café' (NFD) — or its mojibake
+    corpse 'cafÃ©' — dedupe as different documents unless normalized
+    first. Run this as the first projection of a cleaning pipeline, at
+    the batch grain mapInPandas already processes."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out = out_col or text_col
+    fields = list(df.schema.fields)
+    if out not in df.columns:
+        fields = fields + [StructField(out, StringType())]
+    else:
+        fields = [
+            StructField(f.name, StringType()) if f.name == out else f
+            for f in fields
+        ]
+    schema = StructType(fields)
+
+    def norm(batches):
+        for pdf in batches:
+            def one(s):
+                if s is None:
+                    return None
+                if fix_mojibake and _mojibake_score(s):
+                    s = _repair_mojibake(s)
+                return unicodedata.normalize(form, s)
+
+            pdf = pdf.copy()
+            pdf[out] = [one(s) for s in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(norm, schema=schema)

@@ -824,6 +824,55 @@ class TestChunkSpans:
         assert rows == [(0, 0, 16, "t0"), (1, 12, 16, "t12"), (2, 24, 6, "t24")]
 
 
+class TestNormalizeUnicode:
+    """NFKC + mojibake repair (functions.text.normalize_unicode), the
+    byte-canonicalization step upstream of every digest/shingle/gram."""
+
+    def test_nfkc_and_mojibake_repair(self, spark):
+        from s3_access_logs_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [
+                (1, "cafÃ© society"),          # UTF-8 read as cp1252
+                (2, "ﬁne Ａscii"),             # ligature + fullwidth
+                (3, "NÃO"),                    # legit Portuguese, no repair
+                (4, None),
+                (5, "plain ascii"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r.doc_id: r.text for r in normalize_unicode(df).collect()}
+        assert got[1] == "café society"
+        assert got[2] == "fine Ascii"
+        assert got[3] == "NÃO"  # strict round-trip rejects false repair
+        assert got[4] is None
+        assert got[5] == "plain ascii"
+
+    def test_out_col_and_other_columns_pass_through(self, spark):
+        from s3_access_logs_spark.functions.text import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(1, "ﬁx", 3.5)], "doc_id bigint, text string, score double"
+        )
+        row = normalize_unicode(df, out_col="clean").first()
+        assert row.text == "ﬁx" and row.clean == "fix" and row.score == 3.5
+
+    def test_normalization_unifies_digests(self, spark):
+        # the reason this exists: NFC/NFD/mojibake variants of one text
+        # must collapse to one digest after normalization
+        from s3_access_logs_spark.functions.text import normalize_unicode
+        from s3_access_logs_spark.operators.dedup import dedup_exact
+
+        nfc = "café"
+        nfd = "cafe\u0301"  # e + combining acute
+        moj = "cafÃ©"
+        df = spark.createDataFrame(
+            [(1, nfc), (2, nfd), (3, moj)], "doc_id bigint, text string"
+        )
+        assert dedup_exact(df).count() == 3  # distinct bytes pre-norm
+        assert dedup_exact(normalize_unicode(df)).count() == 1
+
+
 class TestPiiScrub:
     def test_redacts_and_counts(self, spark):
         from s3_access_logs_spark.functions.text import pii_count, pii_redact
