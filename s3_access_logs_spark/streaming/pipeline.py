@@ -237,6 +237,7 @@ def ingest_documents_stream(
     available_now: bool = True,
     min_quality: float | None = None,
     scrub_pii: bool = False,
+    normalize_text: bool = False,
     band_store: str | None = None,
     bloom_store: str | None = None,
     bloom_num_bits: int | None = None,
@@ -252,7 +253,11 @@ def ingest_documents_stream(
     redacts emails/IPs/digit-runs in the stored text — the same narrow
     column expressions as the batch cleaning pipeline, composed into the
     stream at zero extra shuffle cost (filters and projections ride the
-    micro-batch scan).
+    micro-batch scan). ``normalize_text`` runs
+    :func:`functions.text.normalize_unicode` (NFKC + mojibake repair)
+    FIRST: the digest and band gates are byte-sensitive, so NFC/NFD/
+    mojibake variants of one re-crawled page must canonicalize before
+    any gate sees them.
 
     ``band_store`` additionally gates NEAR-dups: survivors of the exact
     gate probe the append-only MinHash band store
@@ -310,6 +315,15 @@ def ingest_documents_stream(
             return
         sess = batch_df.sparkSession
         cleaned = batch_df
+        if normalize_text:
+            # FIRST: digests/bands are byte-sensitive, so NFC/NFD/
+            # mojibake variants of one page must canonicalize before
+            # any gate sees them
+            from s3_access_logs_spark.functions.text import (
+                normalize_unicode,
+            )
+
+            cleaned = normalize_unicode(cleaned)
         if min_quality is not None:
             cleaned = cleaned.filter(quality_score("text") >= min_quality)
         if scrub_pii:

@@ -560,6 +560,40 @@ class TestIngestBloom:
         assert nb == 1 << 12  # every partition shares the backfill sizing
 
 
+class TestIngestNormalize:
+    def test_unicode_variants_dedup_across_batches(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        nfc = "café society report"
+        nfd = "cafe\u0301 society report"  # e + combining acute
+        moj = "cafÃ© society report"  # mojibake corpse
+
+        (src / "b0.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": nfc}) + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, normalize_text=True
+        ).awaitTermination(120)
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 2, "text": nfd}) + "\n"
+            + json.dumps({"doc_id": 3, "text": moj}) + "\n"
+            + json.dumps({"doc_id": 4, "text": "genuinely new"}) + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, normalize_text=True
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        # NFD and mojibake variants collapsed onto batch 0's canonical doc
+        assert {r.keep_id for r in rows} == {1, 4}
+        assert all("Ã" not in r.text for r in rows)  # stored text clean
+
+
 class TestIngestNearDup:
     def test_near_dup_gate_drops_edited_recrawl(self, spark, tmp_path):
         import json
