@@ -384,6 +384,13 @@ def ingest_documents_stream(
                 bloom_store, "word bigint, bits bigint"
             ).select("word", "bits").collect()
             meta = {r["word"]: r["bits"] for r in rows if r["word"] < 0}
+            # several backfills leave several markers; the dict above
+            # keeps an arbitrary one — coverage is the MAX claim
+            cover_rows = [
+                r["bits"] for r in rows if r["word"] == _COVER_MAX_BATCH
+            ]
+            if cover_rows:
+                meta[_COVER_MAX_BATCH] = max(cover_rows)
             # COVERAGE, not mere existence: every committed doc-store
             # batch must have its filter partition, or predate the last
             # backfill's coverage marker, or be a fold of covered batches
