@@ -531,6 +531,104 @@ def probe_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    skip_existing: bool = True,
+) -> dict[str, int]:
+    """Incrementally grow a materialized IVF index without rebuilding it —
+    the index-maintenance twin of ``compact_ingest_store``.
+
+    A production corpus is append-mostly: re-running ``build_ivf_index``
+    on every new crawl slice re-shuffles the ENTIRE indexed corpus (100 TB
+    of posting lists) to add a sliver of new vectors. This op instead
+    assigns only the new vectors to the SAVED centroids (the same
+    zero-exchange broadcast-argmin as the build — retraining here would
+    silently orphan every existing posting list, so the quantizer is a
+    required argument, never recomputed) and appends them into their
+    ``cluster=<label>`` partitions. Cost: one narrow pass over the new
+    slice + one shuffle of the new slice alone.
+
+    ``skip_existing`` anti-joins the candidates against the ids already
+    present in the TOUCHED posting lists only (partition-pruned read,
+    never a full index scan). Because an already-present id appends
+    nothing, a replayed append of the same slice is a no-op — at-least-
+    once callers (foreachBatch, retried cron jobs) get idempotency from
+    the ids themselves, no marker file needed.
+
+    Repeated appends accumulate one file-set per call per partition;
+    fold them with ``operators.etl.compact_partitions(index_path)``,
+    which preserves the hive layout probes prune on (pinned by
+    ``TestIvfAppend.test_compaction_keeps_probe_results``).
+
+    Drift caveat (documented, not policed): the saved quantizer was
+    trained on the corpus as of build time. If the appended mass shifts
+    the distribution, posting lists skew — compare per-cluster counts in
+    the returned stats and rebuild with ``kmeans_fit`` + ``build_ivf_
+    index`` when the heaviest list outgrows the mean by your tolerance.
+    Returns ``{"appended": n, "skipped_existing": m}``.
+    """
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if not has_data_files(spark, index_path):
+        raise ValueError(
+            f"append_to_ivf_index: no committed index at {index_path!r} — "
+            "run build_ivf_index first (appending into a void would create "
+            "an index that silently lacks the rest of the corpus)"
+        )
+    if new_vectors.isEmpty():
+        return {"appended": 0, "skipped_existing": 0}
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
+    assigned = _assign_clusters(c, centroids, "c_vec", 1)
+    if skip_existing:
+        touched = sorted(
+            r["cluster"]
+            for r in assigned.select("cluster").distinct().collect()
+        )
+        existing = (
+            spark.read.parquet(index_path)
+            .filter(F.col("cluster").isin(touched))
+            .select("neighbor_id", F.lit(True).alias("_seen"))
+        )
+        marked = assigned.join(existing, "neighbor_id", "left").persist()
+        try:
+            fresh = marked.filter(F.col("_seen").isNull()).drop("_seen")
+            stats = {
+                r["_seen"]: r["n"]
+                for r in marked.groupBy("_seen").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            appended = stats.get(None, 0)
+            skipped = stats.get(True, 0)
+            if appended:
+                (
+                    fresh.repartition("cluster")
+                    .write.mode("append")
+                    .partitionBy("cluster")
+                    .parquet(index_path)
+                )
+        finally:
+            marked.unpersist()
+        return {"appended": appended, "skipped_existing": skipped}
+    appended = assigned.count()
+    (
+        assigned.repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+    return {"appended": appended, "skipped_existing": 0}
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

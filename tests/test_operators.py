@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from s3_access_logs_spark.functions.vectors import cosine_similarity
@@ -297,6 +298,127 @@ class TestIvfIndex:
         # nprobe/nlist of the index subtree never enters the scan
         plan = probed._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [" in plan and "cluster" in plan
+
+
+class TestIvfAppend:
+    """Incremental index maintenance: grow a materialized IVF index from
+    a new slice without re-shuffling the indexed corpus."""
+
+    @staticmethod
+    def _halves(spark):
+        from s3_access_logs_spark.operators.similarity import label_centroids
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        # ONE quantizer for both paths: append must reuse the saved
+        # centroids, so trained-on-full vs trained-on-half is not the
+        # variable under test
+        cents = label_centroids(emb, "label", "embedding")
+        return emb, emb.filter(F.col("vec_id") <= mid), emb.filter(
+            F.col("vec_id") > mid
+        ), cents
+
+    def test_append_equals_full_build(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            probe_ivf_index,
+        )
+
+        emb, first, rest, cents = self._halves(spark)
+        queries = emb.filter(F.col("vec_id") < 4)
+        grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+        build_ivf_index(first, grown, centroids=cents)
+        stats = append_to_ivf_index(spark, rest, grown, cents)
+        assert stats == {
+            "appended": rest.count(), "skipped_existing": 0
+        }
+        build_ivf_index(emb, full, centroids=cents)
+        got = probe_ivf_index(spark, grown, queries, cents, k=5, nprobe=2)
+        want = probe_ivf_index(spark, full, queries, cents, k=5, nprobe=2)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_replayed_append_is_noop(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            probe_ivf_index,
+        )
+
+        emb, first, rest, cents = self._halves(spark)
+        dst = str(tmp_path / "ivf")
+        build_ivf_index(first, dst, centroids=cents)
+        append_to_ivf_index(spark, rest, dst, cents)
+        before = sorted(
+            map(
+                tuple,
+                probe_ivf_index(
+                    spark, dst, emb.filter(F.col("vec_id") < 4), cents
+                ).collect(),
+            )
+        )
+        # at-least-once caller replays the same slice: every id is
+        # already in its (partition-pruned) posting list -> no-op
+        stats = append_to_ivf_index(spark, rest, dst, cents)
+        assert stats == {
+            "appended": 0, "skipped_existing": rest.count()
+        }
+        after = sorted(
+            map(
+                tuple,
+                probe_ivf_index(
+                    spark, dst, emb.filter(F.col("vec_id") < 4), cents
+                ).collect(),
+            )
+        )
+        assert before == after
+
+    def test_missing_index_raises(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivf_index,
+        )
+
+        emb, _, rest, cents = self._halves(spark)
+        with pytest.raises(ValueError, match="build_ivf_index first"):
+            append_to_ivf_index(
+                spark, rest, str(tmp_path / "nothing_here"), cents
+            )
+
+    def test_compaction_keeps_probe_results(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.etl import compact_partitions
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivf_index,
+            build_ivf_index,
+            probe_ivf_index,
+        )
+
+        emb, first, rest, cents = self._halves(spark)
+        dst = str(tmp_path / "ivf")
+        build_ivf_index(first, dst, centroids=cents)
+        # several appends -> several file-sets per posting list
+        thirds = [
+            rest.filter(F.col("vec_id") % 3 == i) for i in range(3)
+        ]
+        for part in thirds:
+            append_to_ivf_index(spark, part, dst, cents)
+        queries = emb.filter(F.col("vec_id") < 4)
+        before = sorted(
+            map(
+                tuple,
+                probe_ivf_index(spark, dst, queries, cents).collect(),
+            )
+        )
+        compact_partitions(spark, dst, target_file_bytes=1 << 30)
+        after = sorted(
+            map(
+                tuple,
+                probe_ivf_index(spark, dst, queries, cents).collect(),
+            )
+        )
+        assert before == after
 
 
 class TestKmeansFit:
