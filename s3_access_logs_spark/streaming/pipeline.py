@@ -693,6 +693,188 @@ def compact_ingest_store(
     }
 
 
+def track_frequencies_stream(
+    spark: SparkSession,
+    src: str,
+    sketch_store: str,
+    checkpoint: str,
+    candidates_store: str | None = None,
+    candidates_per_batch: int = 100,
+    width: int | None = None,
+    depth: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming key-frequency tracking with BOUNDED state: each
+    micro-batch tokenizes its documents, sketches the token counts into a
+    count-min (functions.cms) and writes the sketch under a
+    ``batch_id=<n>`` hive partition — the frequency twin of the Bloom
+    store ``ingest_documents_stream`` keeps.
+
+    Why a sketch store and not a streaming ``groupBy(token).count()``:
+    exact running counts keep one state row per DISTINCT token forever —
+    at crawl scale the distinct set IS the memory problem, and the
+    watermark-vs-completeness tradeoff buys nothing for an all-time
+    tally. The CMS caps state at depth x width counters per batch, the
+    partitions are linear (summing them IS the sketch of the full
+    history), and ``compact_ingest_store`` folds old partitions without
+    changing any estimate — counter rows just coexist and readers sum.
+
+    ``candidates_store`` makes the store answer "WHICH keys are heavy",
+    not just "how heavy is this key": each batch's exact top
+    ``candidates_per_batch`` tokens (a bounded per-batch aggregation —
+    within one micro-batch exact counting is cheap) append under the
+    same ``batch_id`` layout, and :func:`heavy_hitters` re-scores the
+    candidate union against the merged sketch. Coverage caveat
+    (standard for sketch+candidate designs): a key heavy ONLY in
+    aggregate but never in any single batch's top-N can be missed —
+    raise ``candidates_per_batch`` to taste; estimates themselves are
+    never missed and never under-counted.
+
+    Replay/crash posture: both writes are dynamic-partition overwrites
+    keyed on ``batch_id``, so an at-least-once replay rewrites exactly
+    its own partitions (the per-batch sketch is deterministic). The
+    sketch partition is written FIRST: a crash between the writes leaves
+    a batch counted in the sketch but absent from the candidate list —
+    its keys can still surface via other batches' candidacy and every
+    estimate stays a true overestimate; the reverse order could surface
+    a candidate whose mass the sketch never saw (an undercount).
+
+    Parameters: a NEW store takes ``width``/``depth`` (defaults:
+    functions.cms). An existing store's meta rows always win — passing
+    different values fails loudly instead of silently mixing
+    incompatible counter grids.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from s3_access_logs_spark.functions.cms import (
+        DEFAULT_DEPTH,
+        DEFAULT_WIDTH,
+        _read_meta,
+        cms_build,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = spark.readStream.schema(schema).json(src)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        from s3_access_logs_spark.sources.fsutil import has_data_files
+
+        w, d = width or DEFAULT_WIDTH, depth or DEFAULT_DEPTH
+        if has_data_files(sess, sketch_store):
+            meta = (
+                sess.read.parquet(sketch_store)
+                .filter(F.col("row") < 0)
+                .select("row", "col", "cnt")
+                .distinct()
+                .collect()
+            )
+            if meta:
+                ew, ed, _ = _read_meta(meta)
+                if (width is not None and width != ew) or (
+                    depth is not None and depth != ed
+                ):
+                    raise ValueError(
+                        f"track_frequencies_stream: store at "
+                        f"{sketch_store!r} was built with (width={ew}, "
+                        f"depth={ed}) but caller asked for ({width}, "
+                        f"{depth}) — sketches with different grids can "
+                        "never merge; drop the override or rebuild"
+                    )
+                w, d = ew, ed
+        tokens = batch_df.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            cms_build(tokens, "token", w, d)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(sketch_store)
+        )
+        if candidates_store is not None:
+            top = (
+                tokens.groupBy("token")
+                .agg(F.count("*").alias("batch_cnt"))
+                .orderBy(F.col("batch_cnt").desc(), "token")
+                .limit(candidates_per_batch)
+            )
+            (
+                top.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(candidates_store)
+            )
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sketch_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def frequency_estimates(
+    spark: SparkSession,
+    sketch_store: str,
+    df: DataFrame,
+    col: str,
+    result_col: str = "est_count",
+) -> DataFrame:
+    """Attach the all-time count estimate from a ``track_frequencies_
+    stream`` store to every row of ``df[col]``. The store's partitions
+    are linear, so their concatenated rows ARE the merged sketch —
+    ``cms_estimate`` sums duplicate counters as it densifies, one store
+    scan, no per-partition merge job. Estimates only overestimate."""
+    from s3_access_logs_spark.functions.cms import cms_estimate
+
+    # one store scan; cms_estimate's densify SUMS duplicate counters
+    # (sketch linearity) and accepts one identical meta pair per batch
+    # partition, so the concatenated rows need no per-partition merge
+    rows = (
+        spark.read.parquet(sketch_store)
+        .select("row", "col", "cnt")
+        .collect()
+    )
+    return cms_estimate(df, col, rows, result_col)
+
+
+def heavy_hitters(
+    spark: SparkSession,
+    sketch_store: str,
+    candidates_store: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` keys across the stream's whole history: the candidate
+    union (bounded: batches x candidates_per_batch rows) re-scored
+    against the merged sketch, ordered by estimated count. Exactness
+    caveats inherit from :func:`track_frequencies_stream`: estimates are
+    overestimates, and a key never locally-top in any batch is absent."""
+    cands = (
+        spark.read.parquet(candidates_store)
+        .select("token")
+        .distinct()
+    )
+    scored = frequency_estimates(
+        spark, sketch_store, cands, "token", "est_count"
+    )
+    return scored.orderBy(
+        F.col("est_count").desc(), "token"
+    ).limit(k)
+
+
 def dedup_request_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on the request id: at-least-once upstream
     delivery (S3 log files are occasionally re-delivered) becomes

@@ -835,3 +835,132 @@ class TestIngestReplaySafety:
         assert {
             r.keep_id for r in spark.read.parquet(store).collect()
         } == {1, 3}
+
+
+class TestFrequencyStream:
+    """Streaming count-min store: bounded-state all-time token counts."""
+
+    @staticmethod
+    def _drop(src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def test_estimates_accumulate_across_batches(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import (
+            frequency_estimates,
+            heavy_hitters,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        cd = str(tmp_path / "cands")
+        ckpt = str(tmp_path / "ckpt")
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "alpha alpha beta"},
+            {"doc_id": 2, "text": "alpha gamma"},
+        ])
+        track_frequencies_stream(
+            spark, str(src), sk, ckpt, candidates_store=cd
+        ).awaitTermination(120)
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 3, "text": "alpha beta beta delta"},
+        ])
+        track_frequencies_stream(
+            spark, str(src), sk, ckpt, candidates_store=cd
+        ).awaitTermination(120)
+        probe = spark.createDataFrame(
+            [("alpha",), ("beta",), ("delta",), ("never-seen",)],
+            ["token"],
+        )
+        est = {
+            r["token"]: r["est_count"]
+            for r in frequency_estimates(spark, sk, probe, "token").collect()
+        }
+        # CMS never undercounts; at this tiny cardinality vs the default
+        # 5x65536 grid a collision is essentially impossible -> exact
+        assert est == {
+            "alpha": 4, "beta": 3, "delta": 1, "never-seen": 0
+        }
+        top = heavy_hitters(spark, sk, cd, k=2).collect()
+        assert [(r["token"], r["est_count"]) for r in top] == [
+            ("alpha", 4), ("beta", 3)
+        ]
+
+    def test_replay_rewrites_own_partition(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import (
+            frequency_estimates,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "omega omega"},
+        ])
+        track_frequencies_stream(
+            spark, str(src), sk, str(tmp_path / "ckpt")
+        ).awaitTermination(120)
+        # crashed-attempt replay: same files, FRESH checkpoint -> the
+        # rerun IS batch 0 again; dynamic overwrite must rewrite the
+        # partition, not double the counts
+        track_frequencies_stream(
+            spark, str(src), sk, str(tmp_path / "ckpt2")
+        ).awaitTermination(120)
+        probe = spark.createDataFrame([("omega",)], ["token"])
+        [r] = frequency_estimates(spark, sk, probe, "token").collect()
+        assert r["est_count"] == 2
+
+    def test_param_mismatch_fails_loud(self, spark, tmp_path):
+        import pytest
+
+        from s3_access_logs_spark.streaming import track_frequencies_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        self._drop(src, "b1.jsonl", [{"doc_id": 1, "text": "x y"}])
+        track_frequencies_stream(
+            spark, str(src), sk, str(tmp_path / "c1"), width=1 << 10
+        ).awaitTermination(120)
+        self._drop(src, "b2.jsonl", [{"doc_id": 2, "text": "z"}])
+        q = track_frequencies_stream(
+            spark, str(src), sk, str(tmp_path / "c1"), width=1 << 11
+        )
+        with pytest.raises(Exception, match="never merge"):
+            q.awaitTermination(120)
+
+    def test_compaction_preserves_estimates(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            frequency_estimates,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        ckpt = str(tmp_path / "ckpt")
+        for i, text in enumerate(
+            ["red red blue", "red green", "blue blue blue"]
+        ):
+            self._drop(src, f"b{i}.jsonl", [{"doc_id": i, "text": text}])
+            track_frequencies_stream(
+                spark, str(src), sk, ckpt
+            ).awaitTermination(120)
+        # stream stopped -> folding ALL partitions is legal
+        res = compact_ingest_store(spark, sk, keep_recent=0)
+        assert res["folded"] == [0, 1, 2]
+        probe = spark.createDataFrame(
+            [("red",), ("blue",), ("green",)], ["token"]
+        )
+        est = {
+            r["token"]: r["est_count"]
+            for r in frequency_estimates(spark, sk, probe, "token").collect()
+        }
+        assert est == {"red": 3, "blue": 4, "green": 1}
