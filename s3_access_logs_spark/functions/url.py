@@ -1,0 +1,153 @@
+"""URL / domain functions for corpus curation — blocklist filtering and
+domain normalization as pure column expressions (no UDFs).
+
+Crawl-derived corpora are routinely filtered by domain blocklists
+(adult/malware/spam lists published as "one domain per line, blocks all
+subdomains"). At 100 TB the filter must be an equi-join against a
+broadcast list, never a per-row regex scan over the list: this module
+normalizes both sides to comparable keys and expresses subdomain
+matching as a bounded explode + broadcast semi/anti join.
+
+Suffix handling is a documented HEURISTIC, not the full Public Suffix
+List: a built-in set of common two-level suffixes (co.uk, com.au, ...)
+decides when the registrable domain is the last three labels instead of
+the last two. Pipelines needing exact PSL semantics can pass their own
+``second_level_suffixes`` — the column logic is identical, only the set
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+# common country-code second-level suffixes: under these, the
+# registrable domain is <label>.<suffix> (three labels), e.g.
+# "news.bbc.co.uk" -> "bbc.co.uk". Extend via the function parameter.
+SECOND_LEVEL_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "co.nz", "net.nz", "org.nz",
+        "com.br", "net.br", "org.br", "gov.br",
+        "co.in", "net.in", "org.in", "gov.in",
+        "com.cn", "net.cn", "org.cn", "gov.cn",
+        "co.kr", "or.kr", "go.kr", "ac.kr",
+        "com.mx", "org.mx", "gob.mx",
+        "co.za", "org.za", "gov.za",
+        "com.sg", "edu.sg", "gov.sg",
+        "com.tr", "org.tr", "gov.tr",
+    }
+)
+
+
+def url_host(col: Column | str) -> Column:
+    """The lowercased host of a URL; scheme-less inputs ("example.com/x")
+    fall back to parsing with an http:// prefix. Ports and a trailing
+    root dot are stripped. NULL in, NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.coalesce(
+        F.parse_url(c, F.lit("HOST")),
+        F.parse_url(F.concat(F.lit("http://"), c), F.lit("HOST")),
+    )
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(host), r":\d+$", ""), r"\.$", ""
+    )
+
+
+def registrable_domain(
+    host: Column | str,
+    second_level_suffixes: frozenset[str] = SECOND_LEVEL_SUFFIXES,
+) -> Column:
+    """eTLD+1 under the two-level-suffix heuristic: the last two labels
+    of the host, or the last three when the last two form a known
+    second-level suffix ("bbc.co.uk", not "co.uk"). A bare registrable
+    domain (or anything with too few labels) passes through unchanged."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    # membership against a compile-time frozen set: a plan literal array
+    # is fine here (dozens of entries, constant-folded once per plan)
+    is_2l = last2.isin(*sorted(second_level_suffixes))
+    return F.when(n <= 2, h).otherwise(
+        F.when(is_2l & (n >= 3), last3).otherwise(last2)
+    )
+
+
+def host_suffixes(host: Column | str, max_labels: int = 10) -> Column:
+    """Every label-suffix of a host, longest first: "a.b.c" ->
+    ["a.b.c", "b.c", "c"]. Bounded at ``max_labels`` entries — hosts are
+    shallow, so this is the cheap side to explode when matching a
+    blocks-all-subdomains list as an equi-join."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+            lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame | list[str],
+    id_col: str,
+    keep: str = "clean",
+) -> DataFrame:
+    """Filter rows by a blocks-all-subdomains domain list.
+
+    A row is blocked when ANY label-suffix of its URL's host equals a
+    blocklist entry — exactly the published-list semantics ("example.com"
+    blocks "cdn.example.com" but NOT "notexample.com"). Entries are
+    normalized with :func:`url_host` so scheme'd or uppercased lines in
+    a raw list file still match.
+
+    Plan shape: a two-column (id, suffix) projection of the corpus
+    explodes into <= ~10 suffix rows each and LEFT SEMI equi-joins the
+    broadcast blocklist — a hash probe per suffix, no exchange, and the
+    document text never rides this branch. The surviving ids (the
+    BLOCKED set — typically a small fraction of the corpus) then
+    semi/anti join back on ``id_col``. An explode-then-anti shortcut
+    without the id round-trip would be wrong: a blocked row's
+    NON-matching suffix rows survive the anti join and resurrect the
+    row. The id join's non-broadcast side is |blocked ids|, which AQE
+    broadcasts when small; at worst it is one shuffle on the id, never
+    on the exploded fanout."""
+    if keep not in ("clean", "blocked"):
+        raise ValueError(
+            f"domain_blocklist_filter: keep must be 'clean' or 'blocked',"
+            f" got {keep!r}"
+        )
+    spark = df.sparkSession
+    if isinstance(blocklist, list):
+        blocked = spark.createDataFrame(
+            [(e,) for e in blocklist], "entry string"
+        )
+    else:
+        if not blocklist.columns:
+            raise ValueError("domain_blocklist_filter: empty blocklist frame")
+        blocked = blocklist.select(
+            F.col(blocklist.columns[0]).alias("entry")
+        )
+    entries = blocked.select(
+        url_host(F.col("entry")).alias("_bl_suffix")
+    ).filter(F.col("_bl_suffix").isNotNull()).distinct()
+    blocked_ids = (
+        df.select(
+            F.col(id_col).alias("_bl_id"),
+            F.explode(host_suffixes(url_host(url_col))).alias("_bl_suffix"),
+        )
+        .join(broadcast(entries), "_bl_suffix", "left_semi")
+        .select(F.col("_bl_id").alias(id_col))
+        .distinct()
+    )
+    how = "left_semi" if keep == "blocked" else "left_anti"
+    return df.join(blocked_ids, id_col, how)

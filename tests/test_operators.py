@@ -2272,3 +2272,188 @@ class TestAdviceR4Fixes:
         }
         assert out[1] is None  # NULL in, NULL out — not ''
         assert out[2] == "a\n\nb"
+
+
+class TestQuantileSketch:
+    """Mergeable bottom-k-by-hash quantile sample — the distribution
+    member of the sketch family (bloom/cms/kmv)."""
+
+    def _docs(self, spark):
+        from s3_access_logs_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_full_sample_is_exact(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            quantile_sketch_build,
+            quantile_values,
+        )
+
+        docs = self._docs(spark)
+        n = docs.count()
+        sk = quantile_sketch_build(docs, "n_chars", "doc_id", k=n + 100)
+        got = quantile_values(sk, [0.0, 0.5, 0.9, 1.0])
+        want = docs.agg(
+            F.expr(
+                "percentile(CAST(n_chars AS DOUBLE), "
+                "array(0.0D, 0.5D, 0.9D, 1.0D))"
+            )
+        ).first()[0]
+        # k >= n -> the sample IS the population; both sides use the
+        # same linear interpolation -> exact agreement
+        for q, w in zip([0.0, 0.5, 0.9, 1.0], want):
+            assert abs(got[q] - w) < 1e-9
+
+    def test_small_sample_within_tolerance(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            quantile_sketch_build,
+            quantile_values,
+        )
+
+        docs = self._docs(spark)
+        sk = quantile_sketch_build(docs, "n_chars", "doc_id", k=128)
+        got = quantile_values(sk, [0.5])
+        exact = docs.agg(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5D)")
+        ).first()[0]
+        # sample error ~ sqrt(.25/128) ~ 4.4 percentile points; assert
+        # the VALUE at the estimated rank is within the p35-p65 band
+        lo, hi = docs.agg(
+            F.expr(
+                "percentile(CAST(n_chars AS DOUBLE), array(0.35D, 0.65D))"
+            )
+        ).first()[0]
+        assert lo <= got[0.5] <= hi
+
+    def test_merge_equals_whole_and_tolerates_overlap(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            quantile_sketch_build,
+            quantile_sketch_merge,
+        )
+
+        docs = self._docs(spark)
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        whole = quantile_sketch_build(docs, "n_chars", "doc_id", k=64)
+        merged = quantile_sketch_merge(
+            quantile_sketch_build(a, "n_chars", "doc_id", k=64),
+            quantile_sketch_build(b, "n_chars", "doc_id", k=64),
+            # replayed slice: same rows again must not double-sample
+            quantile_sketch_build(a, "n_chars", "doc_id", k=64),
+        )
+        assert set(map(tuple, whole.collect())) == set(
+            map(tuple, merged.collect())
+        )
+
+    def test_k_mismatch_and_missing_meta_fail_loud(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            quantile_sketch_build,
+            quantile_sketch_merge,
+            quantile_values,
+        )
+
+        docs = self._docs(spark)
+        s64 = quantile_sketch_build(docs, "n_chars", "doc_id", k=64)
+        s32 = quantile_sketch_build(docs, "n_chars", "doc_id", k=32)
+        with pytest.raises(ValueError, match="disagree on k"):
+            quantile_sketch_merge(s64, s32)
+        with pytest.raises(ValueError, match="meta row"):
+            quantile_values(s64.filter(F.col("h").isNotNull()), [0.5])
+        with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+            quantile_values(s64, [1.5])
+
+    def test_bottomk_avoids_global_sort(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            quantile_sketch_build,
+        )
+
+        docs = self._docs(spark)
+        sk = quantile_sketch_build(docs, "n_chars", "doc_id", k=64)
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        # per-partition partial bottom-k + single k-row reduce, never a
+        # full shuffle sort of the corpus
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestUrlFunctions:
+    """Domain normalization + blocks-all-subdomains list filtering."""
+
+    def test_url_host_normalizes(self, spark):
+        from s3_access_logs_spark.functions.url import url_host
+
+        df = spark.createDataFrame(
+            [
+                ("https://News.Example.COM:8080/path?q=1",),
+                ("example.com/path",),          # scheme-less fallback
+                ("http://trailing.dot.",),
+                (None,),
+            ],
+            ["u"],
+        )
+        got = [r[0] for r in df.select(url_host("u")).collect()]
+        assert got == [
+            "news.example.com", "example.com", "trailing.dot", None
+        ]
+
+    def test_registrable_domain_heuristic(self, spark):
+        from s3_access_logs_spark.functions.url import registrable_domain
+
+        df = spark.createDataFrame(
+            [
+                ("news.bbc.co.uk",),
+                ("a.b.example.com",),
+                ("example.com",),
+                ("localhost",),
+            ],
+            ["h"],
+        )
+        got = [r[0] for r in df.select(registrable_domain("h")).collect()]
+        assert got == ["bbc.co.uk", "example.com", "example.com", "localhost"]
+
+    def test_host_suffixes(self, spark):
+        from s3_access_logs_spark.functions.url import host_suffixes
+
+        df = spark.createDataFrame([("a.b.c",)], ["h"])
+        [r] = df.select(host_suffixes("h")).collect()
+        assert r[0] == ["a.b.c", "b.c", "c"]
+
+    def test_blocklist_filter_subdomain_semantics(self, spark):
+        from s3_access_logs_spark.functions.url import (
+            domain_blocklist_filter,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://cdn.example.com/page"),   # subdomain -> block
+                (2, "http://notexample.com"),          # suffix!=label bound
+                (3, "BAD.co.uk/page"),                 # scheme-less + case
+                (4, "https://sub.bad.co.uk"),
+                (5, "https://spam.net"),
+                (6, "https://ok.org/fine"),
+            ],
+            ["doc_id", "url"],
+        )
+        # raw list lines: bare domain, cased, scheme'd-with-path
+        bl = ["example.com", "Bad.co.uk", "http://spam.net/x"]
+        clean = domain_blocklist_filter(df, "url", bl, "doc_id")
+        assert {r.doc_id for r in clean.collect()} == {2, 6}
+        hit = domain_blocklist_filter(df, "url", bl, "doc_id", keep="blocked")
+        assert {r.doc_id for r in hit.collect()} == {1, 3, 4, 5}
+
+    def test_blocklist_probe_is_broadcast(self, spark):
+        from s3_access_logs_spark.functions.url import (
+            domain_blocklist_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"https://site{i}.com") for i in range(100)],
+            ["doc_id", "url"],
+        )
+        out = domain_blocklist_filter(
+            df, "url", ["site7.com"], "doc_id", keep="blocked"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the suffix-membership probe must be a broadcast hash join —
+        # the corpus-side branch never shuffles on the exploded fanout
+        assert "BroadcastHashJoin" in plan
+        assert {r.doc_id for r in out.collect()} == {7}
