@@ -114,6 +114,117 @@ def quantile_sketch_merge(*sketches: DataFrame) -> DataFrame:
     return merged.unionByName(meta)
 
 
+def grouped_quantile_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 512,
+    nsalts: int = 32,
+) -> DataFrame:
+    """Per-group bottom-k-by-hash samples in one pass: the distribution
+    profile "p50/p95 of document length PER SOURCE / PER DOMAIN" as a
+    stored table ``(group cols..., h, v, k)``.
+
+    Skew is the design constraint: a naive per-group window sends every
+    row of a giant group to one task. Instead the bottom-k runs in two
+    bounded phases — phase 1 windows over (group, pmod(h, nsalts)),
+    which the uniform hash balances perfectly, keeping k rows per salt;
+    phase 2 windows over the group alone on the <= k x nsalts survivors.
+    Both shuffles move only (group, h, v) triples, and no task ever
+    sorts more than max(rows/nsalts-ish, k x nsalts) rows regardless of
+    group skew."""
+    if k < 1 or nsalts < 1:
+        raise ValueError(
+            f"grouped_quantile_sketch_build: need k >= 1 and nsalts >= 1,"
+            f" got ({k}, {nsalts})"
+        )
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.xxhash64(F.col(key_col)).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(nsalts))
+    ).orderBy("h", "v")
+    w2 = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("k", F.lit(k))
+    )
+
+
+def grouped_quantile_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Union per-group sketches built with the same ``k`` and re-take
+    each group's k smallest hashes ((group, h) duplicates collapse to
+    MIN(v) first, so overlapping or replayed inputs cannot
+    double-sample). k-mismatch fails loudly."""
+    if not sketches:
+        raise ValueError(
+            "grouped_quantile_sketch_merge: need at least one sketch"
+        )
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    ks = [r["k"] for r in u.select("k").distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError(
+            f"grouped_quantile_sketch_merge: sketches disagree on k "
+            f"({sorted(ks)}) — rebuild with one k"
+        )
+    from pyspark.sql import Window
+
+    k = ks[0]
+    group_cols = [c for c in u.columns if c not in ("h", "v", "k")]
+    w = Window.partitionBy(*group_cols).orderBy("h", "v")
+    return (
+        u.groupBy(*group_cols, "h")
+        .agg(F.min("v").alias("v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .withColumn("k", F.lit(k))
+    )
+
+
+def grouped_quantile_values(
+    sketch: DataFrame, qs: list[float]
+) -> DataFrame:
+    """Per-group quantiles from a grouped sketch, fully in-engine (no
+    driver collect — there may be millions of groups): one hash
+    aggregation over the bounded samples, then the requested quantiles
+    unpivot to ``(group cols..., q, value)``. Uses ``percentile``'s
+    linear interpolation — the same rule as :func:`quantile_values`."""
+    for q in qs:
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(
+                f"grouped_quantile_values: q must be in [0, 1], got {q}"
+            )
+    group_cols = [c for c in sketch.columns if c not in ("h", "v", "k")]
+    q_arr = "array({})".format(
+        ", ".join(f"{q!r}D" for q in qs)
+    )
+    agg = sketch.groupBy(*group_cols).agg(
+        F.expr(f"percentile(v, {q_arr})").alias("_vals")
+    )
+    return agg.select(
+        *group_cols,
+        F.posexplode("_vals").alias("_pos", "value"),
+    ).select(
+        *group_cols,
+        F.element_at(
+            F.array(*[F.lit(float(q)) for q in qs]), F.col("_pos") + 1
+        ).alias("q"),
+        "value",
+    )
+
+
 def quantile_values(
     sketch: DataFrame | list, qs: list[float]
 ) -> dict[float, float]:

@@ -2457,3 +2457,109 @@ class TestUrlFunctions:
         # the corpus-side branch never shuffles on the exploded fanout
         assert "BroadcastHashJoin" in plan
         assert {r.doc_id for r in out.collect()} == {7}
+
+
+class TestGroupedQuantileSketch:
+    """Per-group distribution profiles with skew-proof two-phase
+    bottom-k."""
+
+    def _docs(self, spark):
+        from s3_access_logs_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_full_sample_matches_exact_per_group(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            grouped_quantile_sketch_build,
+            grouped_quantile_values,
+        )
+
+        docs = self._docs(spark)
+        n = docs.count()
+        sk = grouped_quantile_sketch_build(
+            docs, "n_chars", "doc_id", ["source"], k=n + 10
+        )
+        got = {
+            (r["source"], r["q"]): r["value"]
+            for r in grouped_quantile_values(sk, [0.5, 0.9]).collect()
+        }
+        want = {
+            (r["source"], q): v
+            for r in docs.groupBy("source")
+            .agg(
+                F.expr(
+                    "percentile(CAST(n_chars AS DOUBLE), "
+                    "array(0.5D, 0.9D))"
+                ).alias("vals")
+            )
+            .collect()
+            for q, v in zip([0.5, 0.9], r["vals"])
+        }
+        assert set(got) == set(want)
+        for key in want:
+            assert abs(got[key] - want[key]) < 1e-9
+
+    def test_merge_halves_equals_whole(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            grouped_quantile_sketch_build,
+            grouped_quantile_sketch_merge,
+        )
+
+        docs = self._docs(spark)
+        a = docs.filter(F.col("doc_id") % 2 == 0)
+        b = docs.filter(F.col("doc_id") % 2 == 1)
+        whole = grouped_quantile_sketch_build(
+            docs, "n_chars", "doc_id", ["source"], k=16
+        )
+        merged = grouped_quantile_sketch_merge(
+            grouped_quantile_sketch_build(
+                a, "n_chars", "doc_id", ["source"], k=16
+            ),
+            grouped_quantile_sketch_build(
+                b, "n_chars", "doc_id", ["source"], k=16
+            ),
+            # replay overlap must not double-sample
+            grouped_quantile_sketch_build(
+                b, "n_chars", "doc_id", ["source"], k=16
+            ),
+        )
+        assert set(map(tuple, whole.collect())) == set(
+            map(tuple, merged.collect())
+        )
+
+    def test_k_mismatch_fails_loud(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            grouped_quantile_sketch_build,
+            grouped_quantile_sketch_merge,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="disagree on k"):
+            grouped_quantile_sketch_merge(
+                grouped_quantile_sketch_build(
+                    docs, "n_chars", "doc_id", ["source"], k=8
+                ),
+                grouped_quantile_sketch_build(
+                    docs, "n_chars", "doc_id", ["source"], k=16
+                ),
+            )
+
+    def test_salted_phase_bounds_group_fanin(self, spark):
+        from s3_access_logs_spark.functions.quantile import (
+            grouped_quantile_sketch_build,
+        )
+
+        docs = self._docs(spark)
+        sk = grouped_quantile_sketch_build(
+            docs, "n_chars", "doc_id", ["source"], k=8, nsalts=4
+        )
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        # two window phases: the first partitions on (group, pmod(h, n))
+        # so no single task ever sorts a whole giant group
+        assert plan.count("Window") >= 2 and "pmod" in plan
+        # and the result is still exactly bottom-k per group
+        import collections
+
+        rows = sk.collect()
+        per_group = collections.Counter(r["source"] for r in rows)
+        assert all(c <= 8 for c in per_group.values())
