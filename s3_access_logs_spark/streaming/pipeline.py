@@ -826,6 +826,87 @@ def track_frequencies_stream(
     return writer.start()
 
 
+def track_profile_stream(
+    spark: SparkSession,
+    src: str,
+    profile_store: str,
+    checkpoint: str,
+    k: int = 4096,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming distribution profiling: each micro-batch sketches its
+    documents' length distribution (``functions.quantile`` bottom-k
+    sample over char count, keyed on doc_id) into a ``batch_id=<n>``
+    partition — "p50/p95/p99 of document length over everything
+    ingested so far" maintained incrementally, never rescanning history.
+
+    Unlike the count-min store, raw partition UNION is NOT the merged
+    sketch — a union of per-batch bottom-k samples over-represents
+    small batches. :func:`profile_quantiles` therefore re-takes the
+    global bottom-k on read (cheap: batches x k rows, nothing touches
+    the corpus). Dynamic-overwrite partitioning gives the same replay
+    idempotency as the other stores; mismatched ``k`` against existing
+    partitions fails loudly at read time (quantile_sketch_merge)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from s3_access_logs_spark.functions.quantile import (
+        quantile_sketch_build,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    docs = spark.readStream.schema(schema).json(src)
+
+    def profile_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        sk = quantile_sketch_build(
+            batch_df.withColumn("_len", F.length("text")),
+            "_len",
+            "doc_id",
+            k=k,
+        )
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            sk.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(profile_store)
+        )
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(profile_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def profile_quantiles(
+    spark: SparkSession, profile_store: str, qs: list[float]
+) -> dict[float, float]:
+    """All-time quantiles from a ``track_profile_stream`` store: treat
+    every batch partition as one sketch and merge (re-take the global
+    bottom-k — required for uniformity, see track_profile_stream), then
+    evaluate driver-side over the bounded sample."""
+    from s3_access_logs_spark.functions.quantile import (
+        quantile_sketch_merge,
+        quantile_values,
+    )
+
+    store = spark.read.parquet(profile_store).select("h", "v")
+    return quantile_values(quantile_sketch_merge(store), qs)
+
+
 def frequency_estimates(
     spark: SparkSession,
     sketch_store: str,

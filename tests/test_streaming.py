@@ -964,3 +964,68 @@ class TestFrequencyStream:
             for r in frequency_estimates(spark, sk, probe, "token").collect()
         }
         assert est == {"red": 3, "blue": 4, "green": 1}
+
+
+class TestProfileStream:
+    """Streaming length-distribution profiling via the quantile sketch."""
+
+    @staticmethod
+    def _drop(src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def test_profile_accumulates_and_matches_exact(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import (
+            profile_quantiles,
+            track_profile_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "profile")
+        ckpt = str(tmp_path / "ckpt")
+        texts1 = ["a" * n for n in (10, 20, 30)]
+        texts2 = ["b" * n for n in (40, 50)]
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": i, "text": t} for i, t in enumerate(texts1)
+        ])
+        track_profile_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 10 + i, "text": t} for i, t in enumerate(texts2)
+        ])
+        track_profile_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        got = profile_quantiles(spark, store, [0.0, 0.5, 1.0])
+        # k >> 5 docs -> every batch sample is its whole batch, the
+        # merged sample is the whole corpus -> exact quantiles of
+        # lengths {10,20,30,40,50}
+        assert got == {0.0: 10.0, 0.5: 30.0, 1.0: 50.0}
+
+    def test_replay_does_not_skew_sample(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import (
+            profile_quantiles,
+            track_profile_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "profile")
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "x" * 100},
+            {"doc_id": 2, "text": "y" * 200},
+        ])
+        track_profile_stream(
+            spark, str(src), store, str(tmp_path / "c1")
+        ).awaitTermination(120)
+        # crashed-attempt replay on a fresh checkpoint rewrites batch 0
+        track_profile_stream(
+            spark, str(src), store, str(tmp_path / "c2")
+        ).awaitTermination(120)
+        got = profile_quantiles(spark, store, [0.5])
+        assert got == {0.5: 150.0}
