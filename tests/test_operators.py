@@ -2563,3 +2563,75 @@ class TestGroupedQuantileSketch:
         rows = sk.collect()
         per_group = collections.Counter(r["source"] for r in rows)
         assert all(c <= 8 for c in per_group.values())
+
+
+class TestBigramLm:
+    """CCNet-style perplexity-vs-reference quality scoring, UDF-free."""
+
+    @staticmethod
+    def _model(spark):
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        return docs, train_bigram_lm(docs)
+
+    def test_natural_text_beats_scrambled(self, spark):
+        from s3_access_logs_spark.functions.lm import perplexity_score
+
+        docs, model = self._model(spark)
+        # scramble = sort each doc's words alphabetically: identical
+        # unigram mass, destroyed bigram structure
+        scrambled = docs.withColumn(
+            "text",
+            F.array_join(
+                F.array_sort(F.split(F.lower("text"), r"\s+")), " "
+            ),
+        )
+        real = perplexity_score(docs, model).agg(F.avg("xent")).first()[0]
+        scr = perplexity_score(scrambled, model).agg(
+            F.avg("xent")
+        ).first()[0]
+        assert real < scr
+
+    def test_short_docs_null_oov_finite(self, spark):
+        from s3_access_logs_spark.functions.lm import perplexity_score
+
+        _, model = self._model(spark)
+        probe = spark.createDataFrame(
+            [
+                (1, "oneword"),
+                (2, ""),
+                (3, "zzqx9 vvkk7 zzqx9 wwjj3"),  # all-OOV
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in perplexity_score(probe, model).collect()
+        }
+        assert rows[1]["ppl"] is None and rows[2]["ppl"] is None
+        assert rows[3]["ppl"] is not None and rows[3]["ppl"] > 1.0
+
+    def test_model_is_deterministic_and_bounded(self, spark):
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        m1 = train_bigram_lm(docs, max_entries=64).collect()
+        m2 = train_bigram_lm(docs, max_entries=64).collect()
+        assert sorted(map(str, m1)) == sorted(map(str, m2))
+        kinds = {}
+        for r in m1:
+            kinds[r["kind"]] = kinds.get(r["kind"], 0) + 1
+        assert kinds["u"] <= 64 and kinds["b"] <= 64 and kinds["m"] == 2
+
+    def test_score_plan_is_broadcast_only(self, spark):
+        from s3_access_logs_spark.functions.lm import perplexity_score
+
+        docs, model = self._model(spark)
+        out = perplexity_score(docs, model)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
