@@ -2635,3 +2635,90 @@ class TestBigramLm:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "Python" not in plan
+
+
+class TestQualityClassifier:
+    """Learned quality filter: hashed-BoW logistic regression (MLlib)."""
+
+    @staticmethod
+    def _seed(spark):
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        # degenerate negatives from the same corpus: first word repeated
+        # to the original length — same sources, destroyed content
+        neg = docs.withColumn(
+            "text",
+            F.array_join(
+                F.array_repeat(
+                    F.element_at(F.split(F.lower("text"), r"\s+"), 1),
+                    F.greatest(
+                        F.size(F.split("text", r"\s+")), F.lit(1)
+                    ),
+                ),
+                " ",
+            ),
+        )
+        return docs, neg
+
+    def test_separates_held_out(self, spark):
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs, neg = self._seed(spark)
+        train_pos = docs.filter(F.col("doc_id") % 2 == 0)
+        train_neg = neg.filter(F.col("doc_id") % 2 == 0)
+        model = train_quality_classifier(
+            train_pos, train_neg, num_features=1 << 12, max_iter=20
+        )
+        held_pos = score_quality(
+            docs.filter(F.col("doc_id") % 2 == 1), model
+        )
+        held_neg = score_quality(
+            neg.filter(F.col("doc_id") % 2 == 1), model
+        )
+        acc_pos = held_pos.filter(F.col("quality_prob") > 0.5).count() / max(
+            held_pos.count(), 1
+        )
+        acc_neg = held_neg.filter(F.col("quality_prob") < 0.5).count() / max(
+            held_neg.count(), 1
+        )
+        assert acc_pos > 0.9 and acc_neg > 0.9
+
+    def test_score_preserves_columns_no_shuffle(self, spark):
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs, neg = self._seed(spark)
+        model = train_quality_classifier(
+            docs, neg, num_features=1 << 10, max_iter=5
+        )
+        out = score_quality(docs, model)
+        assert set(out.columns) == set(docs.columns) | {"quality_prob"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # scoring is a narrow pass
+
+    def test_model_roundtrips_to_disk(self, spark, tmp_path):
+        from pyspark.ml import PipelineModel
+
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs, neg = self._seed(spark)
+        model = train_quality_classifier(
+            docs, neg, num_features=1 << 10, max_iter=5
+        )
+        path = str(tmp_path / "clf")
+        model.write().save(path)
+        loaded = PipelineModel.load(path)
+        a = score_quality(docs, model).select("doc_id", "quality_prob")
+        b = score_quality(docs, loaded).select("doc_id", "quality_prob")
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
