@@ -1029,6 +1029,89 @@ def build_ivfpq_index(
     return cents, cb
 
 
+def append_to_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    skip_existing: bool = True,
+) -> dict[str, int]:
+    """Incrementally grow a materialized IVF-PQ index — the compressed
+    twin of :func:`append_to_ivf_index`, same contract throughout.
+
+    Both trained artifacts are required and never recomputed: new
+    centroids would orphan the existing posting lists, and a new
+    CODEBOOK would silently change what every stored pq_code means —
+    probes would mix two incompatible quantizations and return garbage
+    distances, so drift is handled the same way as the plain IVF index
+    (monitor the returned stats, rebuild when tolerance is exceeded).
+    Cost: one narrow assign+encode pass over the slice + one shuffle of
+    the slice; ``skip_existing`` makes at-least-once replays no-ops via
+    the partition-pruned id anti-join. Fold accumulated small files with
+    ``compact_partitions``."""
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if not has_data_files(spark, index_path):
+        raise ValueError(
+            f"append_to_ivfpq_index: no committed index at {index_path!r}"
+            " — run build_ivfpq_index first (appending into a void would "
+            "create an index that silently lacks the rest of the corpus)"
+        )
+    if new_vectors.isEmpty():
+        return {"appended": 0, "skipped_existing": 0}
+    c = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = _assign_clusters(c, centroids, "c_vec", 1)
+    encoded = pq_encode(
+        assigned, codebook, vec_col="c_vec", dims=dims, m=m
+    ).select("neighbor_id", "pq_codes", "cluster")
+    if not skip_existing:
+        appended = encoded.count()
+        (
+            encoded.repartition("cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(index_path)
+        )
+        return {"appended": appended, "skipped_existing": 0}
+    touched = sorted(
+        r["cluster"]
+        for r in encoded.select("cluster").distinct().collect()
+    )
+    existing = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cluster").isin(touched))
+        .select("neighbor_id", F.lit(True).alias("_seen"))
+    )
+    marked = encoded.join(existing, "neighbor_id", "left").persist()
+    try:
+        fresh = marked.filter(F.col("_seen").isNull()).drop("_seen")
+        stats = {
+            r["_seen"]: r["n"]
+            for r in marked.groupBy("_seen").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        appended = stats.get(None, 0)
+        skipped = stats.get(True, 0)
+        if appended:
+            (
+                fresh.repartition("cluster")
+                .write.mode("append")
+                .partitionBy("cluster")
+                .parquet(index_path)
+            )
+    finally:
+        marked.unpersist()
+    return {"appended": appended, "skipped_existing": skipped}
+
+
 def probe_ivfpq_index(
     spark,
     index_path: str,

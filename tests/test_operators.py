@@ -2722,3 +2722,77 @@ class TestQualityClassifier:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestIvfPqAppend:
+    """Incremental growth of the compressed index — same contract as
+    TestIvfAppend, plus artifact-compatibility semantics."""
+
+    @staticmethod
+    def _setup(spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivfpq_index,
+            label_centroids,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+        first = emb.filter(F.col("vec_id") <= mid)
+        rest = emb.filter(F.col("vec_id") > mid)
+        # both artifacts trained ONCE on the full corpus so the two
+        # paths differ only in how rows reached the index
+        cents = label_centroids(emb, "label", "embedding")
+        cb = train_pq_codebook(emb, "embedding")
+        grown = str(tmp_path / "grown")
+        build_ivfpq_index(
+            first, grown, centroids=cents, codebook=cb
+        )
+        return emb, first, rest, cents, cb, grown
+
+    def test_append_equals_full_build(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            probe_ivfpq_index,
+        )
+
+        emb, first, rest, cents, cb, grown = self._setup(spark, tmp_path)
+        stats = append_to_ivfpq_index(spark, rest, grown, cents, cb)
+        assert stats == {
+            "appended": rest.count(), "skipped_existing": 0
+        }
+        full = str(tmp_path / "full")
+        build_ivfpq_index(emb, full, centroids=cents, codebook=cb)
+        queries = emb.filter(F.col("vec_id") < 4)
+        got = probe_ivfpq_index(
+            spark, grown, queries, cents, cb, k=5, nprobe=2
+        )
+        want = probe_ivfpq_index(
+            spark, full, queries, cents, cb, k=5, nprobe=2
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # replay is a no-op
+        stats = append_to_ivfpq_index(spark, rest, grown, cents, cb)
+        assert stats == {
+            "appended": 0, "skipped_existing": rest.count()
+        }
+
+    def test_missing_index_raises(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            label_centroids,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = label_centroids(emb, "label", "embedding")
+        cb = train_pq_codebook(emb, "embedding")
+        with pytest.raises(ValueError, match="build_ivfpq_index first"):
+            append_to_ivfpq_index(
+                spark, emb, str(tmp_path / "void"), cents, cb
+            )
