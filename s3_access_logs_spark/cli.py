@@ -170,12 +170,54 @@ def run_compact(argv: list[str]) -> int:
     return 0
 
 
+def run_fold_store(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark fold-store <store> [--keep-recent N]
+    [--target-mb N]` — maintenance for the batch_id-partitioned streaming
+    stores (digest/band/bloom/frequency/profile): fold committed history
+    into the negative-id base partition and size-normalize files (see
+    streaming.pipeline.compact_ingest_store, incl. why --keep-recent
+    defaults to 1 for a live stream)."""
+    from s3_access_logs_spark.streaming.pipeline import compact_ingest_store
+
+    usage = "usage: fold-store <store> [--keep-recent N] [--target-mb N]"
+    if not argv or argv[0].startswith("--"):
+        log.error(usage)
+        return 2
+    store = argv[0]
+    keep_recent, target_mb = 1, 128
+    for flag, default in (("--keep-recent", 1), ("--target-mb", 128)):
+        if flag in argv:
+            try:
+                val = int(argv[argv.index(flag) + 1])
+            except (IndexError, ValueError):
+                log.error("%s needs an integer value; %s", flag, usage)
+                return 2
+            if flag == "--keep-recent":
+                keep_recent = val
+            else:
+                target_mb = val
+    spark = get_spark("s3-access-logs-fold-store")
+    res = compact_ingest_store(
+        spark,
+        store,
+        keep_recent=keep_recent,
+        target_file_bytes=target_mb << 20,
+    )
+    log.info(
+        "folded %d batch partition(s) %s, kept %s, compacted %d dir(s)",
+        len(res["folded"]), res["folded"], res["kept"], len(res["compacted"]),
+    )
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
         return run_query(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "compact":
         return run_compact(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "fold-store":
+        return run_fold_store(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():

@@ -693,3 +693,39 @@ class TestConfigParsing:
         assert JobConfig.from_env({**base, "TIMEOUT": ""}).timeout == 300
         assert JobConfig.from_env({**base, "TIMEOUT": "300s"}).timeout == 300
         assert JobConfig.from_env({**base, "TIMEOUT": "42"}).timeout == 42
+
+
+class TestCliMaintenance:
+    """The maintenance subcommands drive the same entry points the
+    library exposes — argv parsing + exit codes are the contract."""
+
+    def test_fold_store_cli(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from s3_access_logs_spark.cli import run_fold_store
+
+        store = str(tmp_path / "store")
+        for b in range(3):
+            (
+                spark.range(5)
+                .select(
+                    F.col("id").alias("digest"),
+                    F.lit(b).alias("batch_id"),
+                )
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(store)
+            )
+        assert run_fold_store([store, "--keep-recent", "0"]) == 0
+        rows = spark.read.parquet(store)
+        assert rows.count() == 15
+        assert [r["batch_id"] for r in rows.select("batch_id").distinct().collect()] == [-1]
+
+    def test_fold_store_bad_argv(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_fold_store
+
+        assert run_fold_store([]) == 2
+        assert run_fold_store(["--keep-recent"]) == 2
+        assert run_fold_store(
+            [str(tmp_path / "s"), "--keep-recent", "x"]
+        ) == 2
