@@ -629,6 +629,27 @@ def append_to_ivf_index(
     return {"appended": appended, "skipped_existing": 0}
 
 
+def ivf_index_stats(spark, index_path: str) -> DataFrame:
+    """Posting-list balance report for a materialized IVF / IVF-PQ
+    index: ``(cluster, n, share, skew)`` where ``skew`` is the list's
+    size over the mean list size. The drift monitor the append ops
+    document: repeated appends under a stale quantizer show up here as
+    a skew ratio climbing past your tolerance — the signal to retrain
+    (``kmeans_fit``) and rebuild. One count aggregation over the
+    cluster column; the vector/code payload is pruned from the scan."""
+    counts = (
+        spark.read.parquet(index_path)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("share", F.col("n") / F.sum("n").over(w))
+        .withColumn("skew", F.col("n") / F.avg("n").over(w))
+        .orderBy(F.col("n").desc(), "cluster")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

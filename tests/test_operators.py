@@ -2796,3 +2796,25 @@ class TestIvfPqAppend:
             append_to_ivfpq_index(
                 spark, emb, str(tmp_path / "void"), cents, cb
             )
+
+
+class TestIvfIndexStats:
+    def test_balance_report(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_index_stats,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        dst = str(tmp_path / "ivf")
+        build_ivf_index(emb, dst)
+        stats = ivf_index_stats(spark, dst).collect()
+        assert sum(r["n"] for r in stats) == emb.count()
+        assert abs(sum(r["share"] for r in stats) - 1.0) < 1e-9
+        mean = sum(r["n"] for r in stats) / len(stats)
+        for r in stats:
+            assert r["skew"] == pytest.approx(r["n"] / mean)
+        # ordered heaviest-first
+        ns = [r["n"] for r in stats]
+        assert ns == sorted(ns, reverse=True)
