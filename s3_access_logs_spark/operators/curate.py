@@ -1,0 +1,158 @@
+"""One-call batch corpus curation: the full training-data cleaning
+pipeline (exact dedup -> heuristic gates -> optional LM / classifier
+gates -> near-dup clustering -> benchmark decontamination) composed as
+ONE lazy flags frame, so the per-stage accounting costs one aggregation
+and the survivor write costs one more pass — never one job per stage.
+
+Every stage reuses the tested single-purpose operators (operators.dedup,
+functions.text, functions.lm, operators.quality_classifier); this module
+adds only the sequencing, the waterfall accounting, and the persist that
+keeps the two consumers (report + output) from recomputing the lineage.
+
+Waterfall semantics: a document counts against the FIRST stage that
+rejects it, in the fixed order above — the numbers answer "what did each
+gate uniquely cost me", and summing the report's ``dropped`` column plus
+the survivors equals the input row count exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.text import lang_id, quality_score
+from s3_access_logs_spark.operators.dedup import (
+    dedup_clusters,
+    ngram_overlap,
+    normalized_digest,
+)
+
+STAGES = (
+    "exact_dup",
+    "quality",
+    "language",
+    "perplexity",
+    "classifier",
+    "near_dup",
+    "contaminated",
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float | None = None,
+    langs: tuple[str, ...] | None = None,
+    lm_model: DataFrame | None = None,
+    max_xent: float | None = None,
+    classifier=None,
+    min_prob: float = 0.5,
+    near_dup: bool = False,
+    benchmark: DataFrame | None = None,
+    max_overlap: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(survivors, report)``: the kept rows (original columns)
+    and a waterfall ``(stage, dropped)`` with one row per enabled stage.
+
+    Optional stages activate by argument: ``min_quality`` (heuristic
+    score gate), ``langs`` (allow-list), ``lm_model`` + ``max_xent``
+    (bigram-LM cross-entropy gate, functions.lm), ``classifier`` +
+    ``min_prob`` (trained quality model, operators.quality_classifier),
+    ``near_dup`` (MinHash+LSH cluster keep-first), ``benchmark`` +
+    ``max_overlap`` (n-gram decontamination). Exact dedup always runs —
+    a curation pass that can emit byte-duplicates is not curation.
+
+    Cost model: heuristic gates are pure columns (free in the scan);
+    exact dedup is one window shuffle; the LM gate adds the bigram
+    explode + one doc-grain join; the classifier is a narrow pass;
+    near-dup runs the full candidate+connected-components machinery
+    (the expensive stage — leave it off when the incremental band store
+    already guards ingest); decontamination is a broadcast-shingle
+    join. The flags frame is persisted so report and survivors share
+    one computation."""
+    flags = docs
+    w = Window.partitionBy(normalized_digest(F.col(text_col))).orderBy(
+        id_col
+    )
+    flags = flags.withColumn(
+        "_f_exact_dup", F.row_number().over(w) > 1
+    )
+    flags = flags.withColumn(
+        "_f_quality",
+        (quality_score(text_col) < min_quality)
+        if min_quality is not None
+        else F.lit(False),
+    )
+    flags = flags.withColumn(
+        "_f_language",
+        (~lang_id(text_col).isin(*langs))
+        if langs is not None
+        else F.lit(False),
+    )
+    if lm_model is not None and max_xent is not None:
+        from s3_access_logs_spark.functions.lm import perplexity_score
+
+        ppl = perplexity_score(
+            docs, lm_model, text_col=text_col, id_col=id_col
+        ).select(id_col, "xent")
+        flags = flags.join(ppl, id_col, "left").withColumn(
+            # no bigram evidence (NULL xent) passes — don't reject on
+            # absence of signal
+            "_f_perplexity",
+            F.coalesce(F.col("xent") > max_xent, F.lit(False)),
+        ).drop("xent")
+    else:
+        flags = flags.withColumn("_f_perplexity", F.lit(False))
+    if classifier is not None:
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+        )
+
+        flags = score_quality(
+            flags, classifier, text_col=text_col
+        ).withColumn(
+            "_f_classifier", F.col("quality_prob") < min_prob
+        ).drop("quality_prob")
+    else:
+        flags = flags.withColumn("_f_classifier", F.lit(False))
+    if near_dup:
+        clusters = dedup_clusters(
+            docs, id_col=id_col, text_col=text_col
+        )
+        flags = flags.join(clusters, id_col, "left").withColumn(
+            "_f_near_dup",
+            F.coalesce(
+                F.col("cluster_id") != F.col(id_col), F.lit(False)
+            ),
+        ).drop("cluster_id")
+    else:
+        flags = flags.withColumn("_f_near_dup", F.lit(False))
+    if benchmark is not None:
+        dirty = ngram_overlap(
+            docs, benchmark, id_col=id_col, text_col=text_col
+        ).filter(F.col("overlap") >= max_overlap).select(
+            F.col("id").alias(id_col), F.lit(True).alias("_hit")
+        )
+        flags = flags.join(dirty, id_col, "left").withColumn(
+            "_f_contaminated", F.coalesce(F.col("_hit"), F.lit(False))
+        ).drop("_hit")
+    else:
+        flags = flags.withColumn("_f_contaminated", F.lit(False))
+
+    # waterfall attribution: first failing stage wins
+    verdict = F.lit("kept")
+    for stage in reversed(STAGES):
+        verdict = F.when(F.col(f"_f_{stage}"), F.lit(stage)).otherwise(
+            verdict
+        )
+    flags = flags.withColumn("_verdict", verdict).persist()
+    survivors = flags.filter(F.col("_verdict") == "kept").drop(
+        "_verdict", *[f"_f_{s}" for s in STAGES]
+    )
+    report = (
+        flags.groupBy(F.col("_verdict").alias("stage"))
+        .agg(F.count("*").alias("dropped"))
+        .filter(F.col("stage") != "kept")
+    )
+    return survivors, report

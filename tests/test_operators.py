@@ -2818,3 +2818,68 @@ class TestIvfIndexStats:
         # ordered heaviest-first
         ns = [r["n"] for r in stats]
         assert ns == sorted(ns, reverse=True)
+
+
+class TestCurateCorpus:
+    """The one-call composed pipeline: waterfall accounting must be
+    exact and stages must reuse the tested single-purpose operators."""
+
+    def _docs(self, spark):
+        from s3_access_logs_spark.sources.tables import load_table
+
+        return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def test_accounting_is_exact(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = self._docs(spark)
+        survivors, report = curate_corpus(
+            docs, min_quality=0.5, langs=("en",)
+        )
+        n_in = docs.count()
+        n_kept = survivors.count()
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert n_kept + sum(dropped.values()) == n_in
+        assert set(dropped) <= {"exact_dup", "quality", "language"}
+        assert set(survivors.columns) == set(docs.columns)
+
+    def test_waterfall_attributes_first_stage(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        # one doc that is BOTH a duplicate and low-quality must count
+        # against exact_dup only
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today", "en", "a", 49),
+                (2, "the quick brown fox jumps over the lazy dog today", "en", "a", 49),
+                (3, "zz zz zz", "xx", "a", 8),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        survivors, report = curate_corpus(df, min_quality=0.5)
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped.get("exact_dup") == 1
+        assert dropped.get("quality", 0) >= 1
+        assert {r["doc_id"] for r in survivors.collect()} == {1}
+
+    def test_optional_stages_compose(self, spark):
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = self._docs(spark)
+        model = train_bigram_lm(docs)
+        bench = docs.filter(F.col("doc_id") % 97 == 0)
+        survivors, report = curate_corpus(
+            docs,
+            lm_model=model,
+            max_xent=20.0,
+            near_dup=True,
+            benchmark=bench,
+            max_overlap=0.8,
+        )
+        n_in = docs.count()
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert survivors.count() + sum(dropped.values()) == n_in
+        # the benchmark docs themselves overlap 100% -> contaminated
+        # (unless already gone at an earlier stage)
+        assert dropped.get("contaminated", 0) >= 1
