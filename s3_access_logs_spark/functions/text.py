@@ -234,6 +234,53 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+SCRIPTS = (
+    "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
+    "Han", "Hiragana", "Katakana", "Hangul", "Devanagari", "Thai",
+)
+
+
+def script_profile(col: Column | str) -> Column:
+    """Per-document Unicode-script histogram: a map from script name to
+    its fraction of the document's LETTER characters (digits/punctuation/
+    whitespace excluded — they are script-neutral and would dilute every
+    profile toward 'mixed'). Zero-letter documents map every script to
+    0.0 rather than NULL-ing out.
+
+    Complements :func:`lang_id` (stopword-list ID, Latin-alphabet
+    languages): script fractions are the coarse multilingual signal that
+    needs no word lists — routing CJK/Cyrillic/Arabic text to per-script
+    pipelines, or flagging mixed-script spam (Latin text salted with
+    Cyrillic homoglyphs scores ~50/50 here and ~100% Latin nowhere).
+    Pure ``regexp_count`` columns over Java's ``\\p{IsScript}`` classes —
+    one scan, codegen end-to-end, no UDFs."""
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.regexp_count(c, F.lit(r"\p{L}"))
+    safe = F.greatest(letters, F.lit(1)).cast("double")
+    entries = []
+    for s in SCRIPTS:
+        frac = F.regexp_count(c, F.lit(rf"\p{{Is{s}}}")) / safe
+        entries += [F.lit(s.lower()), F.round(frac, 6)]
+    return F.create_map(*entries)
+
+
+def dominant_script(col: Column | str, min_fraction: float = 0.5) -> Column:
+    """The script holding at least ``min_fraction`` of the document's
+    letters, else 'mixed'; 'none' for letter-free text. Built on
+    :func:`script_profile`'s map via one map_filter/argmax fold."""
+    prof = script_profile(col)
+    c = F.col(col) if isinstance(col, str) else col
+    best = F.array_max(F.map_values(prof))
+    # smallest name among the argmax entries: deterministic on exact ties
+    name = F.array_min(
+        F.map_keys(F.map_filter(prof, lambda k, v: v == best))
+    )
+    has_letters = F.regexp_count(c, F.lit(r"\p{L}")) > 0
+    return F.when(~has_letters, F.lit("none")).otherwise(
+        F.when(best >= F.lit(min_fraction), name).otherwise(F.lit("mixed"))
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Deterministic [0,1] quality heuristic: length saturation, lexical
     diversity, stopword plausibility."""

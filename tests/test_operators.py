@@ -2883,3 +2883,66 @@ class TestCurateCorpus:
         # the benchmark docs themselves overlap 100% -> contaminated
         # (unless already gone at an earlier stage)
         assert dropped.get("contaminated", 0) >= 1
+
+
+class TestScriptProfile:
+    """Unicode-script histogram + dominant-script routing signal."""
+
+    def test_profiles_and_dominance(self, spark):
+        from s3_access_logs_spark.functions.text import (
+            dominant_script,
+            script_profile,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "hello plain english text"),
+                (2, "Привет мир это русский текст"),
+                (3, "日本語のテキストです"),          # Han+Hiragana mix
+                (4, "abc абв αβγ"),  # 1/3 latin, 1/3 cyrillic, 1/3 greek
+                (5, "12345 !!! ..."),
+            ],
+            ["i", "t"],
+        )
+        rows = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                script_profile("t").alias("p"),
+                dominant_script("t").alias("d"),
+            ).collect()
+        }
+        assert rows[1]["p"]["latin"] == 1.0 and rows[1]["d"] == "latin"
+        assert rows[2]["p"]["cyrillic"] == 1.0 and rows[2]["d"] == "cyrillic"
+        # Japanese: han+hiragana+katakana together cover everything
+        jp = rows[3]["p"]
+        assert jp["han"] + jp["hiragana"] + jp["katakana"] == 1.0
+        assert rows[3]["d"] == "mixed" or rows[3]["d"] in (
+            "hiragana", "katakana", "han"
+        )
+        assert rows[4]["d"] == "mixed"
+        assert rows[5]["d"] == "none"
+        # fractions, not counts: every value in [0, 1]
+        for r in rows.values():
+            for v in r["p"].values():
+                assert 0.0 <= v <= 1.0
+
+    def test_homoglyph_salting_is_visible(self, spark):
+        from s3_access_logs_spark.functions.text import script_profile
+
+        # Latin text with Cyrillic homoglyph 'о' substituted in
+        df = spark.createDataFrame(
+            [("wоrd wоrk bоok lооk",)], ["t"]
+        )
+        [r] = df.select(script_profile("t").alias("p")).collect()
+        assert 0.2 < r["p"]["cyrillic"] < 0.5
+        assert r["p"]["latin"] < 0.8
+
+    def test_plan_is_pure_projection(self, spark):
+        from s3_access_logs_spark.functions.text import dominant_script
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = docs.select("doc_id", dominant_script("text").alias("d"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
