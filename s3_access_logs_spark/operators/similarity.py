@@ -629,6 +629,57 @@ def append_to_ivf_index(
     return {"appended": appended, "skipped_existing": 0}
 
 
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    out_dims: int = 16,
+    seed: int = 42,
+    result_col: str = "projection",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction as a pure column
+    fold: project each vector onto ``out_dims`` deterministic random
+    directions (the LCG plane family the LSH bucketer already uses),
+    scaled by sqrt(3/out_dims) so uniform[-1,1) entries (variance 1/3)
+    preserve expected squared norms — E[||proj||^2] = ||x||^2, and
+    pairwise distances concentrate within (1 +/- eps) for
+    out_dims ~ 8 ln(n) / eps^2 (JL lemma).
+
+    Why it's here: halving dims halves every downstream ANN cost
+    (centroid assignment folds, PQ subspaces, brute-force oracles) at a
+    known, bounded distance distortion — the standard pre-reduction
+    before clustering 100 TB of embeddings. The planes ride in ONE
+    broadcast row as data (same reasoning as ``_assign_clusters``: plan
+    literals would bloat parse + codegen at production dims); the
+    projection itself is a zero-exchange narrow map."""
+    if out_dims < 1 or dims < 1:
+        raise ValueError(
+            f"random_projection: need dims >= 1 and out_dims >= 1, got "
+            f"({dims}, {out_dims})"
+        )
+    scale = (3.0 / out_dims) ** 0.5
+    planes = _lcg_planes(out_dims, dims, seed)
+    one = df.sparkSession.createDataFrame(
+        [(planes,)], "_rp array<array<double>>"
+    )
+    proj = F.transform(
+        F.col("_rp"),
+        lambda p: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), p, lambda x, w: x.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        * F.lit(scale),
+    )
+    return (
+        df.crossJoin(broadcast(one))
+        .withColumn(result_col, proj)
+        .drop("_rp")
+    )
+
+
 def ivf_index_stats(spark, index_path: str) -> DataFrame:
     """Posting-list balance report for a materialized IVF / IVF-PQ
     index: ``(cluster, n, share, skew)`` where ``skew`` is the list's

@@ -2946,3 +2946,70 @@ class TestScriptProfile:
         out = docs.select("doc_id", dominant_script("text").alias("d"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestRandomProjection:
+    """JL reduction: deterministic planes, bounded distance distortion."""
+
+    def test_norm_and_distance_preservation(self, spark):
+        from s3_access_logs_spark.functions.vectors import l2_distance
+        from s3_access_logs_spark.operators.similarity import (
+            random_projection,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        proj = random_projection(emb, dims=64, out_dims=32)
+        # expected-norm preservation: mean ratio of projected to
+        # original squared norm near 1 (unbiased estimator)
+        sq = lambda c: F.aggregate(
+            F.transform(c, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x * x,
+        )
+        ratio = proj.select(
+            (sq(F.col("projection")) / sq(F.col("embedding"))).alias("r")
+        ).agg(F.avg("r")).first()[0]
+        assert 0.8 < ratio < 1.2
+        # pairwise distances on a sample concentrate around truth
+        a = proj.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("ia"),
+            F.col("embedding").alias("ea"),
+            F.col("projection").alias("pa"),
+        )
+        b = proj.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20)).select(
+            F.col("vec_id").alias("ib"),
+            F.col("embedding").alias("eb"),
+            F.col("projection").alias("pb"),
+        )
+        pairs = a.crossJoin(b).select(
+            l2_distance("ea", "eb").alias("d"),
+            l2_distance("pa", "pb").alias("dp"),
+        ).collect()
+        mean_ratio = sum(r["dp"] / r["d"] for r in pairs) / len(pairs)
+        assert 0.75 < mean_ratio < 1.25
+
+    def test_deterministic_and_narrow(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            random_projection,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        p1 = random_projection(emb, out_dims=8).select("vec_id", "projection")
+        p2 = random_projection(emb, out_dims=8).select("vec_id", "projection")
+        assert sorted(map(str, p1.collect())) == sorted(map(str, p2.collect()))
+        plan = p1._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.replace(
+            "BroadcastExchange", ""
+        ) and "Python" not in plan
+
+    def test_validation(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            random_projection,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="out_dims"):
+            random_projection(emb, out_dims=0)
