@@ -234,6 +234,34 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
+def strip_html(col: Column | str) -> Column:
+    """Regex HTML-to-text for crawl ingestion: drop <script>/<style>
+    blocks and comments wholesale (their CONTENT is never prose), strip
+    remaining tags, decode the common entities, collapse whitespace.
+    NULL in, NULL out.
+
+    Deliberately a cheap regex pass, not a DOM parse: at crawl scale
+    this runs inside the scan as pure codegen columns, and the
+    downstream quality/LM gates are what actually reject residual
+    markup soup. ``(?s)`` makes ``.`` span newlines so multi-line
+    blocks die; tag match is non-greedy and bounded to ``[^>]`` so an
+    unclosed ``<`` cannot eat the document."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(
+        c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
+    )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    # &amp; decodes LAST: earlier would turn "&amp;lt;" into "&lt;" and
+    # then into "<" — double-decoding text that showed an escaped entity
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 SCRIPTS = (
     "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
     "Han", "Hiragana", "Katakana", "Hangul", "Devanagari", "Thai",

@@ -31,6 +31,7 @@ STAGES = (
     "exact_dup",
     "quality",
     "language",
+    "script",
     "perplexity",
     "classifier",
     "near_dup",
@@ -44,6 +45,7 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float | None = None,
     langs: tuple[str, ...] | None = None,
+    scripts: tuple[str, ...] | None = None,
     lm_model: DataFrame | None = None,
     max_xent: float | None = None,
     classifier=None,
@@ -56,7 +58,9 @@ def curate_corpus(
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
 
     Optional stages activate by argument: ``min_quality`` (heuristic
-    score gate), ``langs`` (allow-list), ``lm_model`` + ``max_xent``
+    score gate), ``langs`` (allow-list), ``scripts`` (dominant-Unicode-
+    script allow-list, functions.text.dominant_script — the wordlist-
+    free multilingual gate), ``lm_model`` + ``max_xent``
     (bigram-LM cross-entropy gate, functions.lm), ``classifier`` +
     ``min_prob`` (trained quality model, operators.quality_classifier),
     ``near_dup`` (MinHash+LSH cluster keep-first), ``benchmark`` +
@@ -90,6 +94,14 @@ def curate_corpus(
         if langs is not None
         else F.lit(False),
     )
+    if scripts is not None:
+        from s3_access_logs_spark.functions.text import dominant_script
+
+        flags = flags.withColumn(
+            "_f_script", ~dominant_script(text_col).isin(*scripts)
+        )
+    else:
+        flags = flags.withColumn("_f_script", F.lit(False))
     if lm_model is not None and max_xent is not None:
         from s3_access_logs_spark.functions.lm import perplexity_score
 

@@ -3013,3 +3013,57 @@ class TestRandomProjection:
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
         with pytest.raises(ValueError, match="out_dims"):
             random_projection(emb, out_dims=0)
+
+
+class TestStripHtml:
+    def test_strips_blocks_tags_entities(self, spark):
+        from s3_access_logs_spark.functions.text import strip_html
+
+        df = spark.createDataFrame(
+            [
+                (1, "<html><head><style>p{color:red}</style>"
+                    "<script>var x=1;\nalert(x)</script></head>"
+                    "<body><!-- note -->\n<p>Tom &amp; Jerry say "
+                    "&quot;hi&quot;</p>&nbsp;<br/>next&#39;s line</body>"),
+                (2, "no markup at all"),
+                (3, "escaped entity shown: &amp;lt; stays literal"),
+                (4, None),
+            ],
+            ["i", "t"],
+        )
+        rows = {
+            r["i"]: r[1]
+            for r in df.select("i", strip_html("t")).collect()
+        }
+        assert rows[1] == 'Tom & Jerry say "hi" next\'s line'
+        assert rows[2] == "no markup at all"
+        # single decode only: the page DISPLAYED "&lt;", keep it
+        assert rows[3] == "escaped entity shown: &lt; stays literal"
+        assert rows[4] is None
+
+    def test_unclosed_tag_cannot_eat_document(self, spark):
+        from s3_access_logs_spark.functions.text import strip_html
+
+        df = spark.createDataFrame(
+            [("before < after and more text",)], ["t"]
+        )
+        [r] = df.select(strip_html("t")).collect()
+        # a bare '<' with no closing '>' is not a tag match
+        assert "after and more text" in r[0]
+
+
+class TestCurateScriptGate:
+    def test_script_gate_waterfall(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        df = spark.createDataFrame(
+            [
+                (1, "plain latin text that is long enough to keep going"),
+                (2, "Привет мир это русский текст для проверки скрипта"),
+            ],
+            ["doc_id", "text"],
+        )
+        survivors, report = curate_corpus(df, scripts=("latin",))
+        assert {r["doc_id"] for r in survivors.collect()} == {1}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped == {"script": 1}
