@@ -43,6 +43,61 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "wsample0:",
+    nsalts: int = 32,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): exactly ``k`` rows (fewer if the population is
+    smaller), each item's inclusion probability proportional to its
+    weight — "sample 1M documents proportional to quality score" as one
+    bounded-memory pass.
+
+    Mechanics: item i draws u_i uniform from ``xxhash64(salt || key)``
+    and gets key ``-ln(u_i) / w_i`` (an exponential with rate w_i); the
+    k SMALLEST keys are the sample — provably equivalent to sequential
+    weighted draws without replacement (Efraimidis & Spirakis 2006).
+    The hash is the coin: same salt, same data -> same sample on every
+    rerun; a fresh draw is a new salt.
+
+    Scale shape is the grouped-quantile-sketch pattern: bottom-k runs in
+    two bounded window phases — first over (group, pmod(hash, nsalts)),
+    perfectly balanced by the uniform hash, then over the group on the
+    <= k x nsalts survivors — so no task ever sorts a whole giant
+    population. ``group_cols=None`` samples globally (one synthetic
+    group). Rows with NULL or non-positive weight are excluded: they
+    have no defined inclusion probability, and silently keeping them
+    would distort every other row's odds."""
+    if k < 1:
+        raise ValueError(f"weighted_sample: need k >= 1, got {k}")
+    groups = list(group_cols or [])
+    h = F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    # uniform (0, 1): shift int64 into [0, 1) then nudge off exact zero
+    u = (h.cast("double") / F.lit(float(1 << 64)) + F.lit(0.5)) * F.lit(
+        1.0 - 1e-12
+    ) + F.lit(1e-13)
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_es", es_key)
+    w1 = Window.partitionBy(
+        *groups, F.pmod(F.xxhash64(F.lit(salt + "#"), F.col(key_col)), F.lit(nsalts))
+    ).orderBy("_es", key_col)
+    w2 = Window.partitionBy(*groups).orderBy("_es", key_col)
+    return (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_es")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     source_col: str,

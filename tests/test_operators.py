@@ -3067,3 +3067,66 @@ class TestCurateScriptGate:
         assert {r["doc_id"] for r in survivors.collect()} == {1}
         dropped = {r["stage"]: r["dropped"] for r in report.collect()}
         assert dropped == {"script": 1}
+
+
+class TestWeightedSample:
+    """Efraimidis-Spirakis deterministic weighted sampling."""
+
+    def test_exact_k_and_determinism(self, spark):
+        from s3_access_logs_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1.0 + (i % 7)) for i in range(500)], ["id", "w"]
+        )
+        s1 = weighted_sample(df, 50, "w", "id")
+        s2 = weighted_sample(df, 50, "w", "id")
+        assert s1.count() == 50
+        assert sorted(r["id"] for r in s1.collect()) == sorted(
+            r["id"] for r in s2.collect()
+        )
+        # a fresh salt is a different draw
+        s3 = weighted_sample(df, 50, "w", "id", salt="wsample1:")
+        assert sorted(r["id"] for r in s3.collect()) != sorted(
+            r["id"] for r in s1.collect()
+        )
+
+    def test_weight_proportionality(self, spark):
+        from s3_access_logs_spark.operators.sampling import weighted_sample
+
+        # 1000 light rows (w=1) + 1000 heavy rows (w=10): in a k=400
+        # sample the heavy class must dominate roughly 10:1 per item
+        rows = [(i, 1.0) for i in range(1000)] + [
+            (1000 + i, 10.0) for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, ["id", "w"])
+        got = weighted_sample(df, 400, "w", "id").collect()
+        heavy = sum(1 for r in got if r["id"] >= 1000)
+        # expected ~364 heavy (inclusion odds under A-ES); wide band
+        assert 300 <= heavy <= 400
+
+    def test_grouped_and_filters_bad_weights(self, spark):
+        from s3_access_logs_spark.operators.sampling import weighted_sample
+
+        rows = (
+            [(i, "a", 1.0) for i in range(100)]
+            + [(100 + i, "b", 1.0) for i in range(5)]
+            + [(990, "a", None), (991, "a", -3.0), (992, "a", 0.0)]
+        )
+        df = spark.createDataFrame(rows, ["id", "g", "w"])
+        got = weighted_sample(df, 10, "w", "id", group_cols=["g"]).collect()
+        by_g = {}
+        for r in got:
+            by_g.setdefault(r["g"], []).append(r["id"])
+        assert len(by_g["a"]) == 10
+        assert len(by_g["b"]) == 5  # smaller population -> all of it
+        assert all(i < 990 for i in by_g["a"])  # bad weights excluded
+
+    def test_two_phase_plan(self, spark):
+        from s3_access_logs_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(100)], ["id", "w"]
+        )
+        out = weighted_sample(df, 5, "w", "id", nsalts=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Window") >= 2 and "pmod" in plan
