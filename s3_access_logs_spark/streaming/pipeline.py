@@ -238,6 +238,7 @@ def ingest_documents_stream(
     min_quality: float | None = None,
     scrub_pii: bool = False,
     normalize_text: bool = False,
+    html: bool = False,
     band_store: str | None = None,
     bloom_store: str | None = None,
     bloom_num_bits: int | None = None,
@@ -257,7 +258,10 @@ def ingest_documents_stream(
     :func:`functions.text.normalize_unicode` (NFKC + mojibake repair)
     FIRST: the digest and band gates are byte-sensitive, so NFC/NFD/
     mojibake variants of one re-crawled page must canonicalize before
-    any gate sees them.
+    any gate sees them. ``html`` runs :func:`functions.text.strip_html`
+    before even that — two crawls of one page differing only in markup
+    (ad ids, nonce attributes) must dedup as one document, and the
+    quality/PII stages should score prose, not tag soup.
 
     ``band_store`` additionally gates NEAR-dups: survivors of the exact
     gate probe the append-only MinHash band store
@@ -315,6 +319,14 @@ def ingest_documents_stream(
             return
         sess = batch_df.sparkSession
         cleaned = batch_df
+        if html:
+            # BEFORE everything: markup differences between two crawls
+            # of one page (ad ids, nonce attributes) would defeat every
+            # byte-sensitive gate downstream, and quality/PII scoring
+            # should see prose, not tag soup
+            from s3_access_logs_spark.functions.text import strip_html
+
+            cleaned = cleaned.withColumn("text", strip_html("text"))
         if normalize_text:
             # FIRST: digests/bands are byte-sensitive, so NFC/NFD/
             # mojibake variants of one page must canonicalize before

@@ -1029,3 +1029,37 @@ class TestProfileStream:
         ).awaitTermination(120)
         got = profile_quantiles(spark, store, [0.5])
         assert got == {0.5: 150.0}
+
+
+class TestIngestHtmlGate:
+    def test_markup_variants_dedup_to_one(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        (src / "b1.jsonl").write_text(
+            json.dumps(
+                {"doc_id": 1,
+                 "text": "<div class='a1'><p>same article text</p></div>"}
+            )
+            + "\n"
+            + json.dumps(
+                {"doc_id": 2,
+                 "text": "<div class='zz9'><p>same  article text</p></div>"}
+            )
+            + "\n"
+            + json.dumps({"doc_id": 3, "text": "<p>another piece</p>"})
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"), html=True
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        # markup-only variants collapse; stored text is stripped prose
+        assert {r.keep_id for r in rows} == {1, 3}
+        texts = {r.keep_id: r.text for r in rows}
+        assert texts[1] == "same article text"
+        assert "<" not in texts[3]
