@@ -35,6 +35,7 @@ STAGES = (
     "perplexity",
     "classifier",
     "near_dup",
+    "contained",
     "contaminated",
 )
 
@@ -51,6 +52,8 @@ def curate_corpus(
     classifier=None,
     min_prob: float = 0.5,
     near_dup: bool = False,
+    drop_contained: bool = False,
+    containment_threshold: float = 0.8,
     benchmark: DataFrame | None = None,
     max_overlap: float = 0.5,
 ) -> tuple[DataFrame, DataFrame]:
@@ -63,8 +66,10 @@ def curate_corpus(
     free multilingual gate), ``lm_model`` + ``max_xent``
     (bigram-LM cross-entropy gate, functions.lm), ``classifier`` +
     ``min_prob`` (trained quality model, operators.quality_classifier),
-    ``near_dup`` (MinHash+LSH cluster keep-first), ``benchmark`` +
-    ``max_overlap`` (n-gram decontamination). Exact dedup always runs —
+    ``near_dup`` (MinHash+LSH cluster keep-first), ``drop_contained`` +
+    ``containment_threshold`` (asymmetric subset-dup removal,
+    operators.dedup.containment_pairs — keeps the superset), and
+    ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact dedup always runs —
     a curation pass that can emit byte-duplicates is not curation.
 
     Cost model: heuristic gates are pure columns (free in the scan);
@@ -140,6 +145,25 @@ def curate_corpus(
         ).drop("cluster_id")
     else:
         flags = flags.withColumn("_f_near_dup", F.lit(False))
+    if drop_contained:
+        from s3_access_logs_spark.operators.dedup import containment_pairs
+
+        contained = (
+            containment_pairs(
+                docs,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=containment_threshold,
+            )
+            .select(F.col("contained_id").alias(id_col))
+            .distinct()
+            .withColumn("_sub", F.lit(True))
+        )
+        flags = flags.join(contained, id_col, "left").withColumn(
+            "_f_contained", F.coalesce(F.col("_sub"), F.lit(False))
+        ).drop("_sub")
+    else:
+        flags = flags.withColumn("_f_contained", F.lit(False))
     if benchmark is not None:
         dirty = ngram_overlap(
             docs, benchmark, id_col=id_col, text_col=text_col

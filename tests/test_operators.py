@@ -3180,3 +3180,23 @@ class TestContainmentPairs:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert out.columns == ["id_a", "id_b", "n_inter", "jaccard"]
+
+
+class TestCurateContainedStage:
+    def test_embedded_doc_dropped_superset_kept(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        short = "alpha beta gamma delta epsilon zeta eta theta"
+        filler = " ".join(f"word{i} note{i} item{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [
+                (1, short),
+                (2, filler + " " + short + " " + filler),
+                (3, "completely different content about other things"),
+            ],
+            ["doc_id", "text"],
+        )
+        survivors, report = curate_corpus(df, drop_contained=True)
+        assert {r["doc_id"] for r in survivors.collect()} == {2, 3}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped == {"contained": 1}
