@@ -28,6 +28,7 @@ from s3_access_logs_spark.operators.dedup import (
 )
 
 STAGES = (
+    "empty",
     "exact_dup",
     "quality",
     "language",
@@ -81,11 +82,20 @@ def curate_corpus(
     join. The flags frame is persisted so report and survivors share
     one computation."""
     flags = docs
+    # NULL/blank text first and explicitly: every later gate compares
+    # against NULL (quality_score(NULL) < t is NULL, which the waterfall
+    # reads as "passed"), so without this stage empty documents would
+    # slip through the whole stack and land in the output
+    flags = flags.withColumn(
+        "_f_empty",
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+    )
     w = Window.partitionBy(normalized_digest(F.col(text_col))).orderBy(
         id_col
     )
     flags = flags.withColumn(
-        "_f_exact_dup", F.row_number().over(w) > 1
+        "_f_exact_dup",
+        (F.row_number().over(w) > 1) & ~F.col("_f_empty"),
     )
     flags = flags.withColumn(
         "_f_quality",

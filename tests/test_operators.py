@@ -3200,3 +3200,24 @@ class TestCurateContainedStage:
         assert {r["doc_id"] for r in survivors.collect()} == {2, 3}
         dropped = {r["stage"]: r["dropped"] for r in report.collect()}
         assert dropped == {"contained": 1}
+
+
+class TestCurateEmptyGate:
+    def test_null_and_blank_text_cannot_slip_through(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        df = spark.createDataFrame(
+            [
+                (1, "a real document with enough text to keep around"),
+                (2, None),
+                (3, "   "),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        # no optional gates at all — the permissive configuration where
+        # NULLs previously had nothing to stop them
+        survivors, report = curate_corpus(df)
+        assert {r["doc_id"] for r in survivors.collect()} == {1}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped == {"empty": 3}
