@@ -1261,6 +1261,83 @@ def drop_repeated_paragraphs(
     )
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """CROSS-document boilerplate removal (the CCNet/C4 step
+    ``drop_repeated_paragraphs`` doesn't cover): a line appearing in at
+    least ``min_docs`` DISTINCT documents is site furniture — cookie
+    banners, nav menus, license footers — and is cut from every
+    document, preserving the order of what remains.
+
+    Matching is on the TRIMMED line (indentation variants of one banner
+    are one banner) but the original line text is what's rebuilt; blank
+    lines are never counted as boilerplate (they are structure, and at
+    corpus scale every blank line co-occurs everywhere).
+
+    Scale shape, honestly stated: this is a shuffle operator — lines
+    shuffle once by line-hash for the distinct-document count, the
+    boilerplate set anti-joins back on the same key (exchange reuse),
+    and surviving lines shuffle once by ``id_col`` to rebuild, then join
+    the original frame to restore the other columns. All moving rows
+    are (id, pos, hash) triples plus the line text — never whole
+    documents on the count side. The count is ``count_distinct(id)``,
+    not ``count(*)``: one page repeating its own footer 500 times must
+    not promote that footer to corpus boilerplate."""
+    import re
+
+    if min_docs < 2:
+        raise ValueError(
+            f"drop_boilerplate_lines: need min_docs >= 2, got {min_docs}"
+        )
+    out = out_col or text_col
+    pattern = re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_h", F.xxhash64(F.trim(F.col("_line"))))
+    boiler = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("_rebuilt")
+    )
+    joined = df.join(
+        rebuilt.select(F.col("_id").alias(id_col), "_rebuilt"),
+        id_col,
+        "left",
+    )
+    # NULL text stays NULL; a doc whose every line was boilerplate
+    # becomes '' (present-but-empty, let a later empty gate judge it)
+    return joined.withColumn(
+        out,
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.coalesce(F.col("_rebuilt"), F.lit("")),
+        ),
+    ).drop("_rebuilt")
+
+
 def near_dup_incremental(
     new_docs: DataFrame,
     seen_bands: DataFrame,

@@ -3221,3 +3221,59 @@ class TestCurateEmptyGate:
         assert {r["doc_id"] for r in survivors.collect()} == {1}
         dropped = {r["stage"]: r["dropped"] for r in report.collect()}
         assert dropped == {"empty": 3}
+
+
+class TestDropBoilerplateLines:
+    """Cross-document furniture removal (cookie banners, nav, footers)."""
+
+    def test_furniture_cut_content_kept(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_boilerplate_lines,
+        )
+
+        banner = "Accept all cookies"
+        footer = "(c) 2026 Example Site"
+        rows = [
+            (i, f"{banner}\nunique article {i} body text\n{footer}")
+            for i in range(10)
+        ] + [(99, "indented variant doc\n  " + banner + "  \nmore text")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_boilerplate_lines(df, min_docs=5).collect()
+        }
+        assert got[0] == "unique article 0 body text"
+        # trimmed matching: the indented banner variant dies too
+        assert got[99] == "indented variant doc\nmore text"
+        assert all(banner not in t and footer not in t for t in got.values())
+
+    def test_self_repetition_does_not_promote(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_boilerplate_lines,
+        )
+
+        spammy = "\n".join(["repeat me"] * 50) + "\nreal content"
+        df = spark.createDataFrame(
+            [(1, spammy), (2, "other text entirely")],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_boilerplate_lines(df, min_docs=5).collect()
+        }
+        # one doc repeating its own line 50x: count_distinct(doc)=1 < 5
+        assert "repeat me" in got[1]
+
+    def test_null_and_all_boilerplate_docs(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            drop_boilerplate_lines,
+        )
+
+        rows = [(i, "only banner line") for i in range(6)] + [(9, None)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_boilerplate_lines(df, min_docs=5).collect()
+        }
+        assert got[0] == ""   # everything was furniture
+        assert got[9] is None  # NULL stays NULL
