@@ -262,6 +262,88 @@ def strip_html(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def _line_keep_predicate(
+    min_chars: int, max_caps_ratio: float, drop_numeric: bool
+):
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        letters = F.regexp_count(t, F.lit(r"\p{L}"))
+        caps = F.regexp_count(t, F.lit(r"\p{Lu}"))
+        too_short = F.length(t) < min_chars
+        shouty = (letters >= 4) & (
+            caps / F.greatest(letters, F.lit(1)).cast("double")
+            > max_caps_ratio
+        )
+        numeric = (
+            F.lit(drop_numeric)
+            & t.rlike(r"^[\d\s.,:;%/()+-]+$")
+        )
+        return ~(too_short | shouty | numeric)
+
+    return keep
+
+
+def clean_lines(
+    col: Column | str,
+    sep: str = "\n",
+    min_chars: int = 3,
+    max_caps_ratio: float = 0.8,
+    drop_numeric: bool = True,
+) -> Column:
+    """Line-wise cleanup (the RefinedWeb step between HTML stripping and
+    document-level gates): drop lines that are too short (button labels,
+    stray fragments), mostly-uppercase (SHOUTING headers, menu items —
+    only when the line has >= 4 letters, so acronym-bearing short prose
+    survives), or numeric-only (counters, timestamps), and rejoin the
+    rest in order. Pure in-row projection — no shuffle at any corpus
+    size. NULL in, NULL out. Pair with :func:`line_kept_ratio` to drop
+    documents that lost too much (a mostly-furniture page is not made
+    good by deleting its furniture)."""
+    import re
+
+    c = F.col(col) if isinstance(col, str) else col
+    kept = F.filter(
+        F.split(c, re.escape(sep)),
+        _line_keep_predicate(min_chars, max_caps_ratio, drop_numeric),
+    )
+    return F.when(c.isNotNull(), F.array_join(kept, sep))
+
+
+def line_kept_ratio(
+    col: Column | str,
+    sep: str = "\n",
+    min_chars: int = 3,
+    max_caps_ratio: float = 0.8,
+    drop_numeric: bool = True,
+) -> Column:
+    """Fraction of a document's lines that :func:`clean_lines` keeps
+    (same parameters = same verdicts). The document-level gate on line
+    cleanup: RefinedWeb drops pages keeping under ~2/3. 1.0 for
+    line-free or NULL-safe degenerate inputs is deliberate — the signal
+    is 'how much was furniture', and no lines means no furniture."""
+    import re
+
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, re.escape(sep))
+    kept = F.filter(
+        lines, _line_keep_predicate(min_chars, max_caps_ratio, drop_numeric)
+    )
+    return F.when(
+        c.isNotNull(),
+        F.size(kept) / F.greatest(F.size(lines), F.lit(1)).cast("double"),
+    )
+
+
+def sentence_split(col: Column | str) -> Column:
+    """Sentence segmentation as a lookbehind split — punctuation stays
+    with its sentence (unlike Spark's built-in ``sentences``, which
+    word-tokenizes and discards it, useless for rebuilding text).
+    Heuristic, not a parser: abbreviations ("Dr. Smith") over-split;
+    fine for chunk-boundary selection, wrong for linguistics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"(?<=[.!?])\s+")
+
+
 SCRIPTS = (
     "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
     "Han", "Hiragana", "Katakana", "Hangul", "Devanagari", "Thai",

@@ -3277,3 +3277,60 @@ class TestDropBoilerplateLines:
         }
         assert got[0] == ""   # everything was furniture
         assert got[9] is None  # NULL stays NULL
+
+
+class TestCleanLines:
+    def test_filters_and_ratio(self, spark):
+        from s3_access_logs_spark.functions.text import (
+            clean_lines,
+            line_kept_ratio,
+        )
+
+        doc = "\n".join(
+            [
+                "A perfectly normal prose line here.",
+                "OK",                        # too short
+                "CLICK HERE TO SUBSCRIBE NOW",  # shouty
+                "12:34 2026-01-01 99%",      # numeric-only
+                "Another good sentence follows the noise.",
+                "NASA and IBM are fine in prose.",  # acronyms in prose
+            ]
+        )
+        df = spark.createDataFrame([(1, doc), (2, None)], ["i", "t"])
+        rows = {
+            r["i"]: r
+            for r in df.select(
+                "i",
+                clean_lines("t").alias("c"),
+                F.round(line_kept_ratio("t"), 4).alias("r"),
+            ).collect()
+        }
+        assert rows[1]["c"] == "\n".join(
+            [
+                "A perfectly normal prose line here.",
+                "Another good sentence follows the noise.",
+                "NASA and IBM are fine in prose.",
+            ]
+        )
+        assert rows[1]["r"] == 0.5
+        assert rows[2]["c"] is None and rows[2]["r"] is None
+
+    def test_sentence_split(self, spark):
+        from s3_access_logs_spark.functions.text import sentence_split
+
+        df = spark.createDataFrame(
+            [("First one. Second two! Third three? tail",)], ["t"]
+        )
+        [r] = df.select(sentence_split("t")).collect()
+        assert r[0] == [
+            "First one.", "Second two!", "Third three?", "tail"
+        ]
+
+    def test_pure_projection(self, spark):
+        from s3_access_logs_spark.functions.text import clean_lines
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = docs.select("doc_id", clean_lines("text").alias("c"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
