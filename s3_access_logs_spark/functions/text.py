@@ -344,6 +344,57 @@ def sentence_split(col: Column | str) -> Column:
     return F.split(c, r"(?<=[.!?])\s+")
 
 
+def sentence_chunks(
+    col: Column | str, max_tokens: int = 128, sep: str = " "
+) -> Column:
+    """Greedy sentence-boundary chunking: pack consecutive sentences
+    into chunks of at most ``max_tokens`` whitespace tokens, never
+    splitting inside a sentence (a single over-long sentence becomes its
+    own over-budget chunk — truncating mid-sentence is the caller's
+    policy call, not silently this function's). The boundary-respecting
+    counterpart to the fixed-window token chunker
+    (plans/text_queries.doc_chunk_spans): fixed windows for training
+    batches, sentence chunks for retrieval corpora where a chunk must
+    read as text.
+
+    Pure in-row ``aggregate`` fold over :func:`sentence_split` — state
+    is (finished chunks, current chunk, current token count); no
+    shuffle, no UDF. NULL in, NULL out; whitespace-only text yields an
+    empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    sents = F.filter(
+        sentence_split(c), lambda s: F.trim(s) != ""
+    )
+    ntok = lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    zero = F.struct(
+        F.lit([]).cast("array<string>").alias("done"),
+        F.lit("").alias("cur"),
+        F.lit(0).alias("n"),
+    )
+    step = lambda acc, s: F.when(
+        # fits in the current chunk (or chunk is empty: a lone over-long
+        # sentence must still start a chunk)
+        (acc["n"] + ntok(s) <= max_tokens) | (acc["n"] == 0),
+        F.struct(
+            acc["done"].alias("done"),
+            F.when(acc["n"] == 0, F.trim(s))
+            .otherwise(F.concat(acc["cur"], F.lit(sep), F.trim(s)))
+            .alias("cur"),
+            (acc["n"] + ntok(s)).alias("n"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.concat(acc["done"], F.array(acc["cur"])).alias("done"),
+            F.trim(s).alias("cur"),
+            ntok(s).alias("n"),
+        )
+    )
+    fin = lambda acc: F.when(
+        acc["n"] > 0, F.concat(acc["done"], F.array(acc["cur"]))
+    ).otherwise(acc["done"])
+    return F.when(c.isNotNull(), F.aggregate(sents, zero, step, fin))
+
+
 SCRIPTS = (
     "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
     "Han", "Hiragana", "Katakana", "Hangul", "Devanagari", "Thai",

@@ -3334,3 +3334,41 @@ class TestCleanLines:
         out = docs.select("doc_id", clean_lines("text").alias("c"))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestSentenceChunks:
+    def test_packs_at_boundaries(self, spark):
+        from s3_access_logs_spark.functions.text import sentence_chunks
+
+        # sentences of 4, 4, 4, 2 tokens; budget 8 -> [s1 s2], [s3 s4]
+        doc = "one two three four. five six seven eight. a b c d. y z."
+        df = spark.createDataFrame([(doc,)], ["t"])
+        [r] = df.select(sentence_chunks("t", max_tokens=8)).collect()
+        assert r[0] == [
+            "one two three four. five six seven eight.",
+            "a b c d. y z.",
+        ]
+        # every chunk within budget, no sentence split across chunks
+        for ch in r[0]:
+            assert len(ch.split()) <= 8
+
+    def test_overlong_sentence_owns_a_chunk(self, spark):
+        from s3_access_logs_spark.functions.text import sentence_chunks
+
+        doc = "short one. " + " ".join(f"w{i}" for i in range(20)) + ". tail two."
+        df = spark.createDataFrame([(doc,)], ["t"])
+        [r] = df.select(sentence_chunks("t", max_tokens=5)).collect()
+        chunks = r[0]
+        assert chunks[0] == "short one."
+        assert len(chunks[1].split()) == 20  # over budget but intact
+        assert chunks[2] == "tail two."
+
+    def test_null_and_blank(self, spark):
+        from s3_access_logs_spark.functions.text import sentence_chunks
+
+        df = spark.createDataFrame([(1, None), (2, "   ")], ["i", "t"])
+        rows = {
+            r["i"]: r[1]
+            for r in df.select("i", sentence_chunks("t")).collect()
+        }
+        assert rows[1] is None and rows[2] == []
