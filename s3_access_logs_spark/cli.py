@@ -185,17 +185,26 @@ def run_fold_store(argv: list[str]) -> int:
         return 2
     store = argv[0]
     keep_recent, target_mb = 1, 128
-    for flag, default in (("--keep-recent", 1), ("--target-mb", 128)):
-        if flag in argv:
-            try:
-                val = int(argv[argv.index(flag) + 1])
-            except (IndexError, ValueError):
-                log.error("%s needs an integer value; %s", flag, usage)
-                return 2
-            if flag == "--keep-recent":
-                keep_recent = val
-            else:
-                target_mb = val
+    # strict parse: a misspelled flag silently falling back to defaults
+    # would fold with the wrong retention and the operator none the wiser
+    rest = argv[1:]
+    while rest:
+        flag = rest.pop(0)
+        if flag not in ("--keep-recent", "--target-mb"):
+            log.error("unrecognized argument %r; %s", flag, usage)
+            return 2
+        if not rest:
+            log.error("%s needs an integer value; %s", flag, usage)
+            return 2
+        try:
+            val = int(rest.pop(0))
+        except ValueError:
+            log.error("%s needs an integer value; %s", flag, usage)
+            return 2
+        if flag == "--keep-recent":
+            keep_recent = val
+        else:
+            target_mb = val
     spark = get_spark("s3-access-logs-fold-store")
     res = compact_ingest_store(
         spark,

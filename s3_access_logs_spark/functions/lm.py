@@ -132,8 +132,15 @@ def perplexity_score(
     score). Plan: one narrow explode of (id, bigram), three broadcast
     hash joins against the model slices, ONE hash aggregation back to
     the document grain — no other shuffle at any corpus size."""
-    if not (0.0 <= lam <= 1.0):
-        raise ValueError(f"perplexity_score: lam must be in [0, 1], got {lam}")
+    if not (0.0 <= lam < 1.0):
+        # lam=1.0 would make every unseen bigram log(0) = NULL, which
+        # avg() silently SKIPS — a 99%-garbage document would score as
+        # its one in-model bigram. The backoff term must keep mass.
+        raise ValueError(
+            f"perplexity_score: lam must be in [0, 1), got {lam} — "
+            "lam=1.0 removes the backoff and makes OOV bigrams vanish "
+            "from the average instead of penalizing it"
+        )
     total, vocab = _meta(model)
     uni = model.filter(F.col("kind") == "u").select(
         F.col("w1").alias("_u_w"), F.col("cnt").alias("_u_cnt")

@@ -80,17 +80,24 @@ def registrable_domain(
 
 def host_suffixes(host: Column | str, max_labels: int = 10) -> Column:
     """Every label-suffix of a host, longest first: "a.b.c" ->
-    ["a.b.c", "b.c", "c"]. Bounded at ``max_labels`` entries — hosts are
-    shallow, so this is the cheap side to explode when matching a
-    blocks-all-subdomains list as an equi-join."""
+    ["a.b.c", "b.c", "c"]. Bounded at ``max_labels`` entries kept from
+    the SHORT end, plus the full host itself: blocklist entries are
+    short (a registrable domain, occasionally a specific host), so for
+    a pathologically deep host the droppable suffixes are the longest
+    ones. Capping from the long end instead would let an adversary
+    evade a blocklist by nesting more than max_labels subdomain labels
+    in front of a blocked domain (the short suffix 'example.com' would
+    never be enumerated)."""
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, r"\.")
     n = F.size(labels)
+    start = F.greatest(F.lit(1), n - F.lit(max_labels) + 1)
+    tail = F.transform(
+        F.sequence(start, n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
     return F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
-            lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
-        ),
+        F.array_distinct(F.concat(F.array(h), tail)),
         lambda s: s != "",
     )
 

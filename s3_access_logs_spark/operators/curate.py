@@ -79,8 +79,11 @@ def curate_corpus(
     near-dup runs the full candidate+connected-components machinery
     (the expensive stage — leave it off when the incremental band store
     already guards ingest); decontamination is a broadcast-shingle
-    join. The flags frame is persisted so report and survivors share
-    one computation."""
+    join. The report materializes EAGERLY at call time (a handful of
+    rows) under a scoped persist that is released before returning —
+    no session-lifetime cache leak; consuming ``survivors`` afterwards
+    re-derives the cheap column flags while the expensive sub-results
+    (connected components) are lineage-truncated internally."""
     flags = docs
     # NULL/blank text first and explicitly: every later gate compares
     # against NULL (quality_score(NULL) < t is NULL, which the waterfall
@@ -143,9 +146,23 @@ def curate_corpus(
         ).drop("quality_prob")
     else:
         flags = flags.withColumn("_f_classifier", F.lit(False))
+    # The dedup stages run over the SURVIVORS of the earlier gates, not
+    # the raw corpus: clustering raw docs could elect a keeper (min-id
+    # representative / containment superset) that an earlier gate
+    # already rejected, dropping every member of the group and erasing
+    # the content entirely. (Exact dedup above is immune: every gate is
+    # text-derived, so byte-identical copies share all gate outcomes —
+    # if the keeper fails a gate, its copies deserved to fail it too.)
+    _pre_dedup = [
+        s for s in STAGES if s not in ("near_dup", "contained", "contaminated")
+    ]
+    eligible_pred = F.lit(True)
+    for s in _pre_dedup:
+        eligible_pred = eligible_pred & ~F.col(f"_f_{s}")
     if near_dup:
+        eligible = flags.filter(eligible_pred).select(id_col, text_col)
         clusters = dedup_clusters(
-            docs, id_col=id_col, text_col=text_col
+            eligible, id_col=id_col, text_col=text_col
         )
         flags = flags.join(clusters, id_col, "left").withColumn(
             "_f_near_dup",
@@ -158,9 +175,12 @@ def curate_corpus(
     if drop_contained:
         from s3_access_logs_spark.operators.dedup import containment_pairs
 
+        eligible2 = flags.filter(
+            eligible_pred & ~F.col("_f_near_dup")
+        ).select(id_col, text_col)
         contained = (
             containment_pairs(
-                docs,
+                eligible2,
                 id_col=id_col,
                 text_col=text_col,
                 threshold=containment_threshold,
@@ -192,13 +212,27 @@ def curate_corpus(
         verdict = F.when(F.col(f"_f_{stage}"), F.lit(stage)).otherwise(
             verdict
         )
-    flags = flags.withColumn("_verdict", verdict).persist()
+    flags = flags.withColumn("_verdict", verdict)
     survivors = flags.filter(F.col("_verdict") == "kept").drop(
         "_verdict", *[f"_f_{s}" for s in STAGES]
     )
-    report = (
-        flags.groupBy(F.col("_verdict").alias("stage"))
-        .agg(F.count("*").alias("dropped"))
-        .filter(F.col("stage") != "kept")
+    # the report materializes EAGERLY (it is <= len(STAGES) rows) and
+    # the lineage is then released — a session-lifetime persist per
+    # call would leak executor storage with no handle to unpersist.
+    # The expensive sub-results (connected components) are already
+    # lineage-truncated internally, so the survivor pass that follows
+    # re-derives only the cheap column flags.
+    flags = flags.persist()
+    try:
+        rows = (
+            flags.groupBy(F.col("_verdict").alias("stage"))
+            .agg(F.count("*").alias("dropped"))
+            .filter(F.col("stage") != "kept")
+            .collect()
+        )
+    finally:
+        flags.unpersist()
+    report = docs.sparkSession.createDataFrame(
+        rows or [], "stage string, dropped bigint"
     )
     return survivors, report

@@ -51,12 +51,15 @@ def train_quality_classifier(
             f"train_quality_classifier: need num_features >= 2, got "
             f"{num_features}"
         )
+    # words(NULL) is NULL and HashingTF NPEs on a null token Seq —
+    # coalesce so NULL-text rows featurize as the empty document
+    toks = F.coalesce(
+        words(text_col), F.array().cast("array<string>")
+    )
     labeled = positives.select(
-        words(text_col).alias("_tokens"), F.lit(1.0).alias("label")
+        toks.alias("_tokens"), F.lit(1.0).alias("label")
     ).unionByName(
-        negatives.select(
-            words(text_col).alias("_tokens"), F.lit(0.0).alias("label")
-        )
+        negatives.select(toks.alias("_tokens"), F.lit(0.0).alias("label"))
     )
     pipeline = Pipeline(
         stages=[
@@ -91,7 +94,12 @@ def score_quality(
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(
-        docs.withColumn("_tokens", words(text_col))
+        docs.withColumn(
+            "_tokens",
+            # NULL text scores as the empty document instead of NPE-ing
+            # the whole job inside HashingTF
+            F.coalesce(words(text_col), F.array().cast("array<string>")),
+        )
     )
     return scored.withColumn(
         result_col,

@@ -619,13 +619,19 @@ def append_to_ivf_index(
         finally:
             marked.unpersist()
         return {"appended": appended, "skipped_existing": skipped}
-    appended = assigned.count()
-    (
-        assigned.repartition("cluster")
-        .write.mode("append")
-        .partitionBy("cluster")
-        .parquet(index_path)
-    )
+    # two consumers (count + write) -> persist, else the broadcast-
+    # argmin assignment lineage executes twice per append
+    assigned = assigned.persist()
+    try:
+        appended = assigned.count()
+        (
+            assigned.repartition("cluster")
+            .write.mode("append")
+            .partitionBy("cluster")
+            .parquet(index_path)
+        )
+    finally:
+        assigned.unpersist()
     return {"appended": appended, "skipped_existing": 0}
 
 
@@ -1144,13 +1150,19 @@ def append_to_ivfpq_index(
         assigned, codebook, vec_col="c_vec", dims=dims, m=m
     ).select("neighbor_id", "pq_codes", "cluster")
     if not skip_existing:
-        appended = encoded.count()
-        (
-            encoded.repartition("cluster")
-            .write.mode("append")
-            .partitionBy("cluster")
-            .parquet(index_path)
-        )
+        # two consumers (count + write) -> persist, else assign+encode
+        # executes twice per append
+        encoded = encoded.persist()
+        try:
+            appended = encoded.count()
+            (
+                encoded.repartition("cluster")
+                .write.mode("append")
+                .partitionBy("cluster")
+                .parquet(index_path)
+            )
+        finally:
+            encoded.unpersist()
         return {"appended": appended, "skipped_existing": 0}
     touched = sorted(
         r["cluster"]

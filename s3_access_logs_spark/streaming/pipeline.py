@@ -931,16 +931,16 @@ def frequency_estimates(
     are linear, so their concatenated rows ARE the merged sketch —
     ``cms_estimate`` sums duplicate counters as it densifies, one store
     scan, no per-partition merge job. Estimates only overestimate."""
-    from s3_access_logs_spark.functions.cms import cms_estimate
+    from s3_access_logs_spark.functions.cms import cms_estimate, cms_merge
 
-    # one store scan; cms_estimate's densify SUMS duplicate counters
-    # (sketch linearity) and accepts one identical meta pair per batch
-    # partition, so the concatenated rows need no per-partition merge
-    rows = (
-        spark.read.parquet(sketch_store)
-        .select("row", "col", "cnt")
-        .collect()
-    )
+    # merge IN-ENGINE before collecting: the store holds one counter
+    # grid per batch partition, so a raw collect grows linearly with
+    # stream age (327k rows x batches at default size) while the merged
+    # sketch is one bounded grid forever — cms_merge's per-counter SUM
+    # is exactly the fold, and linearity makes the estimates identical
+    rows = cms_merge(
+        spark.read.parquet(sketch_store).select("row", "col", "cnt")
+    ).collect()
     return cms_estimate(df, col, rows, result_col)
 
 

@@ -3372,3 +3372,98 @@ class TestSentenceChunks:
             for r in df.select("i", sentence_chunks("t")).collect()
         }
         assert rows[1] is None and rows[2] == []
+
+
+class TestReviewFixesR4b:
+    """Regression pins for the round-4 second review pass."""
+
+    def test_deep_host_cannot_evade_blocklist(self, spark):
+        from s3_access_logs_spark.functions.url import (
+            domain_blocklist_filter,
+            host_suffixes,
+        )
+
+        deep = ".".join(f"s{i}" for i in range(12)) + ".example.com"
+        df = spark.createDataFrame(
+            [(1, f"https://{deep}/x"), (2, "https://fine.org")],
+            ["doc_id", "url"],
+        )
+        hit = domain_blocklist_filter(
+            df, "url", ["example.com"], "doc_id", keep="blocked"
+        )
+        # 14 labels > max_labels: the SHORT suffixes must still be
+        # enumerated or nesting subdomains evades the list
+        assert {r.doc_id for r in hit.collect()} == {1}
+        [r] = spark.createDataFrame([(deep,)], ["h"]).select(
+            host_suffixes("h")
+        ).collect()
+        assert "example.com" in r[0] and r[0][0] == deep
+
+    def test_classifier_null_text_scores_not_crashes(self, spark):
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        pos = spark.createDataFrame(
+            [(1, "good clean prose here"), (2, None)], ["doc_id", "text"]
+        )
+        neg = spark.createDataFrame(
+            [(3, "spam spam spam spam"), (4, None)], ["doc_id", "text"]
+        )
+        model = train_quality_classifier(
+            pos, neg, num_features=1 << 8, max_iter=3
+        )
+        out = score_quality(pos, model).collect()
+        assert len(out) == 2  # NULL row scored (as empty doc), no NPE
+
+    def test_near_dup_keeper_interplay(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        # A (min id) is a near-dup of B but fails the quality gate; B
+        # must survive as the cluster's representative, not vanish
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet forest toward the river bank "
+            "where it finally rests for the evening hours"
+        )
+        # doc 1 (min id) = base plus a long repeated-word tail: shingle
+        # set ~= base's (near-dup of 2, jaccard ~0.86) but diversity and
+        # stopword ratio collapse -> quality ~0.52, under the 0.6 bar
+        # that base itself (~0.70) clears
+        df = spark.createDataFrame(
+            [
+                (1, base + " spam" * 120),
+                (2, base),
+                (3, "entirely different content on another topic"),
+            ],
+            ["doc_id", "text"],
+        )
+        survivors, report = curate_corpus(
+            df, min_quality=0.6, near_dup=True
+        )
+        kept = {r["doc_id"] for r in survivors.collect()}
+        assert 2 in kept  # the good copy survives
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped.get("quality", 0) >= 1
+        assert dropped.get("near_dup", 0) == 0
+
+    def test_lam_one_rejected(self, spark):
+        from s3_access_logs_spark.functions.lm import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        model = train_bigram_lm(docs, max_entries=32)
+        with pytest.raises(ValueError, match="lam"):
+            perplexity_score(docs, model, lam=1.0)
+
+    def test_fold_store_rejects_unknown_flags(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_fold_store
+
+        assert run_fold_store(
+            [str(tmp_path / "s"), "--keep_recent", "0"]
+        ) == 2
+        assert run_fold_store([str(tmp_path / "s"), "extra"]) == 2
