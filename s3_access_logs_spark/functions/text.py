@@ -236,8 +236,10 @@ def lang_id(col: Column | str) -> Column:
 
 def strip_html(col: Column | str) -> Column:
     """Regex HTML-to-text for crawl ingestion: drop <script>/<style>
-    blocks and comments wholesale (their CONTENT is never prose), strip
-    remaining tags, decode the common entities, collapse whitespace.
+    blocks and comments wholesale (their CONTENT is never prose), turn
+    block-level tags into newlines (preserving the line/paragraph
+    structure the line-wise cleaners key on), strip remaining tags,
+    decode the common entities, collapse whitespace within lines.
     NULL in, NULL out.
 
     Deliberately a cheap regex pass, not a DOM parse: at crawl scale
@@ -251,6 +253,17 @@ def strip_html(col: Column | str) -> Column:
         c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " "
     )
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    # BLOCK-level tags become newlines, not spaces: the paragraph/line
+    # structure is what the downstream line-wise operators
+    # (clean_lines, drop_boilerplate_lines, drop_repeated_paragraphs)
+    # key on — flattening it would fuse a cookie banner into the
+    # article text and make line furniture undetectable
+    out = F.regexp_replace(
+        out,
+        r"(?is)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article"
+        r"|header|footer|blockquote|pre|dd|dt)\b[^>]*>",
+        "\n",
+    )
     out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
     # &amp; decodes LAST: earlier would turn "&amp;lt;" into "&lt;" and
     # then into "<" — double-decoding text that showed an escaped entity
@@ -259,7 +272,11 @@ def strip_html(col: Column | str) -> Column:
         ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    # collapse runs: spaces/tabs within a line, blank runs to ONE
+    # newline; trim line edges and the document ends
+    out = F.regexp_replace(out, r"[^\S\n]+", " ")
+    out = F.regexp_replace(out, r" ?\n[ \n]*", "\n")
+    return F.regexp_replace(F.trim(out), r"^\n+|\n+$", "")
 
 
 def _line_keep_predicate(

@@ -29,6 +29,7 @@ from s3_access_logs_spark.operators.dedup import (
 
 STAGES = (
     "empty",
+    "line_ratio",
     "exact_dup",
     "quality",
     "language",
@@ -57,6 +58,10 @@ def curate_corpus(
     containment_threshold: float = 0.8,
     benchmark: DataFrame | None = None,
     max_overlap: float = 0.5,
+    html: bool = False,
+    normalize: bool = False,
+    line_clean: bool = False,
+    min_line_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -73,6 +78,13 @@ def curate_corpus(
     ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact dedup always runs —
     a curation pass that can emit byte-duplicates is not curation.
 
+    TRANSFORM options rewrite the text before any gate (same order as
+    the streaming ingest): ``html`` (strip_html), ``normalize``
+    (NFKC + mojibake repair), ``line_clean`` (line-furniture removal)
+    with ``min_line_ratio`` dropping documents whose kept-line fraction
+    fell below the bar — measured before the rewrite. Survivors carry
+    the transformed text.
+
     Cost model: heuristic gates are pure columns (free in the scan);
     exact dedup is one window shuffle; the LM gate adds the bigram
     explode + one doc-grain join; the classifier is a narrow pass;
@@ -84,6 +96,38 @@ def curate_corpus(
     no session-lifetime cache leak; consuming ``survivors`` afterwards
     re-derives the cheap column flags while the expensive sub-results
     (connected components) are lineage-truncated internally."""
+    # TRANSFORM stages first (same order as the streaming ingest:
+    # markup off, then byte canonicalization, then line furniture) —
+    # every gate below, the stored digest included, sees the cleaned
+    # text, and survivors carry it. ``min_line_ratio`` turns
+    # line-cleaning loss into a drop gate: a page that was mostly
+    # furniture is not made good by deleting its furniture.
+    if html:
+        from s3_access_logs_spark.functions.text import strip_html
+
+        docs = docs.withColumn(text_col, strip_html(text_col))
+    if normalize:
+        from s3_access_logs_spark.functions.text import normalize_unicode
+
+        docs = normalize_unicode(docs, text_col=text_col)
+    if min_line_ratio is not None and not line_clean:
+        raise ValueError(
+            "curate_corpus: min_line_ratio needs line_clean=True — the "
+            "ratio is defined by the line filter's verdicts"
+        )
+    _line_ratio = None
+    if line_clean:
+        from s3_access_logs_spark.functions.text import (
+            clean_lines,
+            line_kept_ratio,
+        )
+
+        # ratio measured BEFORE the rewrite (afterwards every doc keeps
+        # 100% of its remaining lines by construction)
+        _line_ratio = line_kept_ratio(text_col)
+        docs = docs.withColumn("_line_ratio", _line_ratio).withColumn(
+            text_col, clean_lines(text_col)
+        )
     flags = docs
     # NULL/blank text first and explicitly: every later gate compares
     # against NULL (quality_score(NULL) < t is NULL, which the waterfall
@@ -92,6 +136,15 @@ def curate_corpus(
     flags = flags.withColumn(
         "_f_empty",
         F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+    )
+    flags = flags.withColumn(
+        "_f_line_ratio",
+        (
+            (F.col("_line_ratio") < min_line_ratio)
+            & ~F.col("_f_empty")
+        )
+        if min_line_ratio is not None
+        else F.lit(False),
     )
     w = Window.partitionBy(normalized_digest(F.col(text_col))).orderBy(
         id_col
@@ -214,7 +267,7 @@ def curate_corpus(
         )
     flags = flags.withColumn("_verdict", verdict)
     survivors = flags.filter(F.col("_verdict") == "kept").drop(
-        "_verdict", *[f"_f_{s}" for s in STAGES]
+        "_verdict", "_line_ratio", *[f"_f_{s}" for s in STAGES]
     )
     # the report materializes EAGERLY (it is <= len(STAGES) rows) and
     # the lineage is then released — a session-lifetime persist per

@@ -3035,7 +3035,9 @@ class TestStripHtml:
             r["i"]: r[1]
             for r in df.select("i", strip_html("t")).collect()
         }
-        assert rows[1] == 'Tom & Jerry say "hi" next\'s line'
+        # block tags (<p>, <br/>) become newlines — line structure is
+        # what the line-wise cleaners key on
+        assert rows[1] == 'Tom & Jerry say "hi"\nnext\'s line'
         assert rows[2] == "no markup at all"
         # single decode only: the page DISPLAYED "&lt;", keep it
         assert rows[3] == "escaped entity shown: &lt; stays literal"
@@ -3467,3 +3469,46 @@ class TestReviewFixesR4b:
             [str(tmp_path / "s"), "--keep_recent", "0"]
         ) == 2
         assert run_fold_store([str(tmp_path / "s"), "extra"]) == 2
+
+
+class TestCurateTransformStages:
+    def test_html_line_clean_and_ratio_gate(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        good = "\n".join(
+            [
+                "A normal prose line with enough words here.",
+                "Another good line of article content follows.",
+                "And one further sentence completes the body.",
+            ]
+        )
+        furniture_page = "\n".join(
+            ["OK", "CLICK HERE NOW", "12:45", "99%",
+             "One real line of text."]
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "<p>" + good.replace("\n", "</p>\n<p>") + "</p>"),
+                (2, furniture_page),
+                (3, "<script>var x=1</script>"),
+            ],
+            ["doc_id", "text"],
+        )
+        survivors, report = curate_corpus(
+            df, html=True, line_clean=True, min_line_ratio=0.5
+        )
+        rows = {r["doc_id"]: r["text"] for r in survivors.collect()}
+        # doc1 survives with markup gone and lines intact
+        assert set(rows) == {1}
+        assert "<p>" not in rows[1] and "prose line" in rows[1]
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        # doc2: only 1/5 lines kept -> line_ratio; doc3: stripped to
+        # nothing -> empty
+        assert dropped == {"empty": 1, "line_ratio": 1}
+
+    def test_min_line_ratio_requires_line_clean(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="line_clean"):
+            curate_corpus(df, min_line_ratio=0.5)
