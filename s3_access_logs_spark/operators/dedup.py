@@ -580,6 +580,32 @@ def simhash_near_pairs(
     float-pow fold cost 235 s at sf0.1 vs seconds now), and the near
     filter runs BEFORE the pair distinct so only true near-pairs shuffle
     (a pair can match in up to ``chunks`` bands)."""
+    fp = simhash_fingerprint_words(df, id_col, text_col, bits)
+    return hamming_near_pairs(
+        fp,
+        bits=bits,
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_band_freq=max_band_freq,
+    )
+
+
+def hamming_near_pairs(
+    fp: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
+) -> DataFrame:
+    """The fingerprint-agnostic core of :func:`simhash_near_pairs`:
+    pigeonhole-banded Hamming near-pair search over ANY ``bits``-bit
+    fingerprint presented as ``(id, w0..w{n-1})`` little-endian 32-bit
+    words (``simhash_fingerprint_words`` layout). Text SimHash and
+    perceptual image hashes (operators.multimodal.image_dhash) share
+    every property the banding relies on — only the fingerprint
+    function differs — so they share this machinery, caps and all.
+    Contract, plan shape and the distinct-fingerprint-grain reasoning:
+    see simhash_near_pairs."""
     width = bits // chunks
     if bits % chunks:
         raise ValueError("bits must divide evenly into chunks")
@@ -587,7 +613,6 @@ def simhash_near_pairs(
         raise ValueError(
             "chunk width must fit inside a 32-bit fingerprint word"
         )
-    fp = simhash_fingerprint_words(df, id_col, text_col, bits)
     wcols = [c for c in fp.columns if c != "id"]
     groups = fp.groupBy(*wcols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")

@@ -404,6 +404,86 @@ def decode_pixels(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode, schema=PIXELS_TYPE)
 
 
+def _dhash_one(arr: "np.ndarray") -> tuple[int, int] | None:
+    """64-bit difference hash of an HxWxC uint8 image: grayscale,
+    nearest-sample down to 9x8, bit = left<right per row. Returns the
+    fingerprint as two little-endian 32-bit words."""
+    if arr is None or arr.shape[0] < 1 or arr.shape[1] < 1:
+        return None
+    gray = arr.astype(np.float32).mean(axis=2)
+    ys = np.linspace(0, gray.shape[0] - 1, 8).round().astype(int)
+    xs = np.linspace(0, gray.shape[1] - 1, 9).round().astype(int)
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, :-1] < g[:, 1:]).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """(id, w0, w1): 64-bit perceptual difference-hash fingerprints in
+    the ``simhash_fingerprint_words`` word layout, so image near-dup
+    detection rides the SAME banded-Hamming machinery as text SimHash
+    (operators.dedup.hamming_near_pairs — caps, distinct-fingerprint
+    grain and all). dHash is downsample-invariant by construction:
+    resized/re-encoded copies of one image agree on most gradient bits,
+    exact copies agree on all. Undecodable payloads are dropped (a
+    NULL fingerprint has no place in a banding join)."""
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, w0s, w1s = [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                arr = _decode_pixels_one(bytes(p))
+                words = _dhash_one(arr) if arr is not None else None
+                if words is None:
+                    continue
+                ids.append(int(asset_id))
+                w0s.append(words[0])
+                w1s.append(words[1])
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "w0": pd.array(w0s, dtype="int64"),
+                    "w1": pd.array(w1s, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(
+        hash_batches, schema="id long, w0 long, w1 long"
+    )
+
+
+def image_near_pairs(
+    assets: DataFrame,
+    max_hamming: int = 5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Perceptual image near-dup pairs: (id_a, id_b, hamming) for images
+    whose dHash fingerprints differ in at most ``max_hamming`` of 64
+    bits — re-encoded, lightly recompressed or resized copies of one
+    image. Composition: :func:`image_dhash` fingerprints feed
+    ``operators.dedup.hamming_near_pairs`` (pigeonhole banding over
+    16-bit chunks, exact popcount verify, the documented hot-bucket
+    cap) — image dedup at corpus scale costs exactly what text SimHash
+    dedup costs. ``max_band_freq=None`` keeps every bucket; pass the
+    dedup default for crawl-scale corpora where a flat-color image
+    could bucket half the corpus."""
+    from s3_access_logs_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        image_dhash(assets),
+        bits=64,
+        max_hamming=max_hamming,
+        chunks=4,
+        max_band_freq=max_band_freq,
+    )
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Header-level resize (STUB for the pixel path): rewrites the PNG IHDR
     dimensions and drops the body — a deterministic fake standing in for a

@@ -186,3 +186,50 @@ class TestDecodePixels:
         out = MM.decode_pixels(assets).filter("asset_id % 3 = 0").collect()
         assert len(out) == 10
         assert all(r.pixels is None for r in out)
+
+
+class TestImageNearDup:
+    """Perceptual dHash + the shared banded-Hamming machinery."""
+
+    @staticmethod
+    def _png_asset(spark, rows):
+        return spark.createDataFrame(rows, "asset_id long, payload binary")
+
+    def test_copies_and_variants_found(self, spark):
+        base = MM.image_pixels(3, 24, 16)
+        tweaked = base.copy()
+        tweaked[0, 0, :] = 255 - tweaked[0, 0, :]  # one pixel flipped
+        # image_pixels only phase-shifts ONE gradient pattern across
+        # doc_ids — perceptually those are all the same image (and
+        # dHash correctly says so), so the "different" image must be
+        # structurally different, not another phase of the gradient
+        other = np.random.default_rng(42).integers(
+            0, 256, size=(16, 24, 3)
+        ).astype(np.uint8)
+        rows = [
+            (1, MM._png_encode_pixels(base)),
+            (2, MM._png_encode_pixels(base)),      # exact copy
+            (3, MM._png_encode_pixels(tweaked)),   # near copy
+            (4, MM._png_encode_pixels(other)),     # different image
+        ]
+        assets = self._png_asset(spark, rows)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.image_near_pairs(assets, max_hamming=5).collect()
+        }
+        assert pairs.get((1, 2)) == 0            # exact copy: hamming 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 5
+        assert not any(4 in p for p in pairs)    # distinct image absent
+
+    def test_dhash_deterministic_drops_undecodable(self, spark):
+        base = MM.image_pixels(6, 24, 16)
+        assets = self._png_asset(
+            spark,
+            [(1, MM._png_encode_pixels(base)), (2, b"not an image")],
+        )
+        a = sorted(map(tuple, MM.image_dhash(assets).collect()))
+        b = sorted(map(tuple, MM.image_dhash(assets).collect()))
+        assert a == b
+        assert [r[0] for r in a] == [1]  # undecodable row dropped
+        # words fit the 32-bit layout hamming_near_pairs shifts over
+        assert all(0 <= r[1] < (1 << 32) and 0 <= r[2] < (1 << 32) for r in a)
