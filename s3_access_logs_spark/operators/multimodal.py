@@ -484,6 +484,89 @@ def image_near_pairs(
     )
 
 
+def _audio_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
+    """64-bit energy-envelope hash of a mono 16-bit PCM WAV: frame the
+    samples into 65 windows, bit = energy rises between consecutive
+    windows. The audio analog of :func:`_dhash_one` — robust to gain
+    changes (energy COMPARISONS, not values) and small trims."""
+    if (
+        payload is None
+        or len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    data = payload[44:]
+    n = len(data) // 2
+    if n < 65:
+        return None
+    samples = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.float64)
+    edges = np.linspace(0, n, 66).round().astype(int)
+    energy = np.array(
+        [
+            float(np.mean(samples[a:b] ** 2)) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+    )
+    bits = energy[1:] > energy[:-1]
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """(id, w0, w1): 64-bit audio energy-envelope fingerprints in the
+    shared word layout — audio near-dup rides
+    ``operators.dedup.hamming_near_pairs`` exactly as images and text
+    do. Non-WAV / too-short payloads are dropped."""
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, w0s, w1s = [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                words = _audio_fingerprint_one(bytes(p))
+                if words is None:
+                    continue
+                ids.append(int(asset_id))
+                w0s.append(words[0])
+                w1s.append(words[1])
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "w0": pd.array(w0s, dtype="int64"),
+                    "w1": pd.array(w1s, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(
+        hash_batches, schema="id long, w0 long, w1 long"
+    )
+
+
+def audio_near_pairs(
+    assets: DataFrame,
+    max_hamming: int = 5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Audio near-dup pairs (re-encoded / gain-adjusted / lightly
+    trimmed copies): :func:`audio_fingerprint` into the shared
+    banded-Hamming machinery. Same contract as
+    :func:`image_near_pairs`."""
+    from s3_access_logs_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        audio_fingerprint(assets),
+        bits=64,
+        max_hamming=max_hamming,
+        chunks=4,
+        max_band_freq=max_band_freq,
+    )
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Header-level resize (STUB for the pixel path): rewrites the PNG IHDR
     dimensions and drops the body — a deterministic fake standing in for a

@@ -233,3 +233,51 @@ class TestImageNearDup:
         assert [r[0] for r in a] == [1]  # undecodable row dropped
         # words fit the 32-bit layout hamming_near_pairs shifts over
         assert all(0 <= r[1] < (1 << 32) and 0 <= r[2] < (1 << 32) for r in a)
+
+
+class TestAudioNearDup:
+    """Energy-envelope fingerprints on the shared Hamming machinery."""
+
+    @staticmethod
+    def _wav(samples):
+        import struct
+
+        body = samples.astype("<i2").tobytes()
+        return MM._wav_bytes(8000, len(samples), body)
+
+    def test_copies_gain_and_distinct(self, spark):
+        rng = np.random.default_rng(7)
+        # structured signal: rising bursts -> distinctive envelope
+        t = np.arange(8000)
+        sig = (
+            np.sin(t / 40.0) * (1 + (t // 1000) % 4) * 2000
+        ).astype(np.int64)
+        gain = (sig * 1.5).clip(-32768, 32767)  # louder copy
+        other = (rng.standard_normal(8000) * 8000).clip(-32768, 32767)
+        assets = spark.createDataFrame(
+            [
+                (1, self._wav(sig)),
+                (2, self._wav(sig)),          # exact copy
+                (3, self._wav(gain)),         # gain-changed copy
+                (4, self._wav(other)),        # different audio
+                (5, b"not a wav"),
+            ],
+            "asset_id long, payload binary",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.audio_near_pairs(assets, max_hamming=5).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 5
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_fingerprint_drops_short_and_nonwav(self, spark):
+        assets = spark.createDataFrame(
+            [
+                (1, self._wav(np.zeros(10))),   # too short
+                (2, b"RIFFxxxxWAVE"),            # truncated header
+            ],
+            "asset_id long, payload binary",
+        )
+        assert MM.audio_fingerprint(assets).count() == 0
