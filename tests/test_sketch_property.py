@@ -142,3 +142,73 @@ class TestUrlProperties:
             ).collect()
         ]
         assert again == [r["rd"] for r in rows]
+
+
+class TestCleanLinesIdempotent:
+    @given(
+        lines=st.lists(
+            st.text(
+                alphabet="abcDEFGH0123 .,!%:-",
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_second_pass_is_noop(self, spark, lines):
+        from s3_access_logs_spark.functions.text import clean_lines
+
+        doc = "\n".join(lines)
+        df = spark.createDataFrame([(doc,)], ["t"])
+        once = df.select(clean_lines("t").alias("c"))
+        [r1] = once.collect()
+        [r2] = once.select(clean_lines("c").alias("c")).collect()
+        # every kept line passes the filter again -> fixpoint after one
+        assert r2["c"] == r1["c"]
+
+
+class TestHammingBandingComplete:
+    """The pigeonhole banding must find EXACTLY the brute-force pairs
+    whenever max_hamming < chunks (the pigeonhole guarantee bound)."""
+
+    @given(
+        fps=st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            min_size=2,
+            max_size=12,
+            unique=True,
+        ),
+        max_h=st.integers(min_value=0, max_value=3),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_brute_force(self, spark, fps, max_h):
+        from s3_access_logs_spark.operators.dedup import hamming_near_pairs
+
+        rows = [
+            (i, fp & 0xFFFFFFFF, (fp >> 32) & 0xFFFFFFFF)
+            for i, fp in enumerate(fps)
+        ]
+        fp_df = spark.createDataFrame(rows, "id long, w0 long, w1 long")
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in hamming_near_pairs(
+                fp_df, bits=64, max_hamming=max_h, chunks=4,
+                max_band_freq=None,
+            ).collect()
+        }
+        want = {}
+        for i in range(len(fps)):
+            for j in range(i + 1, len(fps)):
+                h = bin(fps[i] ^ fps[j]).count("1")
+                if h <= max_h:
+                    want[(i, j)] = h
+        assert got == want
