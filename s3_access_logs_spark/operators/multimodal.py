@@ -567,6 +567,87 @@ def audio_near_pairs(
     )
 
 
+def _video_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
+    """64-bit temporal hash of an MVID payload: mean byte value per
+    frame, resampled to 65 points, bit = mean rises — the temporal
+    analog of the audio energy envelope. Needs >= 2 frames (one frame
+    has no temporal structure to hash)."""
+    if (
+        payload is None
+        or len(payload) < 20
+        or payload[:4] != MVID_MAGIC
+    ):
+        return None
+    n_frames, frame_size, _, _ = struct.unpack("<IIII", payload[4:20])
+    if n_frames < 2 or frame_size < 1:
+        return None
+    body = payload[20 : 20 + n_frames * frame_size]
+    if len(body) < n_frames * frame_size:
+        return None
+    frames = np.frombuffer(body, dtype=np.uint8).reshape(
+        n_frames, frame_size
+    )
+    means = frames.astype(np.float64).mean(axis=1)
+    idx = np.linspace(0, n_frames - 1, 65).round().astype(int)
+    env = means[idx]
+    bits = env[1:] > env[:-1]
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+
+
+def video_fingerprint(assets: DataFrame) -> DataFrame:
+    """(id, w0, w1): 64-bit video temporal fingerprints in the shared
+    word layout (see :func:`image_dhash`); non-MVID / single-frame
+    payloads are dropped."""
+
+    def hash_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, w0s, w1s = [], [], []
+            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
+                words = _video_fingerprint_one(bytes(p))
+                if words is None:
+                    continue
+                ids.append(int(asset_id))
+                w0s.append(words[0])
+                w1s.append(words[1])
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "w0": pd.array(w0s, dtype="int64"),
+                    "w1": pd.array(w1s, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(
+        hash_batches, schema="id long, w0 long, w1 long"
+    )
+
+
+def video_near_pairs(
+    assets: DataFrame,
+    max_hamming: int = 5,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Video near-dup pairs (re-encoded / resolution-changed copies —
+    the temporal envelope survives both): :func:`video_fingerprint`
+    into ``operators.dedup.hamming_near_pairs``. Same contract as
+    :func:`image_near_pairs`."""
+    from s3_access_logs_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        video_fingerprint(assets),
+        bits=64,
+        max_hamming=max_hamming,
+        chunks=4,
+        max_band_freq=max_band_freq,
+    )
+
+
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Header-level resize (STUB for the pixel path): rewrites the PNG IHDR
     dimensions and drops the body — a deterministic fake standing in for a

@@ -281,3 +281,48 @@ class TestAudioNearDup:
             "asset_id long, payload binary",
         )
         assert MM.audio_fingerprint(assets).count() == 0
+
+
+class TestVideoNearDup:
+    """Temporal-envelope fingerprints on the shared Hamming machinery."""
+
+    @staticmethod
+    def _mvid(frame_means):
+        import struct as st
+
+        n, fs = len(frame_means), 16
+        head = MM.MVID_MAGIC + st.pack("<IIII", n, fs, 4, 4)
+        body = b"".join(
+            bytes([int(m) % 256] * fs) for m in frame_means
+        )
+        return head + body
+
+    def test_copies_variants_distinct(self, spark):
+        rng = np.random.default_rng(11)
+        env = (np.sin(np.arange(200) / 7.0) * 100 + 120).astype(int)
+        tweak = env.copy()
+        tweak[5] += 30  # one frame brightness glitch
+        other = rng.integers(0, 256, size=200)
+        assets = spark.createDataFrame(
+            [
+                (1, self._mvid(env)),
+                (2, self._mvid(env)),      # exact copy
+                (3, self._mvid(tweak)),    # near copy
+                (4, self._mvid(other)),    # different video
+                (5, b"AVI?whatever"),      # not MVID
+            ],
+            "asset_id long, payload binary",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in MM.video_near_pairs(assets, max_hamming=5).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 5
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_single_frame_dropped(self, spark):
+        assets = spark.createDataFrame(
+            [(1, self._mvid([100]))], "asset_id long, payload binary"
+        )
+        assert MM.video_fingerprint(assets).count() == 0
