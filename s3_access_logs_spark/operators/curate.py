@@ -62,6 +62,7 @@ def curate_corpus(
     normalize: bool = False,
     line_clean: bool = False,
     min_line_ratio: float | None = None,
+    dst: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -84,6 +85,13 @@ def curate_corpus(
     with ``min_line_ratio`` dropping documents whose kept-line fraction
     fell below the bar — measured before the rewrite. Survivors carry
     the transformed text.
+
+    ``dst`` is the production path: survivors are written to parquet
+    while the call's scoped cache is live and the returned frame is the
+    re-read — later consumption costs a scan, not a pipeline recompute.
+    Without ``dst`` the returned survivors re-derive their lineage on
+    use (the price of returning a composable lazy frame with no
+    session-lifetime cache retained).
 
     Cost model: heuristic gates are pure columns (free in the scan);
     exact dedup is one window shuffle; the LM gate adds the bigram
@@ -212,6 +220,18 @@ def curate_corpus(
     eligible_pred = F.lit(True)
     for s in _pre_dedup:
         eligible_pred = eligible_pred & ~F.col(f"_f_{s}")
+    # ONE scoped persist of the pre-dedup flags frame covers everything
+    # downstream: the dedup stages filter it (their several input scans
+    # hit the cache), the report aggregates it, and the dst write reads
+    # it — the whole gate stack (LM join included) executes once per
+    # call. Both dedup RESULTS are lineage-truncated (CC checkpoints
+    # internally; the contained-id set localCheckpoints eagerly below),
+    # so the cache can release before returning and the survivors frame
+    # never re-enters the expensive stages.
+    _scoped: list[DataFrame] = []
+    if near_dup or drop_contained:
+        flags = flags.persist()
+        _scoped.append(flags)
     if near_dup:
         eligible = flags.filter(eligible_pred).select(id_col, text_col)
         clusters = dedup_clusters(
@@ -241,6 +261,7 @@ def curate_corpus(
             .select(F.col("contained_id").alias(id_col))
             .distinct()
             .withColumn("_sub", F.lit(True))
+            .localCheckpoint()
         )
         flags = flags.join(contained, id_col, "left").withColumn(
             "_f_contained", F.coalesce(F.col("_sub"), F.lit(False))
@@ -283,8 +304,18 @@ def curate_corpus(
             .filter(F.col("stage") != "kept")
             .collect()
         )
+        if dst is not None:
+            # production path: materialize survivors WHILE the scoped
+            # cache is live (the write reads the cached flags, not the
+            # lineage) and hand back the re-read — zero recompute on
+            # every later consumption, zero retained cache, and the
+            # corpus lands where a 100 TB run wants it anyway
+            survivors.write.mode("overwrite").parquet(dst)
+            survivors = docs.sparkSession.read.parquet(dst)
     finally:
         flags.unpersist()
+        for df_ in _scoped:
+            df_.unpersist()
     report = docs.sparkSession.createDataFrame(
         rows or [], "stage string, dropped bigint"
     )
