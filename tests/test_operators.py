@@ -3512,3 +3512,27 @@ class TestCurateTransformStages:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError, match="line_clean"):
             curate_corpus(df, min_line_ratio=0.5)
+
+
+class TestCurateDstPath:
+    def test_written_survivors_match_lazy(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+        from s3_access_logs_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        lazy_surv, lazy_rep = curate_corpus(
+            docs, min_quality=0.5, langs=("en",)
+        )
+        dst = str(tmp_path / "curated")
+        w_surv, w_rep = curate_corpus(
+            docs, min_quality=0.5, langs=("en",), dst=dst
+        )
+        # written path returns the re-read: plan is a bare scan of dst
+        plan = w_surv._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" in plan and "Window" not in plan
+        assert sorted(
+            map(tuple, lazy_surv.select("doc_id").collect())
+        ) == sorted(map(tuple, w_surv.select("doc_id").collect()))
+        assert sorted(map(tuple, lazy_rep.collect())) == sorted(
+            map(tuple, w_rep.collect())
+        )
