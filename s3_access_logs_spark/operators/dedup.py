@@ -1363,6 +1363,99 @@ def drop_boilerplate_lines(
     ).drop("_rebuilt")
 
 
+def fingerprint_bands(
+    fp: DataFrame, bits: int = 64, chunks: int = 4
+) -> DataFrame:
+    """(id, w0.., chunk_idx, chunk_val): each ``(id, w0..w{n-1})``
+    fingerprint exploded into its pigeonhole band keys PLUS its words —
+    the storable form of :func:`hamming_near_pairs`' banding, carrying
+    the words so a store probe can popcount-verify without a second
+    lookup."""
+    width = bits // chunks
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    if width > 32 or (32 % width and bits > 32):
+        raise ValueError(
+            "chunk width must fit inside a 32-bit fingerprint word"
+        )
+    wcols = [c for c in fp.columns if c != "id"]
+
+    def chunk_val(j: int) -> Column:
+        word = (j * width) // 32
+        offset = (j * width) % 32
+        return F.shiftright(F.col(f"w{word}"), offset) % F.lit(1 << width)
+
+    return fp.select(
+        "id",
+        *wcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk_idx"),
+                        chunk_val(j).alias("chunk_val"),
+                    )
+                    for j in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", *wcols, "ch.chunk_idx", "ch.chunk_val")
+
+
+def hamming_incremental(
+    new_fp: DataFrame,
+    seen_bands: DataFrame,
+    bits: int = 64,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental Hamming near-dup: probe a batch of fingerprints
+    against an append-only :func:`fingerprint_bands` store — the
+    perceptual-hash twin of :func:`near_dup_incremental`, for the image/
+    audio/video fingerprints of ``operators.multimodal``.
+
+    Returns ``(hits, new_bands)``: ``hits`` = (new_id, seen_id, hamming)
+    for every batch fingerprint within ``max_hamming`` of an already-
+    stored one (the band equi-join yields candidates, the carried words
+    popcount-verify — no second store lookup); ``new_bands`` = the
+    batch's band rows, to append AFTER the batch commits (replay
+    reproduces them, keeping ingestion idempotent). The pigeonhole
+    guarantee holds when ``max_hamming < chunks``; at larger distances
+    a pair can disagree on every chunk and go unseen — same contract
+    as hamming_near_pairs."""
+    batch_bands = fingerprint_bands(new_fp, bits, chunks)
+    wcols = [
+        c
+        for c in batch_bands.columns
+        if c not in ("id", "chunk_idx", "chunk_val")
+    ]
+    joined = batch_bands.alias("b").join(
+        seen_bands.alias("s"),
+        (F.col("b.chunk_idx") == F.col("s.chunk_idx"))
+        & (F.col("b.chunk_val") == F.col("s.chunk_val")),
+    )
+    hamming = sum(
+        [
+            F.bit_count(
+                F.col(f"b.{c}").bitwiseXOR(F.col(f"s.{c}"))
+            ).cast("int")
+            for c in wcols
+        ],
+        F.lit(0).cast("int"),
+    )
+    hits = (
+        joined.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("b.id").alias("new_id"),
+            F.col("s.id").alias("seen_id"),
+            "hamming",
+        )
+        .distinct()
+    )
+    return hits, batch_bands
+
+
 def near_dup_incremental(
     new_docs: DataFrame,
     seen_bands: DataFrame,

@@ -460,7 +460,7 @@ def image_dhash(assets: DataFrame) -> DataFrame:
 
 def image_near_pairs(
     assets: DataFrame,
-    max_hamming: int = 5,
+    max_hamming: int = 3,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """Perceptual image near-dup pairs: (id_a, id_b, hamming) for images
@@ -549,7 +549,7 @@ def audio_fingerprint(assets: DataFrame) -> DataFrame:
 
 def audio_near_pairs(
     assets: DataFrame,
-    max_hamming: int = 5,
+    max_hamming: int = 3,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """Audio near-dup pairs (re-encoded / gain-adjusted / lightly
@@ -630,7 +630,7 @@ def video_fingerprint(assets: DataFrame) -> DataFrame:
 
 def video_near_pairs(
     assets: DataFrame,
-    max_hamming: int = 5,
+    max_hamming: int = 3,
     max_band_freq: int | None = None,
 ) -> DataFrame:
     """Video near-dup pairs (re-encoded / resolution-changed copies —

@@ -25,7 +25,7 @@ per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -703,6 +703,131 @@ def compact_ingest_store(
         "kept": [b for b in live if b not in folded],
         "compacted": [c["partition"] for c in compacted],
     }
+
+
+def ingest_assets_stream(
+    spark: SparkSession,
+    src: str,
+    store: str,
+    checkpoint: str,
+    fingerprint_store: str | None = None,
+    fingerprint_fn=None,
+    max_hamming: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming multimodal asset ingestion: parquet files of
+    ``(asset_id long, payload binary)`` land in ``src``; each micro-batch
+    is exact-deduped on the payload digest (within itself and against the
+    append-only asset store) and, with ``fingerprint_store`` set,
+    perceptually deduped against the append-only fingerprint band store
+    — the multimodal twin of ``ingest_documents_stream``'s digest + band
+    gates.
+
+    ``fingerprint_fn`` maps an asset frame to ``(id, w0, w1)``
+    fingerprints (default ``operators.multimodal.image_dhash``; pass
+    ``audio_fingerprint`` / ``video_fingerprint`` for those modalities —
+    one stream per modality, since one hamming space must not mix
+    fingerprint kinds). A re-encoded or lightly edited copy of an
+    ingested asset — different bytes, near-identical fingerprint —
+    is caught here, not by the digest gate. Assets the fingerprint
+    function cannot decode pass the perceptual gate (no fingerprint, no
+    collision) and rely on the digest gate alone.
+
+    Same replay discipline as the text ingest: every store read excludes
+    the CURRENT batch_id (an at-least-once replay must not self-collide),
+    survivors and bands write under ``batch_id=<n>`` with dynamic
+    partition overwrite, and bands append only after the asset write so
+    a crash between the two loses future detections, never assets.
+    ``compact_ingest_store`` folds both stores."""
+    from s3_access_logs_spark.operators.dedup import hamming_incremental
+
+    if fingerprint_fn is None:
+        from s3_access_logs_spark.operators.multimodal import image_dhash
+
+        fingerprint_fn = image_dhash
+
+    assets = spark.readStream.schema(
+        "asset_id long, payload binary"
+    ).parquet(src)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        from s3_access_logs_spark.sources.fsutil import has_data_files
+
+        def read_prior(path: str, empty_schema: str):
+            if not has_data_files(sess, path):
+                return sess.createDataFrame([], empty_schema)
+            return sess.read.parquet(path).filter(
+                F.col("batch_id") != batch_id
+            )
+
+        digested = batch_df.withColumn("digest", F.md5("payload"))
+        w = Window.partitionBy("digest").orderBy("asset_id")
+        batch_unique = (
+            digested.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        seen = read_prior(store, "digest string").select("digest")
+        survivors = batch_unique.join(seen, "digest", "left_anti")
+        sess.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        if fingerprint_store is not None:
+            survivors = survivors.persist()
+            fp = fingerprint_fn(
+                survivors.select(
+                    F.col("asset_id"), F.col("payload")
+                )
+            )
+            seen_bands = read_prior(
+                fingerprint_store,
+                "id long, w0 long, w1 long, chunk_idx int, chunk_val long",
+            ).select("id", "w0", "w1", "chunk_idx", "chunk_val")
+            hits, bands = hamming_incremental(
+                fp, seen_bands, max_hamming=max_hamming
+            )
+            near_ids = hits.select(
+                F.col("new_id").alias("asset_id")
+            ).distinct()
+            kept = survivors.join(near_ids, "asset_id", "left_anti").persist()
+            try:
+                (
+                    kept.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(store)
+                )
+                kept_bands = bands.join(
+                    kept.select(F.col("asset_id").alias("id")), "id"
+                )
+                (
+                    kept_bands.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(fingerprint_store)
+                )
+            finally:
+                survivors.unpersist()
+                kept.unpersist()
+        else:
+            (
+                survivors.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(store)
+            )
+
+    writer = (
+        assets.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(ingest_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def track_frequencies_stream(

@@ -1063,3 +1063,92 @@ class TestIngestHtmlGate:
         texts = {r.keep_id: r.text for r in rows}
         assert texts[1] == "same article text"
         assert "<" not in texts[3]
+
+
+class TestAssetIngest:
+    """Streaming multimodal ingestion: digest + perceptual gates."""
+
+    @staticmethod
+    def _drop_assets(spark, src, name, rows):
+        import os
+
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        tmp = str(src / ("_stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        [part] = glob.glob(tmp + "/part-*.parquet")
+        shutil.move(part, str(src / name))
+        shutil.rmtree(tmp)
+
+    def test_digest_and_perceptual_gates(self, spark, tmp_path):
+        import numpy as np
+
+        from s3_access_logs_spark.operators import multimodal as MM
+        from s3_access_logs_spark.streaming import ingest_assets_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "assets")
+        fps = str(tmp_path / "fps")
+        ckpt = str(tmp_path / "ckpt")
+        rng = np.random.default_rng(3)
+        img_a = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        img_c = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        self._drop_assets(spark, src, "b1.parquet", [
+            (1, MM._png_encode_pixels(img_a)),
+        ])
+        ingest_assets_stream(
+            spark, str(src), store, ckpt, fingerprint_store=fps
+        ).awaitTermination(120)
+        assert {
+            r.asset_id for r in spark.read.parquet(store).collect()
+        } == {1}
+
+        # batch 2: exact byte copy (digest gate), one-pixel re-encode
+        # (perceptual gate), genuinely new image (kept)
+        tweak = img_a.copy()
+        tweak[0, 0, 0] ^= 0x40
+        self._drop_assets(spark, src, "b2.parquet", [
+            (10, MM._png_encode_pixels(img_a)),
+            (11, MM._png_encode_pixels(tweak)),
+            (12, MM._png_encode_pixels(img_c)),
+        ])
+        ingest_assets_stream(
+            spark, str(src), store, ckpt, fingerprint_store=fps
+        ).awaitTermination(120)
+        kept = {r.asset_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1, 12}
+        # band store only carries kept assets' fingerprints
+        assert {
+            r.id for r in spark.read.parquet(fps).collect()
+        } == {1, 12}
+
+    def test_replay_rewrites_own_partition(self, spark, tmp_path):
+        import numpy as np
+
+        from s3_access_logs_spark.operators import multimodal as MM
+        from s3_access_logs_spark.streaming import ingest_assets_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "assets")
+        fps = str(tmp_path / "fps")
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        self._drop_assets(spark, src, "b1.parquet", [
+            (1, MM._png_encode_pixels(img)),
+        ])
+        ingest_assets_stream(
+            spark, str(src), store, str(tmp_path / "c1"),
+            fingerprint_store=fps,
+        ).awaitTermination(120)
+        # crashed-attempt replay (fresh checkpoint, same files): the
+        # batch must not self-collide with its own stored fingerprint
+        ingest_assets_stream(
+            spark, str(src), store, str(tmp_path / "c2"),
+            fingerprint_store=fps,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert [r.asset_id for r in rows] == [1]
