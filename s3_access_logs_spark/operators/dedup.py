@@ -606,13 +606,7 @@ def hamming_near_pairs(
     function differs — so they share this machinery, caps and all.
     Contract, plan shape and the distinct-fingerprint-grain reasoning:
     see simhash_near_pairs."""
-    width = bits // chunks
-    if bits % chunks:
-        raise ValueError("bits must divide evenly into chunks")
-    if width > 32 or (32 % width and bits > 32):
-        raise ValueError(
-            "chunk width must fit inside a 32-bit fingerprint word"
-        )
+    chunk_val_of = _chunk_layout(bits, chunks)
     wcols = [c for c in fp.columns if c != "id"]
     groups = fp.groupBy(*wcols).agg(
         F.sort_array(F.collect_list("id")).alias("ids")
@@ -635,14 +629,11 @@ def hamming_near_pairs(
         .withColumn("hamming", F.lit(0).cast("int"))
     )
     # Cross-group candidates: band buckets over distinct fingerprints.
-    # Chunk j lives entirely inside word j*width//32 (guaranteed by the
-    # width check); words are non-negative so arithmetic shift is exact.
+    # Chunk j lives entirely inside word j*width//32 (guaranteed by
+    # _chunk_layout's width check); words are non-negative so the
+    # arithmetic shift is exact.
     def chunk_val(j: int) -> Column:
-        word = (j * width) // 32
-        offset = (j * width) % 32
-        return (
-            F.shiftright(F.col(f"w{word}"), offset) % F.lit(1 << width)
-        ).alias("chunk_val")
+        return chunk_val_of(j).alias("chunk_val")
 
     entry = F.struct(
         *[F.col(c) for c in wcols], F.col("ids")
@@ -1363,6 +1354,28 @@ def drop_boilerplate_lines(
     ).drop("_rebuilt")
 
 
+def _chunk_layout(bits: int, chunks: int):
+    """The ONE definition of the pigeonhole band-key layout shared by
+    the batch path (:func:`hamming_near_pairs`) and the store format
+    (:func:`fingerprint_bands`): a divergence here would silently
+    desynchronize probes from every existing fingerprint band store.
+    Returns ``chunk_val(j) -> Column`` after validating the split."""
+    width = bits // chunks
+    if bits % chunks:
+        raise ValueError("bits must divide evenly into chunks")
+    if width > 32 or (32 % width and bits > 32):
+        raise ValueError(
+            "chunk width must fit inside a 32-bit fingerprint word"
+        )
+
+    def chunk_val(j: int) -> Column:
+        word = (j * width) // 32
+        offset = (j * width) % 32
+        return F.shiftright(F.col(f"w{word}"), offset) % F.lit(1 << width)
+
+    return chunk_val
+
+
 def fingerprint_bands(
     fp: DataFrame, bits: int = 64, chunks: int = 4
 ) -> DataFrame:
@@ -1371,20 +1384,8 @@ def fingerprint_bands(
     the storable form of :func:`hamming_near_pairs`' banding, carrying
     the words so a store probe can popcount-verify without a second
     lookup."""
-    width = bits // chunks
-    if bits % chunks:
-        raise ValueError("bits must divide evenly into chunks")
-    if width > 32 or (32 % width and bits > 32):
-        raise ValueError(
-            "chunk width must fit inside a 32-bit fingerprint word"
-        )
+    chunk_val = _chunk_layout(bits, chunks)
     wcols = [c for c in fp.columns if c != "id"]
-
-    def chunk_val(j: int) -> Column:
-        word = (j * width) // 32
-        offset = (j * width) % 32
-        return F.shiftright(F.col(f"w{word}"), offset) % F.lit(1 << width)
-
     return fp.select(
         "id",
         *wcols,

@@ -404,33 +404,13 @@ def decode_pixels(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode, schema=PIXELS_TYPE)
 
 
-def _dhash_one(arr: "np.ndarray") -> tuple[int, int] | None:
-    """64-bit difference hash of an HxWxC uint8 image: grayscale,
-    nearest-sample down to 9x8, bit = left<right per row. Returns the
-    fingerprint as two little-endian 32-bit words."""
-    if arr is None or arr.shape[0] < 1 or arr.shape[1] < 1:
-        return None
-    gray = arr.astype(np.float32).mean(axis=2)
-    ys = np.linspace(0, gray.shape[0] - 1, 8).round().astype(int)
-    xs = np.linspace(0, gray.shape[1] - 1, 9).round().astype(int)
-    g = gray[np.ix_(ys, xs)]
-    bits = (g[:, :-1] < g[:, 1:]).flatten()
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
-    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
-
-
-def image_dhash(assets: DataFrame) -> DataFrame:
-    """(id, w0, w1): 64-bit perceptual difference-hash fingerprints in
-    the ``simhash_fingerprint_words`` word layout, so image near-dup
-    detection rides the SAME banded-Hamming machinery as text SimHash
-    (operators.dedup.hamming_near_pairs — caps, distinct-fingerprint
-    grain and all). dHash is downsample-invariant by construction:
-    resized/re-encoded copies of one image agree on most gradient bits,
-    exact copies agree on all. Undecodable payloads are dropped (a
-    NULL fingerprint has no place in a banding join)."""
+def _fingerprint_frame(assets: DataFrame, per_payload) -> DataFrame:
+    """Shared mapInPandas shell for every 64-bit payload fingerprint
+    (image/audio/video): ``per_payload(bytes) -> (w0, w1) | None``.
+    One place owns the contract the three wrappers document: NULL and
+    unfingerprintable payloads are DROPPED (a NULL payload must not
+    crash the batch, and a NULL fingerprint has no place in a banding
+    join)."""
 
     def hash_batches(
         batches: Iterator[pd.DataFrame],
@@ -438,8 +418,9 @@ def image_dhash(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, w0s, w1s = [], [], []
             for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                arr = _decode_pixels_one(bytes(p))
-                words = _dhash_one(arr) if arr is not None else None
+                words = (
+                    per_payload(bytes(p)) if p is not None else None
+                )
                 if words is None:
                     continue
                 ids.append(int(asset_id))
@@ -455,6 +436,44 @@ def image_dhash(assets: DataFrame) -> DataFrame:
 
     return assets.mapInPandas(
         hash_batches, schema="id long, w0 long, w1 long"
+    )
+
+
+def _pack_bits(bits) -> tuple[int, int]:
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+
+
+def _dhash_one(arr: "np.ndarray") -> tuple[int, int] | None:
+    """64-bit difference hash of an HxWxC uint8 image: grayscale,
+    nearest-sample down to 9x8, bit = left<right per row. Returns the
+    fingerprint as two little-endian 32-bit words."""
+    if arr is None or arr.shape[0] < 1 or arr.shape[1] < 1:
+        return None
+    # color channels ONLY: the pillow path converts to RGB while the
+    # pure-PNG fallback keeps RGBA — folding alpha into gray would make
+    # the same image hash differently depending on which decoder ran
+    gray = arr[:, :, :3].astype(np.float32).mean(axis=2)
+    ys = np.linspace(0, gray.shape[0] - 1, 8).round().astype(int)
+    xs = np.linspace(0, gray.shape[1] - 1, 9).round().astype(int)
+    g = gray[np.ix_(ys, xs)]
+    return _pack_bits((g[:, :-1] < g[:, 1:]).flatten())
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """(id, w0, w1): 64-bit perceptual difference-hash fingerprints in
+    the ``simhash_fingerprint_words`` word layout, so image near-dup
+    detection rides the SAME banded-Hamming machinery as text SimHash
+    (operators.dedup.hamming_near_pairs — caps, distinct-fingerprint
+    grain and all). dHash is downsample-invariant by construction:
+    resized/re-encoded copies of one image agree on most gradient bits,
+    exact copies agree on all. NULL/undecodable payloads are dropped (a
+    NULL fingerprint has no place in a banding join)."""
+    return _fingerprint_frame(
+        assets, lambda p: _dhash_one(_decode_pixels_one(p))
     )
 
 
@@ -484,23 +503,57 @@ def image_near_pairs(
     )
 
 
-def _audio_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
-    """64-bit energy-envelope hash of a mono 16-bit PCM WAV: frame the
-    samples into 65 windows, bit = energy rises between consecutive
-    windows. The audio analog of :func:`_dhash_one` — robust to gain
-    changes (energy COMPARISONS, not values) and small trims."""
+def _wav_pcm_samples(payload: bytes) -> "np.ndarray | None":
+    """Mono float samples from a PCM WAV by WALKING the RIFF chunks —
+    not a hardcoded 44-byte offset: real encoders emit 18-byte fmt
+    chunks (cbSize=0) or LIST/INFO chunks before ``data``, and reading
+    those as samples would fingerprint garbage while LOOKING valid.
+    Requires 16-bit PCM (format tag 1); multi-channel audio mixes down
+    by averaging interleaved frames. Anything else -> None (drop,
+    don't guess)."""
     if (
         payload is None
-        or len(payload) < 44
+        or len(payload) < 12
         or payload[:4] != b"RIFF"
         or payload[8:12] != b"WAVE"
     ):
         return None
-    data = payload[44:]
-    n = len(data) // 2
-    if n < 65:
+    pos, channels, bits_per, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt_tag, channels, _, _, _, bits_per = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_tag != 1:
+                return None
+        elif tag == b"data":
+            data = body
+            break
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if data is None or channels is None or bits_per != 16 or channels < 1:
         return None
+    n = len(data) // 2
     samples = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.float64)
+    if channels > 1:
+        frames = len(samples) // channels
+        samples = samples[: frames * channels].reshape(
+            frames, channels
+        ).mean(axis=1)
+    return samples
+
+
+def _audio_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
+    """64-bit energy-envelope hash of a PCM WAV: frame the samples into
+    65 windows, bit = energy rises between consecutive windows. The
+    audio analog of :func:`_dhash_one` — robust to gain changes (energy
+    COMPARISONS, not values) and small trims."""
+    samples = _wav_pcm_samples(payload)
+    if samples is None or len(samples) < 65:
+        return None
+    n = len(samples)
     edges = np.linspace(0, n, 66).round().astype(int)
     energy = np.array(
         [
@@ -508,43 +561,15 @@ def _audio_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
             for a, b in zip(edges[:-1], edges[1:])
         ]
     )
-    bits = energy[1:] > energy[:-1]
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
-    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+    return _pack_bits(energy[1:] > energy[:-1])
 
 
 def audio_fingerprint(assets: DataFrame) -> DataFrame:
     """(id, w0, w1): 64-bit audio energy-envelope fingerprints in the
     shared word layout — audio near-dup rides
     ``operators.dedup.hamming_near_pairs`` exactly as images and text
-    do. Non-WAV / too-short payloads are dropped."""
-
-    def hash_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, w0s, w1s = [], [], []
-            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                words = _audio_fingerprint_one(bytes(p))
-                if words is None:
-                    continue
-                ids.append(int(asset_id))
-                w0s.append(words[0])
-                w1s.append(words[1])
-            yield pd.DataFrame(
-                {
-                    "id": pd.array(ids, dtype="int64"),
-                    "w0": pd.array(w0s, dtype="int64"),
-                    "w1": pd.array(w1s, dtype="int64"),
-                }
-            )
-
-    return assets.mapInPandas(
-        hash_batches, schema="id long, w0 long, w1 long"
-    )
+    do. NULL / non-PCM-WAV / too-short payloads are dropped."""
+    return _fingerprint_frame(assets, _audio_fingerprint_one)
 
 
 def audio_near_pairs(
@@ -590,42 +615,14 @@ def _video_fingerprint_one(payload: bytes) -> tuple[int, int] | None:
     means = frames.astype(np.float64).mean(axis=1)
     idx = np.linspace(0, n_frames - 1, 65).round().astype(int)
     env = means[idx]
-    bits = env[1:] > env[:-1]
-    val = 0
-    for i, b in enumerate(bits):
-        if b:
-            val |= 1 << i
-    return val & 0xFFFFFFFF, (val >> 32) & 0xFFFFFFFF
+    return _pack_bits(env[1:] > env[:-1])
 
 
 def video_fingerprint(assets: DataFrame) -> DataFrame:
     """(id, w0, w1): 64-bit video temporal fingerprints in the shared
-    word layout (see :func:`image_dhash`); non-MVID / single-frame
-    payloads are dropped."""
-
-    def hash_batches(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, w0s, w1s = [], [], []
-            for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                words = _video_fingerprint_one(bytes(p))
-                if words is None:
-                    continue
-                ids.append(int(asset_id))
-                w0s.append(words[0])
-                w1s.append(words[1])
-            yield pd.DataFrame(
-                {
-                    "id": pd.array(ids, dtype="int64"),
-                    "w0": pd.array(w0s, dtype="int64"),
-                    "w1": pd.array(w1s, dtype="int64"),
-                }
-            )
-
-    return assets.mapInPandas(
-        hash_batches, schema="id long, w0 long, w1 long"
-    )
+    word layout (see :func:`image_dhash`); NULL / non-MVID /
+    single-frame payloads are dropped."""
+    return _fingerprint_frame(assets, _video_fingerprint_one)
 
 
 def video_near_pairs(

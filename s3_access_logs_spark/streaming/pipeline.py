@@ -729,9 +729,14 @@ def ingest_assets_stream(
     one stream per modality, since one hamming space must not mix
     fingerprint kinds). A re-encoded or lightly edited copy of an
     ingested asset — different bytes, near-identical fingerprint —
-    is caught here, not by the digest gate. Assets the fingerprint
-    function cannot decode pass the perceptual gate (no fingerprint, no
-    collision) and rely on the digest gate alone.
+    is caught here, not by the digest gate — whether the copy arrived
+    in an EARLIER batch (store probe) or in the SAME micro-batch (a
+    batch-local ``hamming_near_pairs`` pass keeps the smallest id of
+    each near group before the store probe runs). Assets the
+    fingerprint function cannot decode pass the perceptual gate (no
+    fingerprint, no collision) and rely on the digest gate alone;
+    NULL-payload rows are dropped outright — md5(NULL) would evade the
+    digest anti-join forever.
 
     Same replay discipline as the text ingest: every store read excludes
     the CURRENT batch_id (an at-least-once replay must not self-collide),
@@ -763,7 +768,15 @@ def ingest_assets_stream(
                 F.col("batch_id") != batch_id
             )
 
-        digested = batch_df.withColumn("digest", F.md5("payload"))
+        # NULL payloads out FIRST: md5(NULL) is NULL, NULL never equals
+        # NULL in the anti-join, so such rows would re-ingest forever —
+        # and the fingerprint stage would crash on them. An asset
+        # without bytes is not an asset.
+        digested = batch_df.filter(
+            F.col("payload").isNotNull()
+        ).withColumn("digest", F.md5("payload"))
+        if digested.isEmpty():
+            return
         w = Window.partitionBy("digest").orderBy("asset_id")
         batch_unique = (
             digested.withColumn("_rn", F.row_number().over(w))
@@ -776,21 +789,42 @@ def ingest_assets_stream(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         if fingerprint_store is not None:
+            from s3_access_logs_spark.operators.dedup import (
+                hamming_near_pairs,
+            )
+
             survivors = survivors.persist()
+            # fp persists too: the Python-side payload decode+hash is
+            # the dominant per-batch cost and THREE consumers read it
+            # (within-batch pairs, the store probe, the band append)
             fp = fingerprint_fn(
                 survivors.select(
                     F.col("asset_id"), F.col("payload")
                 )
+            ).persist()
+            # WITHIN-batch near-dups first: two re-encodes of one image
+            # arriving in the same micro-batch must not both pass just
+            # because neither is in the store yet. Keep the smaller id
+            # of every near pair (hamming_near_pairs emits id_a < id_b).
+            intra_drop = (
+                hamming_near_pairs(
+                    fp, max_hamming=max_hamming, max_band_freq=None
+                )
+                .select(F.col("id_b").alias("id"))
+                .distinct()
             )
+            fp_kept = fp.join(intra_drop, "id", "left_anti")
             seen_bands = read_prior(
                 fingerprint_store,
                 "id long, w0 long, w1 long, chunk_idx int, chunk_val long",
             ).select("id", "w0", "w1", "chunk_idx", "chunk_val")
             hits, bands = hamming_incremental(
-                fp, seen_bands, max_hamming=max_hamming
+                fp_kept, seen_bands, max_hamming=max_hamming
             )
             near_ids = hits.select(
                 F.col("new_id").alias("asset_id")
+            ).unionByName(
+                intra_drop.select(F.col("id").alias("asset_id"))
             ).distinct()
             kept = survivors.join(near_ids, "asset_id", "left_anti").persist()
             try:
@@ -811,6 +845,7 @@ def ingest_assets_stream(
                 )
             finally:
                 survivors.unpersist()
+                fp.unpersist()
                 kept.unpersist()
         else:
             (

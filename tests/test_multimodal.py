@@ -326,3 +326,61 @@ class TestVideoNearDup:
             [(1, self._mvid([100]))], "asset_id long, payload binary"
         )
         assert MM.video_fingerprint(assets).count() == 0
+
+
+class TestFingerprintReviewFixes:
+    def test_null_payload_dropped_in_all_fingerprints(self, spark):
+        df = spark.createDataFrame(
+            [(1, None)], "asset_id long, payload binary"
+        )
+        assert MM.image_dhash(df).count() == 0
+        assert MM.audio_fingerprint(df).count() == 0
+        assert MM.video_fingerprint(df).count() == 0
+
+    def test_wav_chunk_walk_and_mixdown(self, spark):
+        import struct as st
+
+        import numpy as np
+
+        sig = (np.sin(np.arange(8000) / 40.0) * 8000).astype("<i2")
+        canonical = MM._wav_bytes(8000, len(sig), sig.tobytes())
+        # 18-byte fmt chunk (cbSize=0) + a LIST chunk before data —
+        # the layout real encoders emit; a 44-byte-offset reader would
+        # fingerprint garbage here
+        fmt18 = st.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+        extended = (
+            b"RIFF" + st.pack("<I", 0) + b"WAVE"
+            + b"fmt " + st.pack("<I", 18) + fmt18
+            + b"LIST" + st.pack("<I", 4) + b"INFO"
+            + b"data" + st.pack("<I", len(sig) * 2) + sig.tobytes()
+        )
+        fa = MM._audio_fingerprint_one(canonical)
+        fb = MM._audio_fingerprint_one(extended)
+        assert fa is not None and fa == fb
+        # stereo: both channels = the signal -> mixdown equals mono
+        stereo_sig = np.repeat(sig, 2).astype("<i2")
+        stereo = (
+            b"RIFF" + st.pack("<I", 0) + b"WAVE"
+            + b"fmt " + st.pack("<I", 16)
+            + st.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+            + b"data" + st.pack("<I", len(stereo_sig) * 2)
+            + stereo_sig.tobytes()
+        )
+        assert MM._audio_fingerprint_one(stereo) == fa
+        # non-PCM (format tag 3 = float) -> dropped, not garbage
+        f32 = extended.replace(
+            st.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0),
+            st.pack("<HHIIHHH", 3, 1, 8000, 16000, 2, 16, 0),
+        )
+        assert MM._audio_fingerprint_one(f32) is None
+
+    def test_rgba_and_rgb_hash_identically(self):
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        rgb = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        alpha = rng.integers(0, 256, size=(16, 24, 1)).astype(np.uint8)
+        rgba = np.concatenate([rgb, alpha], axis=2)
+        # alpha must not leak into the hash: the pillow path strips it,
+        # the pure-PNG path keeps it — both must agree
+        assert MM._dhash_one(rgb) == MM._dhash_one(rgba)

@@ -1152,3 +1152,63 @@ class TestAssetIngest:
         ).awaitTermination(120)
         rows = spark.read.parquet(store).collect()
         assert [r.asset_id for r in rows] == [1]
+
+
+class TestAssetIngestReviewFixes:
+    def test_null_payload_dropped_not_crash_not_reingested(
+        self, spark, tmp_path
+    ):
+        import numpy as np
+
+        from s3_access_logs_spark.operators import multimodal as MM
+        from s3_access_logs_spark.streaming import ingest_assets_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "assets")
+        fps = str(tmp_path / "fps")
+        ckpt = str(tmp_path / "ckpt")
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        for b in range(2):
+            TestAssetIngest._drop_assets(spark, src, f"b{b}.parquet", [
+                (100 * b + 1, MM._png_encode_pixels(img) if b == 0 else
+                 MM._png_encode_pixels(
+                     rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+                 )),
+                (100 * b + 2, None),  # NULL payload every batch
+            ])
+            ingest_assets_stream(
+                spark, str(src), store, ckpt, fingerprint_store=fps
+            ).awaitTermination(120)
+        kept = {r.asset_id for r in spark.read.parquet(store).collect()}
+        # NULL rows neither crash the stream nor accumulate in the store
+        assert kept == {1, 101}
+
+    def test_within_batch_near_dups_collapse(self, spark, tmp_path):
+        import numpy as np
+
+        from s3_access_logs_spark.operators import multimodal as MM
+        from s3_access_logs_spark.streaming import ingest_assets_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "assets")
+        fps = str(tmp_path / "fps")
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(16, 24, 3)).astype(np.uint8)
+        tweak = img.copy()
+        tweak[0, 0, 0] ^= 0x40
+        TestAssetIngest._drop_assets(spark, src, "b1.parquet", [
+            (1, MM._png_encode_pixels(img)),
+            (2, MM._png_encode_pixels(tweak)),  # same-batch re-encode
+        ])
+        ingest_assets_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            fingerprint_store=fps,
+        ).awaitTermination(120)
+        kept = {r.asset_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1}  # smallest id of the near group survives
+        assert {
+            r.id for r in spark.read.parquet(fps).collect()
+        } == {1}
