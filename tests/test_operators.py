@@ -3536,3 +3536,56 @@ class TestCurateDstPath:
         assert sorted(map(tuple, lazy_rep.collect())) == sorted(
             map(tuple, w_rep.collect())
         )
+
+
+class TestHammingIncremental:
+    """The store-probe primitive behind streaming perceptual dedup."""
+
+    def test_probe_and_band_contract(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            fingerprint_bands,
+            hamming_incremental,
+        )
+
+        def words(fp):
+            return fp & 0xFFFFFFFF, (fp >> 32) & 0xFFFFFFFF
+
+        seen_fp = spark.createDataFrame(
+            [(1, *words(0xDEADBEEFCAFEF00D))], "id long, w0 long, w1 long"
+        )
+        store = fingerprint_bands(seen_fp)
+        batch = spark.createDataFrame(
+            [
+                (10, *words(0xDEADBEEFCAFEF00D)),           # hamming 0
+                (11, *words(0xDEADBEEFCAFEF00D ^ 0b101)),   # hamming 2
+                (12, *words(0xDEADBEEFCAFEF00D ^ ((1 << 50) | 1))),  # h=2
+                (13, *words(0x0123456789ABCDEF)),           # far away
+            ],
+            "id long, w0 long, w1 long",
+        )
+        hits, bands = hamming_incremental(batch, store, max_hamming=3)
+        got = {
+            (r["new_id"], r["seen_id"]): r["hamming"]
+            for r in hits.collect()
+        }
+        assert got == {(10, 1): 0, (11, 1): 2, (12, 1): 2}
+        # new_bands: chunks rows per fingerprint, words carried
+        rows = bands.collect()
+        assert len(rows) == 4 * 4
+        assert {r["id"] for r in rows} == {10, 11, 12, 13}
+        assert all("w0" in r and "chunk_val" in r for r in
+                   (row.asDict() for row in rows))
+
+    def test_empty_store_no_hits(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            hamming_incremental,
+        )
+
+        batch = spark.createDataFrame(
+            [(1, 5, 9)], "id long, w0 long, w1 long"
+        )
+        empty = spark.createDataFrame(
+            [], "id long, w0 long, w1 long, chunk_idx int, chunk_val long"
+        )
+        hits, bands = hamming_incremental(batch, empty)
+        assert hits.count() == 0 and bands.count() == 4
