@@ -239,6 +239,8 @@ def ingest_documents_stream(
     scrub_pii: bool = False,
     normalize_text: bool = False,
     html: bool = False,
+    lm_model: DataFrame | None = None,
+    max_xent: float | None = None,
     band_store: str | None = None,
     bloom_store: str | None = None,
     bloom_num_bits: int | None = None,
@@ -250,7 +252,10 @@ def ingest_documents_stream(
     appended — the crawl-ingestion loop as one streaming pipeline.
 
     ``min_quality`` drops documents scoring below the threshold
-    (functions.text.quality_score) BEFORE digesting, and ``scrub_pii``
+    (functions.text.quality_score) BEFORE digesting; ``lm_model`` +
+    ``max_xent`` add the bigram-LM cross-entropy gate (functions.lm —
+    the same contract as ``curate_corpus``'s, including no-bigram docs
+    passing); and ``scrub_pii``
     redacts emails/IPs/digit-runs in the stored text — the same narrow
     column expressions as the batch cleaning pipeline, composed into the
     stream at zero extra shuffle cost (filters and projections ride the
@@ -338,6 +343,19 @@ def ingest_documents_stream(
             cleaned = normalize_unicode(cleaned)
         if min_quality is not None:
             cleaned = cleaned.filter(quality_score("text") >= min_quality)
+        if lm_model is not None and max_xent is not None:
+            # batch parity with curate_corpus's LM gate: score the
+            # micro-batch against the broadcast bigram model, keep docs
+            # under the cross-entropy bar; no-bigram docs (NULL xent)
+            # pass — absence of signal is not rejection
+            from s3_access_logs_spark.functions.lm import perplexity_score
+
+            scored = perplexity_score(cleaned, lm_model).select(
+                "doc_id", "xent"
+            )
+            cleaned = cleaned.join(scored, "doc_id", "left").filter(
+                F.coalesce(F.col("xent") <= max_xent, F.lit(True))
+            ).drop("xent")
         if scrub_pii:
             # scrub BEFORE digesting: two crawls of the same page with
             # different session tokens in the text dedup to one document.

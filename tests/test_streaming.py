@@ -1212,3 +1212,44 @@ class TestAssetIngestReviewFixes:
         assert {
             r.id for r in spark.read.parquet(fps).collect()
         } == {1}
+
+
+class TestIngestLmGate:
+    def test_high_xent_docs_rejected(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        # reference slice: natural-ish English phrasing
+        ref = spark.createDataFrame(
+            [
+                (i, "the quick brown fox jumps over the lazy dog again")
+                for i in range(20)
+            ],
+            ["doc_id", "text"],
+        )
+        model = spark.createDataFrame(
+            train_bigram_lm(ref).collect(),
+            "kind string, w1 string, w2 string, cnt bigint",
+        )
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1,
+                        "text": "the quick brown fox jumps over the dog"})
+            + "\n"
+            + json.dumps({"doc_id": 2,
+                          "text": "zzq vvk wjj qqx bbn mmz ppl kkt rrw"})
+            + "\n"
+            + json.dumps({"doc_id": 3, "text": "oneword"})  # no bigrams
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            lm_model=model, max_xent=3.0,
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        # in-model text passes, OOV soup fails, no-bigram doc passes
+        assert 1 in kept and 2 not in kept and 3 in kept
