@@ -1,0 +1,108 @@
+"""KMV (k-minimum-values) distinct-count sketch as a persistent,
+mergeable table — generalizing the oracle-checked catalog query
+(plans/relational.py:approx_distinct_users) into a storable artifact,
+the same move the quantile sketch makes for percentiles.
+
+Why next to ``approx_count_distinct``: HLL++ is the right in-query
+estimator, but its sketch cannot be persisted or merged across days of
+ingest batches from SQL. A KMV store holds the k smallest distinct
+hash values (mapped into [0,1)); partitions union-merge by re-taking
+the bottom-k DISTINCT values, so "distinct users over the whole stream
+so far" is maintained incrementally under the same ``batch_id``
+store pattern as the count-min and profile stores, and
+``compact_ingest_store`` folds history without changing the estimate.
+
+Estimate (Bar-Yossef et al. 2002): with U_k the k-th smallest of the
+distinct hashes, E[distinct] = (k-1)/U_k; under k distinct values the
+sketch IS the distinct set and the estimate is exact. The md5-based
+hash mapping is IEEE-identical cross-engine (the property the catalog
+query's oracle pins bit-for-bit).
+
+Representation: ``(u double)`` rows in [0,1) plus one meta row
+``u = -k`` (hash values are never negative, so the sign is a safe
+in-band sentinel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K = 1024
+
+
+def _unit_hash(col: Column) -> Column:
+    """md5 -> first-8-hex int -> /2^32: a uniform [0,1) hash identical
+    across engines (the catalog query's cross-checkable mapping)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(float(1 << 32))
+
+
+def kmv_build(df: DataFrame, col: str, k: int = DEFAULT_K) -> DataFrame:
+    """Sketch the distinct values of ``df[col]``: the k smallest
+    distinct unit-hashes. NULLs are excluded (they are not a value).
+    One distinct shuffle on the hash, then a TakeOrderedAndProject —
+    the k-row result is the only thing that ever reaches one place."""
+    if k < 2:
+        raise ValueError(f"kmv_build: need k >= 2, got {k}")
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .select(_unit_hash(F.col(col)).alias("u"))
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+    meta = df.sparkSession.createDataFrame(
+        [(-float(k),)], "u double"
+    )
+    return rows.unionByName(meta)
+
+
+def kmv_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built with the same ``k`` and re-take the k
+    smallest DISTINCT values — identical to the sketch of the
+    concatenated inputs (overlap collapses in the distinct).
+    k-mismatch fails loudly."""
+    if not sketches:
+        raise ValueError("kmv_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    ks = [r["u"] for r in u.filter(F.col("u") < 0).distinct().collect()]
+    if len(ks) != 1:
+        raise ValueError(
+            f"kmv_merge: sketches disagree on k ({sorted(-x for x in ks)})"
+            " — rebuild with one k"
+        )
+    k = int(-ks[0])
+    merged = (
+        u.filter(F.col("u") >= 0)
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+    meta = u.sparkSession.createDataFrame([(-float(k),)], "u double")
+    return merged.unionByName(meta)
+
+
+def kmv_estimate(sketch: DataFrame | list) -> float:
+    """Distinct-count estimate from a sketch (DataFrame or collected
+    rows): exact below k, (k-1)/U_k at or above. Driver-side over the
+    bounded k rows."""
+    rows = sketch if isinstance(sketch, list) else sketch.collect()
+    ks = {-r["u"] for r in rows if r["u"] < 0}
+    if not ks:
+        raise ValueError(
+            "kmv_estimate: missing meta row (u < 0) — not built by "
+            "kmv_build, or the row was filtered out"
+        )
+    if len(ks) > 1:
+        raise ValueError(
+            f"kmv_estimate: sketches disagree on k ({sorted(ks)})"
+        )
+    k = int(ks.pop())
+    us = sorted(r["u"] for r in rows if r["u"] >= 0)
+    if len(us) < k:
+        return float(len(us))
+    return (k - 1) / us[k - 1]

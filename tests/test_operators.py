@@ -3589,3 +3589,80 @@ class TestHammingIncremental:
         )
         hits, bands = hamming_incremental(batch, empty)
         assert hits.count() == 0 and bands.count() == 4
+
+
+class TestKmvStore:
+    """Persistable KMV distinct sketch: exact below k, mergeable above."""
+
+    def test_exact_below_k_and_accurate_above(self, spark):
+        from s3_access_logs_spark.functions.kmv import (
+            kmv_build,
+            kmv_estimate,
+        )
+
+        small = spark.range(100).select(F.col("id").alias("v"))
+        assert kmv_estimate(kmv_build(small, "v", k=256)) == 100.0
+        big = spark.range(50_000).select(F.col("id").alias("v"))
+        est = kmv_estimate(kmv_build(big, "v", k=1024))
+        assert abs(est - 50_000) / 50_000 < 0.10  # ~1/sqrt(k) error
+
+    def test_merge_equals_whole_with_overlap(self, spark):
+        from s3_access_logs_spark.functions.kmv import (
+            kmv_build,
+            kmv_estimate,
+            kmv_merge,
+        )
+
+        a = spark.range(0, 6000).select(F.col("id").alias("v"))
+        b = spark.range(4000, 10_000).select(F.col("id").alias("v"))
+        merged = kmv_merge(
+            kmv_build(a, "v", k=512), kmv_build(b, "v", k=512)
+        )
+        whole = kmv_build(
+            spark.range(10_000).select(F.col("id").alias("v")), "v", k=512
+        )
+        assert sorted(r["u"] for r in merged.collect()) == sorted(
+            r["u"] for r in whole.collect()
+        )
+        # overlap (4000-5999 in both) must not inflate the estimate
+        est = kmv_estimate(merged)
+        assert abs(est - 10_000) / 10_000 < 0.15
+
+    def test_batch_store_pattern(self, spark, tmp_path):
+        from s3_access_logs_spark.functions.kmv import (
+            kmv_build,
+            kmv_estimate,
+            kmv_merge,
+        )
+
+        store = str(tmp_path / "kmv")
+        for b in range(3):
+            batch = spark.range(b * 3000, (b + 1) * 3000).select(
+                F.col("id").alias("v")
+            )
+            (
+                kmv_build(batch, "v", k=512)
+                .withColumn("batch_id", F.lit(b))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(store)
+            )
+        est = kmv_estimate(
+            kmv_merge(spark.read.parquet(store).select("u"))
+        )
+        assert abs(est - 9000) / 9000 < 0.15
+
+    def test_k_mismatch_and_meta_loud(self, spark):
+        from s3_access_logs_spark.functions.kmv import (
+            kmv_build,
+            kmv_estimate,
+            kmv_merge,
+        )
+
+        df = spark.range(100).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError, match="disagree on k"):
+            kmv_merge(kmv_build(df, "v", k=64), kmv_build(df, "v", k=128))
+        with pytest.raises(ValueError, match="meta row"):
+            kmv_estimate(
+                kmv_build(df, "v", k=64).filter(F.col("u") >= 0)
+            )
