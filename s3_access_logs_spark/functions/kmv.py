@@ -25,18 +25,21 @@ in-band sentinel).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from s3_access_logs_spark.functions.text import md5_long
 
 DEFAULT_K = 1024
 
 
 def _unit_hash(col: Column) -> Column:
     """md5 -> first-8-hex int -> /2^32: a uniform [0,1) hash identical
-    across engines (the catalog query's cross-checkable mapping)."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
-    ).cast("double") / F.lit(float(1 << 32))
+    across engines — ONE definition of the mapping, shared with every
+    other cross-engine hash site via functions.text.md5_long."""
+    return md5_long(col.cast("string")).cast("double") / F.lit(
+        float(1 << 32)
+    )
 
 
 def kmv_build(df: DataFrame, col: str, k: int = DEFAULT_K) -> DataFrame:
@@ -70,7 +73,12 @@ def kmv_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         u = u.unionByName(s)
     ks = [r["u"] for r in u.filter(F.col("u") < 0).distinct().collect()]
-    if len(ks) != 1:
+    if not ks:
+        raise ValueError(
+            "kmv_merge: no meta row (u < 0) in any input — not built by "
+            "kmv_build, or the rows were filtered out"
+        )
+    if len(ks) > 1:
         raise ValueError(
             f"kmv_merge: sketches disagree on k ({sorted(-x for x in ks)})"
             " — rebuild with one k"
@@ -102,7 +110,12 @@ def kmv_estimate(sketch: DataFrame | list) -> float:
             f"kmv_estimate: sketches disagree on k ({sorted(ks)})"
         )
     k = int(ks.pop())
-    us = sorted(r["u"] for r in rows if r["u"] >= 0)
+    # DEDUPE before estimating: a raw union of same-k sketches (e.g. a
+    # batch_id store read without kmv_merge) passes the meta check but
+    # carries duplicate hashes from overlapping batches — counting them
+    # would deflate U_k (overestimate) and fake "at least k" cardinality.
+    # set() IS kmv_merge's distinct, so estimate(union) == estimate(merge).
+    us = sorted({r["u"] for r in rows if r["u"] >= 0})
     if len(us) < k:
         return float(len(us))
     return (k - 1) / us[k - 1]

@@ -318,12 +318,22 @@ def ingest_documents_stream(
         ]
     )
     docs = spark.readStream.schema(schema).json(src)
+    if lm_model is not None:
+        # materialize ONCE, outside the batch loop: the model is
+        # broadcast-sized by construction (train_bigram_lm caps both
+        # count tables), but its LINEAGE is two aggregations over the
+        # reference corpus — left lazy, every micro-batch would re-train
+        # the LM several times (meta collect + each downstream action)
+        lm_model = spark.createDataFrame(
+            lm_model.collect(), lm_model.schema
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
         cleaned = batch_df
+        _gate_persisted: list[DataFrame] = []
         if html:
             # BEFORE everything: markup differences between two crawls
             # of one page (ad ids, nonce attributes) would defeat every
@@ -347,15 +357,27 @@ def ingest_documents_stream(
             # batch parity with curate_corpus's LM gate: score the
             # micro-batch against the broadcast bigram model, keep docs
             # under the cross-entropy bar; no-bigram docs (NULL xent)
-            # pass — absence of signal is not rejection
+            # pass — absence of signal is not rejection. Scoring keys on
+            # hash(doc_id, text), NOT doc_id alone: a batch may carry
+            # one doc_id with two texts (the dropDuplicates note below),
+            # and pooling their bigrams would issue one verdict for
+            # both. The gate joins back (second consumer of the cleaned
+            # lineage) -> scoped persist, released at batch end.
             from s3_access_logs_spark.functions.lm import perplexity_score
 
-            scored = perplexity_score(cleaned, lm_model).select(
-                "doc_id", "xent"
+            cleaned = cleaned.persist()
+            _gate_persisted.append(cleaned)
+            keyed = cleaned.withColumn(
+                "_lmk", F.xxhash64("doc_id", "text")
             )
-            cleaned = cleaned.join(scored, "doc_id", "left").filter(
+            scored = perplexity_score(
+                keyed, lm_model, id_col="_lmk"
+            ).select("_lmk", "xent")
+            cleaned = keyed.join(
+                scored.dropDuplicates(["_lmk"]), "_lmk", "left"
+            ).filter(
                 F.coalesce(F.col("xent") <= max_xent, F.lit(True))
-            ).drop("xent")
+            ).drop("xent", "_lmk")
         if scrub_pii:
             # scrub BEFORE digesting: two crawls of the same page with
             # different session tokens in the text dedup to one document.
@@ -548,6 +570,8 @@ def ingest_documents_stream(
             if band_store is not None:
                 cleaned.unpersist()
                 kept_ids.unpersist()
+            for df_ in _gate_persisted:
+                df_.unpersist()
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -3666,3 +3666,27 @@ class TestKmvStore:
             kmv_estimate(
                 kmv_build(df, "v", k=64).filter(F.col("u") >= 0)
             )
+
+
+class TestKmvReviewFixes:
+    def test_estimate_on_raw_union_equals_merge(self, spark):
+        from s3_access_logs_spark.functions.kmv import (
+            kmv_build,
+            kmv_estimate,
+            kmv_merge,
+        )
+
+        a = spark.range(0, 6000).select(F.col("id").alias("v"))
+        b = spark.range(4000, 10_000).select(F.col("id").alias("v"))
+        sa, sb = kmv_build(a, "v", k=512), kmv_build(b, "v", k=512)
+        raw_union = sa.unionByName(sb)  # store read without kmv_merge
+        assert kmv_estimate(raw_union) == kmv_estimate(
+            kmv_merge(sa, sb)
+        )
+
+    def test_merge_missing_meta_message(self, spark):
+        from s3_access_logs_spark.functions.kmv import kmv_build, kmv_merge
+
+        df = spark.range(100).select(F.col("id").alias("v"))
+        with pytest.raises(ValueError, match="no meta row"):
+            kmv_merge(kmv_build(df, "v", k=64).filter(F.col("u") >= 0))

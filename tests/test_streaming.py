@@ -1253,3 +1253,40 @@ class TestIngestLmGate:
         kept = {r.keep_id for r in spark.read.parquet(store).collect()}
         # in-model text passes, OOV soup fails, no-bigram doc passes
         assert 1 in kept and 2 not in kept and 3 in kept
+
+
+class TestIngestLmGatePerText:
+    def test_duplicate_id_distinct_texts_scored_separately(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog again")
+             for i in range(20)],
+            ["doc_id", "text"],
+        )
+        model = train_bigram_lm(ref)
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        # ONE doc_id, two texts: a clean one and OOV soup — pooled
+        # scoring would average them into one verdict for both
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 7,
+                        "text": "the quick brown fox jumps over the dog"})
+            + "\n"
+            + json.dumps({"doc_id": 7,
+                          "text": "zzq vvk wjj qqx bbn mmz ppl kkt rrw"})
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            lm_model=model, max_xent=3.0,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        texts = {r.text for r in rows}
+        assert texts == {"the quick brown fox jumps over the dog"}
