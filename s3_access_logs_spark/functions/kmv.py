@@ -15,8 +15,9 @@ store pattern as the count-min and profile stores, and
 Estimate (Bar-Yossef et al. 2002): with U_k the k-th smallest of the
 distinct hashes, E[distinct] = (k-1)/U_k; under k distinct values the
 sketch IS the distinct set and the estimate is exact. The md5-based
-hash mapping is IEEE-identical cross-engine (the property the catalog
-query's oracle pins bit-for-bit).
+hash mapping is the same cross-engine-deterministic construction the
+catalog query's oracle pins, widened to 60 bits (see _unit_hash for
+why 32 bits undercount at production cardinalities).
 
 Representation: ``(u double)`` rows in [0,1) plus one meta row
 ``u = -k`` (hash values are never negative, so the sign is a safe
@@ -34,12 +35,16 @@ DEFAULT_K = 1024
 
 
 def _unit_hash(col: Column) -> Column:
-    """md5 -> first-8-hex int -> /2^32: a uniform [0,1) hash identical
-    across engines — ONE definition of the mapping, shared with every
-    other cross-engine hash site via functions.text.md5_long."""
-    return md5_long(col.cast("string")).cast("double") / F.lit(
-        float(1 << 32)
-    )
+    """md5 -> first-15-hex int -> /2^60: a uniform [0,1) hash built on
+    the shared cross-engine primitive (functions.text.md5_long). 60
+    bits, not the catalog query's 32: at hundreds of millions of
+    distinct keys a 32-bit space loses ~n^2/2^33 values to collisions
+    (a systematic undercount bigger than the sketch's own error) and
+    saturates near 4.3B; 15 hex chars stay inside a signed 64-bit conv
+    while pushing the collision term past any realistic cardinality."""
+    return md5_long(col.cast("string"), hex_chars=15).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
 
 
 def kmv_build(df: DataFrame, col: str, k: int = DEFAULT_K) -> DataFrame:

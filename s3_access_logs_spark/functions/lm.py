@@ -115,6 +115,14 @@ def _meta(model: DataFrame) -> tuple[int, int]:
             "bigram LM is missing its meta rows — not built by "
             "train_bigram_lm, or the rows were filtered out"
         )
+    if rows["total"] is None or not rows["vocab"]:
+        # a token-free training corpus stores total=NULL / vocab=0 —
+        # fail with a diagnosis, not a NoneType arithmetic TypeError
+        raise ValueError(
+            "bigram LM was trained on a corpus with no tokens (total "
+            f"={rows['total']}, vocab={rows['vocab']}) — it cannot "
+            "score anything; train on non-empty text"
+        )
     return rows["total"], rows["vocab"]
 
 

@@ -89,18 +89,25 @@ def quantile_sketch_merge(*sketches: DataFrame) -> DataFrame:
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
-    ks = u.filter(F.col("h").isNull()).select("v").distinct()
-    if ks.count() > 1:
+    # ONE collect of the few meta rows validates everything (the
+    # count+first pair re-scanned a parquet-backed union twice)
+    metas = [
+        r["v"]
+        for r in u.filter(F.col("h").isNull())
+        .select("v")
+        .distinct()
+        .collect()
+    ]
+    if not metas:
+        raise ValueError(
+            "quantile_sketch_merge: no meta row in any input sketch"
+        )
+    if len(metas) > 1:
         raise ValueError(
             "quantile_sketch_merge: sketches disagree on k — samples of "
             "different sizes are not comparable; rebuild with one k"
         )
-    k_row = ks.first()
-    if k_row is None:
-        raise ValueError(
-            "quantile_sketch_merge: no meta row in any input sketch"
-        )
-    k = int(k_row["v"])
+    k = int(metas[0])
     merged = (
         u.filter(F.col("h").isNotNull())
         .groupBy("h")

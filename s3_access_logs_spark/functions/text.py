@@ -454,8 +454,14 @@ def dominant_script(col: Column | str, min_fraction: float = 0.5) -> Column:
         F.map_keys(F.map_filter(prof, lambda k, v: v == best))
     )
     has_letters = F.regexp_count(c, F.lit(r"\p{L}")) > 0
-    return F.when(~has_letters, F.lit("none")).otherwise(
-        F.when(best >= F.lit(min_fraction), name).otherwise(F.lit("mixed"))
+    # NULL in, NULL out (the module convention): without the explicit
+    # branch, NULL text slides past ~NULL into the 'mixed' arm
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(~has_letters, F.lit("none")).otherwise(
+            F.when(
+                best >= F.lit(min_fraction), name
+            ).otherwise(F.lit("mixed"))
+        )
     )
 
 

@@ -207,15 +207,31 @@ def curate_corpus(
         ).drop("quality_prob")
     else:
         flags = flags.withColumn("_f_classifier", F.lit(False))
-    # The dedup stages run over the SURVIVORS of the earlier gates, not
+    # Contamination is COMPUTED before the dedup stages (attribution
+    # order in STAGES is unchanged): it is a per-document property, and
+    # a contaminated document must not elect itself keeper/superset —
+    # the benchmark-bearing superset would otherwise drop its clean
+    # subset and then be dropped itself, erasing the content entirely.
+    if benchmark is not None:
+        dirty = ngram_overlap(
+            docs, benchmark, id_col=id_col, text_col=text_col
+        ).filter(F.col("overlap") >= max_overlap).select(
+            F.col("id").alias(id_col), F.lit(True).alias("_hit")
+        )
+        flags = flags.join(dirty, id_col, "left").withColumn(
+            "_f_contaminated", F.coalesce(F.col("_hit"), F.lit(False))
+        ).drop("_hit")
+    else:
+        flags = flags.withColumn("_f_contaminated", F.lit(False))
+    # The dedup stages run over the SURVIVORS of every other gate, not
     # the raw corpus: clustering raw docs could elect a keeper (min-id
-    # representative / containment superset) that an earlier gate
-    # already rejected, dropping every member of the group and erasing
-    # the content entirely. (Exact dedup above is immune: every gate is
+    # representative / containment superset) that another gate already
+    # rejected, dropping every member of the group and erasing the
+    # content entirely. (Exact dedup above is immune: every gate is
     # text-derived, so byte-identical copies share all gate outcomes —
     # if the keeper fails a gate, its copies deserved to fail it too.)
     _pre_dedup = [
-        s for s in STAGES if s not in ("near_dup", "contained", "contaminated")
+        s for s in STAGES if s not in ("near_dup", "contained")
     ]
     eligible_pred = F.lit(True)
     for s in _pre_dedup:
@@ -268,18 +284,6 @@ def curate_corpus(
         ).drop("_sub")
     else:
         flags = flags.withColumn("_f_contained", F.lit(False))
-    if benchmark is not None:
-        dirty = ngram_overlap(
-            docs, benchmark, id_col=id_col, text_col=text_col
-        ).filter(F.col("overlap") >= max_overlap).select(
-            F.col("id").alias(id_col), F.lit(True).alias("_hit")
-        )
-        flags = flags.join(dirty, id_col, "left").withColumn(
-            "_f_contaminated", F.coalesce(F.col("_hit"), F.lit(False))
-        ).drop("_hit")
-    else:
-        flags = flags.withColumn("_f_contaminated", F.lit(False))
-
     # waterfall attribution: first failing stage wins
     verdict = F.lit("kept")
     for stage in reversed(STAGES):

@@ -1409,6 +1409,7 @@ def hamming_incremental(
     bits: int = 64,
     chunks: int = 4,
     max_hamming: int = 3,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental Hamming near-dup: probe a batch of fingerprints
     against an append-only :func:`fingerprint_bands` store — the
@@ -1423,8 +1424,29 @@ def hamming_incremental(
     reproduces them, keeping ingestion idempotent). The pigeonhole
     guarantee holds when ``max_hamming < chunks``; at larger distances
     a pair can disagree on every chunk and go unseen — same contract
-    as hamming_near_pairs."""
+    as hamming_near_pairs.
+
+    ``max_band_freq`` caps hot STORE buckets (same guard and lower-bound
+    semantics as hamming_near_pairs): a flat-color/blank asset class
+    sharing one 16-bit chunk value across a months-old store would
+    otherwise fan every matching batch row out against millions of
+    store rows per micro-batch — the quadratic blow-up the batch path
+    already guards against. Dropped-bucket pairs can still surface via
+    any of their other ``chunks - 1`` bands."""
     batch_bands = fingerprint_bands(new_fp, bits, chunks)
+    if max_band_freq is not None:
+        from pyspark.sql import Window as W
+
+        seen_bands = (
+            seen_bands.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    W.partitionBy("chunk_idx", "chunk_val")
+                ),
+            )
+            .filter(F.col("_n") <= max_band_freq)
+            .drop("_n")
+        )
     wcols = [
         c
         for c in batch_bands.columns

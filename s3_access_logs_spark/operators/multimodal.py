@@ -418,9 +418,13 @@ def _fingerprint_frame(assets: DataFrame, per_payload) -> DataFrame:
         for pdf in batches:
             ids, w0s, w1s = [], [], []
             for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                words = (
-                    per_payload(bytes(p)) if p is not None else None
-                )
+                # NULL id guard mirrors the NULL payload one: pandas
+                # surfaces a nullable long as NaN/None and int() on it
+                # would crash the batch — and an at-least-once replay
+                # would crash on it forever
+                if asset_id is None or pd.isna(asset_id) or p is None:
+                    continue
+                words = per_payload(bytes(p))
                 if words is None:
                     continue
                 ids.append(int(asset_id))

@@ -668,6 +668,18 @@ def random_projection(
     one = df.sparkSession.createDataFrame(
         [(planes,)], "_rp array<array<double>>"
     )
+    # fail loud on a dims mismatch: zip_with pads the shorter side with
+    # NULLs, which would silently poison every projection component
+    dim_ok = F.assert_true(
+        F.size(vec_col) == F.lit(dims),
+        F.concat(
+            F.lit(
+                f"random_projection: dims={dims} but vector has "
+            ),
+            F.size(vec_col).cast("string"),
+            F.lit(" components"),
+        ),
+    )
     proj = F.transform(
         F.col("_rp"),
         lambda p: F.aggregate(
@@ -679,9 +691,13 @@ def random_projection(
         )
         * F.lit(scale),
     )
+    # the assertion rides INSIDE the projection expression (assert_true
+    # yields NULL on success, throws on mismatch) — as a separate
+    # dropped column Catalyst would prune it away unevaluated
+    checked = F.when(dim_ok.isNull(), proj)
     return (
         df.crossJoin(broadcast(one))
-        .withColumn(result_col, proj)
+        .withColumn(result_col, checked)
         .drop("_rp")
     )
 

@@ -3690,3 +3690,100 @@ class TestKmvReviewFixes:
         df = spark.range(100).select(F.col("id").alias("v"))
         with pytest.raises(ValueError, match="no meta row"):
             kmv_merge(kmv_build(df, "v", k=64).filter(F.col("u") >= 0))
+
+
+class TestReviewFixesR4c:
+    """Regression pins for the high-effort review pass."""
+
+    def test_contaminated_superset_spares_clean_subset(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        article = (
+            "a long article body with many distinct words that keeps "
+            "going for quite a while across several sentences here"
+        )
+        bench_text = "benchmark question answer pair xyzzy qwerty"
+        df = spark.createDataFrame(
+            [
+                # id 1 = article + benchmark text (superset, contaminated)
+                (1, article + " " + bench_text + " " + bench_text),
+                # id 2 = the clean article alone (contained subset)
+                (2, article),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame([(1, bench_text)], ["doc_id", "text"])
+        survivors, report = curate_corpus(
+            df, drop_contained=True, benchmark=bench, max_overlap=0.1
+        )
+        kept = {r["doc_id"] for r in survivors.collect()}
+        # the clean subset must survive the contaminated superset
+        assert kept == {2}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped == {"contaminated": 1}
+
+    def test_dominant_script_null_in_null_out(self, spark):
+        from s3_access_logs_spark.functions.text import dominant_script
+
+        df = spark.createDataFrame([(1, None), (2, "abc")], ["i", "t"])
+        rows = {
+            r["i"]: r[1]
+            for r in df.select("i", dominant_script("t")).collect()
+        }
+        assert rows[1] is None and rows[2] == "latin"
+
+    def test_lm_empty_corpus_fails_loud(self, spark):
+        from s3_access_logs_spark.functions.lm import (
+            perplexity_score,
+            train_bigram_lm,
+        )
+
+        empty = spark.createDataFrame(
+            [(1, None), (2, "   ")], ["doc_id", "text"]
+        )
+        model = train_bigram_lm(empty)
+        probe = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="no tokens"):
+            perplexity_score(probe, model)
+
+    def test_random_projection_dims_mismatch_raises(self, spark):
+        from s3_access_logs_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "id long, embedding array<double>"
+        )
+        out = random_projection(df, dims=64, out_dims=4)
+        with pytest.raises(Exception, match="dims=64 but vector has"):
+            out.collect()
+
+    def test_hamming_incremental_band_cap(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            fingerprint_bands,
+            hamming_incremental,
+        )
+
+        # a degenerate store: many distinct fingerprints that all share
+        # chunk 0 (low 16 bits identical) — the hot bucket
+        seen = spark.createDataFrame(
+            [(i, 0xBEEF, i) for i in range(50)],
+            "id long, w0 long, w1 long",
+        )
+        store = fingerprint_bands(seen)
+        probe = spark.createDataFrame(
+            [(999, 0xBEEF, 7)], "id long, w0 long, w1 long"
+        )
+        # uncapped: the probe pairs with the whole hot bucket's matches
+        hits_all, _ = hamming_incremental(
+            probe, store, max_hamming=64, max_band_freq=None
+        )
+        n_all = hits_all.count()
+        assert n_all == 50
+        # capped at 10: the hot chunk-0 bucket drops; only candidates
+        # via the OTHER chunks remain (w1=7 matches seen id=7 exactly)
+        hits_cap, _ = hamming_incremental(
+            probe, store, max_hamming=64, max_band_freq=10
+        )
+        ids = {r["seen_id"] for r in hits_cap.collect()}
+        assert 7 in ids and len(ids) < n_all
