@@ -62,6 +62,7 @@ def curate_corpus(
     normalize: bool = False,
     line_clean: bool = False,
     min_line_ratio: float | None = None,
+    boilerplate_min_docs: int | None = None,
     dst: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
@@ -83,8 +84,10 @@ def curate_corpus(
     the streaming ingest): ``html`` (strip_html), ``normalize``
     (NFKC + mojibake repair), ``line_clean`` (line-furniture removal)
     with ``min_line_ratio`` dropping documents whose kept-line fraction
-    fell below the bar — measured before the rewrite. Survivors carry
-    the transformed text.
+    fell below the bar — measured before the rewrite — and
+    ``boilerplate_min_docs`` cutting lines shared by that many distinct
+    documents (operators.dedup.drop_boilerplate_lines; the one
+    corpus-wide transform). Survivors carry the transformed text.
 
     ``dst`` is the production path: survivors are written to parquet
     while the call's scoped cache is live and the returned frame is the
@@ -135,6 +138,21 @@ def curate_corpus(
         _line_ratio = line_kept_ratio(text_col)
         docs = docs.withColumn("_line_ratio", _line_ratio).withColumn(
             text_col, clean_lines(text_col)
+        )
+    if boilerplate_min_docs is not None:
+        from s3_access_logs_spark.operators.dedup import (
+            drop_boilerplate_lines,
+        )
+
+        # the one transform that is corpus-wide rather than in-row (its
+        # line-hash count is a shuffle — cost stated in its docstring);
+        # runs LAST so per-document cleaners have already removed local
+        # noise before lines are compared across documents
+        docs = drop_boilerplate_lines(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_docs=boilerplate_min_docs,
         )
     flags = docs
     # NULL/blank text first and explicitly: every later gate compares

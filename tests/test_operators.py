@@ -3787,3 +3787,22 @@ class TestReviewFixesR4c:
         )
         ids = {r["seen_id"] for r in hits_cap.collect()}
         assert 7 in ids and len(ids) < n_all
+
+
+class TestCurateBoilerplateStage:
+    def test_furniture_cut_then_gates_see_clean_text(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        banner = "Accept all cookies now please"
+        rows = [
+            (i, f"{banner}\nunique article body number {i} runs along")
+            for i in range(8)
+        ] + [(99, banner)]  # banner-only page -> empty after the cut
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        survivors, report = curate_corpus(df, boilerplate_min_docs=5)
+        rows_out = {r["doc_id"]: r["text"] for r in survivors.collect()}
+        assert set(rows_out) == set(range(8))
+        assert all(banner not in t for t in rows_out.values())
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        # the banner-only page became '' and the empty gate caught it
+        assert dropped == {"empty": 1}
