@@ -40,8 +40,16 @@ def write_logs(
     files_per_partition: int = 1,
     max_records_per_file: int = 5_000_000,
     reference_filenames: bool = False,
+    extra_part_cols: tuple[str, ...] = (),
 ) -> None:
     """Write the parsed table hive-partitioned, clustered, idempotent.
+
+    ``extra_part_cols`` append INNER partition levels after the standard
+    bucket/op/time layout — the streaming sink passes ``("batch_id",)``
+    so dynamic partition overwrite rewrites exactly one micro-batch's
+    leaves on replay instead of clobbering every earlier batch that
+    shares an hour (hour pruning is untouched: the outer levels are the
+    same).
 
     Scale knobs:
 
@@ -61,7 +69,9 @@ def write_logs(
       ``<bucket>-<op>-<y>-<m>-<d>-<h>.parquet`` scheme
       (cmd/export.py:147) via :func:`apply_reference_filenames`.
     """
-    part_cols = [c for c in PARTITION_COLS if c in df.columns]
+    part_cols = [c for c in PARTITION_COLS if c in df.columns] + [
+        c for c in extra_part_cols if c in df.columns
+    ]
     sort_cols = [c for c in ROW_GROUP_COLS if c in df.columns]
     out = df
     if repartition and part_cols:
@@ -210,8 +220,11 @@ def apply_reference_filenames(spark: SparkSession, root: str) -> int:
 
 def read_parsed(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned parsed-log table back (partition pruning on the
-    hive columns is automatic)."""
-    return spark.read.parquet(path)
+    hive columns is automatic). A streaming-written table carries the
+    sink's internal ``batch_id`` partition level — dropped here so batch
+    and streaming exports read back with one schema."""
+    df = spark.read.parquet(path)
+    return df.drop("batch_id") if "batch_id" in df.columns else df
 
 
 def export_hour(

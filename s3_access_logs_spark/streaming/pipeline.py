@@ -135,9 +135,15 @@ def write_partitioned_stream(
     """Stream -> hive-partitioned Parquet via ``foreachBatch`` reusing the
     batch writer (one code path for layout/clustering/compression).
 
-    Append mode + dynamic partition overwrite: a replayed micro-batch
-    rewrites exactly the partitions it already touched, so sink output is
-    idempotent under at-least-once batch delivery."""
+    Idempotency vs cross-batch safety: dynamic partition overwrite keyed
+    on the STANDARD layout alone would let a replayed batch rewrite its
+    partitions — but also let a LATER batch wipe an earlier batch's rows
+    whenever one hour spans several micro-batches (an always-on stream
+    splits the in-progress hour across triggers constantly). The sink
+    therefore partitions by (layout..., batch_id): a replay rewrites
+    exactly its own leaves, distinct batches write distinct leaves, and
+    hour pruning is untouched because the outer levels are unchanged.
+    ``read_parsed`` drops the internal batch_id column on read."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -150,7 +156,12 @@ def write_partitioned_stream(
         batch_df.sparkSession.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        write_logs(batch_df.drop("ts_ts"), dst, mode="overwrite")
+        write_logs(
+            batch_df.drop("ts_ts").withColumn("batch_id", F.lit(batch_id)),
+            dst,
+            mode="overwrite",
+            extra_part_cols=("batch_id",),
+        )
 
     writer = (
         parsed.writeStream.outputMode("append")
@@ -317,6 +328,15 @@ def ingest_documents_stream(
             StructField("text", StringType()),
         ]
     )
+    if (lm_model is not None) != (max_xent is not None):
+        # a half-specified gate would silently never apply while the
+        # caller believes it is active (and would pay the model
+        # materialization below for nothing)
+        raise ValueError(
+            "ingest_documents_stream: lm_model and max_xent must be "
+            "passed together — one without the other disables the LM "
+            "gate silently"
+        )
     docs = spark.readStream.schema(schema).json(src)
     if lm_model is not None:
         # materialize ONCE, outside the batch loop: the model is
@@ -382,28 +402,11 @@ def ingest_documents_stream(
             # scrub BEFORE digesting: two crawls of the same page with
             # different session tokens in the text dedup to one document.
             cleaned = cleaned.withColumn("text", pii_redact("text"))
-        # Replay safety: every store read EXCLUDES the current batch_id.
-        # foreachBatch is at-least-once — if an attempt wrote a store
-        # partition and crashed before the checkpoint committed, the
-        # replay would otherwise see the batch's OWN rows as history:
-        # its digests/bands all self-collide, every document is dropped,
-        # and the batch is silently lost forever. Filtered to prior
-        # batches, the replay recomputes the same survivors and the
-        # dynamic overwrite rewrites exactly the stale partitions.
+        # Replay safety: see _read_prior_batches — every store read
+        # excludes the current batch_id so an at-least-once replay never
+        # self-collides with its own crashed attempt's rows.
         def read_prior(path: str, empty_schema: str):
-            # A store that holds no COMMITTED data files — never written,
-            # or an empty/crashed first write that left only _SUCCESS and
-            # staging debris — means "no history". Anything else that
-            # fails to read must surface: a swallowed transient error here
-            # would silently re-ingest the whole batch as if nothing had
-            # ever been seen, breaking the store-uniqueness invariant.
-            from s3_access_logs_spark.sources.fsutil import has_data_files
-
-            if not has_data_files(sess, path):
-                return sess.createDataFrame([], empty_schema)
-            return sess.read.parquet(path).filter(
-                F.col("batch_id") != batch_id
-            )
+            return _read_prior_batches(sess, path, empty_schema, batch_id)
 
         seen = read_prior(store, "digest string").select("digest")
         # Survivors carry the (scrubbed) TEXT, not just digests: the store
@@ -459,15 +462,20 @@ def ingest_documents_stream(
             min_live = min(bloom_live) if bloom_live else None
             # a doc batch with no filter partition is still covered when
             # (a) a backfill marker claims it, or (b) the filter store
-            # has a base partition and the batch predates every live
-            # filter partition — compact_ingest_store folded its filter
-            # ROWS into the base (union-idempotent), and the fold state
-            # is only reachable if coverage held at every earlier gated
-            # batch (this check raises at the first violation)
+            # has a base partition, SOME live partition exists, and the
+            # batch predates every live one — compact_ingest_store
+            # folded its filter ROWS into the base (union-idempotent).
+            # When NO live partition exists the base arm must NOT apply:
+            # a backfill marker at X followed by gate-off batches X+1..
+            # X+n leaves has_base true and bloom_live empty, and
+            # accepting those batches vacuously would re-open the exact
+            # silent-duplicate hole this check closes. The fold-all case
+            # (stream stopped, keep_recent=0) therefore raises too —
+            # loud, recoverable with one backfill, never silent.
             def covered(b: int) -> bool:
                 if b in bloom_live or b <= cover_max:
                     return True
-                return has_base and (min_live is None or b < min_live)
+                return has_base and min_live is not None and b < min_live
 
             uncovered = [
                 b
@@ -513,9 +521,18 @@ def ingest_documents_stream(
             near_dup_ids = hits.select(
                 F.col("new_id").alias("doc_id")
             ).distinct()
-            kept_ids = kept_docs.select("doc_id").join(
+            # DISTINCT: a batch repeating one doc_id would otherwise
+            # carry join multiplicity through kept_ids into both store
+            # writes, breaking store uniqueness with duplicate rows
+            kept_ids = kept_docs.select("doc_id").distinct().join(
                 near_dup_ids, "doc_id", "left_anti"
             ).persist()
+            # survivors has two consumers on this path (the doc write
+            # and, via the join below, its multiplication) plus an
+            # expensive lineage (digest shuffle + full digest-store
+            # anti-join that grows with store age) -> scoped persist
+            survivors = survivors.persist()
+            _gate_persisted.append(survivors)
             survivors = survivors.join(
                 kept_ids.select(F.col("doc_id").alias("keep_id")), "keep_id"
             )
@@ -647,14 +664,23 @@ def backfill_bloom_store(
         [(_COVER_MAX_BATCH, max(covered) if covered else -1)],
         "word bigint, bits bigint",
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        base.unionByName(marker)
-        .withColumn("batch_id", F.lit(base_batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .parquet(bloom_store)
+    # save/restore the overwrite mode (compact_ingest_store's own
+    # convention): a driver-level utility must not flip shared session
+    # semantics for every later write the user performs
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
     )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.unionByName(marker)
+            .withColumn("batch_id", F.lit(base_batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(bloom_store)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_ingest_store(
@@ -706,13 +732,14 @@ def compact_ingest_store(
         return {"folded": [], "kept": [], "compacted": []}
     fs, root_path = hadoop_fs(spark, store)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
-    batch_ids = []
-    for st in fs.listStatus(root_path):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch_id="):
-            batch_ids.append(int(name.split("=", 1)[1]))
+    # the shared listing helper, not a re-implementation: it skips
+    # non-numeric batch_id dirs (__HIVE_DEFAULT_PARTITION__, strays)
+    # instead of crashing the maintenance job on them
+    batch_ids = _hive_batch_ids(spark, store)
     live = sorted(b for b in batch_ids if b != base_batch_id)
-    folded = live[: len(live) - keep_recent] if keep_recent else live
+    # max(0, ...): keep_recent larger than the live count must fold
+    # NOTHING, not wrap around a negative slice bound
+    folded = live[: max(0, len(live) - keep_recent)] if keep_recent else live
     if not folded:
         return {
             "folded": [],
@@ -745,6 +772,25 @@ def compact_ingest_store(
         "kept": [b for b in live if b not in folded],
         "compacted": [c["partition"] for c in compacted],
     }
+
+
+def _read_prior_batches(
+    sess: SparkSession, path: str, empty_schema: str, batch_id: int
+) -> DataFrame:
+    """The ONE copy of the replay-safe store read every batch_id store
+    gate uses: committed history EXCLUDING the current batch_id.
+    foreachBatch is at-least-once — if an attempt wrote a store
+    partition and crashed before the checkpoint committed, the replay
+    would otherwise see the batch's OWN rows as history and self-collide
+    (for a dedup gate that silently drops the whole batch forever). A
+    store with no COMMITTED data files means "no history"; any other
+    read failure must surface — swallowing a transient error here would
+    re-ingest a batch as if nothing had been seen."""
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if not has_data_files(sess, path):
+        return sess.createDataFrame([], empty_schema)
+    return sess.read.parquet(path).filter(F.col("batch_id") != batch_id)
 
 
 def ingest_assets_stream(
@@ -801,14 +847,9 @@ def ingest_assets_stream(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        from s3_access_logs_spark.sources.fsutil import has_data_files
 
         def read_prior(path: str, empty_schema: str):
-            if not has_data_files(sess, path):
-                return sess.createDataFrame([], empty_schema)
-            return sess.read.parquet(path).filter(
-                F.col("batch_id") != batch_id
-            )
+            return _read_prior_batches(sess, path, empty_schema, batch_id)
 
         # NULL payloads out FIRST: md5(NULL) is NULL, NULL never equals
         # NULL in the anti-join, so such rows would re-ingest forever —

@@ -1290,3 +1290,156 @@ class TestIngestLmGatePerText:
         rows = spark.read.parquet(store).collect()
         texts = {r.text for r in rows}
         assert texts == {"the quick brown fox jumps over the dog"}
+
+
+class TestPipelineReviewFixes:
+    """Regression pins for the path-targeted pipeline review."""
+
+    def test_same_hour_across_batches_not_clobbered(
+        self, spark, log_dir, tmp_path
+    ):
+        # the reproduced data-loss case: a later micro-batch adding rows
+        # to an hour an earlier batch already wrote must ADD, not wipe
+        dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_export_stream(spark, str(log_dir), dst, ckpt).awaitTermination(120)
+        assert read_parsed(spark, dst).count() == 3
+        # new file lands with MORE hour-00 lines (same partition as the
+        # first batch's two hour-00 rows)
+        write_file(log_dir, "2019-02-06-00-50-00-CCCC", [at_time("00:50:00")])
+        run_export_stream(spark, str(log_dir), dst, ckpt).awaitTermination(120)
+        got = read_parsed(spark, dst)
+        assert got.count() == 4
+        assert got.filter("hour = 0").count() == 3  # 2 old + 1 new
+
+    def test_gate_off_after_backfill_raises(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import (
+            backfill_bloom_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bloom = str(tmp_path / "bloom")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop(name, rows):
+            (src / name).write_text(
+                "\n".join(json.dumps(r) for r in rows) + "\n"
+            )
+
+        drop("b1.jsonl", [{"doc_id": 1, "text": "alpha beta"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        backfill_bloom_store(spark, store, bloom, num_bits=1 << 12)
+        # gate OFF for a batch after the backfill...
+        drop("b2.jsonl", [{"doc_id": 2, "text": "gamma delta"}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt
+        ).awaitTermination(120)
+        # ...then ON again: batch 1's digests are in no filter — the
+        # vacuous-coverage acceptance previously let this through into
+        # silent duplicates
+        drop("b3.jsonl", [{"doc_id": 3, "text": "epsilon zeta"}])
+        q = ingest_documents_stream(
+            spark, str(src), store, ckpt, bloom_store=bloom,
+        )
+        with pytest.raises(Exception, match="no filter partition"):
+            q.awaitTermination(120)
+
+    def test_duplicate_docid_rows_stay_unique_with_band_store(
+        self, spark, tmp_path
+    ):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bands = str(tmp_path / "bands")
+        line = json.dumps({"doc_id": 5, "text": "repeated delivery text"})
+        (src / "b1.jsonl").write_text(line + "\n" + line + "\n")
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            band_store=bands,
+        ).awaitTermination(120)
+        rows = spark.read.parquet(store).collect()
+        assert len(rows) == 1  # join multiplicity must not duplicate
+        digests = [r.digest for r in rows]
+        assert len(digests) == len(set(digests))
+
+    def test_keep_recent_beyond_live_folds_nothing(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        store = str(tmp_path / "st")
+        for b in range(2):
+            (
+                spark.range(3)
+                .selectExpr("id as digest", f"{b} as batch_id")
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(store)
+            )
+        res = compact_ingest_store(spark, store, keep_recent=5)
+        assert res["folded"] == [] and res["kept"] == [0, 1]
+
+    def test_junk_batch_dir_does_not_crash_fold(self, spark, tmp_path):
+        import os
+
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        store = str(tmp_path / "st")
+        (
+            spark.range(3)
+            .selectExpr("id as digest", "0 as batch_id")
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+        os.makedirs(store + "/batch_id=__HIVE_DEFAULT_PARTITION__")
+        res = compact_ingest_store(spark, store, keep_recent=0)
+        assert res["folded"] == [0]
+
+    def test_backfill_restores_overwrite_mode(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import (
+            backfill_bloom_store,
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "alpha"}) + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt")
+        ).awaitTermination(120)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        backfill_bloom_store(
+            spark, store, str(tmp_path / "bloom"), num_bits=1 << 10
+        )
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def test_half_specified_lm_gate_raises(self, spark, tmp_path):
+        from s3_access_logs_spark.functions.lm import train_bigram_lm
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        ref = spark.createDataFrame(
+            [(1, "some text here")], ["doc_id", "text"]
+        )
+        with pytest.raises(ValueError, match="together"):
+            ingest_documents_stream(
+                spark, "/tmp/x", "/tmp/y", "/tmp/z",
+                lm_model=train_bigram_lm(ref),
+            )
