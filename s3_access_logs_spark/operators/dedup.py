@@ -21,9 +21,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from s3_access_logs_spark.functions.text import (
+    HASH_P,
     minhash_signature,
     shingles_from_word_hashes,
-    simhash,
     word_hashes,
 )
 
@@ -42,8 +42,12 @@ def _shingle_table(
 
 
 def normalized_digest(text: Column) -> Column:
-    """Canonical content digest: lowercase, collapse whitespace, md5."""
-    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+    """Canonical content digest: lowercase, collapse whitespace, trim,
+    md5. Collapse BEFORE trim: F.trim strips only ASCII spaces, so the
+    reverse order left a residual space for texts bounded by newlines or
+    tabs — 'abc' and 'abc\\n' (the common file-ending difference) hashed
+    differently and silently under-deduped."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
 def dedup_exact(
@@ -83,8 +87,14 @@ def dedup_incremental(
     planner does exactly that when the store is the big side. No full-store
     rewrite: the store only ever appends.
     """
+    # NULL-text docs are excluded, not deduped: their digest is NULL, so
+    # the groupBy would collapse every NULL-text doc in the batch into
+    # ONE group and silently drop all but the min id — they are not
+    # duplicates of each other, they are non-documents (route extraction
+    # failures to a retry queue upstream, not through dedup)
     batch = (
-        new_docs.select(
+        new_docs.filter(F.col(text_col).isNotNull())
+        .select(
             normalized_digest(F.col(text_col)).alias(digest_col),
             F.col(id_col),
         )
@@ -129,8 +139,11 @@ def dedup_incremental_bloom(
     after the batch commits."""
     from s3_access_logs_spark.functions.bloom import bloom_probe
 
+    # same NULL-text exclusion as dedup_incremental (bit-for-bit parity
+    # is the contract)
     batch = (
-        new_docs.select(
+        new_docs.filter(F.col(text_col).isNotNull())
+        .select(
             normalized_digest(F.col(text_col)).alias(digest_col),
             F.col(id_col),
         )
@@ -138,10 +151,6 @@ def dedup_incremental_bloom(
         .agg(F.min(id_col).alias("keep_id"))
     )
     flagged = bloom_probe(batch, digest_col, digest_bloom, "_maybe")
-    # NULL digest (NULL text) probes NULL: route it with the
-    # definitely-new rows — plain dedup_incremental keeps it too (NULL
-    # never equals in its anti-join), and bit-for-bit parity is the
-    # contract
     sure_new = flagged.filter(
         ~F.coalesce(F.col("_maybe"), F.lit(False))
     ).drop("_maybe")
@@ -195,6 +204,17 @@ def minhash_signatures(
     )
 
 
+# Default hot-bucket cap for SimHash banding, mirroring
+# DEFAULT_MAX_SHINGLE_FREQ: a band bucket holding more than this many
+# DISTINCT fingerprints generates a quadratic pair fan-out, so it is
+# dropped by default (VERDICT r3 item 1 — the cap must be ON, not merely
+# available). Dropped-bucket semantics: a near-pair is still found through
+# any of its other ``chunks - 1`` bands, so the reported pair set is a
+# LOWER BOUND when a bucket degenerates — the same trade jaccard_pairs
+# makes for stop-shingles, instead of an OOM.
+DEFAULT_MAX_BAND_FREQ = 1000
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,9 +226,28 @@ def minhash_bands(
     """(id, band_idx, band_key) — each doc's LSH band keys, ``bands`` rows
     per doc. The shared banding primitive: self-joined for within-corpus
     candidates (``minhash_candidates``), probed against an on-disk band
-    store for incremental near-dup (``near_dup_incremental``)."""
+    store for incremental near-dup (``near_dup_incremental``).
+
+    Docs with NO shingles (fewer than ``shingle_n`` words) are excluded:
+    their signature is the all-sentinel vector, so every such doc would
+    collide with every other in every band — a fabricated quadratic
+    clique of unrelated short documents ('hi', 'ok', 'yes'), and a band
+    store poisoned with sentinel keys forever. No shingles means no
+    near-dup evidence; short-doc dedup is ``dedup_exact``'s job."""
+    if k % bands or bands < 1:
+        # bands > k silently made every band_key the empty string (all
+        # docs collide in everything); a non-dividing k silently ignored
+        # the signature tail — both now fail like _chunk_layout does
+        raise ValueError(
+            f"minhash_bands: k must divide evenly into bands, got "
+            f"(k={k}, bands={bands})"
+        )
     rows = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    # real hash values are mod HASH_P (strictly below it), so sig[0] ==
+    # HASH_P iff the shingle set was empty — the sentinel is unambiguous
+    sig = minhash_signatures(
+        df, id_col, text_col, k=k, shingle_n=shingle_n
+    ).filter(F.col("sig")[0] != F.lit(HASH_P))
     return sig.select(
         "id",
         F.explode(
@@ -238,10 +277,29 @@ def minhash_candidates(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_band_freq: int | None = DEFAULT_MAX_BAND_FREQ,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) whose signatures collide in >= 1
-    band. k/bands rows per band; P(collide) ~ jaccard^(k/bands) per band."""
+    band. k/bands rows per band; P(collide) ~ jaccard^(k/bands) per band.
+
+    ``max_band_freq`` drops band buckets holding more than N docs before
+    the self-join (the file-wide hot-bucket convention — jaccard's
+    stop-shingle cap, simhash's band cap — applied to the MinHash path
+    too): a boilerplate bucket of M docs fans out M^2 join rows with no
+    other guard. Dropped-bucket pairs can still collide in any of their
+    other ``bands - 1`` bands; a dup group larger than the cap degrades
+    to that documented lower bound instead of an executor OOM."""
     banded = minhash_bands(df, id_col, text_col, k, bands, shingle_n)
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -482,15 +540,7 @@ def simhash_fingerprints(
     ).select("id", simhash_from_hashes("_hs", bits=bits).alias("simhash"))
 
 
-# Default hot-bucket cap for SimHash banding, mirroring
-# DEFAULT_MAX_SHINGLE_FREQ: a band bucket holding more than this many
-# DISTINCT fingerprints generates a quadratic pair fan-out, so it is
-# dropped by default (VERDICT r3 item 1 — the cap must be ON, not merely
-# available). Dropped-bucket semantics: a near-pair is still found through
-# any of its other ``chunks - 1`` bands, so the reported pair set is a
-# LOWER BOUND when a bucket degenerates — the same trade jaccard_pairs
-# makes for stop-shingles, instead of an OOM.
-DEFAULT_MAX_BAND_FREQ = 1000
+
 
 
 def simhash_fingerprint_words(
@@ -523,7 +573,13 @@ def simhash_fingerprint_words(
             for w in range(n_words)
         ],
     )
-    return proj.select(
+    # token-less texts (punctuation-only pages) would ALL fold to
+    # fingerprint 0 and land in one distinct-fingerprint group, whose
+    # hamming-0 expansion is by design exempt from the band cap — a
+    # fabricated quadratic clique of unrelated pages. No tokens, no
+    # similarity evidence: such docs are excluded, like minhash_bands'
+    # empty-shingle exclusion.
+    return proj.filter(F.size("_hs0") > 0).select(
         "id",
         *[
             simhash_from_hashes(f"_hs{w}", bits=min(32, bits)).alias(f"w{w}")
@@ -1074,7 +1130,13 @@ def duplicate_spans(
     edit-level certainty matters.
 
     Returns (id_a, id_b, start_a, start_b, span_len, n_grams) with
-    ``span_len >= min_span_len`` (default t)."""
+    ``span_len >= min_span_len`` (default t). Precision of the contract:
+    ``span_len`` is the MATCHED-GRAM extent — a lower bound on the true
+    copy length. A copy of exactly t characters is guaranteed >= 1
+    shared fingerprint, but its matched extent can be as small as k (one
+    gram), so the default threshold targets comfortably-long copies;
+    pass ``min_span_len=k`` to catch threshold-length copies at the cost
+    of more single-gram noise (the boundary test does exactly this)."""
     if min_span_len is None:
         min_span_len = window + k - 1
     from pyspark.sql import Window as W
@@ -1435,17 +1497,20 @@ def hamming_incremental(
     any of their other ``chunks - 1`` bands."""
     batch_bands = fingerprint_bands(new_fp, bits, chunks)
     if max_band_freq is not None:
-        from pyspark.sql import Window as W
-
-        seen_bands = (
-            seen_bands.withColumn(
-                "_n",
-                F.count(F.lit(1)).over(
-                    W.partitionBy("chunk_idx", "chunk_val")
-                ),
-            )
-            .filter(F.col("_n") <= max_band_freq)
-            .drop("_n")
+        # hot buckets via groupBy + broadcast anti-join, NOT the batch
+        # path's window pre-count: a window would shuffle AND sort the
+        # entire append-only store every micro-batch, while the
+        # aggregation is one map-side-combined scan and the hot key set
+        # is broadcast-sized by construction (at production store sizes,
+        # maintain the hot set WITH the store instead of re-deriving it)
+        hot = (
+            seen_bands.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_freq)
+            .select("chunk_idx", "chunk_val")
+        )
+        seen_bands = seen_bands.join(
+            F.broadcast(hot), ["chunk_idx", "chunk_val"], "left_anti"
         )
     wcols = [
         c

@@ -42,7 +42,7 @@ def _lang_hits_sql(lang: str) -> str:
 @query(
     "dedup_exact",
     oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS digest,
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
            MIN(doc_id) AS keep_id,
            COUNT(*) AS n_dupes
     FROM documents

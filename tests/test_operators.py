@@ -1974,8 +1974,9 @@ class TestBloomFilter:
         assert plan.count("BroadcastHashJoin") >= 2
 
     def test_null_text_parity_with_plain(self, spark):
-        # NULL digest probes NULL; it must follow plain dedup_incremental
-        # (kept — NULL never matches the anti-join), not be dropped
+        # NULL-text docs are EXCLUDED by both paths (they are not
+        # duplicates of each other — collapsing them to min-id was
+        # silent data loss); bit-for-bit parity must hold on the rest
         from s3_access_logs_spark.functions.bloom import bloom_build
         from s3_access_logs_spark.operators.dedup import (
             dedup_incremental,
@@ -1996,7 +1997,7 @@ class TestBloomFilter:
             key=lambda t: (t[0] or "", t[1]),
         )
         assert plain == fast
-        assert any(d is None for d, _ in fast)  # the NULL row survived
+        assert [kid for _, kid in fast] == [2]  # NULL row excluded
 
     def test_sizing_helper_round_trips(self, spark):
         from s3_access_logs_spark.functions.bloom import (
@@ -3806,3 +3807,89 @@ class TestCurateBoilerplateStage:
         dropped = {r["stage"]: r["dropped"] for r in report.collect()}
         # the banner-only page became '' and the empty gate caught it
         assert dropped == {"empty": 1}
+
+
+class TestDedupReviewFixes:
+    """Regression pins for the dedup-file review pass."""
+
+    def test_digest_normalizes_edge_whitespace(self, spark):
+        from s3_access_logs_spark.operators.dedup import dedup_exact
+
+        df = spark.createDataFrame(
+            [(1, "abc def"), (2, "abc def\n"), (3, "\tabc def "),
+             (4, "other text")],
+            ["doc_id", "text"],
+        )
+        out = {r["digest"]: r for r in dedup_exact(df).collect()}
+        assert len(out) == 2  # newline/tab-bounded variants collapse
+        assert {r["n_dupes"] for r in out.values()} == {3, 1}
+
+    def test_short_docs_do_not_cluster_together(self, spark):
+        from s3_access_logs_spark.operators.dedup import (
+            dedup_clusters,
+            minhash_candidates,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "hi"), (2, "ok thanks"), (3, "yes"),
+             (4, "a genuinely long document with many words inside it"),
+             (5, "a genuinely long document with many words inside it!")],
+            ["doc_id", "text"],
+        )
+        pairs = minhash_candidates(df).collect()
+        # the all-sentinel short docs must not pair with each other
+        assert all(
+            {r["id_a"], r["id_b"]} == {4, 5} for r in pairs
+        )
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(df).collect()
+        }
+        assert clusters[1] == 1 and clusters[2] == 2 and clusters[3] == 3
+
+    def test_tokenless_docs_out_of_simhash(self, spark):
+        from s3_access_logs_spark.operators.dedup import simhash_near_pairs
+
+        df = spark.createDataFrame(
+            [(1, "!!!"), (2, "???"), (3, "..."),
+             (4, "real words in this one here today"),
+             (5, "real words in this one here today now")],
+            ["doc_id", "text"],
+        )
+        pairs = simhash_near_pairs(df, max_hamming=10).collect()
+        assert all(
+            r["id_a"] not in (1, 2, 3) and r["id_b"] not in (1, 2, 3)
+            for r in pairs
+        )
+
+    def test_minhash_bands_validates_split(self, spark):
+        from s3_access_logs_spark.operators.dedup import minhash_bands
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="divide evenly"):
+            minhash_bands(df, k=16, bands=20)
+        with pytest.raises(ValueError, match="divide evenly"):
+            minhash_bands(df, k=16, bands=5)
+
+    def test_null_text_docs_not_collapsed_in_incremental(self, spark):
+        from s3_access_logs_spark.operators.dedup import dedup_incremental
+
+        batch = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real text")], ["doc_id", "text"]
+        )
+        seen = spark.createDataFrame([], "digest string")
+        out = dedup_incremental(batch, seen).collect()
+        # NULL-text docs are excluded (not silently collapsed to min-id)
+        assert [r["keep_id"] for r in out] == [3]
+
+    def test_minhash_hot_bucket_cap(self, spark):
+        from s3_access_logs_spark.operators.dedup import minhash_candidates
+
+        text = "identical boilerplate page body repeated many times over"
+        df = spark.createDataFrame(
+            [(i, text) for i in range(30)], ["doc_id", "text"]
+        )
+        uncapped = minhash_candidates(df, max_band_freq=None).count()
+        assert uncapped == 30 * 29 // 2
+        capped = minhash_candidates(df, max_band_freq=10).count()
+        assert capped == 0  # every band bucket holds all 30 -> dropped
