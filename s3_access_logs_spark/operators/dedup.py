@@ -566,20 +566,25 @@ def simhash_fingerprint_words(
         simhash_token_hashes,
     )
 
-    proj = df.select(
+    from s3_access_logs_spark.functions.text import words
+
+    # token-less texts (punctuation-only pages) would ALL fold to
+    # fingerprint 0 and land in one distinct-fingerprint group, whose
+    # hamming-0 expansion is by design exempt from the band cap — a
+    # fabricated quadratic clique of unrelated pages. No tokens, no
+    # similarity evidence: such docs are excluded, like minhash_bands'
+    # empty-shingle exclusion. The filter tests the RAW token array,
+    # not the hash column: a filter on _hs0 gets pushdown-inlined and
+    # re-evaluates the whole md5 pipeline per row (the multi-reference
+    # trap the plan-shape test pins at md5 <= 4).
+    proj = df.filter(F.size(words(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"),
         *[
             simhash_token_hashes(F.col(text_col), word=w).alias(f"_hs{w}")
             for w in range(n_words)
         ],
     )
-    # token-less texts (punctuation-only pages) would ALL fold to
-    # fingerprint 0 and land in one distinct-fingerprint group, whose
-    # hamming-0 expansion is by design exempt from the band cap — a
-    # fabricated quadratic clique of unrelated pages. No tokens, no
-    # similarity evidence: such docs are excluded, like minhash_bands'
-    # empty-shingle exclusion.
-    return proj.filter(F.size("_hs0") > 0).select(
+    return proj.select(
         "id",
         *[
             simhash_from_hashes(f"_hs{w}", bits=min(32, bits)).alias(f"w{w}")
