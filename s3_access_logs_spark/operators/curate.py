@@ -172,13 +172,6 @@ def curate_corpus(
         if min_line_ratio is not None
         else F.lit(False),
     )
-    w = Window.partitionBy(normalized_digest(F.col(text_col))).orderBy(
-        id_col
-    )
-    flags = flags.withColumn(
-        "_f_exact_dup",
-        (F.row_number().over(w) > 1) & ~F.col("_f_empty"),
-    )
     flags = flags.withColumn(
         "_f_quality",
         (quality_score(text_col) < min_quality)
@@ -241,13 +234,37 @@ def curate_corpus(
         ).drop("_hit")
     else:
         flags = flags.withColumn("_f_contaminated", F.lit(False))
+    # Exact-dup keeper election — among rows passing the per-document
+    # gates, not blindly by min id: normalized_digest collapses case and
+    # whitespace, so digest-sharing rows are NOT byte-identical and can
+    # get different verdicts from the case/line-sensitive gates
+    # (line_ratio's kept-line measure, uppercase-sensitive quality/
+    # script checks). A blind min-id keeper could fail such a gate while
+    # its passing variant was dropped as exact_dup — erasing the content
+    # entirely, the exact failure mode the near_dup/contained stages are
+    # structured to avoid (ADVICE r4). Ordering each digest group by
+    # "fails any per-document gate" first and id second makes the keeper
+    # the min-id PASSING row; when the whole group fails, min id wins
+    # and attribution lands on the real gate.
+    _doc_gates = [
+        s for s in STAGES if s not in ("exact_dup", "near_dup", "contained")
+    ]
+    gate_fail = F.lit(False)
+    for s in _doc_gates:
+        gate_fail = gate_fail | F.col(f"_f_{s}")
+    flags = flags.withColumn("_gate_fail", gate_fail.cast("int"))
+    w = Window.partitionBy(normalized_digest(F.col(text_col))).orderBy(
+        "_gate_fail", id_col
+    )
+    flags = flags.withColumn(
+        "_f_exact_dup",
+        (F.row_number().over(w) > 1) & ~F.col("_f_empty"),
+    ).drop("_gate_fail")
     # The dedup stages run over the SURVIVORS of every other gate, not
     # the raw corpus: clustering raw docs could elect a keeper (min-id
     # representative / containment superset) that another gate already
     # rejected, dropping every member of the group and erasing the
-    # content entirely. (Exact dedup above is immune: every gate is
-    # text-derived, so byte-identical copies share all gate outcomes —
-    # if the keeper fails a gate, its copies deserved to fail it too.)
+    # content entirely.
     _pre_dedup = [
         s for s in STAGES if s not in ("near_dup", "contained")
     ]

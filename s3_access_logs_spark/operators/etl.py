@@ -94,6 +94,15 @@ def write_logs(
     )
     if part_cols:
         writer = writer.partitionBy(*part_cols)
+        if mode == "overwrite":
+            # Write-scoped, not session conf: this writer's documented
+            # semantics are idempotent partition replacement, and under
+            # static mode (plain spark-submit without session.py's
+            # factory) a bare overwrite would wipe the whole dst tree.
+            # The per-write option overrides the session setting without
+            # mutating shared state other writes in the session observe
+            # (ADVICE r4).
+            writer = writer.option("partitionOverwriteMode", "dynamic")
     writer.parquet(dst)
     if reference_filenames and part_cols:
         apply_reference_filenames(df.sparkSession, dst)

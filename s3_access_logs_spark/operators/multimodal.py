@@ -64,8 +64,16 @@ ASSET_TYPE = T.StructType(
     ]
 )
 
+# Nullable modality/payload (unlike ASSET_TYPE): decode_metadata's
+# tolerant contract covers foreign tables whose rows may carry NULLs —
+# such rows yield an all-NULL meta instead of crashing the stage.
 DECODED_TYPE = T.StructType(
-    list(ASSET_TYPE.fields) + [T.StructField("meta", META_TYPE)]
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_TYPE),
+    ]
 )
 
 FRAME_TYPE = T.StructType(
@@ -228,24 +236,37 @@ def synthesize_assets(
 # Decode / inspect
 
 
-def _decode_meta_one(payload: bytes) -> dict:
+def _decode_meta_one(payload: "bytes | None") -> dict:
     meta = dict.fromkeys(
         ("format", "width", "height", "channels", "sample_rate", "duration_ms",
          "n_frames")
     )
-    if payload[:8] == PNG_SIG:
-        w, h = struct.unpack(">II", payload[16:24])
-        meta.update(format="png", width=w, height=h, channels=3)
-    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        sr = struct.unpack("<I", payload[24:28])[0]
-        data_size = struct.unpack("<I", payload[40:44])[0]
-        meta.update(
-            format="wav", channels=1, sample_rate=sr,
-            duration_ms=data_size // 2 * 1000 // sr,
-        )
-    elif payload[:4] == MVID_MAGIC:
-        nf, _fs, w, h = struct.unpack("<IIII", payload[4:20])
-        meta.update(format="mvid", width=w, height=h, channels=3, n_frames=nf)
+    if payload is None:
+        return meta
+    try:
+        if payload[:8] == PNG_SIG and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            meta.update(format="png", width=w, height=h, channels=3)
+        elif (
+            payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+            and len(payload) >= 44
+        ):
+            sr = struct.unpack("<I", payload[24:28])[0]
+            data_size = struct.unpack("<I", payload[40:44])[0]
+            if sr > 0:
+                meta.update(
+                    format="wav", channels=1, sample_rate=sr,
+                    duration_ms=data_size // 2 * 1000 // sr,
+                )
+        elif payload[:4] == MVID_MAGIC and len(payload) >= 20:
+            nf, _fs, w, h = struct.unpack("<IIII", payload[4:20])
+            meta.update(
+                format="mvid", width=w, height=h, channels=3, n_frames=nf
+            )
+    except (struct.error, ZeroDivisionError):
+        # Truncated container past its magic: all-NULL, never a task failure.
+        return dict.fromkeys(meta)
     return meta
 
 
@@ -256,7 +277,10 @@ def decode_metadata(assets: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_meta_one(bytes(p)) for p in pdf["payload"]]
+            metas = [
+                _decode_meta_one(None if p is None else bytes(p))
+                for p in pdf["payload"]
+            ]
             out = pdf[["asset_id", "modality", "payload"]].copy()
             out["meta"] = metas
             yield out

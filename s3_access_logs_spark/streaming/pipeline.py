@@ -148,14 +148,11 @@ def write_partitioned_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # set dynamic overwrite on THIS session, not ambient config: under
-        # static mode (the Spark default, e.g. plain spark-submit without
-        # session.py's factory) mode='overwrite' would wipe the entire dst
-        # tree on every micro-batch — silent data loss instead of
-        # idempotent replay (ADVICE r1)
-        batch_df.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        # write_logs carries the write-scoped dynamic-overwrite option
+        # itself (ADVICE r1/r4): under static session mode a bare
+        # overwrite would wipe the entire dst tree per micro-batch, and
+        # mutating the session conf here would silently flip unrelated
+        # same-session writes to dynamic.
         write_logs(
             batch_df.drop("ts_ts").withColumn("batch_id", F.lit(batch_id)),
             dst,
@@ -502,17 +499,22 @@ def ingest_documents_stream(
         else:
             deduped = dedup_incremental(cleaned, seen)
         survivors = deduped.join(texts, ["digest", "keep_id"])
-        sess.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         if band_store is not None:
-            # Persist the per-batch frames that BOTH writes consume: the
-            # doc and band writes would otherwise each re-trigger the
-            # full lineage (scan -> quality/PII -> digest shuffle ->
-            # minhash banding -> store joins) from scratch.
-            cleaned = cleaned.persist()
-            kept_docs = cleaned.join(
-                survivors.select(F.col("keep_id").alias("doc_id")), "doc_id"
+            # Bands are computed from the SURVIVING (digest, keep_id,
+            # text) rows — the exact texts that land in the store. The
+            # previous shape re-joined `cleaned` on doc_id alone, so a
+            # batch carrying one doc_id with two distinct texts banded
+            # BOTH and appended bands for the non-surviving text — a
+            # store hit could then point at an id whose stored text
+            # never matched (ADVICE r4).
+            # survivors has several consumers on this path (band input,
+            # the doc write, its multiplication below) plus an expensive
+            # lineage (digest shuffle + full digest-store anti-join that
+            # grows with store age) -> scoped persist
+            survivors = survivors.persist()
+            _gate_persisted.append(survivors)
+            kept_docs = survivors.select(
+                F.col("keep_id").alias("doc_id"), "text"
             )
             seen_bands = read_prior(
                 band_store, "id long, band_idx int, band_key string"
@@ -527,12 +529,6 @@ def ingest_documents_stream(
             kept_ids = kept_docs.select("doc_id").distinct().join(
                 near_dup_ids, "doc_id", "left_anti"
             ).persist()
-            # survivors has two consumers on this path (the doc write
-            # and, via the join below, its multiplication) plus an
-            # expensive lineage (digest shuffle + full digest-store
-            # anti-join that grows with store age) -> scoped persist
-            survivors = survivors.persist()
-            _gate_persisted.append(survivors)
             survivors = survivors.join(
                 kept_ids.select(F.col("doc_id").alias("keep_id")), "keep_id"
             )
@@ -568,24 +564,26 @@ def ingest_documents_stream(
                     .withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
                     .parquet(bloom_store)
                 )
             (
                 survivors.write.mode("overwrite")
                 .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
                 .parquet(store)
             )
             if band_store is not None:
                 (
                     kept_bands.write.mode("overwrite")
                     .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
                     .parquet(band_store)
                 )
         finally:
             if bloom_store is not None:
                 survivors.unpersist()
             if band_store is not None:
-                cleaned.unpersist()
                 kept_ids.unpersist()
             for df_ in _gate_persisted:
                 df_.unpersist()
@@ -683,6 +681,49 @@ def backfill_bloom_store(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def _recover_fold(spark: SparkSession, store: str) -> None:
+    """Complete or roll back a crashed :func:`compact_ingest_store` fold
+    before anything reads the store. Protocol state is encoded on disk:
+    ``_fold_staging`` still holding a ``batch_id=`` child means the
+    install rename never happened — every moved-aside partition in
+    ``_fold_trash`` is that data's ONLY copy, so restore the trash and
+    drop the staging (the rerun re-folds from the restored state).
+    Staging without a staged partition (or absent) while trash exists
+    means the install committed — the trash holds only superseded
+    copies, safe to drop. Either way the store ends with every history
+    row in exactly one live partition, so a SUMMING store (count-min)
+    can never double-count a crashed fold (ADVICE r4)."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, _ = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    root = store.rstrip("/")
+    staging = HPath(f"{root}/_fold_staging")
+    trash = HPath(f"{root}/_fold_trash")
+    staged_kids = (
+        [
+            s.getPath()
+            for s in fs.listStatus(staging)
+            if s.getPath().getName().startswith("batch_id=")
+        ]
+        if fs.exists(staging)
+        else []
+    )
+    if fs.exists(trash):
+        if staged_kids:  # crash BEFORE install: trash is the live copy
+            for st in fs.listStatus(trash):
+                name = st.getPath().getName()
+                live = HPath(f"{root}/{name}")
+                if not fs.exists(live) and not fs.rename(st.getPath(), live):
+                    raise IOError(
+                        f"fold recovery: cannot restore {st.getPath()}; "
+                        "trash left in place for manual recovery"
+                    )
+        fs.delete(trash, True)
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+
 def compact_ingest_store(
     spark: SparkSession,
     store: str,
@@ -711,12 +752,23 @@ def compact_ingest_store(
     up from 0, so a negative base can never collide with a live batch's
     replay exclusion.
 
-    Crash posture: the fold writes the new base partition (dynamic
-    partition overwrite) BEFORE deleting folded partitions. A crash
-    between the two leaves duplicate history rows — harmless to
-    semantics (the digest probe is an anti-join and near-dup hits are
-    de-duplicated, so duplicated store rows can only re-find the same
-    matches) — and the next maintenance run folds them away. Returns
+    Crash posture (summing-store safe): the fold STAGES the combined
+    base under ``_fold_staging`` (a ``_``-prefixed dir — invisible to
+    readers and to ``partition_file_stats``), moves the old base and
+    every folded partition aside to ``_fold_trash``, then installs the
+    staged base with one atomic rename — the commit point. A rerun
+    first recovers: staging still holding a base partition means the
+    install never happened (restore the trash, drop the staging,
+    start over); staging empty but trash present means the install
+    committed (the trash holds only superseded copies — drop it).
+    History rows therefore exist in exactly one live place at every
+    crash point, which matters for LINEAR stores: the count-min
+    frequency store SUMS counter rows, so the old posture (write base,
+    then delete folded dirs) could bake a second copy of a folded
+    batch's counters into the base if a crash hit between the two and
+    the next run re-folded base ∪ still-present dirs (ADVICE r4).
+    Set-semantics stores (digest/band/bloom/profile) were never
+    affected, but share the stronger protocol. Returns
     ``{"folded": [...], "kept": [...], "compacted": [...]}``."""
     from s3_access_logs_spark.operators.etl import compact_partitions
     from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
@@ -728,6 +780,7 @@ def compact_ingest_store(
         )
     if keep_recent < 0:
         raise ValueError("keep_recent must be >= 0")
+    _recover_fold(spark, store)
     if not has_data_files(spark, store):
         return {"folded": [], "kept": [], "compacted": []}
     fs, root_path = hadoop_fs(spark, store)
@@ -748,22 +801,40 @@ def compact_ingest_store(
                 spark, store, target_file_bytes=target_file_bytes
             )],
         }
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        history = spark.read.parquet(store).filter(
-            F.col("batch_id").isin([base_batch_id] + folded)
-        )
-        (
-            history.withColumn("batch_id", F.lit(base_batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(store)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for b in folded:
-        fs.delete(HPath(f"{store.rstrip('/')}/batch_id={b}"), True)
+    root = store.rstrip("/")
+    staging, trash = f"{root}/_fold_staging", f"{root}/_fold_trash"
+    # 1. STAGE the combined base outside the hive tree: readers (and a
+    #    crashed run's rerun) never see a partial or duplicated fold.
+    history = spark.read.parquet(store).filter(
+        F.col("batch_id").isin([base_batch_id] + folded)
+    )
+    (
+        history.withColumn("batch_id", F.lit(base_batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(staging)
+    )
+    # 2. Move the old base and every folded partition aside. After this
+    #    loop the folded rows live ONLY in trash + staging.
+    fs.mkdirs(HPath(trash))
+    for b in [base_batch_id] + folded:
+        src_dir = HPath(f"{root}/batch_id={b}")
+        if not fs.exists(src_dir):
+            continue  # first fold: no base partition yet
+        dst_dir = HPath(f"{trash}/batch_id={b}")
+        fs.delete(dst_dir, True)
+        if not fs.rename(src_dir, dst_dir):
+            raise IOError(f"fold: cannot move {src_dir} aside")
+    # 3. Install the staged base — the atomic commit point: once this
+    #    rename lands, recovery classifies any leftover trash as
+    #    superseded; before it, recovery restores the trash wholesale.
+    if not fs.rename(
+        HPath(f"{staging}/batch_id={base_batch_id}"),
+        HPath(f"{root}/batch_id={base_batch_id}"),
+    ):
+        raise IOError("fold: cannot install staged base partition")
+    fs.delete(HPath(trash), True)
+    fs.delete(HPath(staging), True)
     compacted = compact_partitions(
         spark, store, target_file_bytes=target_file_bytes
     )
@@ -868,9 +939,6 @@ def ingest_assets_stream(
         )
         seen = read_prior(store, "digest string").select("digest")
         survivors = batch_unique.join(seen, "digest", "left_anti")
-        sess.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         if fingerprint_store is not None:
             from s3_access_logs_spark.operators.dedup import (
                 hamming_near_pairs,
@@ -915,6 +983,7 @@ def ingest_assets_stream(
                     kept.withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
                     .parquet(store)
                 )
                 kept_bands = bands.join(
@@ -924,6 +993,7 @@ def ingest_assets_stream(
                     kept_bands.withColumn("batch_id", F.lit(batch_id))
                     .write.mode("overwrite")
                     .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
                     .parquet(fingerprint_store)
                 )
             finally:
@@ -935,6 +1005,7 @@ def ingest_assets_stream(
                 survivors.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
                 .parquet(store)
             )
 
@@ -1047,14 +1118,12 @@ def track_frequencies_stream(
         tokens = batch_df.select(
             F.explode(F.split(F.col("text"), r"\s+")).alias("token")
         ).filter(F.col("token") != "")
-        sess.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         (
             cms_build(tokens, "token", w, d)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(sketch_store)
         )
         if candidates_store is not None:
@@ -1068,6 +1137,7 @@ def track_frequencies_stream(
                 top.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
                 .parquet(candidates_store)
             )
 
@@ -1119,20 +1189,17 @@ def track_profile_stream(
     def profile_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sess = batch_df.sparkSession
         sk = quantile_sketch_build(
             batch_df.withColumn("_len", F.length("text")),
             "_len",
             "doc_id",
             k=k,
         )
-        sess.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         (
             sk.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
             .parquet(profile_store)
         )
 

@@ -56,6 +56,41 @@ def test_decode_unknown_format_yields_nulls(spark):
     assert r.meta.format is None and r.meta.width is None
 
 
+def test_decode_corrupt_containers_tolerant(spark):
+    """ADVICE r4: realistic corrupt payloads must yield all-NULL meta,
+    never crash the Arrow batch — one bad asset cannot fail a
+    corpus-scale decode stage. Covers: PNG signature but truncated
+    before IHDR, WAV with sample_rate=0 (ZeroDivisionError), 12-byte
+    RIFF/WAVE header only, truncated MVID, and a NULL payload."""
+    import struct as _struct
+
+    wav_sr0 = (
+        b"RIFF" + _struct.pack("<I", 36) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + _struct.pack("<I", 4) + b"\x00" * 4
+    )
+    rows = [
+        (1, "image", bytearray(MM.PNG_SIG + b"\x00" * 4)),  # < 24 bytes
+        (2, "audio", bytearray(wav_sr0)),  # sample_rate == 0
+        (3, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # 12 bytes
+        (4, "video", bytearray(MM.MVID_MAGIC + b"\x01\x02")),  # truncated
+        (5, "image", None),  # NULL payload
+    ]
+    # nullable payload schema: ASSET_TYPE declares payload non-null, but
+    # a foreign table fed to decode_metadata may not — the decode itself
+    # must tolerate the NULL, not crash the batch
+    junk = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary"
+    )
+    out = {r.asset_id: r.meta for r in MM.decode_metadata(junk).collect()}
+    assert len(out) == 5
+    for asset_id, meta in out.items():
+        assert all(v is None for v in meta.asDict().values()), (
+            asset_id,
+            meta,
+        )
+
+
 def test_sample_frames_bytes(assets):
     frames = MM.sample_frames(assets, stride=2).collect()
     by_asset: dict[int, list] = {}

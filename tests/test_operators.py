@@ -3893,3 +3893,41 @@ class TestDedupReviewFixes:
         assert uncapped == 30 * 29 // 2
         capped = minhash_candidates(df, max_band_freq=10).count()
         assert capped == 0  # every band bucket holds all 30 -> dropped
+
+
+class TestCurateKeeperElection:
+    def test_exact_dup_keeper_elected_among_gate_passers(self, spark):
+        """ADVICE r4: normalized_digest collapses case/whitespace, so
+        digest-sharing rows can get different line-sensitive verdicts. A
+        blind min-id keeper (doc 1, mostly furniture) would fail
+        line_ratio while doc 2 was dropped as its exact dup — erasing
+        the content entirely. The keeper must be a gate-passing variant."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        real = "A normal prose line with enough words here."
+        furniture_page = "\n".join(
+            ["OK", "CLICK HERE NOW", "12:45", "99%", real]
+        )
+        df = spark.createDataFrame(
+            [(1, furniture_page), (2, real)], ["doc_id", "text"]
+        )
+        survivors, report = curate_corpus(
+            df, line_clean=True, min_line_ratio=0.5
+        )
+        assert {r["doc_id"] for r in survivors.collect()} == {2}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        # doc 1's first failing stage is line_ratio; it is NOT the keeper
+        assert dropped == {"line_ratio": 1}
+
+    def test_exact_dup_min_id_kept_when_group_passes(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        df = spark.createDataFrame(
+            [(5, "same text body"), (2, "SAME  text body"),
+             (9, "other body entirely")],
+            ["doc_id", "text"],
+        )
+        survivors, report = curate_corpus(df)
+        assert {r["doc_id"] for r in survivors.collect()} == {2, 9}
+        dropped = {r["stage"]: r["dropped"] for r in report.collect()}
+        assert dropped == {"exact_dup": 1}

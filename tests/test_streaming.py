@@ -1443,3 +1443,179 @@ class TestPipelineReviewFixes:
                 spark, "/tmp/x", "/tmp/y", "/tmp/z",
                 lm_model=train_bigram_lm(ref),
             )
+
+
+class TestAdviceR5Fixes:
+    """Regression pins for the round-4 advisor findings fixed in r5."""
+
+    @staticmethod
+    def _drop(src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def test_fold_crash_before_install_never_doubles_counts(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4: a crash between staging the fold and installing it
+        leaves the folded partitions' only live copies in ``_fold_trash``.
+        Recovery must restore them and the re-fold must not double any
+        count-min counter (the summing-store failure mode)."""
+        import os
+        import shutil
+
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            frequency_estimates,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        ckpt = str(tmp_path / "ckpt")
+        for i, text in enumerate(["red red blue", "red green"]):
+            self._drop(src, f"b{i}.jsonl", [{"doc_id": i, "text": text}])
+            track_frequencies_stream(
+                spark, str(src), sk, ckpt
+            ).awaitTermination(120)
+        # Manufacture the pre-install crash state the protocol can reach:
+        # staged base written, live partitions moved aside, the install
+        # rename never happened.
+        (
+            spark.read.parquet(sk)
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{sk}/_fold_staging")
+        )
+        os.makedirs(f"{sk}/_fold_trash", exist_ok=True)
+        for b in (0, 1):
+            shutil.move(
+                f"{sk}/batch_id={b}", f"{sk}/_fold_trash/batch_id={b}"
+            )
+        res = compact_ingest_store(spark, sk, keep_recent=0)
+        assert res["folded"] == [0, 1]
+        probe = spark.createDataFrame(
+            [("red",), ("blue",), ("green",)], ["token"]
+        )
+        est = {
+            r["token"]: r["est_count"]
+            for r in frequency_estimates(spark, sk, probe, "token").collect()
+        }
+        assert est == {"red": 3, "blue": 1, "green": 1}  # never doubled
+
+    def test_fold_crash_after_install_drops_superseded_trash(
+        self, spark, tmp_path
+    ):
+        """The mirror crash window: install committed, trash deletes never
+        ran. Recovery must classify the trash as superseded and drop it —
+        restoring it would double the folded counters."""
+        import shutil
+
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            frequency_estimates,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        ckpt = str(tmp_path / "ckpt")
+        for i, text in enumerate(["red red blue", "red green"]):
+            self._drop(src, f"b{i}.jsonl", [{"doc_id": i, "text": text}])
+            track_frequencies_stream(
+                spark, str(src), sk, ckpt
+            ).awaitTermination(120)
+        assert compact_ingest_store(spark, sk, keep_recent=0)["folded"] == [
+            0,
+            1,
+        ]
+        # post-install leftovers: a superseded copy in trash, NO staging
+        shutil.copytree(
+            f"{sk}/batch_id=-1", f"{sk}/_fold_trash/batch_id=0"
+        )
+        res = compact_ingest_store(spark, sk, keep_recent=0)
+        assert res["folded"] == []
+        probe = spark.createDataFrame(
+            [("red",), ("blue",), ("green",)], ["token"]
+        )
+        est = {
+            r["token"]: r["est_count"]
+            for r in frequency_estimates(spark, sk, probe, "token").collect()
+        }
+        assert est == {"red": 3, "blue": 1, "green": 1}
+
+    def test_band_store_only_carries_surviving_texts(self, spark, tmp_path):
+        """ADVICE r4: a batch carrying one doc_id with two distinct texts
+        must band only the text that survives the digest gate. The old
+        doc_id-alone join banded both, so the store-dup text's bands
+        collided with history and dropped the id's genuinely NEW text."""
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        bands = str(tmp_path / "bands")
+        ckpt = str(tmp_path / "ckpt")
+        t1 = (
+            "the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest to rest for a long while"
+        )
+        t2 = (
+            "completely unrelated fresh content about cooking pasta with "
+            "garlic and olive oil for dinner again tonight with friends"
+        )
+        self._drop(src, "b1.jsonl", [{"doc_id": 1, "text": t1}])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, band_store=bands
+        ).awaitTermination(120)
+        # batch 2: ONE doc_id carrying the store-dup text AND a new text
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 10, "text": t1},
+            {"doc_id": 10, "text": t2},
+        ])
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, band_store=bands
+        ).awaitTermination(120)
+        stored = {
+            (r.keep_id, r.text)
+            for r in spark.read.parquet(store).collect()
+        }
+        assert (1, t1) in stored
+        assert (10, t2) in stored  # the new text survives
+        assert (10, t1) not in stored  # the dup text does not
+        # bands for id 10: exactly one document's worth (t2's), none of t1's
+        assert (
+            spark.read.parquet(bands).filter(F.col("id") == 10).count() == 4
+        )
+
+    def test_foreachbatch_writers_leave_session_conf_alone(
+        self, spark, tmp_path
+    ):
+        """ADVICE r4: the streaming sinks use write-scoped dynamic
+        overwrite; they must not flip the shared session's
+        partitionOverwriteMode for unrelated later writes."""
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "static")
+        try:
+            src = tmp_path / "in"
+            src.mkdir()
+            store = str(tmp_path / "store")
+            self._drop(src, "d.jsonl", [
+                {"doc_id": 1, "text": "alpha beta gamma"},
+            ])
+            ingest_documents_stream(
+                spark, str(src), store, str(tmp_path / "ckpt")
+            ).awaitTermination(120)
+            assert spark.conf.get(key) == "static"
+            # ...and the write itself still committed per-partition
+            assert spark.read.parquet(store).count() == 1
+        finally:
+            spark.conf.set(key, prev)
