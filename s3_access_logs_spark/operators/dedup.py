@@ -1023,6 +1023,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 43,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkes & Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
@@ -1041,7 +1042,17 @@ def winnow_fingerprints(
 
     Shape: a pure per-row projection — sequence/transform HOFs build the
     hash array and the per-window minima, the distinct selections
-    explode, NO shuffle at any corpus size. The window minimum is
+    explode, NO shuffle at any corpus size.
+
+    ``portable_hash`` switches the selection hash from ``xxhash64`` (the
+    fast default) to the md5-based cross-engine primitive
+    (``functions.text.md5_long``) so an external SQL engine can
+    reproduce the selection value-for-value — the winnowing guarantee
+    holds under ANY deterministic hash, only the sparse-sample choice
+    changes. The catalog's oracle-checked entry uses this; production
+    pipelines keep the default.
+
+    The window minimum is
     ``array_min``/``array_position`` over a ``slice`` (leftmost minimum —
     any rule that is a pure function of the window's contents preserves
     the guarantee, and both documents see identical windows inside a
@@ -1051,11 +1062,18 @@ def winnow_fingerprints(
     over 5000 sf0.1 documents for identical output (modulo hash-tie
     picks). Documents shorter than t emit their single global minimum
     (standard edge rule) and empty/NULL texts emit nothing."""
+    from s3_access_logs_spark.functions.text import md5_long
+
     t = F.col(text_col)
     n_grams = F.length(t) - F.lit(k - 1)  # number of k-grams
+    gram_hash = (
+        (lambda g: md5_long(g, hex_chars=15))
+        if portable_hash
+        else F.xxhash64
+    )
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+        lambda i: gram_hash(t.substr(i, F.lit(k))),
     )
     m = F.col("_m")  # n_grams, materialized — `text` is renamed away
     # window j (0-based) covers hash indexes [j+1, j+window] (1-based,
@@ -1103,6 +1121,7 @@ def duplicate_spans(
     window: int = 43,
     min_span_len: int | None = None,
     max_gram_freq: int | None = DEFAULT_MAX_GRAM_FREQ,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Cross-document verbatim-substring detection: every pair of
     documents sharing a copied span of >= t = window + k - 1 characters
@@ -1146,7 +1165,9 @@ def duplicate_spans(
         min_span_len = window + k - 1
     from pyspark.sql import Window as W
 
-    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k, window, portable_hash=portable_hash
+    )
     if max_gram_freq is not None:
         fps = (
             fps.withColumn(

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: registration) and return the
     full registry."""
     from s3_access_logs_spark.plans import (  # noqa: F401
+        curation_queries,
         etl_queries,
         relational,
         text_queries,

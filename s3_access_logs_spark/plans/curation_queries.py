@@ -1,0 +1,705 @@
+"""Round-5 catalog promotions: the round-4 curation / sketch / span /
+perceptual operators as oracle-checked query entries (VERDICT r4 item 1 —
+"every operator has a passing CORRECTNESS row").
+
+Design rules shared with plans/text_queries.py:
+
+* deterministic-by-design operators only; the DuckDB SQL is generated
+  from the SAME constants as the Spark expressions (md5-based hashes,
+  LCG plane literals, suffix tables), so values match bit-for-bit;
+* operators whose internals hash with ``xxhash64`` (no DuckDB
+  equivalent) are checked through hash-independent surfaces: the
+  count-min / Bloom entries compare ESTIMATES against exact answers at
+  a scale where the collision probability is ~0 **and the run is
+  deterministic** (same data, same hashes, same verdict every round);
+  the quantile entries run with per-group k >= group size, where the
+  bottom-k-by-hash sample is provably the whole group and the quantile
+  is exact regardless of which hash ordered it;
+* several inputs synthesize structure the flat ``documents`` table
+  lacks (newlines for the line operators, duplicated spans for
+  winnowing, URLs for the blocklist) — as pure deterministic column
+  expressions mirrored verbatim in the oracle, the same move the
+  ``decontaminate_ngrams`` entry made for its benchmark split;
+* genuinely non-SQL-expressible operators (MLlib classifier, iterative
+  k-means/PQ training) register with ``oracle=None`` — the driver
+  records the documented weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_access_logs_spark.operators import dedup as D
+from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.sources.tables import load_table
+
+NL = "chr(10)"
+PARA = "chr(10) || chr(10)"
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric subset near-dup)
+
+@query(
+    "containment_pairs",
+    oracle=None,  # filled below (generated SQL, shares text_queries fragments)
+    tags=("dedup", "llm", "containment"),
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|A ∩ B| / min(|A|,|B|) >= 0.5)
+    over documents plus synthesized truncated copies (id+10000 carries
+    the first 25 words of every 5th doc) — guaranteeing embedded-subset
+    pairs the symmetric Jaccard entry structurally misses. Same
+    single-pass posting-list pipeline and stop-shingle cap as
+    ``ngram_jaccard_pairs`` (shared ``_intersection_pairs``)."""
+    from s3_access_logs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words("text")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 25)).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(copies)
+    return D.containment_pairs(inp, threshold=0.5)
+
+
+def _containment_sql() -> str:
+    from s3_access_logs_spark.plans.text_queries import (
+        SQL_SHINGLE_HASHES,
+        SQL_WORD_HASHES,
+        SQL_WORDS,
+    )
+
+    return f"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             array_to_string(({SQL_WORDS})[1:25], ' ') AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM inp),
+    w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
+    h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM h),
+    inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM h),
+    inv AS (
+      SELECT doc_id, shingle FROM inv0
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle)
+              <= {D.DEFAULT_MAX_SHINGLE_FREQ}
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             n_inter::DOUBLE / least(sa.n_sh, sb.n_sh)::DOUBLE AS c
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, n_inter, ROUND(c, 6) AS containment,
+           CASE WHEN n_a < n_b THEN id_a
+                WHEN n_b < n_a THEN id_b
+                ELSE greatest(id_a, id_b) END AS contained_id
+    FROM scored WHERE c >= 0.5
+    """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document paragraph dedup
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH inp AS (
+      SELECT doc_id,
+             text || {PARA} || substr(text, 1, 50) || {PARA} || text AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_filter(str_split(text, {PARA}),
+                         (p, i) -> list_position(str_split(text, {PARA}), p) = i),
+             {PARA}) AS cleaned
+    FROM inp
+    """,
+    tags=("dedup", "llm", "text"),
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style intra-document paragraph dedup (keep-first, order
+    preserved) over documents with a synthesized repeated paragraph —
+    each doc becomes ``text ¶ first-50-chars ¶ text``, so the trailing
+    full repeat must vanish and the distinct truncation must survive.
+    Pure in-row projection: no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    inp = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"),
+            F.substring("text", 1, 50), F.lit("\n\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return D.drop_repeated_paragraphs(inp).select(
+        "doc_id", F.col("text").alias("cleaned")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal
+
+@query(
+    "boilerplate_lines",
+    oracle=f"""
+    WITH inp AS (
+      SELECT doc_id,
+             text || {NL} || 'Subscribe to our newsletter ' || (doc_id % 3)
+                  || {NL} || 'unique marker line ' || doc_id AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+        SELECT doc_id,
+               unnest(list_transform(str_split(text, {NL}),
+                      (x, i) -> struct_pack(pos := i, line := x))) AS s
+        FROM inp)
+    ),
+    boiler AS (
+      SELECT trim(line) AS key FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM lines l
+      LEFT JOIN boiler b ON trim(l.line) = b.key
+      WHERE b.key IS NULL
+    )
+    SELECT doc_id, string_agg(line, {NL} ORDER BY pos) AS cleaned
+    FROM kept GROUP BY doc_id
+    """,
+    tags=("dedup", "llm", "text", "boilerplate"),
+)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal over synthesized line
+    structure: every doc gains one of three shared footer lines (site
+    furniture, appears in ~167 docs >= min_docs=10 -> cut everywhere)
+    and one unique marker line (kept). The count is
+    ``count_distinct(doc)`` on the TRIMMED line — one shuffle by
+    line-hash, one rebuild by id (operators/dedup.py:1347)."""
+    docs = load_table(spark, sf_dir, "documents")
+    inp = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe to our newsletter "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("\nunique marker line "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = D.drop_boilerplate_lines(inp, min_docs=10)
+    return out.select("doc_id", F.col("text").alias("cleaned"))
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb line cleanup + script profile
+
+_SHOUT = "upper(substr(text, 1, 40))"
+
+
+@query(
+    "refinedweb_cleanup",
+    oracle=f"""
+    WITH inp AS (
+      SELECT doc_id, lang,
+             'OK' || {NL} || {_SHOUT} || {NL} || '12:45' || {NL}
+                  || text || CASE WHEN lang = 'zh'
+                                  THEN ' 模型 数据 训练' ELSE '' END
+                  || {NL} || '99%' AS text
+      FROM documents
+    ),
+    verdicts AS (
+      SELECT doc_id, lang, text,
+             list_filter(str_split(text, {NL}), l ->
+               NOT (length(trim(l)) < 3
+                    OR (regexp_extract_all(trim(l), '\\p{{L}}') != []
+                        AND len(regexp_extract_all(trim(l), '\\p{{L}}')) >= 4
+                        AND len(regexp_extract_all(trim(l), '\\p{{Lu}}'))::DOUBLE
+                            / greatest(len(regexp_extract_all(trim(l), '\\p{{L}}')), 1)::DOUBLE
+                            > 0.8)
+                    OR regexp_full_match(trim(l), '[\\d\\s.,:;%/()+-]+'))
+             ) AS kept
+      FROM inp
+    )
+    SELECT doc_id,
+           ROUND(len(kept)::DOUBLE / greatest(len(str_split(text, {NL})), 1)::DOUBLE,
+                 6) AS kept_ratio6,
+           array_to_string(kept, {NL}) AS cleaned,
+           ROUND(len(regexp_extract_all(text, '\\p{{Han}}'))::DOUBLE
+                 / greatest(len(regexp_extract_all(text, '\\p{{L}}')), 1)::DOUBLE,
+                 6) AS han6
+    FROM verdicts
+    """,
+    tags=("text", "llm", "cleanup", "script"),
+)
+def refinedweb_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise cleanup over synthesized furniture: each doc
+    gains a too-short line, a SHOUTING line, two numeric-only lines, and
+    (for zh docs) a Han-script suffix. Returns the kept-line ratio, the
+    cleaned text, and the Unicode-script Han fraction
+    (functions/text.py:303,329,421) — all pure in-row projections."""
+    from s3_access_logs_spark.functions.text import (
+        clean_lines,
+        line_kept_ratio,
+        script_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inp = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("OK\n"),
+            F.upper(F.substring("text", 1, 40)),
+            F.lit("\n12:45\n"),
+            F.col("text"),
+            F.when(F.col("lang") == "zh", F.lit(" 模型 数据 训练")).otherwise(
+                F.lit("")
+            ),
+            F.lit("\n99%"),
+        ).alias("text"),
+    )
+    return inp.select(
+        "doc_id",
+        F.round(line_kept_ratio("text"), 6).alias("kept_ratio6"),
+        clean_lines("text").alias("cleaned"),
+        F.round(
+            F.element_at(script_profile("text"), F.lit("han")), 6
+        ).alias("han6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist + registrable domain
+
+_HOSTS = [
+    "example.com", "news.bbc.co.uk", "spam.example.org",
+    "cdn.badsite.net", "shop.goodsite.io", "evil.co.uk",
+]
+_BLOCKLIST = ["example.com", "badsite.net", "evil.co.uk", "HTTPS://Nope.ORG"]
+_HOST_SQL = (
+    "list_extract(["
+    + ", ".join(f"'{h}'" for h in _HOSTS)
+    + "], (doc_id % 6)::INT + 1)"
+)
+_RDOM = {
+    "example.com": "example.com",
+    "news.bbc.co.uk": "bbc.co.uk",
+    "spam.example.org": "example.org",
+    "cdn.badsite.net": "badsite.net",
+    "shop.goodsite.io": "goodsite.io",
+    "evil.co.uk": "evil.co.uk",
+}
+_RDOM_SQL = (
+    "list_extract(["
+    + ", ".join(f"'{_RDOM[h]}'" for h in _HOSTS)
+    + "], (doc_id % 6)::INT + 1)"
+)
+
+
+@query(
+    "domain_blocklist",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, {_HOST_SQL} AS host, {_RDOM_SQL} AS rdomain
+      FROM documents
+    )
+    SELECT doc_id, rdomain FROM u
+    WHERE doc_id % 6 NOT IN (0, 3, 5)
+    """,
+    tags=("llm", "url", "blocklist"),
+)
+def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocks-all-subdomains domain filtering + eTLD+1 extraction over
+    synthesized URLs: each doc gets one of six hosts (some under
+    second-level suffixes like co.uk), half behind a www. label and an
+    upper-cased scheme, and the blocklist carries a scheme'd entry that
+    must normalize before matching. Suffix-explode -> broadcast semi
+    join (functions/url.py:105); the oracle derives blocked-ness and the
+    registrable domain from the same doc_id formula, so every parse,
+    suffix walk and join verdict is value-checked."""
+    from s3_access_logs_spark.functions.url import (
+        domain_blocklist_filter,
+        registrable_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in _HOSTS]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    sub = F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    url = F.concat(
+        F.lit("HTTPS://"), sub, host, F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    inp = docs.select("doc_id", url.alias("url"))
+    clean = domain_blocklist_filter(inp, "url", _BLOCKLIST, "doc_id")
+    return clean.select(
+        "doc_id",
+        registrable_domain(
+            F.regexp_replace(url_host(F.col("url")), r"^www\.", "")
+        ).alias("rdomain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring
+
+@query(
+    "perplexity_scores",
+    oracle=None,  # filled below (generated SQL with the smoothing constants)
+    tags=("llm", "text", "lm", "quality"),
+)
+def perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate: train the capped bigram model on the
+    English slice, score EVERY document's cross-entropy under it
+    (Jelinek-Mercer lambda=0.7, add-one unigram backoff). Three
+    broadcast joins + one doc-grain aggregation (functions/lm.py);
+    non-English and degenerate docs must score visibly worse, and
+    sub-2-token docs yield NULL (no bigram evidence)."""
+    from s3_access_logs_spark.functions.lm import (
+        perplexity_score,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    out = perplexity_score(docs, model)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("xent", 6).alias("xent6"),
+    )
+
+
+def _perplexity_sql(lam: float = 0.7) -> str:
+    from s3_access_logs_spark.plans.text_queries import SQL_WORDS
+
+    return f"""
+    WITH ref AS (
+      SELECT {SQL_WORDS} AS toks FROM documents
+      WHERE lang = 'en' AND len({SQL_WORDS}) > 0
+    ),
+    uni AS (
+      SELECT w1, COUNT(*) AS cnt FROM (SELECT unnest(toks) AS w1 FROM ref)
+      GROUP BY 1
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM ref, unnest(range(1, len(toks))) AS t(i)
+      ) GROUP BY 1, 2
+    ),
+    meta AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM uni),
+    pairs AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, {SQL_WORDS} AS toks FROM documents)
+           , unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             ln({lam} * (CASE WHEN b.cnt IS NOT NULL AND u1.cnt IS NOT NULL
+                              THEN b.cnt::DOUBLE / u1.cnt::DOUBLE
+                              ELSE 0.0 END)
+                + {1.0 - lam} * ((COALESCE(u2.cnt, 0)::DOUBLE + 1.0)
+                                 / (m.total + m.vocab)::DOUBLE)) AS logp
+      FROM pairs p
+      LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN uni u1 ON p.w1 = u1.w1
+      LEFT JOIN uni u2 ON p.w2 = u2.w1
+      CROSS JOIN meta m
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, -AVG(logp) AS xent
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           ROUND(a.xent, 6) AS xent6
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing + stratified sampling
+
+@query(
+    "temperature_mixture_rates",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n) AS total, SUM(n ** 0.7) AS wsum FROM c),
+    r AS (
+      SELECT source, n,
+             least(1.0, (t.total * (n ** 0.7) / t.wsum) / n) AS rate
+      FROM c CROSS JOIN t
+    ),
+    kept AS (
+      SELECT d.source, r.rate FROM documents d JOIN r USING (source)
+      WHERE (('0x' || substr(md5('temp0:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+             / 4294967296.0) < r.rate
+    )
+    SELECT source, COUNT(*) AS n_kept, ROUND(MIN(rate), 6) AS rate6
+    FROM kept GROUP BY source
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count^0.7 temperature re-balancing of sources: per-source keep
+    rates derived from observed sizes, applied as the deterministic
+    md5 hash-rate filter (operators/sampling.py:101). Output = per-source
+    kept counts + the applied rate; one tiny count aggregation, the
+    corpus itself never shuffles."""
+    from s3_access_logs_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mixture(docs, "source", "doc_id", alpha=0.7)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("_keep_rate"), 6).alias("rate6"),
+    )
+
+
+@query(
+    "stratified_sample_quota",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5('sample0:' || doc_id::VARCHAR), doc_id) <= 20
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, chosen by salted-md5 rank within
+    each stratum (operators/sampling.py:19) — the deterministic eval-set
+    drawer: same salt, same sample, every rerun."""
+    from s3_access_logs_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 20, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Patch in generated oracle SQL (text_queries' convention).
+
+import dataclasses as _dc  # noqa: E402
+
+from s3_access_logs_spark.plans.catalog import QUERIES as _Q  # noqa: E402
+
+_Q["containment_pairs"] = _dc.replace(
+    _Q["containment_pairs"], oracle=_containment_sql()
+)
+_Q["perplexity_scores"] = _dc.replace(
+    _Q["perplexity_scores"], oracle=_perplexity_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Sketch stores: KMV distinct, quantile profile, count-min, Bloom
+
+@query(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+             / 1152921504606846976.0 AS u
+      FROM lineitem
+    ),
+    b AS (SELECT u FROM h ORDER BY u LIMIT 256),
+    est AS (
+      SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)::DOUBLE
+                  ELSE 255.0 / MAX(u) END AS e
+      FROM b
+    )
+    SELECT ROUND(e, 4) AS est_merged4, ROUND(e, 4) AS est_whole4,
+           256::BIGINT AS k
+    FROM est
+    """,
+    tags=("sketch", "distinct", "llm"),
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (functions/kmv.py): two sketches built
+    over disjoint halves of lineitem (l_orderkey parity), merged, and
+    evaluated IN-ENGINE against the single-pass sketch of the whole
+    table — the merge-equals-whole property is the entire point of a
+    persistent sketch store, and the oracle recomputes the (k-1)/U_k
+    estimate from the same md5-based bottom-k."""
+    from s3_access_logs_spark.functions.kmv import kmv_build, kmv_merge
+
+    li = load_table(spark, sf_dir, "lineitem")
+    k = 256
+    merged = kmv_merge(
+        kmv_build(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", k),
+        kmv_build(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", k),
+    )
+    whole = kmv_build(li, "l_partkey", k)
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        vals = sk.filter(F.col("u") >= 0)
+        return vals.agg(
+            F.round(
+                F.when(
+                    F.count(F.lit(1)) < k,
+                    F.count(F.lit(1)).cast("double"),
+                ).otherwise(F.lit(float(k - 1)) / F.max("u")),
+                4,
+            ).alias(name)
+        )
+
+    return (
+        est(merged, "est_merged4")
+        .crossJoin(est(whole, "est_whole4"))
+        .withColumn("k", F.lit(k).cast("bigint"))
+    )
+
+
+@query(
+    "quantile_profile",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             quantile_cont(length(text), [0.25, 0.5, 0.9]) AS vs
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CASE t.i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5 ELSE 0.9 END AS q,
+           ROUND(vs[t.i]::DOUBLE, 6) AS value
+    FROM q, unnest(range(1, 4)) AS t(i)
+    """,
+    tags=("sketch", "quantile", "llm"),
+)
+def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quantiles through the mergeable
+    grouped bottom-k-by-hash sketch (functions/quantile.py:124): two
+    sketches over disjoint halves, merged, evaluated fully in-engine.
+    With per-group k=512 >= every group size the sample provably IS the
+    group, so the linear-interpolation quantiles are exact and
+    hash-independent — the oracle checks them against quantile_cont
+    while build/merge/evaluate all exercise the shipped machinery."""
+    from s3_access_logs_spark.functions.quantile import (
+        grouped_quantile_sketch_build,
+        grouped_quantile_sketch_merge,
+        grouped_quantile_values,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_len", F.length("text")
+    )
+    ska = grouped_quantile_sketch_build(
+        docs.filter(F.col("doc_id") % 2 == 0), "_len", "doc_id", ["source"],
+        k=512,
+    )
+    skb = grouped_quantile_sketch_build(
+        docs.filter(F.col("doc_id") % 2 == 1), "_len", "doc_id", ["source"],
+        k=512,
+    )
+    merged = grouped_quantile_sketch_merge(ska, skb)
+    out = grouped_quantile_values(merged, [0.25, 0.5, 0.9])
+    return out.select(
+        "source", "q", F.round(F.col("value"), 6).alias("value")
+    )
+
+
+@query(
+    "cms_token_frequencies",
+    oracle=None,  # filled below (exact counts; see entry docstring)
+    tags=("sketch", "frequency", "llm"),
+)
+def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency store (functions/cms.py): sketch the corpus
+    token stream into the default 5x65536 counter grid — built as two
+    per-half sketches SUMMED by cms_merge, the linearity the streaming
+    store's fold relies on — then probe every distinct token via the
+    broadcast dense-grid estimate. The internal hashes are xxhash64 (no
+    DuckDB equivalent), so the oracle checks the hash-independent
+    surface: at ~40 distinct tokens against 5 rows of 65536 counters a
+    full-depth collision is impossible in practice, the run is
+    deterministic, and every estimate must equal the exact count."""
+    from s3_access_logs_spark.functions.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from s3_access_logs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(words("text")).alias("token")
+    )
+    sk = cms_merge(
+        cms_build(tokens.filter(F.col("doc_id") % 2 == 0), "token"),
+        cms_build(tokens.filter(F.col("doc_id") % 2 == 1), "token"),
+    )
+    probe = tokens.select("token").distinct()
+    return cms_estimate(probe, "token", sk).select("token", "est_count")
+
+
+_CMS_ORACLE = """
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS est_count FROM tok GROUP BY token
+    """
+
+
+@query(
+    "bloom_digest_membership",
+    oracle="""
+    SELECT doc_id, (doc_id % 2 = 0) AS maybe_seen FROM documents
+    """,
+    tags=("sketch", "membership", "llm"),
+)
+def bloom_digest_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent Bloom filter store (functions/bloom.py): build the
+    filter over the even-id half's text digests — as two quarter-filters
+    OR-merged by bloom_merge, the append path the streaming ingest gate
+    uses — and probe every document. No false negatives is the hard
+    guarantee (every member MUST probe true); at 250 keys in 2^20 bits
+    the deterministic false-positive count is zero, so the oracle pins
+    the exact membership vector."""
+    from s3_access_logs_spark.functions.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select("doc_id", F.md5("text").alias("digest"))
+    members = digests.filter(F.col("doc_id") % 2 == 0)
+    bl = bloom_merge(
+        bloom_build(
+            members.filter(F.col("doc_id") % 4 == 0).select("digest"),
+            "digest", num_bits=1 << 20,
+        ),
+        bloom_build(
+            members.filter(F.col("doc_id") % 4 == 2).select("digest"),
+            "digest", num_bits=1 << 20,
+        ),
+    )
+    return bloom_probe(digests, "digest", bl).select(
+        "doc_id", "maybe_seen"
+    )
+
+
+_Q["cms_token_frequencies"] = _dc.replace(
+    _Q["cms_token_frequencies"], oracle=_CMS_ORACLE
+)
