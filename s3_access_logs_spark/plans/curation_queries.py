@@ -703,3 +703,408 @@ def bloom_digest_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["cms_token_frequencies"] = _dc.replace(
     _Q["cms_token_frequencies"], oracle=_CMS_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing verbatim-span detection
+
+@query(
+    "duplicate_spans",
+    oracle=None,  # filled below (generated winnowing SQL)
+    tags=("dedup", "llm", "winnowing", "spans"),
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span detection (winnowing fingerprints ->
+    gram posting lists -> alignment-diagonal islands,
+    operators/dedup.py:1098) over documents plus synthesized copies:
+    every 5th doc spawns id+10000 carrying 120 characters lifted from
+    offset 10 inside new framing text — a guaranteed verbatim copy well
+    past the t = window+k-1 = 20 detection threshold. k=8/window=13
+    with the portable md5 selection hash so the DuckDB oracle replays
+    the exact fingerprint selection; natural 20+-char repeats between
+    word-soup documents are detected identically on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.lit("prefix-"), F.col("doc_id").cast("string"), F.lit("> "),
+            F.substring("text", 10, 120), F.lit(" <copied"),
+        ).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(copies)
+    return D.duplicate_spans(inp, k=8, window=13, portable_hash=True)
+
+
+def _duplicate_spans_sql(k: int = 8, window: int = 13) -> str:
+    t = window + k - 1
+    return f"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             'prefix-' || doc_id || '> ' || substr(text, 10, 120)
+                       || ' <copied' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    g AS (SELECT doc_id, text, length(text) - {k - 1} AS m
+          FROM inp WHERE length(text) >= {k}),
+    h AS (SELECT doc_id, text, m,
+          list_transform(range(1, m + 1),
+            i -> ('0x' || substr(md5(substr(text, i::INT, {k})), 1, 15))::BIGINT
+          ) AS hs
+          FROM g),
+    sel AS (SELECT doc_id, text,
+            list_distinct(list_transform(
+              range(0, greatest(m - {window}, 0) + 1),
+              j -> j + list_position(hs[(j+1)::INT:(j+{window})::INT],
+                                     list_min(hs[(j+1)::INT:(j+{window})::INT]))
+            )) AS idxs
+            FROM h),
+    fp0 AS (SELECT doc_id, u.i - 1 AS pos, substr(text, u.i::INT, {k}) AS gram
+            FROM sel, unnest(idxs) AS u(i)),
+    fp AS (SELECT doc_id, pos, gram FROM fp0
+           QUALIFY COUNT(*) OVER (PARTITION BY gram)
+                   <= {D.DEFAULT_MAX_GRAM_FREQ}),
+    m0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.pos - b.pos AS diag, a.pos AS pos_a
+           FROM fp a JOIN fp b
+             ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    isl AS (SELECT id_a, id_b, diag, pos_a,
+            CASE WHEN pos_a - lag(pos_a) OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+                 <= {window} THEN 0 ELSE 1 END AS newf
+            FROM m0),
+    isl2 AS (SELECT *, SUM(newf) OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a
+               ROWS UNBOUNDED PRECEDING) AS island
+             FROM isl),
+    sp AS (SELECT id_a, id_b, diag, island,
+                  MIN(pos_a) AS start_a,
+                  MAX(pos_a) - MIN(pos_a) + {k} AS span_len,
+                  COUNT(*) AS n_grams
+           FROM isl2 GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, start_a, start_a - diag AS start_b, span_len, n_grams
+    FROM sp WHERE span_len >= {t}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+
+@query(
+    "jl_projection",
+    oracle=None,  # filled below (LCG plane literals)
+    tags=("similarity", "llm", "projection"),
+)
+def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL dimensionality reduction 64 -> 16 (operators/similarity.py:638):
+    the deterministic LCG plane family rides in one broadcast row and
+    the projection is a zero-exchange fold. The oracle inlines the same
+    plane values as SQL literals and folds in the same left-to-right
+    order, so every component matches to the rounding digit."""
+    from s3_access_logs_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = random_projection(emb, "embedding", dims=64, out_dims=16)
+    return out.select(
+        "vec_id", F.posexplode("projection").alias("dim", "value")
+    ).select(
+        "vec_id", "dim", F.round(F.col("value"), 6).alias("proj6")
+    )
+
+
+def _jl_sql(out_dims: int = 16, dims: int = 64, seed: int = 42) -> str:
+    from s3_access_logs_spark.operators.similarity import _lcg_planes
+
+    planes = _lcg_planes(out_dims, dims, seed)
+    scale = (3.0 / out_dims) ** 0.5
+    pl = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(x) for x in row) + "]" for row in planes
+        )
+        + "]"
+    )
+    return f"""
+    WITH p AS (SELECT {pl} AS pl)
+    SELECT vec_id, u.j - 1 AS dim,
+           ROUND(list_reduce(
+                   list_transform(range(1, {dims + 1}),
+                                  i -> embedding[i]::DOUBLE * pl[u.j][i]),
+                   (a, b) -> a + b) * {scale!r}, 6) AS proj6
+    FROM embeddings, p, unnest(range(1, {out_dims + 1})) AS u(j)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (dHash + banded Hamming)
+
+def _dhash_fp_sql() -> str:
+    """Fingerprint CTE body: recompute the dHash of every synthesized
+    image (operators/multimodal.py:478) from the closed-form pixel
+    pattern — grayscale ordering equals the integer channel-sum
+    ordering, and the 9x8 nearest-sample grid replays numpy's
+    linspace-then-round-half-even exactly (i * ((n-1)/step) with the
+    same float evaluation order, .5 ties only possible on the /8 axis
+    where the bankers'-rounding CASE handles them)."""
+
+    def rhe(v: str) -> str:
+        return (
+            f"(floor({v}) + CASE WHEN ({v}) - floor({v}) > 0.5 "
+            f"OR (({v}) - floor({v}) = 0.5 AND (floor({v})::BIGINT % 2) = 1) "
+            f"THEN 1 ELSE 0 END)::BIGINT"
+        )
+
+    def s3(x: str, y: str) -> str:
+        b = f"(({x}) * 3 + ({y}) * 5 + doc_id * 7)"
+        return f"(({b}) % 256 + ({b} + 11) % 256 + ({b} + 22) % 256)"
+
+    bit = (
+        f"CASE WHEN {s3('xs[(i % 8)::INT + 1]', 'ys[(i // 8)::INT + 1]')} "
+        f"< {s3('xs[(i % 8)::INT + 2]', 'ys[(i // 8)::INT + 1]')} "
+        f"THEN 1::BIGINT ELSE 0::BIGINT END"
+    )
+    return f"""
+    img AS (
+      SELECT doc_id, 16 + doc_id % 240 AS w, 16 + (doc_id * 7) % 240 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+      SELECT doc_id,
+             list_transform(range(0, 8),
+               i -> {rhe('i * ((h - 1) / 7.0)')}) AS ys,
+             list_transform(range(0, 9),
+               i -> {rhe('i * ((w - 1) / 8.0)')}) AS xs
+      FROM img
+    ),
+    fp AS (
+      SELECT doc_id AS id,
+             list_sum(list_transform(range(0, 32),
+               i -> ({bit}) << (i % 32)::INT))::BIGINT AS w0,
+             list_sum(list_transform(range(32, 64),
+               i -> ({bit}) << ((i - 32) % 32)::INT))::BIGINT AS w1
+      FROM grid
+    )
+    """
+
+
+@query(
+    "image_dhash_fingerprints",
+    oracle=None,  # filled below
+    tags=("multimodal", "llm", "dedup", "perceptual"),
+)
+def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual 64-bit dHash fingerprints of real decoded PNGs: the
+    synthesized asset table's image payloads are fully valid PNGs of a
+    closed-form pixel pattern; Spark decodes the actual bytes
+    (pillow or the pure-stdlib PNG decoder) and hashes the pixels
+    (operators/multimodal.py:494), while the oracle recomputes the hash
+    from the pattern formula — byte round-trip, decoder, grayscale,
+    resample grid and bit packing all value-checked."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.synthesize_assets(docs, pixels=True).filter(
+        F.col("modality") == "image"
+    )
+    return MM.image_dhash(assets)
+
+
+@query(
+    "image_near_pairs",
+    oracle=None,  # filled below
+    tags=("multimodal", "llm", "dedup", "perceptual", "hamming"),
+)
+def image_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs at Hamming <= 6 over the dHash
+    fingerprints, through the shared pigeonhole-banded machinery
+    (operators/dedup.py:654 — 16-bit chunk equi-join candidates, exact
+    popcount verify; banding is COMPLETE for <= chunks-1 differing
+    bits, so the oracle's brute-force pair scan is the same row set)."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.synthesize_assets(docs, pixels=True).filter(
+        F.col("modality") == "image"
+    )
+    return MM.image_near_pairs(assets, max_hamming=6, max_band_freq=None)
+
+
+_Q["duplicate_spans"] = _dc.replace(
+    _Q["duplicate_spans"], oracle=_duplicate_spans_sql()
+)
+_Q["jl_projection"] = _dc.replace(_Q["jl_projection"], oracle=_jl_sql())
+_Q["image_dhash_fingerprints"] = _dc.replace(
+    _Q["image_dhash_fingerprints"],
+    oracle=f"WITH {_dhash_fp_sql()} SELECT id, w0, w1 FROM fp",
+)
+_Q["image_near_pairs"] = _dc.replace(
+    _Q["image_near_pairs"],
+    oracle=f"""
+    WITH {_dhash_fp_sql()}
+    SELECT a.id AS id_a, b.id AS id_b,
+           (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::INT
+             AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 6
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Composed curation waterfall
+
+@query(
+    "curate_waterfall",
+    oracle=None,  # filled below (reuses text_queries' quality/lang fragments)
+    tags=("llm", "pipeline", "curation"),
+)
+def curate_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call curation pipeline's waterfall report
+    (operators/curate.py:45) with the quality and language gates on:
+    each document counts against the FIRST stage that rejects it
+    (empty -> exact_dup -> quality -> language), the exact-dup keeper
+    is elected among gate-passing digest-mates (the r5 election fix),
+    and dropped-per-stage plus survivors sums to the input exactly."""
+    from s3_access_logs_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = curate_corpus(docs, min_quality=0.5, langs=("en",))
+    return report
+
+
+def _curate_waterfall_sql() -> str:
+    from s3_access_logs_spark.plans.text_queries import (
+        SQL_WORDS,
+        _lang_hits_sql,
+    )
+
+    q_expr = f"""
+        0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+        + 0.3 * (len(list_distinct(toks))::DOUBLE
+                 / greatest(len(toks), 1)::DOUBLE)
+        + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
+                      / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0)
+    """
+    is_en = f"""
+        {_lang_hits_sql('en')} = greatest({_lang_hits_sql('en')},
+            {_lang_hits_sql('de')}, {_lang_hits_sql('es')},
+            {_lang_hits_sql('fr')}, {_lang_hits_sql('zh')})
+        AND {_lang_hits_sql('en')} > 0
+    """
+    return f"""
+    WITH t AS (SELECT doc_id, text, {SQL_WORDS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, text,
+             (text IS NULL OR trim(text) = '') AS f_empty,
+             COALESCE(({q_expr}) < 0.5, FALSE) AS f_quality,
+             NOT COALESCE({is_en}, FALSE) AS f_language
+      FROM t
+    ),
+    e AS (
+      SELECT *,
+             (ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g')))
+                ORDER BY (f_empty OR f_quality OR f_language)::INT, doc_id)
+              > 1) AND NOT f_empty AS f_exact
+      FROM f
+    ),
+    v AS (
+      SELECT CASE WHEN f_empty THEN 'empty'
+                  WHEN f_exact THEN 'exact_dup'
+                  WHEN f_quality THEN 'quality'
+                  WHEN f_language THEN 'language'
+                  ELSE 'kept' END AS stage
+      FROM e
+    )
+    SELECT stage, COUNT(*) AS dropped FROM v
+    WHERE stage <> 'kept' GROUP BY stage
+    """
+
+
+_Q["curate_waterfall"] = _dc.replace(
+    _Q["curate_waterfall"], oracle=_curate_waterfall_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries: iterative numeric training (no SQL-expressible oracle;
+# the driver records the documented weaker rows-only check)
+
+@query(
+    "quality_classifier_scores",
+    oracle=None,
+    tags=("llm", "quality", "classifier", "rows-only"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/quality_classifier.py): train
+    hashed-BoW logistic regression with heuristic-score labels (top vs
+    bottom quality halves of the corpus), score every document. L-BFGS
+    coefficient values depend on float summation order, so this is the
+    documented rows-only entry — one row per document, always."""
+    from s3_access_logs_spark.functions.text import quality_score
+    from s3_access_logs_spark.operators.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("_q", quality_score("text"))
+    model = train_quality_classifier(
+        scored.filter(F.col("_q") >= 0.5),
+        scored.filter(F.col("_q") < 0.5),
+        num_features=1 << 14,
+    )
+    return score_quality(docs, model).select(
+        "doc_id", F.round("quality_prob", 4).alias("prob4")
+    )
+
+
+@query(
+    "kmeans_assignments",
+    oracle=None,
+    tags=("similarity", "llm", "kmeans", "rows-only"),
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (operators/similarity.py:168):
+    deterministic hash seeding, broadcast-assign + per-dim mean per
+    iteration, corpus never shuffles. Lloyd's is iterative with a
+    driver-side convergence check — not SQL-expressible, so rows-only:
+    one assignment row per vector, always."""
+    from s3_access_logs_spark.operators.similarity import (
+        _assign_clusters,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, max_iter=5)
+    return _assign_clusters(emb, centroids, "embedding", 1).select(
+        "vec_id", "cluster"
+    )
+
+
+@query(
+    "embedding_pq_topk",
+    oracle=None,
+    tags=("similarity", "llm", "ann", "pq", "rows-only"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/similarity.py:863,987):
+    per-subspace hyperplane-bucket codebooks whose per-dimension means
+    are float aggregates (summation-order sensitive before rounding —
+    hence rows-only), 32x-compressed codes, asymmetric-distance top-5
+    for 4 query vectors. 20 result rows, always."""
+    from s3_access_logs_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = train_pq_codebook(emb, dims=64, m=8)
+    encoded = pq_encode(emb, codebook, dims=64, m=8)
+    queries = emb.filter(F.col("vec_id") < 4)
+    return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
