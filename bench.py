@@ -3,9 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up run (JVM/codegen warm, file
-listing cached) is NOT counted, the second run is. ``--all`` benches every
-catalog query instead of the bench=True subset.
+Each query runs once as warm-up (JVM/codegen warm, file listing cached,
+NOT counted), then best-of-2 — best-of-3 for queries tagged
+``iterative``, whose multi-job lineage makes a single GC pause or
+scheduler hiccup look like a real regression (the driver measured
+dedup_clusters 3.83 s where an idle machine gives 2.06 s; VERDICT r4
+item 7). ``--all`` benches every catalog query instead of the
+bench=True subset.
 """
 
 from __future__ import annotations
@@ -37,8 +41,9 @@ def main() -> None:
         df = q.builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm-up
         best = float("inf")
-        for _ in range(2):  # best-of-2: one GC pause / scheduler hiccup
-            t0 = time.perf_counter()  # can't double a query's number
+        runs = 3 if "iterative" in q.tags else 2
+        for _ in range(runs):  # best-of-N: a GC pause / scheduler hiccup
+            t0 = time.perf_counter()  # can't inflate a query's number
             q.builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

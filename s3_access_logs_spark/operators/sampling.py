@@ -105,6 +105,7 @@ def temperature_mixture(
     alpha: float = 0.7,
     target_rows: int | None = None,
     salt: str = "temp0:",
+    max_sources: int = 100_000,
 ) -> DataFrame:
     """Temperature-weighted source mixing — the ``count^alpha`` re-balancing
     LLM data recipes apply so giant web crawls don't drown small
@@ -123,8 +124,25 @@ def temperature_mixture(
     the recipe demands it).
 
     Returns rows with a ``_keep_rate`` column (diagnostics; drop it for
-    training)."""
+    training).
+
+    ``max_sources`` bounds the driver-side per-source collect: the
+    design assumes NAMED corpus sources (dozens to thousands). A caller
+    passing a high-cardinality column (a URL, a doc id) as
+    ``source_col`` would otherwise collect one row per distinct value —
+    a driver OOM presenting as a mystery crash. The guard costs one
+    bounded ``limit(max_sources+1)`` count and fails loudly instead
+    (ADVICE r4 / VERDICT r4 item 4)."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    if counts.limit(max_sources + 1).count() > max_sources:
+        raise ValueError(
+            f"temperature_mixture: more than {max_sources} distinct "
+            f"values in {source_col!r} — this operator derives one "
+            "driver-side rate per SOURCE and expects named corpus "
+            "sources, not a high-cardinality key. Group sources "
+            "coarser, or raise max_sources if the cardinality is "
+            "genuinely intended."
+        )
     rows = counts.collect()
     if not rows:
         # empty input flows through as empty, not a crash — with the SAME

@@ -253,6 +253,7 @@ def ingest_documents_stream(
     bloom_store: str | None = None,
     bloom_num_bits: int | None = None,
     bloom_num_hashes: int | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -309,6 +310,14 @@ def ingest_documents_stream(
     State lives entirely in the stores (no streaming state store), so
     the watermark-vs-state-size tradeoff never arises and the stores
     double as the batch pipeline's inputs.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many input
+    files. Without it, ``availableNow`` drains a BACKLOGGED directory
+    (a stream restarted after days down) as one giant micro-batch whose
+    digest shuffle and store joins must fit executor memory all at
+    once; with it the catch-up proceeds in bounded batches, each with
+    its own ``batch_id`` partition and replay safety — identical final
+    store state, bounded peak footprint (VERDICT r4 item 8).
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -334,7 +343,10 @@ def ingest_documents_stream(
             "passed together — one without the other disables the LM "
             "gate silently"
         )
-    docs = spark.readStream.schema(schema).json(src)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(src)
     if lm_model is not None:
         # materialize ONCE, outside the batch loop: the model is
         # broadcast-sized by construction (train_bigram_lm caps both
@@ -873,6 +885,7 @@ def ingest_assets_stream(
     fingerprint_fn=None,
     max_hamming: int = 3,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming multimodal asset ingestion: parquet files of
     ``(asset_id long, payload binary)`` land in ``src``; each micro-batch
@@ -902,7 +915,10 @@ def ingest_assets_stream(
     survivors and bands write under ``batch_id=<n>`` with dynamic
     partition overwrite, and bands append only after the asset write so
     a crash between the two loses future detections, never assets.
-    ``compact_ingest_store`` folds both stores."""
+    ``compact_ingest_store`` folds both stores.
+    ``max_files_per_trigger`` bounds catch-up batches exactly as in
+    :func:`ingest_documents_stream` — asset payloads are large, so an
+    unbounded backlog drain is even more memory-hostile here."""
     from s3_access_logs_spark.operators.dedup import hamming_incremental
 
     if fingerprint_fn is None:
@@ -910,9 +926,10 @@ def ingest_assets_stream(
 
         fingerprint_fn = image_dhash
 
-    assets = spark.readStream.schema(
-        "asset_id long, payload binary"
-    ).parquet(src)
+    reader = spark.readStream.schema("asset_id long, payload binary")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    assets = reader.parquet(src)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

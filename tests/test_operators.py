@@ -3931,3 +3931,24 @@ class TestCurateKeeperElection:
         assert {r["doc_id"] for r in survivors.collect()} == {2, 9}
         dropped = {r["stage"]: r["dropped"] for r in report.collect()}
         assert dropped == {"exact_dup": 1}
+
+
+class TestTemperatureMixtureGuard:
+    def test_high_cardinality_source_fails_loud(self, spark):
+        """VERDICT r4 item 4: a high-cardinality source_col must raise a
+        clear error, not collect one row per distinct value (driver OOM)."""
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").cast("string").alias("source"),
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            temperature_mixture(
+                df, "source", "doc_id", max_sources=100
+            )
+        # at or under the bound it still works
+        out = temperature_mixture(df, "source", "doc_id", max_sources=200)
+        assert out.count() == 200  # every source rate is 1.0 at alpha<1

@@ -1619,3 +1619,57 @@ class TestAdviceR5Fixes:
             assert spark.read.parquet(store).count() == 1
         finally:
             spark.conf.set(key, prev)
+
+
+class TestBoundedCatchUp:
+    def test_backlog_drains_in_bounded_batches(self, spark, tmp_path):
+        """VERDICT r4 item 8: a pre-populated (backlogged) source dir
+        under availableNow + maxFilesPerTrigger drains as SEVERAL
+        bounded micro-batches — one batch_id partition per file here —
+        with the same final store state as an unbounded drain."""
+        import json
+        import os
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        rows = [
+            {"doc_id": 1, "text": "alpha beta gamma delta"},
+            {"doc_id": 2, "text": "epsilon zeta eta theta"},
+            {"doc_id": 3, "text": "ALPHA  beta gamma delta"},  # dup of 1
+            {"doc_id": 4, "text": "iota kappa lambda mu nu"},
+        ]
+        for variant in ("bounded", "unbounded"):
+            src = tmp_path / f"in_{variant}"
+            src.mkdir()
+            for i, r in enumerate(rows):  # one file per doc = a backlog
+                p = src / f"d{r['doc_id']}.jsonl"
+                p.write_text(json.dumps(r) + "\n")
+                # explicit increasing mtimes: the file source orders the
+                # backlog by timestamp, and the dedup outcome (doc 1
+                # beats its later dup, doc 3) depends on that order
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            store = str(tmp_path / f"store_{variant}")
+            ingest_documents_stream(
+                spark, str(src), store, str(tmp_path / f"ckpt_{variant}"),
+                max_files_per_trigger=(
+                    1 if variant == "bounded" else None
+                ),
+            ).awaitTermination(120)
+            parts = sorted(
+                d for d in os.listdir(store) if d.startswith("batch_id=")
+            )
+            kept = {
+                (r.keep_id, r.text)
+                for r in spark.read.parquet(store).collect()
+            }
+            if variant == "bounded":
+                # four bounded single-file batches ran (ids 0..3); the
+                # dup's batch had no survivors, so no partition for it
+                assert parts == ["batch_id=0", "batch_id=1", "batch_id=3"]
+                bounded_kept = kept
+            else:
+                assert len(parts) == 1  # one giant batch without the cap
+        # same final corpus either way (doc 3 deduped against doc 1 —
+        # across batches in the bounded drain, within the batch otherwise)
+        assert {k for k, _ in bounded_kept} == {1, 2, 4}
+        assert bounded_kept == kept
