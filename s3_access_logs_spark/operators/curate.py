@@ -64,6 +64,9 @@ def curate_corpus(
     min_line_ratio: float | None = None,
     boilerplate_min_docs: int | None = None,
     dst: str | None = None,
+    digest_store: str | None = None,
+    band_store: str | None = None,
+    store_batch_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -88,6 +91,26 @@ def curate_corpus(
     ``boilerplate_min_docs`` cutting lines shared by that many distinct
     documents (operators.dedup.drop_boilerplate_lines; the one
     corpus-wide transform). Survivors carry the transformed text.
+
+    INCREMENTAL mode (VERDICT r4 item 5): ``digest_store`` /
+    ``band_store`` point the exact-dup and near-dup stages at the same
+    append-only hive stores the streaming ingest maintains
+    (streaming/pipeline.py:ingest_documents_stream), so a daily crawl
+    batch curates against corpus HISTORY, not just itself. A document
+    whose normalized digest is already committed drops as ``exact_dup``
+    (the whole digest group — there is no keeper to elect against
+    history); a gate-passing document whose MinHash bands collide with
+    the stored bands drops as ``near_dup`` (and is excluded from the
+    within-batch clustering so it cannot be elected a keeper that then
+    vanishes). With ``store_batch_id`` set (non-negative; negative ids
+    are the fold base), the batch's surviving digests (and bands, when
+    ``band_store`` is given) append under ``batch_id=<n>`` with dynamic
+    partition overwrite — the identical replay-idempotent layout the
+    streaming gates read, the digest partition committing before the
+    band partition (a crash between them loses future detections,
+    never documents). Reads exclude the current ``store_batch_id`` so
+    an at-least-once rerun never self-collides. Without
+    ``store_batch_id`` the stores are read-only gates.
 
     ``dst`` is the production path: survivors are written to parquet
     while the call's scoped cache is live and the returned frame is the
@@ -126,6 +149,19 @@ def curate_corpus(
             "curate_corpus: min_line_ratio needs line_clean=True — the "
             "ratio is defined by the line filter's verdicts"
         )
+    if store_batch_id is not None:
+        if digest_store is None and band_store is None:
+            raise ValueError(
+                "curate_corpus: store_batch_id without digest_store or "
+                "band_store appends nothing — pass a store path, or drop "
+                "the batch id"
+            )
+        if store_batch_id < 0:
+            raise ValueError(
+                f"curate_corpus: store_batch_id must be non-negative "
+                f"(negative ids are compact_ingest_store's fold base), "
+                f"got {store_batch_id}"
+            )
     _line_ratio = None
     if line_clean:
         from s3_access_logs_spark.functions.text import (
@@ -260,6 +296,42 @@ def curate_corpus(
         "_f_exact_dup",
         (F.row_number().over(w) > 1) & ~F.col("_f_empty"),
     ).drop("_gate_fail")
+    if digest_store is not None:
+        # history gate: a digest already committed to the store drops the
+        # WHOLE batch group (keeper included — history holds the keeper).
+        # Replay safety mirrors the streaming read: the current batch's
+        # own partition is excluded so a rerun never self-collides.
+        from s3_access_logs_spark.sources.fsutil import has_data_files
+
+        sess = docs.sparkSession
+        if has_data_files(sess, digest_store):
+            hist = sess.read.parquet(digest_store)
+            if store_batch_id is not None:
+                hist = hist.filter(F.col("batch_id") != store_batch_id)
+            seen = (
+                hist.select(F.col("digest").alias("_seen_digest"))
+                .distinct()
+                .withColumn("_seen", F.lit(True))
+            )
+            flags = (
+                flags.withColumn(
+                    "_digest", normalized_digest(F.col(text_col))
+                )
+                .join(
+                    seen,
+                    F.col("_digest") == F.col("_seen_digest"),
+                    "left",
+                )
+                .withColumn(
+                    "_f_exact_dup",
+                    F.col("_f_exact_dup")
+                    | (
+                        F.coalesce(F.col("_seen"), F.lit(False))
+                        & ~F.col("_f_empty")
+                    ),
+                )
+                .drop("_seen_digest", "_seen", "_digest")
+            )
     # The dedup stages run over the SURVIVORS of every other gate, not
     # the raw corpus: clustering raw docs could elect a keeper (min-id
     # representative / containment superset) that another gate already
@@ -280,11 +352,52 @@ def curate_corpus(
     # so the cache can release before returning and the survivors frame
     # never re-enters the expensive stages.
     _scoped: list[DataFrame] = []
-    if near_dup or drop_contained:
+    if near_dup or drop_contained or band_store is not None:
         flags = flags.persist()
         _scoped.append(flags)
+    _bands_for_append = None
+    if band_store is not None:
+        # history near-dup gate BEFORE within-batch clustering: a doc
+        # colliding with the stored bands must drop, and excluding it
+        # from the clustering below keeps it from being elected a
+        # keeper whose batch-mates vanish with it.
+        from s3_access_logs_spark.operators.dedup import (
+            near_dup_incremental,
+        )
+        from s3_access_logs_spark.sources.fsutil import has_data_files
+
+        sess = docs.sparkSession
+        if has_data_files(sess, band_store):
+            hist_bands = sess.read.parquet(band_store)
+            if store_batch_id is not None:
+                hist_bands = hist_bands.filter(
+                    F.col("batch_id") != store_batch_id
+                )
+            seen_bands = hist_bands.select("id", "band_idx", "band_key")
+        else:
+            seen_bands = sess.createDataFrame(
+                [], "id long, band_idx int, band_key string"
+            )
+        eligible0 = flags.filter(eligible_pred).select(id_col, text_col)
+        hits, _bands_for_append = near_dup_incremental(
+            eligible0, seen_bands, id_col=id_col, text_col=text_col
+        )
+        store_hits = (
+            hits.select(F.col("new_id").alias(id_col))
+            .distinct()
+            .withColumn("_bhit", F.lit(True))
+            .localCheckpoint()
+        )
+        flags = flags.join(store_hits, id_col, "left").withColumn(
+            "_f_near_dup_store",
+            F.coalesce(F.col("_bhit"), F.lit(False)),
+        ).drop("_bhit")
+    else:
+        flags = flags.withColumn("_f_near_dup_store", F.lit(False))
     if near_dup:
-        eligible = flags.filter(eligible_pred).select(id_col, text_col)
+        eligible = flags.filter(
+            eligible_pred & ~F.col("_f_near_dup_store")
+        ).select(id_col, text_col)
         clusters = dedup_clusters(
             eligible, id_col=id_col, text_col=text_col
         )
@@ -296,6 +409,9 @@ def curate_corpus(
         ).drop("cluster_id")
     else:
         flags = flags.withColumn("_f_near_dup", F.lit(False))
+    flags = flags.withColumn(
+        "_f_near_dup", F.col("_f_near_dup") | F.col("_f_near_dup_store")
+    ).drop("_f_near_dup_store")
     if drop_contained:
         from s3_access_logs_spark.operators.dedup import containment_pairs
 
@@ -343,6 +459,39 @@ def curate_corpus(
             .filter(F.col("stage") != "kept")
             .collect()
         )
+        if store_batch_id is not None:
+            # incremental append, streaming-sink ordering: the digest
+            # (document) partition commits BEFORE the band partition —
+            # a crash between the two loses future near-dup detections,
+            # never documents — and both are dynamic-overwrite keyed on
+            # batch_id, so an at-least-once rerun rewrites exactly its
+            # own partitions. Reads above excluded this batch_id, so
+            # the rerun's gates see only true history.
+            if digest_store is not None:
+                (
+                    survivors.select(
+                        normalized_digest(F.col(text_col)).alias("digest"),
+                        F.col(id_col).alias("keep_id"),
+                        F.col(text_col).alias("text"),
+                    )
+                    .dropDuplicates(["digest"])
+                    .withColumn("batch_id", F.lit(store_batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(digest_store)
+                )
+            if band_store is not None:
+                (
+                    _bands_for_append.join(
+                        survivors.select(F.col(id_col).alias("id")), "id"
+                    )
+                    .withColumn("batch_id", F.lit(store_batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(band_store)
+                )
         if dst is not None:
             # production path: materialize survivors WHILE the scoped
             # cache is live (the write reads the cached flags, not the

@@ -3952,3 +3952,158 @@ class TestTemperatureMixtureGuard:
         # at or under the bound it still works
         out = temperature_mixture(df, "source", "doc_id", max_sources=200)
         assert out.count() == 200  # every source rate is 1.0 at alpha<1
+
+
+class TestIvfPqRefine:
+    def test_refine_beats_adc_only_recall(self, spark, tmp_path):
+        """VERDICT r4 item 6: the two-stage refine (ADC top-k' -> exact
+        re-rank over only those candidates' full vectors) must recover
+        recall@k lost to PQ quantization, with the refine read id-pruned
+        and the probe plan still partition-pruned."""
+        from pyspark.sql import Window
+
+        from s3_access_logs_spark.functions.vectors import l2_distance
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivfpq_index,
+            probe_ivfpq_index,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 4)
+        dst = str(tmp_path / "ivfpq")
+        cents, cb = build_ivfpq_index(emb, dst)
+
+        k, nprobe = 10, 4
+        adc = probe_ivfpq_index(
+            spark, dst, queries, cents, cb, k=k, nprobe=nprobe
+        )
+        refined = probe_ivfpq_index(
+            spark, dst, queries, cents, cb, k=k, nprobe=nprobe,
+            refine_corpus=emb, refine_factor=5,
+        )
+        # schema switches to exact distances; plan stays partition-pruned
+        assert refined.columns == ["query_id", "neighbor_id", "rank", "dist"]
+        rows = refined.collect()
+        assert len(rows) == 4 * k
+
+        # ground truth: exact L2 top-k over the whole corpus
+        scored = (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_vec"),
+            )
+            .join(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"),
+                ),
+                F.col("query_id") != F.col("neighbor_id"),
+            )
+            .withColumn("d", l2_distance("q_vec", "c_vec"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id")
+        )
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .collect()
+        }
+        adc_set = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+        ref_set = {(r.query_id, r.neighbor_id) for r in rows}
+        adc_recall = len(exact & adc_set) / len(exact)
+        ref_recall = len(exact & ref_set) / len(exact)
+        # the refine re-orders the SAME candidate pool by the exact
+        # metric, so it can only match or beat ADC ordering — and on
+        # these fixtures it must strictly beat it
+        assert ref_recall > adc_recall
+
+        # within the probed candidate pool, refine@k is optimal: every
+        # ground-truth neighbor it misses must live in an unprobed
+        # cluster, so widening refine_factor alone never loses results
+        wider = probe_ivfpq_index(
+            spark, dst, queries, cents, cb, k=k, nprobe=nprobe,
+            refine_corpus=emb, refine_factor=8,
+        )
+        wide_set = {(r.query_id, r.neighbor_id) for r in wider.collect()}
+        assert len(exact & wide_set) >= len(exact & ref_set)
+
+
+class TestCurateIncremental:
+    def test_batch2_dedups_against_batch1_history(self, spark, tmp_path):
+        """VERDICT r4 item 5: curate_corpus wired to the digest/band
+        stores — a daily batch curates against corpus history. Batch 2
+        carries an exact dup and an edited near-dup of batch-1 docs;
+        both drop, the waterfall attributes them, and the stores grow
+        one replay-idempotent batch_id partition per run."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        dstore = str(tmp_path / "digests")
+        bstore = str(tmp_path / "bands")
+        base = (
+            "the quick brown fox jumps over the lazy dog and then it runs "
+            "far away into the deep green forest to rest for a long while"
+        )
+        other = (
+            "completely unrelated fresh content about cooking pasta with "
+            "garlic and olive oil for dinner again tonight with friends"
+        )
+        b1 = spark.createDataFrame(
+            [(1, base), (2, other)], ["doc_id", "text"]
+        )
+        s1, r1 = curate_corpus(
+            b1, digest_store=dstore, band_store=bstore, store_batch_id=0
+        )
+        assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+        assert spark.read.parquet(dstore).count() == 2
+
+        b2 = spark.createDataFrame(
+            [
+                (10, base),                          # exact dup of doc 1
+                (11, base + " minor footer edit"),   # near dup of doc 1
+                (12, "entirely new material on growing tomatoes in small "
+                     "gardens with plenty of afternoon sun and rich soil"),
+            ],
+            ["doc_id", "text"],
+        )
+        s2, r2 = curate_corpus(
+            b2, digest_store=dstore, band_store=bstore, store_batch_id=1
+        )
+        assert {r["doc_id"] for r in s2.collect()} == {12}
+        dropped = {r["stage"]: r["dropped"] for r in r2.collect()}
+        assert dropped == {"exact_dup": 1, "near_dup": 1}
+        # stores carry exactly the survivors' history
+        dig = spark.read.parquet(dstore)
+        assert {r.keep_id for r in dig.collect()} == {1, 2, 12}
+        band_ids = {r.id for r in spark.read.parquet(bstore).collect()}
+        assert band_ids == {1, 2, 12}
+
+        # at-least-once rerun of batch 2: same verdicts, no store dupes
+        s2b, r2b = curate_corpus(
+            b2, digest_store=dstore, band_store=bstore, store_batch_id=1
+        )
+        assert {r["doc_id"] for r in s2b.collect()} == {12}
+        assert spark.read.parquet(dstore).count() == 3
+
+    def test_read_only_gate_and_guards(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        dstore = str(tmp_path / "digests")
+        b1 = spark.createDataFrame(
+            [(1, "some document body here")], ["doc_id", "text"]
+        )
+        curate_corpus(b1, digest_store=dstore, store_batch_id=0)
+        # read-only: no store_batch_id -> gate fires, nothing appended
+        b2 = spark.createDataFrame(
+            [(5, "some document body here"), (6, "another body entirely")],
+            ["doc_id", "text"],
+        )
+        s, r = curate_corpus(b2, digest_store=dstore)
+        assert {row["doc_id"] for row in s.collect()} == {6}
+        assert {row.keep_id for row in spark.read.parquet(dstore).collect()} == {1}
+        with pytest.raises(ValueError, match="appends nothing"):
+            curate_corpus(b2, store_batch_id=3)
+        with pytest.raises(ValueError, match="non-negative"):
+            curate_corpus(b2, digest_store=dstore, store_batch_id=-1)
