@@ -419,3 +419,116 @@ class TestFingerprintReviewFixes:
         # alpha must not leak into the hash: the pillow path strips it,
         # the pure-PNG path keeps it — both must agree
         assert MM._dhash_one(rgb) == MM._dhash_one(rgba)
+
+
+class TestRealCodecFallback:
+    """VERDICT r4 item 2: real-codec payloads reach the perceptual gates
+    when PyAV is installed; posture unchanged (drop, never crash) when
+    it is absent. The encode-side fixtures need the codec lib too, so
+    those tests importorskip."""
+
+    def test_posture_without_codec_lib(self, spark):
+        # an MP3-looking payload (ID3 magic) with no codec lib present:
+        # every fingerprint path must DROP the row, not crash the batch
+        fake_mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb" * 64
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(fake_mp3))], MM.ASSET_TYPE
+        )
+        try:
+            import av  # noqa: F401
+
+            # with PyAV present this payload is undecodable junk anyway
+        except ImportError:
+            pass
+        assert MM.audio_fingerprint(df).count() == 0
+        assert MM.video_fingerprint(df).count() == 0
+        assert MM.image_dhash(df).count() == 0
+
+    def test_av_audio_fingerprint_real_codec(self, spark):
+        av = __import__("pytest").importorskip("av")
+        import io
+
+        import numpy as np
+
+        # a 1 s 8 kHz tone-sweep WAV and its MP3 transcode must land in
+        # the same fingerprint space with small Hamming distance
+        sr, n = 8000, 8000
+        t = np.arange(n) / sr
+        pcm = (
+            np.sin(2 * np.pi * (200 + 400 * t) * t) * 20000
+        ).astype("<i2")
+        wav = MM._wav_bytes(sr, n, pcm.tobytes())
+
+        buf = io.BytesIO()
+        out = av.open(buf, "w", format="mp3")
+        stream = out.add_stream("mp3", rate=sr)
+        frame = av.AudioFrame.from_ndarray(
+            pcm.reshape(1, -1), format="s16", layout="mono"
+        )
+        frame.sample_rate = sr
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+        out.close()
+        mp3 = buf.getvalue()
+
+        fp_wav = MM._audio_fingerprint_one(wav)
+        fp_mp3 = MM._audio_fingerprint_one(mp3)
+        assert fp_wav is not None and fp_mp3 is not None
+        ham = bin(
+            (fp_wav[0] ^ fp_mp3[0]) | ((fp_wav[1] ^ fp_mp3[1]) << 32)
+        ).count("1")
+        assert ham <= 8  # lossy transcode, same energy envelope
+
+    def test_av_video_fingerprint_real_codec(self, spark):
+        av = __import__("pytest").importorskip("av")
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        out = av.open(buf, "w", format="mp4")
+        stream = out.add_stream("h264", rate=10)
+        stream.width, stream.height = 64, 64
+        stream.pix_fmt = "yuv420p"
+        for i in range(24):  # brightness ramps up then down
+            level = 40 + (i * 16 if i < 12 else (24 - i) * 16)
+            img = np.full((64, 64, 3), min(level, 255), dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for pkt in stream.encode(frame):
+                out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+        out.close()
+        fp = MM._video_fingerprint_one(buf.getvalue())
+        assert fp is not None  # decoded via the PyAV fallback
+
+    def test_av_jpeg_pixels(self, spark):
+        av = __import__("pytest").importorskip("av")
+        try:
+            import PIL  # noqa: F401
+
+            __import__("pytest").skip("pillow present: PIL path wins")
+        except ImportError:
+            pass
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        out = av.open(buf, "w", format="image2", options={})
+        stream = out.add_stream("mjpeg")
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuvj420p"
+        img = MM.image_pixels(7, 32, 24)
+        frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+        for pkt in stream.encode(frame):
+            out.mux(pkt)
+        for pkt in stream.encode(None):
+            out.mux(pkt)
+        out.close()
+        arr = MM._decode_pixels_one(buf.getvalue())
+        assert arr is not None and arr.shape == (24, 32, 3)
+        # lossy JPEG: demand closeness, not equality
+        assert float(np.abs(arr.astype(int) - img.astype(int)).mean()) < 24
