@@ -45,6 +45,7 @@ PARA = "chr(10) || chr(10)"
     "containment_pairs",
     oracle=None,  # filled below (generated SQL, shares text_queries fragments)
     tags=("dedup", "llm", "containment"),
+    bench=True,
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (|A ∩ B| / min(|A|,|B|) >= 0.5)
@@ -580,7 +581,8 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source
     )
     SELECT source,
-           CASE t.i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5 ELSE 0.9 END AS q,
+           (CASE t.i WHEN 1 THEN 0.25 WHEN 2 THEN 0.5 ELSE 0.9 END)::DOUBLE
+             AS q,
            ROUND(vs[t.i]::DOUBLE, 6) AS value
     FROM q, unnest(range(1, 4)) AS t(i)
     """,
@@ -712,6 +714,7 @@ _Q["cms_token_frequencies"] = _dc.replace(
     "duplicate_spans",
     oracle=None,  # filled below (generated winnowing SQL)
     tags=("dedup", "llm", "winnowing", "spans"),
+    bench=True,
 )
 def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document verbatim-span detection (winnowing fingerprints ->
@@ -719,10 +722,11 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:1098) over documents plus synthesized copies:
     every 5th doc spawns id+10000 carrying 120 characters lifted from
     offset 10 inside new framing text — a guaranteed verbatim copy well
-    past the t = window+k-1 = 20 detection threshold. k=8/window=13
-    with the portable md5 selection hash so the DuckDB oracle replays
-    the exact fingerprint selection; natural 20+-char repeats between
-    word-soup documents are detected identically on both sides."""
+    past the t = window+k-1 = 50 detection threshold. Runs at the
+    PRODUCTION parameters (k=8, window=43, hot-gram cap 1000) with the
+    portable md5 selection hash so the DuckDB oracle replays the exact
+    fingerprint selection; natural 50+-char repeats between word-soup
+    documents are detected identically on both sides."""
     docs = load_table(spark, sf_dir, "documents")
     copies = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"),
@@ -732,10 +736,10 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     inp = docs.select("doc_id", "text").unionByName(copies)
-    return D.duplicate_spans(inp, k=8, window=13, portable_hash=True)
+    return D.duplicate_spans(inp, portable_hash=True)
 
 
-def _duplicate_spans_sql(k: int = 8, window: int = 13) -> str:
+def _duplicate_spans_sql(k: int = 8, window: int = 43) -> str:
     t = window + k - 1
     return f"""
     WITH inp AS (
