@@ -1112,3 +1112,221 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio / video perceptual fingerprints (closed-form oracle: the synthesized
+# WAV body is the ASCII document text as little-endian int16 PCM, the MVID
+# frames are the (i*31+j*7)%256 pattern — both recomputable in SQL)
+
+def _rhe(v: str) -> str:
+    """Round-half-even (numpy .round()) as SQL; ties only occur on
+    power-of-two divisors, where the CASE picks the even floor."""
+    return (
+        f"(floor({v}) + CASE WHEN ({v}) - floor({v}) > 0.5 "
+        f"OR (({v}) - floor({v}) = 0.5 AND (floor({v})::BIGINT % 2) = 1) "
+        f"THEN 1 ELSE 0 END)::BIGINT"
+    )
+
+
+def _audio_fp_sql() -> str:
+    byte = lambda idx: f"ord(text[({idx})::INT])"
+    raw = f"({byte('2*j+1')} + 256 * {byte('2*j+2')})"
+    smp = f"CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END"
+    edge = (
+        f"CASE WHEN i = 65 THEN n ELSE {_rhe('i * (n / 65.0)')} END"
+    )
+    win = (
+        "CASE WHEN ed[wi+2] > ed[wi+1] THEN "
+        "list_sum(list_transform(smp[(ed[wi+1]+1)::INT:(ed[wi+2])::INT], "
+        "x -> x * x))::DOUBLE / (ed[wi+2] - ed[wi+1]) ELSE 0.0 END"
+    )
+    bit = "CASE WHEN en[i+2] > en[i+1] THEN 1::BIGINT ELSE 0::BIGINT END"
+    return f"""
+    WITH aud AS (
+      SELECT doc_id, text, (length(text) // 2)::BIGINT AS n FROM documents
+      WHERE doc_id % 3 = 1 AND length(text) // 2 >= 65
+    ),
+    s AS (SELECT doc_id, n,
+                 list_transform(range(0, n), j -> {smp}) AS smp
+          FROM aud),
+    ed AS (SELECT doc_id, smp,
+                  list_transform(range(0, 66), i -> {edge}) AS ed
+           FROM s),
+    en AS (SELECT doc_id,
+                  list_transform(range(0, 65), wi -> {win}) AS en
+           FROM ed),
+    fp AS (SELECT doc_id AS id,
+                  list_sum(list_transform(range(0, 32),
+                    i -> ({bit}) << (i % 32)::INT))::BIGINT AS w0,
+                  list_sum(list_transform(range(32, 64),
+                    i -> ({bit}) << ((i - 32) % 32)::INT))::BIGINT AS w1
+           FROM en)
+    SELECT id, w0, w1 FROM fp
+    """
+
+
+@query(
+    "audio_fingerprints",
+    oracle=None,  # filled below
+    tags=("multimodal", "llm", "dedup", "perceptual", "audio"),
+)
+def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit audio energy-envelope fingerprints of real WAV containers
+    (operators/multimodal.py:595): Spark walks the RIFF chunks, extracts
+    int16 PCM, frames 65 energy windows and packs rise bits; the oracle
+    recomputes every bit from the ASCII text the synthesized WAV wraps —
+    chunk walk, sample decode, numpy-parity window edges and packing all
+    value-checked. Sub-65-sample payloads drop (both sides)."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.synthesize_assets(docs).filter(F.col("modality") == "audio")
+    return MM.audio_fingerprint(assets)
+
+
+def _video_fp_sql() -> str:
+    fsum = (
+        "list_sum(list_transform(range(0, 16), "
+        "j -> (i * 31 + j * 7) % 256))::BIGINT"
+    )
+    idx = (
+        f"CASE WHEN i = 64 THEN nf - 1 "
+        f"ELSE {_rhe('i * ((nf - 1) / 64.0)')} END"
+    )
+    bit = (
+        "CASE WHEN sums[(ix[i+2]+1)::INT] > sums[(ix[i+1]+1)::INT] "
+        "THEN 1::BIGINT ELSE 0::BIGINT END"
+    )
+    return f"""
+    WITH vid AS (
+      SELECT doc_id, (1 + doc_id % 120)::BIGINT AS nf FROM documents
+      WHERE doc_id % 3 = 2 AND 1 + doc_id % 120 >= 2
+    ),
+    m AS (SELECT doc_id, nf,
+                 list_transform(range(0, nf), i -> {fsum}) AS sums
+          FROM vid),
+    ix AS (SELECT doc_id, sums,
+                  list_transform(range(0, 65), i -> {idx}) AS ix
+           FROM m),
+    fp AS (SELECT doc_id AS id,
+                  list_sum(list_transform(range(0, 32),
+                    i -> ({bit}) << (i % 32)::INT))::BIGINT AS w0,
+                  list_sum(list_transform(range(32, 64),
+                    i -> ({bit}) << ((i - 32) % 32)::INT))::BIGINT AS w1
+           FROM ix)
+    SELECT id, w0, w1 FROM fp
+    """
+
+
+@query(
+    "video_fingerprints",
+    oracle=None,  # filled below
+    tags=("multimodal", "llm", "dedup", "perceptual", "video"),
+)
+def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit video temporal-envelope fingerprints of real MVID
+    containers (operators/multimodal.py:649): per-frame mean brightness
+    resampled to 65 points, rise bits packed into the shared word
+    layout. The oracle recomputes every bit from the closed-form frame
+    pattern; single-frame payloads drop (no temporal structure), both
+    sides. Frame-mean comparisons are integer-sum comparisons, so the
+    check is exact."""
+    from s3_access_logs_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = MM.synthesize_assets(docs).filter(F.col("modality") == "video")
+    return MM.video_fingerprint(assets)
+
+
+_Q["audio_fingerprints"] = _dc.replace(
+    _Q["audio_fingerprints"], oracle=_audio_fp_sql()
+)
+_Q["video_fingerprints"] = _dc.replace(
+    _Q["video_fingerprints"], oracle=_video_fp_sql()
+)
+
+
+# ---------------------------------------------------------------------------
+# Span excision (completes the winnowing family: detect + excise)
+
+@query(
+    "cut_duplicate_spans",
+    oracle=None,  # filled below (reuses the duplicate_spans SQL as a CTE)
+    tags=("dedup", "llm", "winnowing", "spans"),
+)
+def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the detected verbatim spans (operators/dedup.py:1226):
+    excise each span from the HIGHER-id document of its pair (the lower
+    id keeps the canonical copy — Lee et al.'s remove-all-but-one),
+    merging overlapping cut intervals and rebuilding against ORIGINAL
+    offsets. Same synthesized input as ``duplicate_spans``; the oracle
+    re-derives the spans, merges intervals gaps-and-islands style and
+    stitches the surviving text, so the interval-merge fold and the
+    rebuild concatenation are value-checked character-for-character."""
+    from s3_access_logs_spark.functions.text import words  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.lit("prefix-"), F.col("doc_id").cast("string"), F.lit("> "),
+            F.substring("text", 10, 120), F.lit(" <copied"),
+        ).alias("text"),
+    )
+    inp = docs.select("doc_id", "text").unionByName(copies)
+    spans = D.duplicate_spans(inp, portable_hash=True)
+    return D.cut_duplicate_spans(inp, spans).select(
+        "doc_id", F.col("text").alias("cleaned")
+    )
+
+
+def _cut_spans_sql() -> str:
+    return f"""
+    WITH inp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             'prefix-' || doc_id || '> ' || substr(text, 10, 120)
+                       || ' <copied' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    sp AS ({_duplicate_spans_sql()}),
+    iv AS (SELECT id_b AS cid, start_b AS s, start_b + span_len AS e FROM sp),
+    o AS (SELECT cid, s, e,
+                 MAX(e) OVER (PARTITION BY cid ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax
+          FROM iv),
+    isl AS (SELECT *, SUM(CASE WHEN pmax IS NULL OR s > pmax
+                               THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY cid ORDER BY s, e) AS g
+            FROM o),
+    mi AS (SELECT cid, g, MIN(s) AS s, MAX(e) AS e
+           FROM isl GROUP BY cid, g),
+    seg AS (SELECT cid, s, e,
+                   LAG(e, 1, 0) OVER (PARTITION BY cid ORDER BY s)
+                     AS prev_e
+            FROM mi),
+    reb AS (
+      SELECT seg.cid,
+             string_agg(substr(t.text, (seg.prev_e + 1)::INT,
+                               (seg.s - seg.prev_e)::INT),
+                        '' ORDER BY seg.s) AS head,
+             MAX(seg.e) AS last_e
+      FROM seg JOIN inp t ON t.doc_id = seg.cid
+      GROUP BY seg.cid
+    )
+    SELECT i.doc_id,
+           CASE WHEN r.cid IS NULL THEN i.text
+                ELSE r.head || substr(i.text, (r.last_e + 1)::INT,
+                                      greatest(length(i.text) - r.last_e,
+                                               0)::INT)
+           END AS cleaned
+    FROM inp i LEFT JOIN reb r ON i.doc_id = r.cid
+    """
+
+
+_Q["cut_duplicate_spans"] = _dc.replace(
+    _Q["cut_duplicate_spans"], oracle=_cut_spans_sql()
+)
