@@ -1268,10 +1268,19 @@ def cut_duplicate_spans(
         F.col("start_b").cast("bigint").alias("s"),
         (F.col("start_b") + F.col("span_len")).cast("bigint").alias("e"),
     )
+    # localCheckpoint AFTER the per-doc groupBy: the interval table is
+    # tiny (<= one row per cut document), while the spans lineage above
+    # it is the full winnowing pipeline — embedded un-truncated in the
+    # rebuild plan it re-executed ~2.5x slower than standalone (measured
+    # 58 s vs 22 s + 1 s at the 10x scale corpus; plan-shape
+    # interactions, not extra passes). Eager truncation pins the cost at
+    # "detect once + one narrow rebuild pass" — the same move the
+    # connected-components and contained-id stages make.
     per_doc = (
         spans.select(F.col("id_b").alias("_cid"), iv.alias("_iv"))
         .groupBy("_cid")
         .agg(F.sort_array(F.collect_list("_iv")).alias("_ivs"))
+        .localCheckpoint()
     )
     t = F.col(text_col)
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
