@@ -1046,6 +1046,7 @@ def track_frequencies_stream(
     width: int | None = None,
     depth: int | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming key-frequency tracking with BOUNDED state: each
     micro-batch tokenizes its documents, sketches the token counts into a
@@ -1102,7 +1103,10 @@ def track_frequencies_stream(
             StructField("text", StringType()),
         ]
     )
-    docs = spark.readStream.schema(schema).json(src)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(src)
 
     def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1175,6 +1179,7 @@ def track_profile_stream(
     checkpoint: str,
     k: int = 4096,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming distribution profiling: each micro-batch sketches its
     documents' length distribution (``functions.quantile`` bottom-k
@@ -1201,7 +1206,10 @@ def track_profile_stream(
             StructField("text", StringType()),
         ]
     )
-    docs = spark.readStream.schema(schema).json(src)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.json(src)
 
     def profile_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
