@@ -1302,12 +1302,19 @@ def probe_ivfpq_index(
             f"probe_ivfpq_index: refine_factor must be >= 1, got "
             f"{refine_factor}"
         )
-    cand = ranked.filter(F.col("rank") <= k * refine_factor).select(
-        "query_id", "neighbor_id"
+    # localCheckpoint the bounded candidate table (<= |queries| x k x
+    # refine_factor rows): it has TWO consumers — the id collect below
+    # and the exact-distance join — and its lineage is the whole ADC
+    # probe (pruned scan + LUT join + window), which would otherwise
+    # execute twice per refine call.
+    cand = (
+        ranked.filter(F.col("rank") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
-    # bounded control-plane collect: <= |queries| x k x refine_factor ids;
-    # the isin literal pushes into the corpus scan (row-group pruning on
-    # the id column), so the refine read touches candidate rows only
+    # bounded control-plane collect; the isin literal pushes into the
+    # corpus scan (row-group pruning on the id column), so the refine
+    # read touches candidate rows only
     ids = sorted(
         {
             r["neighbor_id"]
