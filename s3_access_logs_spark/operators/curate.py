@@ -302,8 +302,12 @@ def curate_corpus(
         # Replay safety mirrors the streaming read: the current batch's
         # own partition is excluded so a rerun never self-collides.
         from s3_access_logs_spark.sources.fsutil import has_data_files
+        from s3_access_logs_spark.streaming.pipeline import (
+            check_no_fold_residue,
+        )
 
         sess = docs.sparkSession
+        check_no_fold_residue(sess, digest_store)
         if has_data_files(sess, digest_store):
             hist = sess.read.parquet(digest_store)
             if store_batch_id is not None:
@@ -365,8 +369,12 @@ def curate_corpus(
             near_dup_incremental,
         )
         from s3_access_logs_spark.sources.fsutil import has_data_files
+        from s3_access_logs_spark.streaming.pipeline import (
+            check_no_fold_residue,
+        )
 
         sess = docs.sparkSession
+        check_no_fold_residue(sess, band_store)
         if has_data_files(sess, band_store):
             hist_bands = sess.read.parquet(band_store)
             if store_batch_id is not None:

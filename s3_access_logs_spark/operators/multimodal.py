@@ -307,6 +307,11 @@ def _png_decode_pure(payload: bytes) -> "np.ndarray | None":
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            # truncated IHDR: a corrupt PNG-signature payload must
+            # return None (tolerant posture), not crash the Arrow batch
+            # with struct.error — slicing clamps, unpack does not
+            if len(data) != 13:
+                return None
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -423,8 +428,20 @@ def _av_audio_samples(payload: bytes) -> "np.ndarray | None":
         chunks = []
         for frame in c.decode(streams[0]):
             arr = np.asarray(frame.to_ndarray(), dtype=np.float64)
-            if arr.ndim == 2:  # (channels, samples) -> mono mixdown
+            ch = getattr(frame.layout, "nb_channels", None)
+            if ch is None:  # older PyAV spells it via the channel list
+                ch = len(frame.layout.channels)
+            if arr.ndim == 2 and arr.shape[0] == ch and ch > 1:
+                # planar layout: (channels, samples) -> per-sample mean
                 arr = arr.mean(axis=0)
+            elif ch > 1:
+                # packed/interleaved layout arrives as (1, samples*ch):
+                # de-interleave before the mixdown, or the "mono" stream
+                # would be the doubled-length L/R zigzag and a stereo
+                # re-encode could never fingerprint-match its mono twin
+                flat = arr.ravel()
+                n = (flat.size // ch) * ch
+                arr = flat[:n].reshape(-1, ch).mean(axis=1)
             chunks.append(arr.ravel())
         if not chunks:
             return None
@@ -509,7 +526,10 @@ def decode_pixels(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, chs, pix = [], [], [], [], []
             for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                arr = _decode_pixels_one(bytes(p))
+                # NULL payload -> NULL pixel row, same tolerant posture
+                # as decode_metadata (bytes(None) would TypeError the
+                # whole batch)
+                arr = None if p is None else _decode_pixels_one(bytes(p))
                 ids.append(int(asset_id))
                 if arr is None:
                     ws.append(None)

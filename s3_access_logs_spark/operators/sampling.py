@@ -134,7 +134,12 @@ def temperature_mixture(
     bounded ``limit(max_sources+1)`` count and fails loudly instead
     (ADVICE r4 / VERDICT r4 item 4)."""
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
-    if counts.limit(max_sources + 1).count() > max_sources:
+    # ONE aggregation job serves both the guard and the rate math: under
+    # the bound, limit(max_sources + 1) returns every row — collecting it
+    # IS the collect the rate computation needs (a separate count() would
+    # re-execute the full shuffle just to measure it).
+    rows = counts.limit(max_sources + 1).collect()
+    if len(rows) > max_sources:
         raise ValueError(
             f"temperature_mixture: more than {max_sources} distinct "
             f"values in {source_col!r} — this operator derives one "
@@ -143,7 +148,6 @@ def temperature_mixture(
             "coarser, or raise max_sources if the cardinality is "
             "genuinely intended."
         )
-    rows = counts.collect()
     if not rows:
         # empty input flows through as empty, not a crash — with the SAME
         # column order the join path produces (df columns then the rate),

@@ -69,6 +69,11 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch row cap for the mapInPandas operators: multimodal
+        # payload rows are fat (a 1 MB binary payload x the 10k default
+        # = 10 GB per batch), so cap rows per batch conservatively —
+        # narrow text/vector batches lose nothing measurable at 2048.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -546,7 +546,7 @@ def ingest_documents_stream(
             )
             kept_bands = bands.join(
                 kept_ids.select(F.col("doc_id").alias("id")), "id"
-            ).withColumn("batch_id", F.lit(batch_id))
+            )
         try:
             # Write order is the exactness argument: bloom partition
             # FIRST (a crash after it leaves the filter covering digests
@@ -556,7 +556,6 @@ def ingest_documents_stream(
             # A crash between doc and band writes leaves documents
             # without bands (missed future near-dups, recoverable)
             # rather than bands without documents.
-            survivors = survivors.withColumn("batch_id", F.lit(batch_id))
             if bloom_store is not None:
                 # two consumers (filter write + doc write) -> persist;
                 # on the plain path the doc write is the only consumer
@@ -569,29 +568,14 @@ def ingest_documents_stream(
 
                 nb = bloom_params[0] or DEFAULT_NUM_BITS
                 nh = bloom_params[1] or DEFAULT_NUM_HASHES
-                (
-                    bloom_build(
-                        survivors.select("digest"), "digest", nb, nh
-                    )
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(bloom_store)
+                _write_batch_partition(
+                    bloom_build(survivors.select("digest"), "digest", nb, nh),
+                    batch_id,
+                    bloom_store,
                 )
-            (
-                survivors.write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(store)
-            )
+            _write_batch_partition(survivors, batch_id, store)
             if band_store is not None:
-                (
-                    kept_bands.write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(band_store)
-                )
+                _write_batch_partition(kept_bands, batch_id, band_store)
         finally:
             if bloom_store is not None:
                 survivors.unpersist()
@@ -660,6 +644,7 @@ def backfill_bloom_store(
             f"backfill_bloom_store: base_batch_id must be negative "
             f"(streaming epochs count up from 0), got {base_batch_id}"
         )
+    check_no_fold_residue(spark, store)
     digests = spark.read.parquet(store).select("digest")
     covered = [b for b in _hive_batch_ids(spark, store) if b >= 0]
     base = bloom_build(
@@ -857,6 +842,53 @@ def compact_ingest_store(
     }
 
 
+def check_no_fold_residue(spark: SparkSession, path: str) -> None:
+    """Refuse to read a store that carries a crashed (or in-progress)
+    fold's residue. A fold that died between moving history aside and
+    installing the staged base leaves partitions under ``_fold_trash``
+    — a ``_``-prefixed dir every parquet reader silently SKIPS, so a
+    dedup gate reading past it would see an empty/partial store and
+    commit silent duplicates (the exact history loss the staged
+    protocol exists to prevent). Readers must not run the recovery
+    themselves — a reader racing a live, healthy fold would destroy it
+    — so the contract is: detect, stop loudly, and let the maintenance
+    entry point (``compact_ingest_store``, whose ``_recover_fold`` is
+    the single writer-side owner of the state machine) converge the
+    store. Cost when healthy: two driver-side ``exists`` calls."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, _ = hadoop_fs(spark, path)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    for residue in ("_fold_trash", "_fold_staging"):
+        if fs.exists(HPath(f"{root}/{residue}")):
+            raise RuntimeError(
+                f"store at {path!r} has fold residue ({residue}) from a "
+                "crashed or in-progress compact_ingest_store run — "
+                "reading past it would treat moved-aside history as "
+                "absent (silent duplicate ingestion). Re-run "
+                "compact_ingest_store on this store (its recovery pass "
+                "completes or rolls back the fold), then retry."
+            )
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """The ONE batch_id-partitioned store append every foreachBatch sink
+    uses: the batch_id column is stamped here and dynamic overwrite is
+    scoped to THIS write, so an at-least-once replay rewrites exactly
+    its own partition and the shared session's overwrite mode is never
+    touched (ADVICE r4). One place owns the store-write contract —
+    compression, file-size bounds or commit options change here, not in
+    nine inline copies (review r5)."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+
+
 def _read_prior_batches(
     sess: SparkSession, path: str, empty_schema: str, batch_id: int
 ) -> DataFrame:
@@ -868,9 +900,12 @@ def _read_prior_batches(
     (for a dedup gate that silently drops the whole batch forever). A
     store with no COMMITTED data files means "no history"; any other
     read failure must surface — swallowing a transient error here would
-    re-ingest a batch as if nothing had been seen."""
+    re-ingest a batch as if nothing had been seen. The fold-residue
+    check runs FIRST: after a crashed fold the trash may hold the only
+    copy of the history, and ``has_data_files`` cannot see it."""
     from s3_access_logs_spark.sources.fsutil import has_data_files
 
+    check_no_fold_residue(sess, path)
     if not has_data_files(sess, path):
         return sess.createDataFrame([], empty_schema)
     return sess.read.parquet(path).filter(F.col("batch_id") != batch_id)
@@ -996,35 +1031,19 @@ def ingest_assets_stream(
             ).distinct()
             kept = survivors.join(near_ids, "asset_id", "left_anti").persist()
             try:
-                (
-                    kept.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(store)
-                )
+                _write_batch_partition(kept, batch_id, store)
                 kept_bands = bands.join(
                     kept.select(F.col("asset_id").alias("id")), "id"
                 )
-                (
-                    kept_bands.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(fingerprint_store)
+                _write_batch_partition(
+                    kept_bands, batch_id, fingerprint_store
                 )
             finally:
                 survivors.unpersist()
                 fp.unpersist()
                 kept.unpersist()
         else:
-            (
-                survivors.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(store)
-            )
+            _write_batch_partition(survivors, batch_id, store)
 
     writer = (
         assets.writeStream.outputMode("append")
@@ -1139,13 +1158,8 @@ def track_frequencies_stream(
         tokens = batch_df.select(
             F.explode(F.split(F.col("text"), r"\s+")).alias("token")
         ).filter(F.col("token") != "")
-        (
-            cms_build(tokens, "token", w, d)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(sketch_store)
+        _write_batch_partition(
+            cms_build(tokens, "token", w, d), batch_id, sketch_store
         )
         if candidates_store is not None:
             top = (
@@ -1154,13 +1168,7 @@ def track_frequencies_stream(
                 .orderBy(F.col("batch_cnt").desc(), "token")
                 .limit(candidates_per_batch)
             )
-            (
-                top.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(candidates_store)
-            )
+            _write_batch_partition(top, batch_id, candidates_store)
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -1220,13 +1228,7 @@ def track_profile_stream(
             "doc_id",
             k=k,
         )
-        (
-            sk.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(profile_store)
-        )
+        _write_batch_partition(sk, batch_id, profile_store)
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -1250,6 +1252,7 @@ def profile_quantiles(
         quantile_values,
     )
 
+    check_no_fold_residue(spark, profile_store)
     store = spark.read.parquet(profile_store).select("h", "v")
     return quantile_values(quantile_sketch_merge(store), qs)
 
@@ -1273,6 +1276,7 @@ def frequency_estimates(
     # stream age (327k rows x batches at default size) while the merged
     # sketch is one bounded grid forever — cms_merge's per-counter SUM
     # is exactly the fold, and linearity makes the estimates identical
+    check_no_fold_residue(spark, sketch_store)
     rows = cms_merge(
         spark.read.parquet(sketch_store).select("row", "col", "cnt")
     ).collect()
@@ -1290,6 +1294,7 @@ def heavy_hitters(
     against the merged sketch, ordered by estimated count. Exactness
     caveats inherit from :func:`track_frequencies_stream`: estimates are
     overestimates, and a key never locally-top in any batch is absent."""
+    check_no_fold_residue(spark, candidates_store)
     cands = (
         spark.read.parquet(candidates_store)
         .select("token")

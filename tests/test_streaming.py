@@ -1673,3 +1673,59 @@ class TestBoundedCatchUp:
         # across batches in the bounded drain, within the batch otherwise)
         assert {k for k, _ in bounded_kept} == {1, 2, 4}
         assert bounded_kept == kept
+
+
+class TestFoldResidueGuard:
+    def test_readers_fail_loud_on_crashed_fold_residue(self, spark, tmp_path):
+        """Review r5: a crashed fold's moved-aside history lives under
+        _fold_trash, which every parquet reader silently skips — so the
+        store readers must REFUSE to read past residue (silent duplicate
+        ingestion) and point at compact_ingest_store's recovery."""
+        import json
+        import shutil
+
+        from s3_access_logs_spark.streaming import (
+            compact_ingest_store,
+            frequency_estimates,
+            ingest_documents_stream,
+            track_frequencies_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        (src / "b0.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "red red blue"}) + "\n"
+        )
+        track_frequencies_stream(
+            spark, str(src), sk, str(tmp_path / "ckpt")
+        ).awaitTermination(120)
+        # crashed-fold state exactly as the protocol can leave it:
+        # staged base written, history moved aside, install rename
+        # never happened
+        (tmp_path / "sketch" / "_fold_staging" / "batch_id=-1").mkdir(
+            parents=True
+        )
+        shutil.move(f"{sk}/batch_id=0", f"{sk}/_fold_trash_tmp")
+        (tmp_path / "sketch" / "_fold_trash").mkdir()
+        shutil.move(
+            f"{sk}/_fold_trash_tmp", f"{sk}/_fold_trash/batch_id=0"
+        )
+        probe = spark.createDataFrame([("red",)], ["token"])
+        with pytest.raises(Exception, match="fold residue"):
+            frequency_estimates(spark, sk, probe, "token").collect()
+        # the ingest gate refuses too (via _read_prior_batches)
+        src2 = tmp_path / "in2"
+        src2.mkdir()
+        (src2 / "d.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "alpha"}) + "\n"
+        )
+        q = ingest_documents_stream(
+            spark, str(src2), sk, str(tmp_path / "ckpt2")
+        )
+        with pytest.raises(Exception, match="fold residue"):
+            q.awaitTermination(120)
+        # the maintenance entry point converges the store and unblocks
+        compact_ingest_store(spark, sk, keep_recent=0)
+        [r] = frequency_estimates(spark, sk, probe, "token").collect()
+        assert r["est_count"] == 2
