@@ -41,6 +41,50 @@ STAGES = (
     "contaminated",
 )
 
+_CURATE_MARKER = "_curate_batch"
+
+
+def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
+    """Refuse to append over a ``batch_id`` partition this pipeline did
+    not write. curate_corpus shares the streaming ingest's store layout
+    and id space; without the check, a colliding id would silently
+    REPLACE a stream-committed history partition via dynamic partition
+    overwrite — those documents' digests vanish and future batches
+    re-ingest them as new (review r5). Ownership is a ``_``-prefixed
+    marker file (invisible to every parquet reader) touched after each
+    curate append, so a crashed-attempt REPLAY of the same curate batch
+    passes while a foreign partition fails loudly."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, _ = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    part = f"{store.rstrip('/')}/batch_id={batch_id}"
+    if fs.exists(HPath(part)) and not fs.exists(
+        HPath(f"{part}/{_CURATE_MARKER}")
+    ):
+        raise ValueError(
+            f"curate_corpus: batch_id={batch_id} already exists in "
+            f"{store!r} and was not written by curate_corpus (no "
+            f"{_CURATE_MARKER} marker) — appending would overwrite "
+            "another writer's history partition (silent duplicate "
+            "re-ingestion downstream). Pick an unused batch id; if this "
+            "partition is a crashed curate attempt whose marker was "
+            "lost, delete the partition directory and rerun."
+        )
+
+
+def _mark_partition(spark, store: str, batch_id: int) -> None:
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, _ = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    fs.create(
+        HPath(
+            f"{store.rstrip('/')}/batch_id={batch_id}/{_CURATE_MARKER}"
+        ),
+        True,
+    ).close()
+
 
 def curate_corpus(
     docs: DataFrame,
@@ -162,6 +206,11 @@ def curate_corpus(
                 f"(negative ids are compact_ingest_store's fold base), "
                 f"got {store_batch_id}"
             )
+        for _store in (digest_store, band_store):
+            if _store is not None:
+                _assert_owns_partition(
+                    docs.sparkSession, _store, store_batch_id
+                )
     _line_ratio = None
     if line_clean:
         from s3_access_logs_spark.functions.text import (
@@ -475,30 +524,33 @@ def curate_corpus(
             # batch_id, so an at-least-once rerun rewrites exactly its
             # own partitions. Reads above excluded this batch_id, so
             # the rerun's gates see only true history.
+            from s3_access_logs_spark.streaming.pipeline import (
+                write_batch_partition,
+            )
+
             if digest_store is not None:
-                (
+                write_batch_partition(
                     survivors.select(
                         normalized_digest(F.col(text_col)).alias("digest"),
                         F.col(id_col).alias("keep_id"),
                         F.col(text_col).alias("text"),
-                    )
-                    .dropDuplicates(["digest"])
-                    .withColumn("batch_id", F.lit(store_batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(digest_store)
+                    ).dropDuplicates(["digest"]),
+                    store_batch_id,
+                    digest_store,
+                )
+                _mark_partition(
+                    docs.sparkSession, digest_store, store_batch_id
                 )
             if band_store is not None:
-                (
+                write_batch_partition(
                     _bands_for_append.join(
                         survivors.select(F.col(id_col).alias("id")), "id"
-                    )
-                    .withColumn("batch_id", F.lit(store_batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(band_store)
+                    ),
+                    store_batch_id,
+                    band_store,
+                )
+                _mark_partition(
+                    docs.sparkSession, band_store, store_batch_id
                 )
         if dst is not None:
             # production path: materialize survivors WHILE the scoped

@@ -71,6 +71,8 @@ ASSET_TYPE = T.StructType(
 # Nullable modality/payload (unlike ASSET_TYPE): decode_metadata's
 # tolerant contract covers foreign tables whose rows may carry NULLs —
 # such rows yield an all-NULL meta instead of crashing the stage.
+# asset_id stays non-nullable: identity-less rows are DROPPED by the
+# decode (an id-less asset can't join to anything downstream).
 DECODED_TYPE = T.StructType(
     [
         T.StructField("asset_id", T.LongType(), False),
@@ -281,6 +283,11 @@ def decode_metadata(assets: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL asset_id rows are DROPPED (same contract as
+            # _fingerprint_frame): an asset without identity can't be
+            # joined to anything downstream, and passing the NULL into
+            # the non-nullable output field would crash the batch.
+            pdf = pdf[pdf["asset_id"].notna()]
             metas = [
                 _decode_meta_one(None if p is None else bytes(p))
                 for p in pdf["payload"]
@@ -396,28 +403,53 @@ def _av_open(payload: bytes):
 
 
 def _av_pixels(payload: bytes) -> "np.ndarray | None":
-    """First video/image frame as (h, w, 3) uint8 RGB via PyAV — covers
-    JPEG/WebP/AVIF/… when pillow is absent or declines the format."""
+    """Single still image as (h, w, 3) uint8 RGB via PyAV — covers
+    JPEG/WebP/AVIF/… when pillow is absent or declines the format.
+
+    STRICTLY single-image inputs: a payload with an audio stream (an
+    MP3 whose embedded cover art ffmpeg exposes as an attached-pic
+    video stream) or with a second decodable frame (a real video) is
+    NOT an image and returns None — otherwise two different songs
+    sharing album art, or two videos sharing a title card, would
+    dHash-collide and the ingest near-dup gate would silently drop one
+    (review r5). Videos belong to video_fingerprint, audio to
+    audio_fingerprint — one Hamming space per modality."""
     c = _av_open(payload)
     if c is None:
         return None
     try:
-        streams = [s for s in c.streams if s.type == "video"]
-        if not streams:
+        if any(s.type == "audio" for s in c.streams):
             return None
+        streams = [s for s in c.streams if s.type == "video"]
+        if len(streams) != 1:
+            return None
+        first = None
         for frame in c.decode(streams[0]):
-            return frame.to_ndarray(format="rgb24")
-        return None
+            if first is not None:
+                return None  # second frame: a video, not an image
+            first = frame.to_ndarray(format="rgb24")
+        return first
     except Exception:
         return None
     finally:
         c.close()
 
 
+# Decoded-sample cap for the PyAV audio path: ~6 min at 44.1 kHz mono,
+# 128 MB of float64 — a bounded per-row footprint instead of a 2-hour
+# podcast materializing gigabytes inside a mapInPandas task (review r5).
+# The envelope is then the fingerprint of the first N minutes: the SAME
+# deterministic prefix on every copy, so re-encode near-dup matching is
+# unaffected; a short doc vs its long-prefix superset is containment's
+# job, not Hamming's.
+_AV_MAX_SAMPLES = 16_000_000
+
+
 def _av_audio_samples(payload: bytes) -> "np.ndarray | None":
     """Mono float64 samples via PyAV for real-world audio codecs
-    (MP3/AAC/FLAC/OGG/…). Gain scale is irrelevant downstream — the
-    energy-envelope fingerprint compares, never measures."""
+    (MP3/AAC/FLAC/OGG/…), capped at ``_AV_MAX_SAMPLES``. Gain scale is
+    irrelevant downstream — the energy-envelope fingerprint compares,
+    never measures."""
     c = _av_open(payload)
     if c is None:
         return None
@@ -425,7 +457,8 @@ def _av_audio_samples(payload: bytes) -> "np.ndarray | None":
         streams = [s for s in c.streams if s.type == "audio"]
         if not streams:
             return None
-        chunks = []
+        chunks: list = []
+        total = 0
         for frame in c.decode(streams[0]):
             arr = np.asarray(frame.to_ndarray(), dtype=np.float64)
             ch = getattr(frame.layout, "nb_channels", None)
@@ -442,7 +475,14 @@ def _av_audio_samples(payload: bytes) -> "np.ndarray | None":
                 flat = arr.ravel()
                 n = (flat.size // ch) * ch
                 arr = flat[:n].reshape(-1, ch).mean(axis=1)
-            chunks.append(arr.ravel())
+            arr = arr.ravel()
+            room = _AV_MAX_SAMPLES - total
+            if arr.size >= room:
+                chunks.append(arr[:room])
+                total += room
+                break
+            chunks.append(arr)
+            total += arr.size
         if not chunks:
             return None
         return np.concatenate(chunks)
@@ -526,9 +566,11 @@ def decode_pixels(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, ws, hs, chs, pix = [], [], [], [], []
             for asset_id, p in zip(pdf["asset_id"], pdf["payload"]):
-                # NULL payload -> NULL pixel row, same tolerant posture
-                # as decode_metadata (bytes(None) would TypeError the
-                # whole batch)
+                # NULL-id rows dropped (identity-less, and int(None)
+                # would crash), NULL payload -> NULL pixel row — the
+                # same tolerant posture as decode_metadata
+                if asset_id is None or pd.isna(asset_id):
+                    continue
                 arr = None if p is None else _decode_pixels_one(bytes(p))
                 ids.append(int(asset_id))
                 if arr is None:

@@ -1312,16 +1312,30 @@ def probe_ivfpq_index(
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
-    # bounded control-plane collect; the isin literal pushes into the
-    # corpus scan (row-group pruning on the id column), so the refine
-    # read touches candidate rows only
+    # Candidate-id pruning, two regimes: a SMALL id set becomes an isin
+    # plan literal that pushes into the corpus scan (parquet row-group
+    # pruning on the id column — the cheapest possible refine read); a
+    # LARGE one (big query batches: |queries| x k x refine_factor ids)
+    # would balloon plan construction/codegen instead, so past the
+    # threshold the candidate frame broadcast-semi-joins the corpus —
+    # no scan pruning, but no plan-size cliff either (review r5).
     ids = sorted(
         {
             r["neighbor_id"]
             for r in cand.select("neighbor_id").distinct().collect()
         }
     )
-    vecs = refine_corpus.filter(F.col(id_col).isin(ids)).select(
+    pruned = (
+        refine_corpus.filter(F.col(id_col).isin(ids))
+        if len(ids) <= 10_000
+        else refine_corpus.join(
+            broadcast(cand.select(F.col("neighbor_id").alias(id_col))
+                      .distinct()),
+            id_col,
+            "left_semi",
+        )
+    )
+    vecs = pruned.select(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "_n_vec"

@@ -843,6 +843,17 @@ def _jl_sql(out_dims: int = 16, dims: int = 64, seed: int = 42) -> str:
 # ---------------------------------------------------------------------------
 # Perceptual image dedup (dHash + banded Hamming)
 
+def _rhe(v: str) -> str:
+    """Round-half-even (numpy .round()) as SQL — shared by the image
+    resample grid and the audio/video envelope oracles; ties only occur
+    on power-of-two divisors, where the CASE picks the even floor."""
+    return (
+        f"(floor({v}) + CASE WHEN ({v}) - floor({v}) > 0.5 "
+        f"OR (({v}) - floor({v}) = 0.5 AND (floor({v})::BIGINT % 2) = 1) "
+        f"THEN 1 ELSE 0 END)::BIGINT"
+    )
+
+
 def _dhash_fp_sql() -> str:
     """Fingerprint CTE body: recompute the dHash of every synthesized
     image (operators/multimodal.py:478) from the closed-form pixel
@@ -851,13 +862,6 @@ def _dhash_fp_sql() -> str:
     linspace-then-round-half-even exactly (i * ((n-1)/step) with the
     same float evaluation order, .5 ties only possible on the /8 axis
     where the bankers'-rounding CASE handles them)."""
-
-    def rhe(v: str) -> str:
-        return (
-            f"(floor({v}) + CASE WHEN ({v}) - floor({v}) > 0.5 "
-            f"OR (({v}) - floor({v}) = 0.5 AND (floor({v})::BIGINT % 2) = 1) "
-            f"THEN 1 ELSE 0 END)::BIGINT"
-        )
 
     def s3(x: str, y: str) -> str:
         b = f"(({x}) * 3 + ({y}) * 5 + doc_id * 7)"
@@ -876,9 +880,9 @@ def _dhash_fp_sql() -> str:
     grid AS (
       SELECT doc_id,
              list_transform(range(0, 8),
-               i -> {rhe('i * ((h - 1) / 7.0)')}) AS ys,
+               i -> {_rhe('i * ((h - 1) / 7.0)')}) AS ys,
              list_transform(range(0, 9),
-               i -> {rhe('i * ((w - 1) / 8.0)')}) AS xs
+               i -> {_rhe('i * ((w - 1) / 8.0)')}) AS xs
       FROM img
     ),
     fp AS (
@@ -1118,16 +1122,6 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Audio / video perceptual fingerprints (closed-form oracle: the synthesized
 # WAV body is the ASCII document text as little-endian int16 PCM, the MVID
 # frames are the (i*31+j*7)%256 pattern — both recomputable in SQL)
-
-def _rhe(v: str) -> str:
-    """Round-half-even (numpy .round()) as SQL; ties only occur on
-    power-of-two divisors, where the CASE picks the even floor."""
-    return (
-        f"(floor({v}) + CASE WHEN ({v}) - floor({v}) > 0.5 "
-        f"OR (({v}) - floor({v}) = 0.5 AND (floor({v})::BIGINT % 2) = 1) "
-        f"THEN 1 ELSE 0 END)::BIGINT"
-    )
-
 
 def _audio_fp_sql() -> str:
     byte = lambda idx: f"ord(text[({idx})::INT])"

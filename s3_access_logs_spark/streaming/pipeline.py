@@ -568,14 +568,14 @@ def ingest_documents_stream(
 
                 nb = bloom_params[0] or DEFAULT_NUM_BITS
                 nh = bloom_params[1] or DEFAULT_NUM_HASHES
-                _write_batch_partition(
+                write_batch_partition(
                     bloom_build(survivors.select("digest"), "digest", nb, nh),
                     batch_id,
                     bloom_store,
                 )
-            _write_batch_partition(survivors, batch_id, store)
+            write_batch_partition(survivors, batch_id, store)
             if band_store is not None:
-                _write_batch_partition(kept_bands, batch_id, band_store)
+                write_batch_partition(kept_bands, batch_id, band_store)
         finally:
             if bloom_store is not None:
                 survivors.unpersist()
@@ -872,9 +872,9 @@ def check_no_fold_residue(spark: SparkSession, path: str) -> None:
             )
 
 
-def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+def write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """The ONE batch_id-partitioned store append every foreachBatch sink
-    uses: the batch_id column is stamped here and dynamic overwrite is
+    (and curate_corpus's incremental appends) uses: the batch_id column is stamped here and dynamic overwrite is
     scoped to THIS write, so an at-least-once replay rewrites exactly
     its own partition and the shared session's overwrite mode is never
     touched (ADVICE r4). One place owns the store-write contract —
@@ -1031,11 +1031,11 @@ def ingest_assets_stream(
             ).distinct()
             kept = survivors.join(near_ids, "asset_id", "left_anti").persist()
             try:
-                _write_batch_partition(kept, batch_id, store)
+                write_batch_partition(kept, batch_id, store)
                 kept_bands = bands.join(
                     kept.select(F.col("asset_id").alias("id")), "id"
                 )
-                _write_batch_partition(
+                write_batch_partition(
                     kept_bands, batch_id, fingerprint_store
                 )
             finally:
@@ -1043,7 +1043,7 @@ def ingest_assets_stream(
                 fp.unpersist()
                 kept.unpersist()
         else:
-            _write_batch_partition(survivors, batch_id, store)
+            write_batch_partition(survivors, batch_id, store)
 
     writer = (
         assets.writeStream.outputMode("append")
@@ -1158,7 +1158,7 @@ def track_frequencies_stream(
         tokens = batch_df.select(
             F.explode(F.split(F.col("text"), r"\s+")).alias("token")
         ).filter(F.col("token") != "")
-        _write_batch_partition(
+        write_batch_partition(
             cms_build(tokens, "token", w, d), batch_id, sketch_store
         )
         if candidates_store is not None:
@@ -1168,7 +1168,7 @@ def track_frequencies_stream(
                 .orderBy(F.col("batch_cnt").desc(), "token")
                 .limit(candidates_per_batch)
             )
-            _write_batch_partition(top, batch_id, candidates_store)
+            write_batch_partition(top, batch_id, candidates_store)
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -1228,7 +1228,7 @@ def track_profile_stream(
             "doc_id",
             k=k,
         )
-        _write_batch_partition(sk, batch_id, profile_store)
+        write_batch_partition(sk, batch_id, profile_store)
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -4159,3 +4159,38 @@ class TestPslSnapshot:
             df, "url", ["badsite.co.uk"], "doc_id"
         )
         assert [r.doc_id for r in kept.collect()] == [2]
+
+
+class TestCurateStoreOwnership:
+    def test_colliding_stream_partition_fails_loud(self, spark, tmp_path):
+        """Review r5: curate_corpus shares the streaming stores' batch_id
+        space; appending over a partition another writer committed would
+        silently replace that history via dynamic overwrite. A foreign
+        partition (no curate ownership marker) must fail loudly; a
+        curate-written one (replay) must pass."""
+        import json
+
+        from s3_access_logs_spark.operators.curate import curate_corpus
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        (src / "b0.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "stream written history"})
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt")
+        ).awaitTermination(120)  # commits batch_id=0 WITHOUT a marker
+
+        docs = spark.createDataFrame(
+            [(5, "a brand new curated document")], ["doc_id", "text"]
+        )
+        with pytest.raises(ValueError, match="not written by curate"):
+            curate_corpus(docs, digest_store=store, store_batch_id=0)
+        # a fresh id appends fine, and replaying THAT id passes the guard
+        curate_corpus(docs, digest_store=store, store_batch_id=1)
+        curate_corpus(docs, digest_store=store, store_batch_id=1)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1, 5}
