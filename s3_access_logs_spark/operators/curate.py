@@ -41,7 +41,7 @@ STAGES = (
     "contaminated",
 )
 
-_CURATE_MARKER = "_curate_batch"
+_CURATE_MARKER = "_curate_batch"  # canonical copy: sources.fsutil.CURATE_MARKER
 
 
 def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
@@ -53,14 +53,24 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
     re-ingest them as new (review r5). Ownership is a ``_``-prefixed
     marker file (invisible to every parquet reader) touched after each
     curate append, so a crashed-attempt REPLAY of the same curate batch
-    passes while a foreign partition fails loudly."""
-    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+    passes while a foreign partition fails loudly. The reverse direction
+    is enforced inside ``streaming.pipeline.write_batch_partition``:
+    stream sinks refuse MARKED partitions, so neither writer can clobber
+    the other. The check-then-write window is not transactional — the
+    store contract assumes one maintenance writer at a time (the same
+    assumption ``compact_ingest_store`` documents); a stream and a
+    curate run racing the SAME new batch_id within milliseconds is
+    outside it."""
+    from s3_access_logs_spark.sources.fsutil import (
+        hadoop_fs,
+        partition_has_marker,
+    )
 
     fs, _ = hadoop_fs(spark, store)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     part = f"{store.rstrip('/')}/batch_id={batch_id}"
-    if fs.exists(HPath(part)) and not fs.exists(
-        HPath(f"{part}/{_CURATE_MARKER}")
+    if fs.exists(HPath(part)) and not partition_has_marker(
+        spark, store, batch_id
     ):
         raise ValueError(
             f"curate_corpus: batch_id={batch_id} already exists in "
@@ -74,16 +84,9 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
 
 
 def _mark_partition(spark, store: str, batch_id: int) -> None:
-    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+    from s3_access_logs_spark.sources.fsutil import touch_partition_marker
 
-    fs, _ = hadoop_fs(spark, store)
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    fs.create(
-        HPath(
-            f"{store.rstrip('/')}/batch_id={batch_id}/{_CURATE_MARKER}"
-        ),
-        True,
-    ).close()
+    touch_partition_marker(spark, store, batch_id)
 
 
 def curate_corpus(
@@ -537,6 +540,7 @@ def curate_corpus(
                     ).dropDuplicates(["digest"]),
                     store_batch_id,
                     digest_store,
+                    allow_curate=True,
                 )
                 _mark_partition(
                     docs.sparkSession, digest_store, store_batch_id
@@ -548,6 +552,7 @@ def curate_corpus(
                     ),
                     store_batch_id,
                     band_store,
+                    allow_curate=True,
                 )
                 _mark_partition(
                     docs.sparkSession, band_store, store_batch_id

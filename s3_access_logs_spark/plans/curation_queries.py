@@ -41,6 +41,26 @@ PARA = "chr(10) || chr(10)"
 # ---------------------------------------------------------------------------
 # Containment (asymmetric subset near-dup)
 
+def _offset_copies(docs: DataFrame, copies: DataFrame) -> DataFrame:
+    """Shift synthesized-copy ids above the real id space by
+    ``max(doc_id)+1`` (one broadcast single-row agg — no data shuffle).
+    A fixed constant offset collides with real ids on a large-enough
+    corpus and silently unions two unrelated texts under one id on both
+    the Spark and oracle sides (review r5); the dynamic offset also
+    keeps every copy HIGHER-id than its source, which
+    ``cut_duplicate_spans`` relies on (spans are excised from the
+    higher id of a pair — the copy, never the canonical original).
+    The SQL twin is ``doc_id + (SELECT max(doc_id) + 1 FROM documents)``.
+    """
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("_off"))
+    return copies.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + F.col("_off")).alias("doc_id"), "text"
+    )
+
+
+_SQL_COPY_OFF = "(SELECT max(doc_id) + 1 FROM documents)"
+
+
 @query(
     "containment_pairs",
     oracle=None,  # filled below (generated SQL, shares text_queries fragments)
@@ -49,18 +69,25 @@ PARA = "chr(10) || chr(10)"
 )
 def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (|A ∩ B| / min(|A|,|B|) >= 0.5)
-    over documents plus synthesized truncated copies (id+10000 carries
-    the first 25 words of every 5th doc) — guaranteeing embedded-subset
-    pairs the symmetric Jaccard entry structurally misses. Same
-    single-pass posting-list pipeline and stop-shingle cap as
+    over documents plus synthesized truncated copies (id ``max+1+orig``
+    carries the first 25 words of every 5th doc) — guaranteeing
+    embedded-subset pairs the symmetric Jaccard entry structurally
+    misses. The copy-id offset is ``max(doc_id)+1`` (one broadcast agg
+    row), not a constant: a fixed ``+10000`` collides with real ids on
+    any corpus of >=10k documents — including the 10x validation corpus,
+    whose replica shift is exactly 10000 (review r5) — silently merging
+    two unrelated texts under one id on BOTH the Spark and oracle sides.
+    Same single-pass posting-list pipeline and stop-shingle cap as
     ``ngram_jaccard_pairs`` (shared ``_intersection_pairs``)."""
     from s3_access_logs_spark.functions.text import words
 
     docs = load_table(spark, sf_dir, "documents")
     toks = words("text")
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(toks, 1, 25)).alias("text"),
+    copies = _offset_copies(
+        docs,
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.concat_ws(" ", F.slice(toks, 1, 25)).alias("text")
+        ),
     )
     inp = docs.select("doc_id", "text").unionByName(copies)
     return D.containment_pairs(inp, threshold=0.5)
@@ -77,7 +104,7 @@ def _containment_sql() -> str:
     WITH inp AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000 AS doc_id,
+      SELECT doc_id + {_SQL_COPY_OFF} AS doc_id,
              array_to_string(({SQL_WORDS})[1:25], ' ') AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
@@ -720,7 +747,8 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document verbatim-span detection (winnowing fingerprints ->
     gram posting lists -> alignment-diagonal islands,
     operators/dedup.py:1098) over documents plus synthesized copies:
-    every 5th doc spawns id+10000 carrying 120 characters lifted from
+    every 5th doc spawns a ``max(doc_id)+1``-offset copy (collision-proof
+    — see ``_offset_copies``) carrying 120 characters lifted from
     offset 10 inside new framing text — a guaranteed verbatim copy well
     past the t = window+k-1 = 50 detection threshold. Runs at the
     PRODUCTION parameters (k=8, window=43, hot-gram cap 1000) with the
@@ -728,12 +756,15 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint selection; natural 50+-char repeats between word-soup
     documents are detected identically on both sides."""
     docs = load_table(spark, sf_dir, "documents")
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat(
-            F.lit("prefix-"), F.col("doc_id").cast("string"), F.lit("> "),
-            F.substring("text", 10, 120), F.lit(" <copied"),
-        ).alias("text"),
+    copies = _offset_copies(
+        docs,
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.concat(
+                F.lit("prefix-"), F.col("doc_id").cast("string"),
+                F.lit("> "), F.substring("text", 10, 120), F.lit(" <copied"),
+            ).alias("text"),
+        ),
     )
     inp = docs.select("doc_id", "text").unionByName(copies)
     return D.duplicate_spans(inp, portable_hash=True)
@@ -745,7 +776,7 @@ def _duplicate_spans_sql(k: int = 8, window: int = 43) -> str:
     WITH inp AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000 AS doc_id,
+      SELECT doc_id + {_SQL_COPY_OFF} AS doc_id,
              'prefix-' || doc_id || '> ' || substr(text, 10, 120)
                        || ' <copied' AS text
       FROM documents WHERE doc_id % 5 = 0
@@ -1261,12 +1292,15 @@ def cut_duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_access_logs_spark.functions.text import words  # noqa: F401
 
     docs = load_table(spark, sf_dir, "documents")
-    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        F.concat(
-            F.lit("prefix-"), F.col("doc_id").cast("string"), F.lit("> "),
-            F.substring("text", 10, 120), F.lit(" <copied"),
-        ).alias("text"),
+    copies = _offset_copies(
+        docs,
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.concat(
+                F.lit("prefix-"), F.col("doc_id").cast("string"),
+                F.lit("> "), F.substring("text", 10, 120), F.lit(" <copied"),
+            ).alias("text"),
+        ),
     )
     inp = docs.select("doc_id", "text").unionByName(copies)
     spans = D.duplicate_spans(inp, portable_hash=True)
@@ -1280,7 +1314,7 @@ def _cut_spans_sql() -> str:
     WITH inp AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000 AS doc_id,
+      SELECT doc_id + {_SQL_COPY_OFF} AS doc_id,
              'prefix-' || doc_id || '> ' || substr(text, 10, 120)
                        || ' <copied' AS text
       FROM documents WHERE doc_id % 5 = 0

@@ -21,6 +21,37 @@ def hadoop_fs(spark: SparkSession, path_str: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
 
 
+CURATE_MARKER = "_curate_batch"
+
+
+def _marker_jpath(spark, store: str, batch_id: int, marker: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{store.rstrip('/')}/batch_id={batch_id}/{marker}"
+    )
+
+
+def partition_has_marker(
+    spark: SparkSession, store: str, batch_id: int, marker: str = CURATE_MARKER
+) -> bool:
+    """True iff the ``batch_id=<n>`` partition carries the named
+    ownership marker (a ``_``-prefixed file, invisible to every parquet
+    reader). Ownership markers make the shared batch_id store layout
+    safe for TWO writers — the streaming ingest (unmarked partitions)
+    and ``curate_corpus`` (marked) — by letting each side refuse to
+    dynamic-overwrite the other's committed history (review r5)."""
+    fs, _ = hadoop_fs(spark, store)
+    return bool(fs.exists(_marker_jpath(spark, store, batch_id, marker)))
+
+
+def touch_partition_marker(
+    spark: SparkSession, store: str, batch_id: int, marker: str = CURATE_MARKER
+) -> None:
+    """Stamp the ownership marker on an already-written partition."""
+    fs, _ = hadoop_fs(spark, store)
+    fs.create(_marker_jpath(spark, store, batch_id, marker), True).close()
+
+
 def has_data_files(spark: SparkSession, path_str: str) -> bool:
     """True iff the directory holds at least one COMMITTED data file
     (recursively; underscore/dot-prefixed names — _SUCCESS, _temporary,

@@ -872,14 +872,41 @@ def check_no_fold_residue(spark: SparkSession, path: str) -> None:
             )
 
 
-def write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+def write_batch_partition(
+    df: DataFrame, batch_id: int, path: str, allow_curate: bool = False
+) -> None:
     """The ONE batch_id-partitioned store append every foreachBatch sink
-    (and curate_corpus's incremental appends) uses: the batch_id column is stamped here and dynamic overwrite is
-    scoped to THIS write, so an at-least-once replay rewrites exactly
-    its own partition and the shared session's overwrite mode is never
-    touched (ADVICE r4). One place owns the store-write contract —
-    compression, file-size bounds or commit options change here, not in
-    nine inline copies (review r5)."""
+    (and curate_corpus's incremental appends) uses: the batch_id column
+    is stamped here and dynamic overwrite is scoped to THIS write, so an
+    at-least-once replay rewrites exactly its own partition and the
+    shared session's overwrite mode is never touched (ADVICE r4). One
+    place owns the store-write contract — compression, file-size bounds
+    or commit options change here, not in nine inline copies (review r5).
+
+    Ownership guard (review r5, both directions): ``curate_corpus``
+    stamps its partitions with a marker so a colliding streaming epoch
+    id cannot silently dynamic-overwrite curate-committed history — the
+    digests would vanish AND that batch's replay exclusion would hide
+    the loss, re-ingesting every curated document downstream. Stream
+    sinks therefore fail loudly here on a marked partition; curate's own
+    appends pass ``allow_curate=True`` (its entry check already
+    validated the id against foreign UNMARKED partitions). The check is
+    one driver-side ``exists`` per store write; markers are re-stamped
+    after each overwrite, so a writer's own replay always passes."""
+    from s3_access_logs_spark.sources.fsutil import partition_has_marker
+
+    if not allow_curate and partition_has_marker(
+        df.sparkSession, path, batch_id
+    ):
+        raise RuntimeError(
+            f"write_batch_partition: batch_id={batch_id} in {path!r} was "
+            "committed by curate_corpus (ownership marker present) — a "
+            "streaming epoch overwriting it would silently erase curated "
+            "history and re-ingest those documents as new. The stream's "
+            "checkpoint epoch has collided with a curate store_batch_id; "
+            "re-curate into a disjoint id range (e.g. far above the "
+            "stream's epoch counter) and delete the marked partition."
+        )
     (
         df.withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")

@@ -4194,3 +4194,20 @@ class TestCurateStoreOwnership:
         curate_corpus(docs, digest_store=store, store_batch_id=1)
         kept = {r.keep_id for r in spark.read.parquet(store).collect()}
         assert kept == {1, 5}
+
+        # review r5, reverse direction: a streaming epoch reaching the
+        # curate-committed id must fail loudly instead of silently
+        # dynamic-overwriting the marked partition…
+        from s3_access_logs_spark.streaming.pipeline import (
+            write_batch_partition,
+        )
+
+        stream_rows = spark.createDataFrame(
+            [("d", 9, "t")], "digest string, keep_id bigint, text string"
+        )
+        with pytest.raises(RuntimeError, match="curate_corpus"):
+            write_batch_partition(stream_rows, 1, store)
+        # …while the stream's replay of its OWN unmarked partition passes
+        write_batch_partition(stream_rows, 0, store)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {9, 5}
