@@ -253,18 +253,20 @@ def _decode_meta_one(payload: "bytes | None") -> dict:
         if payload[:8] == PNG_SIG and len(payload) >= 24:
             w, h = struct.unpack(">II", payload[16:24])
             meta.update(format="png", width=w, height=h, channels=3)
-        elif (
-            payload[:4] == b"RIFF"
-            and payload[8:12] == b"WAVE"
-            and len(payload) >= 44
-        ):
-            sr = struct.unpack("<I", payload[24:28])[0]
-            data_size = struct.unpack("<I", payload[40:44])[0]
-            if sr > 0:
-                meta.update(
-                    format="wav", channels=1, sample_rate=sr,
-                    duration_ms=data_size // 2 * 1000 // sr,
-                )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            # shared RIFF chunk walk — NOT the classic 44-byte offsets,
+            # which mis-read encoders that emit an 18-byte fmt chunk or
+            # a LIST/INFO chunk before `data` as plausible-looking
+            # garbage sample rates and durations (review r5)
+            hdr = _wav_header(payload)
+            if hdr is not None:
+                _fmt_tag, ch, sr, bits, _data, declared = hdr
+                if sr > 0 and ch > 0 and bits > 0:
+                    frames = declared // (ch * max(bits // 8, 1))
+                    meta.update(
+                        format="wav", channels=ch, sample_rate=sr,
+                        duration_ms=frames * 1000 // sr,
+                    )
         elif payload[:4] == MVID_MAGIC and len(payload) >= 20:
             nf, _fs, w, h = struct.unpack("<IIII", payload[4:20])
             meta.update(
@@ -492,9 +494,18 @@ def _av_audio_samples(payload: bytes) -> "np.ndarray | None":
         c.close()
 
 
+_AV_MAX_FRAMES = 10_000  # ~5.5 min at 30 fps
+
+
 def _av_frame_means(payload: bytes) -> "np.ndarray | None":
     """Per-frame mean luminance via PyAV for real-world video codecs
-    (H.264/VP9/…) — the same temporal signal the MVID parser extracts."""
+    (H.264/VP9/…) — the same temporal signal the MVID parser extracts.
+    Capped at ``_AV_MAX_FRAMES`` for the same reason the audio path caps
+    samples (review r5): a feature-length payload would otherwise decode
+    hundreds of thousands of full-resolution frames inside ONE
+    mapInPandas row — minutes of CPU and large transient allocations
+    per task. The envelope is the deterministic prefix fingerprint on
+    every copy, so a re-encode still matches its twin."""
     c = _av_open(payload)
     if c is None:
         return None
@@ -502,10 +513,11 @@ def _av_frame_means(payload: bytes) -> "np.ndarray | None":
         streams = [s for s in c.streams if s.type == "video"]
         if not streams:
             return None
-        means = [
-            float(frame.to_ndarray(format="gray").mean())
-            for frame in c.decode(streams[0])
-        ]
+        means = []
+        for frame in c.decode(streams[0]):
+            means.append(float(frame.to_ndarray(format="gray").mean()))
+            if len(means) >= _AV_MAX_FRAMES:
+                break
         return np.asarray(means, dtype=np.float64) if len(means) >= 2 else None
     except Exception:
         return None
@@ -699,14 +711,16 @@ def image_near_pairs(
     )
 
 
-def _wav_pcm_samples(payload: bytes) -> "np.ndarray | None":
-    """Mono float samples from a PCM WAV by WALKING the RIFF chunks —
-    not a hardcoded 44-byte offset: real encoders emit 18-byte fmt
-    chunks (cbSize=0) or LIST/INFO chunks before ``data``, and reading
-    those as samples would fingerprint garbage while LOOKING valid.
-    Requires 16-bit PCM (format tag 1); multi-channel audio mixes down
-    by averaging interleaved frames. Anything else -> None (drop,
-    don't guess)."""
+def _wav_header(payload: "bytes | None"):
+    """RIFF chunk walk shared by the metadata and PCM-decode paths:
+    ``(fmt_tag, channels, sample_rate, bits_per, data, declared_size)``
+    or None. ``data`` is the actual (possibly truncated) chunk body for
+    sample decoding; ``declared_size`` is the header's size field, the
+    conventional source for reported duration (what ffprobe reports on
+    a truncated file). Walking — not a hardcoded 44-byte offset —
+    matters because real encoders emit 18-byte fmt chunks (cbSize=0) or
+    LIST/INFO chunks before ``data``; fixed offsets would read those as
+    header fields and produce garbage that LOOKS valid (review r5)."""
     if (
         payload is None
         or len(payload) < 12
@@ -714,22 +728,34 @@ def _wav_pcm_samples(payload: bytes) -> "np.ndarray | None":
         or payload[8:12] != b"WAVE"
     ):
         return None
-    pos, channels, bits_per, data = 12, None, None, None
+    pos, fmt = 12, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if tag == b"fmt " and len(body) >= 16:
-            fmt_tag, channels, _, _, _, bits_per = struct.unpack(
+            fmt_tag, channels, rate, _, _, bits_per = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if fmt_tag != 1:
-                return None
+            fmt = (fmt_tag, channels, rate, bits_per)
         elif tag == b"data":
-            data = body
-            break
+            if fmt is None:
+                return None
+            return (*fmt, body, size)
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
-    if data is None or channels is None or bits_per != 16 or channels < 1:
+    return None
+
+
+def _wav_pcm_samples(payload: bytes) -> "np.ndarray | None":
+    """Mono float samples from a PCM WAV via the shared
+    :func:`_wav_header` chunk walk. Requires 16-bit PCM (format tag 1);
+    multi-channel audio mixes down by averaging interleaved frames.
+    Anything else -> None (drop, don't guess)."""
+    hdr = _wav_header(payload)
+    if hdr is None:
+        return None
+    fmt_tag, channels, _rate, bits_per, data, _declared = hdr
+    if fmt_tag != 1 or bits_per != 16 or channels < 1:
         return None
     n = len(data) // 2
     samples = np.frombuffer(data[: n * 2], dtype="<i2").astype(np.float64)

@@ -1318,19 +1318,22 @@ def probe_ivfpq_index(
     # LARGE one (big query batches: |queries| x k x refine_factor ids)
     # would balloon plan construction/codegen instead, so past the
     # threshold the candidate frame broadcast-semi-joins the corpus —
-    # no scan pruning, but no plan-size cliff either (review r5).
-    ids = sorted(
-        {
-            r["neighbor_id"]
-            for r in cand.select("neighbor_id").distinct().collect()
-        }
-    )
+    # no scan pruning, but no plan-size cliff either (review r5). The
+    # regime probe itself is limit-bounded: collecting at most
+    # threshold+1 distinct ids decides the branch, so a million-query
+    # batch never materializes its whole id set on the driver just to
+    # discard it (the same bounded-probe pattern as
+    # sampling.temperature_mixture's cardinality guard).
+    _ISIN_MAX = 10_000
+    distinct_ids = cand.select("neighbor_id").distinct()
+    probe_rows = distinct_ids.limit(_ISIN_MAX + 1).collect()
     pruned = (
-        refine_corpus.filter(F.col(id_col).isin(ids))
-        if len(ids) <= 10_000
+        refine_corpus.filter(
+            F.col(id_col).isin(sorted(r["neighbor_id"] for r in probe_rows))
+        )
+        if len(probe_rows) <= _ISIN_MAX
         else refine_corpus.join(
-            broadcast(cand.select(F.col("neighbor_id").alias(id_col))
-                      .distinct()),
+            broadcast(distinct_ids.withColumnRenamed("neighbor_id", id_col)),
             id_col,
             "left_semi",
         )

@@ -70,10 +70,15 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch row cap for the mapInPandas operators: multimodal
-        # payload rows are fat (a 1 MB binary payload x the 10k default
-        # = 10 GB per batch), so cap rows per batch conservatively —
-        # narrow text/vector batches lose nothing measurable at 2048.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # payload rows are fat, and a binary column's Arrow offsets are
+        # signed int32, so rows-per-batch x avg payload must stay under
+        # 2 GiB or the transfer itself overflows. 512 rows x 1 MiB
+        # payloads = 512 MiB — 4x headroom at the design payload size
+        # (payloads averaging past ~4 MiB need a lower session cap) —
+        # while narrow text/vector batches lose nothing measurable vs
+        # the 10k default (review r5: the prior 2048 cap hit exactly
+        # 2^31 bytes at its own stated 1 MiB design case).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -678,18 +678,63 @@ def backfill_bloom_store(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+_MOVED_OK = "_moved_ok"  # every partition fully moved aside; install began
+
+
+def _merge_dir(fs, HPath, src_dir, dst_dir) -> None:
+    """Move every entry of ``src_dir`` into ``dst_dir``, skipping names
+    already present — the recovery primitive that makes the fold safe on
+    object stores. A directory "rename" on s3a is per-object copy+delete,
+    so a crash can leave a partition's files SPLIT across two dirs with
+    the mid-flight object in both (S3 copy is atomic per object: each
+    file is whole wherever it appears, and part-file names are unique).
+    Union-by-basename therefore reconstructs exactly one copy of every
+    file, and re-running the merge after another crash converges — no
+    file is ever lost or duplicated."""
+    if not fs.exists(src_dir):
+        return
+    fs.mkdirs(dst_dir)
+    for st in fs.listStatus(src_dir):
+        dst = HPath(f"{dst_dir}/{st.getPath().getName()}")
+        if fs.exists(dst):
+            continue  # same object, already (copied) there
+        if not fs.rename(st.getPath(), dst):
+            raise IOError(
+                f"fold recovery: cannot move {st.getPath()} into "
+                f"{dst_dir}; store left as-is for manual recovery"
+            )
+
+
 def _recover_fold(spark: SparkSession, store: str) -> None:
     """Complete or roll back a crashed :func:`compact_ingest_store` fold
-    before anything reads the store. Protocol state is encoded on disk:
-    ``_fold_staging`` still holding a ``batch_id=`` child means the
-    install rename never happened — every moved-aside partition in
-    ``_fold_trash`` is that data's ONLY copy, so restore the trash and
-    drop the staging (the rerun re-folds from the restored state).
-    Staging without a staged partition (or absent) while trash exists
-    means the install committed — the trash holds only superseded
-    copies, safe to drop. Either way the store ends with every history
-    row in exactly one live partition, so a SUMMING store (count-min)
-    can never double-count a crashed fold (ADVICE r4)."""
+    before anything reads the store. The commit point is the
+    ``_moved_ok`` marker inside ``_fold_staging`` — NOT directory
+    existence, because on object stores (s3a) a directory rename is
+    per-object copy+delete and a crash mid-move leaves a partition half
+    in place and half in ``_fold_trash``; classifying on "does the live
+    dir exist" would then delete the trash half, permanently losing rows
+    (review r5).
+
+    - ``_moved_ok`` present: every folded partition is wholly in trash,
+      so live-side rows can only be the (possibly partial) installed
+      base — ROLL FORWARD by merging the staged base into the live base
+      dir, then drop trash (superseded copies) + staging.
+    - no marker, staging holds a ``batch_id=`` child: the install never
+      began — ROLL BACK by merging each trash partition into its live
+      dir (:func:`_merge_dir` unions by basename, so split partitions
+      and mid-flight objects reassemble to exactly one copy), then drop
+      trash + staging; the rerun re-folds from the restored state. This
+      branch also covers a crash during the staging write itself (trash
+      absent — nothing to restore) and crashed folds from the
+      pre-marker protocol version.
+    - no marker, no staged child: the install committed (the pre-marker
+      protocol's post-install state — its rename moved the child away)
+      — the trash holds only superseded copies; drop trash + staging.
+
+    Either way the store ends with every history row in exactly one live
+    partition, so a SUMMING store (count-min) can never double-count a
+    crashed fold (ADVICE r4), on atomic-rename filesystems AND object
+    stores."""
     from s3_access_logs_spark.sources.fsutil import hadoop_fs
 
     fs, _ = hadoop_fs(spark, store)
@@ -697,28 +742,38 @@ def _recover_fold(spark: SparkSession, store: str) -> None:
     root = store.rstrip("/")
     staging = HPath(f"{root}/_fold_staging")
     trash = HPath(f"{root}/_fold_trash")
-    staged_kids = (
-        [
-            s.getPath()
-            for s in fs.listStatus(staging)
-            if s.getPath().getName().startswith("batch_id=")
-        ]
-        if fs.exists(staging)
-        else []
-    )
-    if fs.exists(trash):
-        if staged_kids:  # crash BEFORE install: trash is the live copy
+
+    def _restore_trash() -> None:
+        if fs.exists(trash):
             for st in fs.listStatus(trash):
-                name = st.getPath().getName()
-                live = HPath(f"{root}/{name}")
-                if not fs.exists(live) and not fs.rename(st.getPath(), live):
-                    raise IOError(
-                        f"fold recovery: cannot restore {st.getPath()}; "
-                        "trash left in place for manual recovery"
-                    )
+                _merge_dir(
+                    fs, HPath, st.getPath(),
+                    HPath(f"{root}/{st.getPath().getName()}"),
+                )
+            fs.delete(trash, True)
+
+    if not fs.exists(staging):
+        # trash is deleted before staging, so trash without staging is
+        # protocol-unreachable (manual surgery); restore conservatively
+        # — a merge never loses either side
+        _restore_trash()
+        return
+    staged_kids = [
+        s.getPath()
+        for s in fs.listStatus(staging)
+        if s.getPath().getName().startswith("batch_id=")
+    ]
+    if fs.exists(HPath(f"{staging}/{_MOVED_OK}")):
+        for kid in staged_kids:  # roll FORWARD: finish the install
+            _merge_dir(
+                fs, HPath, kid, HPath(f"{root}/{kid.getName()}")
+            )
         fs.delete(trash, True)
-    if fs.exists(staging):
-        fs.delete(staging, True)
+    elif staged_kids:
+        _restore_trash()  # roll BACK: the install never began
+    else:
+        fs.delete(trash, True)  # pre-marker post-install: superseded
+    fs.delete(staging, True)
 
 
 def compact_ingest_store(
@@ -749,23 +804,25 @@ def compact_ingest_store(
     up from 0, so a negative base can never collide with a live batch's
     replay exclusion.
 
-    Crash posture (summing-store safe): the fold STAGES the combined
-    base under ``_fold_staging`` (a ``_``-prefixed dir — invisible to
-    readers and to ``partition_file_stats``), moves the old base and
-    every folded partition aside to ``_fold_trash``, then installs the
-    staged base with one atomic rename — the commit point. A rerun
-    first recovers: staging still holding a base partition means the
-    install never happened (restore the trash, drop the staging,
-    start over); staging empty but trash present means the install
-    committed (the trash holds only superseded copies — drop it).
-    History rows therefore exist in exactly one live place at every
-    crash point, which matters for LINEAR stores: the count-min
-    frequency store SUMS counter rows, so the old posture (write base,
-    then delete folded dirs) could bake a second copy of a folded
-    batch's counters into the base if a crash hit between the two and
-    the next run re-folded base ∪ still-present dirs (ADVICE r4).
-    Set-semantics stores (digest/band/bloom/profile) were never
-    affected, but share the stronger protocol. Returns
+    Crash posture (summing-store safe, object-store safe): the fold
+    STAGES the combined base under ``_fold_staging`` (a ``_``-prefixed
+    dir — invisible to readers and to ``partition_file_stats``), moves
+    the old base and every folded partition aside to ``_fold_trash``,
+    stamps ``_moved_ok`` — the commit point — then installs the staged
+    base and drops trash + staging. A rerun first recovers from the
+    marker: before ``_moved_ok`` the moves roll BACK; after it the
+    install rolls FORWARD. Both recovery moves are
+    by-basename directory merges (:func:`_merge_dir`), so they stay
+    correct on object stores where a directory rename is per-object
+    copy+delete and a crash can leave one partition split across two
+    dirs (review r5). History rows therefore exist in exactly one live
+    place at every crash point, which matters for LINEAR stores: the
+    count-min frequency store SUMS counter rows, so the old posture
+    (write base, then delete folded dirs) could bake a second copy of a
+    folded batch's counters into the base if a crash hit between the
+    two and the next run re-folded base ∪ still-present dirs
+    (ADVICE r4). Set-semantics stores (digest/band/bloom/profile) were
+    never affected, but share the stronger protocol. Returns
     ``{"folded": [...], "kept": [...], "compacted": [...]}``."""
     from s3_access_logs_spark.operators.etl import compact_partitions
     from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
@@ -822,9 +879,15 @@ def compact_ingest_store(
         fs.delete(dst_dir, True)
         if not fs.rename(src_dir, dst_dir):
             raise IOError(f"fold: cannot move {src_dir} aside")
-    # 3. Install the staged base — the atomic commit point: once this
-    #    rename lands, recovery classifies any leftover trash as
-    #    superseded; before it, recovery restores the trash wholesale.
+    # moved_ok marker — the commit point: before it, recovery rolls the
+    # moves BACK (merge trash into live); after it, recovery rolls the
+    # install FORWARD (merge staged base into live). Both merges are
+    # by-basename unions, idempotent under repeated crashes even when a
+    # non-atomic rename left a partition split across two dirs.
+    fs.create(HPath(f"{staging}/{_MOVED_OK}"), True).close()
+    # 3. Install the staged base. On HDFS/local this is one atomic
+    #    rename; on an object store a crash mid-install is converged by
+    #    the rerun's roll-forward merge.
     if not fs.rename(
         HPath(f"{staging}/batch_id={base_batch_id}"),
         HPath(f"{root}/batch_id={base_batch_id}"),

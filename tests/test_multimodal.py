@@ -48,6 +48,45 @@ def test_decode_metadata_roundtrip(assets):
             assert (r.meta.format, r.meta.n_frames, r.meta.width) == ("mvid", nf, w)
 
 
+def test_decode_metadata_walks_riff_chunks():
+    """Review r5: real encoders emit 18-byte fmt chunks (cbSize present)
+    or LIST/INFO chunks before `data`; the classic 44-byte fixed offsets
+    read those as header fields and report plausible-looking garbage.
+    The metadata path must chunk-walk like the sample decoder does."""
+    import struct
+
+    def wav(fmt_body: bytes, pre_data: bytes, n_samples: int) -> bytes:
+        data = b"\x00\x00" * n_samples
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + pre_data
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    # 18-byte fmt chunk (cbSize=0) — data size lands at offset 42, not 40
+    m = MM._decode_meta_one(wav(fmt16 + b"\x00\x00", b"", 4000))
+    assert (m["format"], m["sample_rate"], m["duration_ms"]) == (
+        "wav", 8000, 500,
+    )
+    # LIST/INFO chunk between fmt and data
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOIART42"
+    m = MM._decode_meta_one(wav(fmt16, lst, 2000))
+    assert (m["format"], m["sample_rate"], m["duration_ms"]) == (
+        "wav", 8000, 250,
+    )
+    # stereo 2-channel: duration divides by the frame size, and the
+    # actual channel count is reported instead of a hardcoded 1
+    fmt_st = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    m = MM._decode_meta_one(wav(fmt_st, b"", 8000))
+    assert (m["channels"], m["duration_ms"]) == (2, 500)
+    # truncated data chunk: header-declared duration (ffprobe behavior)
+    truncated = wav(fmt16, b"", 4000)[:-7000]
+    m = MM._decode_meta_one(truncated)
+    assert (m["format"], m["duration_ms"]) == ("wav", 500)
+
+
 def test_decode_unknown_format_yields_nulls(spark):
     junk = spark.createDataFrame(
         [(1, "image", bytearray(b"not a container at all"))], MM.ASSET_TYPE

@@ -1513,6 +1513,7 @@ class TestAdviceR5Fixes:
         """The mirror crash window: install committed, trash deletes never
         ran. Recovery must classify the trash as superseded and drop it —
         restoring it would double the folded counters."""
+        import os
         import shutil
 
         from s3_access_logs_spark.streaming import (
@@ -1534,10 +1535,15 @@ class TestAdviceR5Fixes:
             0,
             1,
         ]
-        # post-install leftovers: a superseded copy in trash, NO staging
+        # post-install leftovers: a superseded copy in trash, staging
+        # still carrying the _moved_ok commit marker (its batch_id child
+        # was renamed away by the install — the state a crash between
+        # the install and the cleanup deletes leaves behind)
         shutil.copytree(
             f"{sk}/batch_id=-1", f"{sk}/_fold_trash/batch_id=0"
         )
+        os.makedirs(f"{sk}/_fold_staging", exist_ok=True)
+        open(f"{sk}/_fold_staging/_moved_ok", "w").close()
         res = compact_ingest_store(spark, sk, keep_recent=0)
         assert res["folded"] == []
         probe = spark.createDataFrame(
@@ -1548,6 +1554,101 @@ class TestAdviceR5Fixes:
             for r in frequency_estimates(spark, sk, probe, "token").collect()
         }
         assert est == {"red": 3, "blue": 1, "green": 1}
+
+    def _two_batch_sketch(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import track_frequencies_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        sk = str(tmp_path / "sketch")
+        ckpt = str(tmp_path / "ckpt")
+        for i, text in enumerate(["red red blue", "red green"]):
+            self._drop(src, f"b{i}.jsonl", [{"doc_id": i, "text": text}])
+            track_frequencies_stream(
+                spark, str(src), sk, ckpt
+            ).awaitTermination(120)
+        return sk
+
+    def _est(self, spark, sk):
+        from s3_access_logs_spark.streaming import frequency_estimates
+
+        probe = spark.createDataFrame(
+            [("red",), ("blue",), ("green",)], ["token"]
+        )
+        return {
+            r["token"]: r["est_count"]
+            for r in frequency_estimates(spark, sk, probe, "token").collect()
+        }
+
+    def test_fold_crash_mid_move_split_partition_reassembles(
+        self, spark, tmp_path
+    ):
+        """Review r5: on object stores a directory rename is per-object
+        copy+delete, so a crash mid-move leaves a partition SPLIT — some
+        files only in ``_fold_trash``, the mid-flight object in BOTH
+        places. The old recovery skipped restoring any partition whose
+        live dir still existed and then deleted the trash, permanently
+        losing the moved-aside files. The merge recovery must reassemble
+        exactly one copy of every file: no loss, no double counts."""
+        import os
+        import shutil
+
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        sk = self._two_batch_sketch(spark, tmp_path)
+        # staged base written, NO commit marker (crash before _moved_ok)
+        (
+            spark.read.parquet(sk)
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{sk}/_fold_staging")
+        )
+        # batch 1: fully moved aside (its only live copy is the trash)
+        os.makedirs(f"{sk}/_fold_trash", exist_ok=True)
+        shutil.move(f"{sk}/batch_id=1", f"{sk}/_fold_trash/batch_id=1")
+        # batch 0: every object copied but none deleted yet — the same
+        # files exist in BOTH live and trash (per-object copy+delete
+        # caught between the phases)
+        shutil.copytree(f"{sk}/batch_id=0", f"{sk}/_fold_trash/batch_id=0")
+        res = compact_ingest_store(spark, sk, keep_recent=0)
+        assert res["folded"] == [0, 1]
+        assert self._est(spark, sk) == {"red": 3, "blue": 1, "green": 1}
+
+    def test_fold_crash_mid_install_rolls_forward(self, spark, tmp_path):
+        """Review r5: a crash mid-install (after the ``_moved_ok`` commit
+        marker) can leave the staged base split between staging and the
+        live dir on an object store. Recovery must finish the install by
+        merging — restoring the trash instead would resurrect the folded
+        partitions next to the (partial) base and double every count."""
+        import os
+        import shutil
+
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        sk = self._two_batch_sketch(spark, tmp_path)
+        (
+            spark.read.parquet(sk)
+            .withColumn("batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(f"{sk}/_fold_staging")
+        )
+        os.makedirs(f"{sk}/_fold_trash", exist_ok=True)
+        for b in (0, 1):
+            shutil.move(
+                f"{sk}/batch_id={b}", f"{sk}/_fold_trash/batch_id={b}"
+            )
+        open(f"{sk}/_fold_staging/_moved_ok", "w").close()
+        # install crashed mid-flight: ONE staged object already copied
+        # into the live base dir, the rest still in staging
+        staged = f"{sk}/_fold_staging/batch_id=-1"
+        os.makedirs(f"{sk}/batch_id=-1", exist_ok=True)
+        first = sorted(os.listdir(staged))[0]
+        shutil.copy2(f"{staged}/{first}", f"{sk}/batch_id=-1/{first}")
+        res = compact_ingest_store(spark, sk, keep_recent=0)
+        assert res["folded"] == []  # the base is already installed
+        assert self._est(spark, sk) == {"red": 3, "blue": 1, "green": 1}
 
     def test_band_store_only_carries_surviving_texts(self, spark, tmp_path):
         """ADVICE r4: a batch carrying one doc_id with two distinct texts
