@@ -41,9 +41,6 @@ STAGES = (
     "contaminated",
 )
 
-_CURATE_MARKER = "_curate_batch"  # canonical copy: sources.fsutil.CURATE_MARKER
-
-
 def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
     """Refuse to append over a ``batch_id`` partition this pipeline did
     not write. curate_corpus shares the streaming ingest's store layout
@@ -51,17 +48,20 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
     REPLACE a stream-committed history partition via dynamic partition
     overwrite — those documents' digests vanish and future batches
     re-ingest them as new (review r5). Ownership is a ``_``-prefixed
-    marker file (invisible to every parquet reader) touched after each
-    curate append, so a crashed-attempt REPLAY of the same curate batch
-    passes while a foreign partition fails loudly. The reverse direction
-    is enforced inside ``streaming.pipeline.write_batch_partition``:
-    stream sinks refuse MARKED partitions, so neither writer can clobber
-    the other. The check-then-write window is not transactional — the
-    store contract assumes one maintenance writer at a time (the same
-    assumption ``compact_ingest_store`` documents); a stream and a
-    curate run racing the SAME new batch_id within milliseconds is
-    outside it."""
+    STORE-ROOT marker file (invisible to every parquet reader, and —
+    unlike an in-partition file — untouched by the partition overwrite
+    itself) stamped BEFORE the first write, so a crashed-attempt REPLAY
+    of the same curate batch passes while a foreign partition fails
+    loudly, with no crash window in which committed curate rows sit
+    unmarked. The reverse direction is enforced inside
+    ``streaming.pipeline.write_batch_partition``: stream sinks refuse
+    MARKED partitions, so neither writer can clobber the other. The
+    check-then-claim window is not transactional — the store contract
+    assumes one maintenance writer at a time (the same assumption
+    ``compact_ingest_store`` documents); a stream and a curate run
+    racing the SAME new batch_id within milliseconds is outside it."""
     from s3_access_logs_spark.sources.fsutil import (
+        CURATE_MARKER,
         hadoop_fs,
         partition_has_marker,
     )
@@ -75,7 +75,7 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
         raise ValueError(
             f"curate_corpus: batch_id={batch_id} already exists in "
             f"{store!r} and was not written by curate_corpus (no "
-            f"{_CURATE_MARKER} marker) — appending would overwrite "
+            f"{CURATE_MARKER} marker) — appending would overwrite "
             "another writer's history partition (silent duplicate "
             "re-ingestion downstream). Pick an unused batch id; if this "
             "partition is a crashed curate attempt whose marker was "
@@ -532,6 +532,12 @@ def curate_corpus(
             )
 
             if digest_store is not None:
+                # claim-first: the root marker survives the partition
+                # overwrite and any crash, so the partition is never
+                # committed-but-unmarked (review r5)
+                _mark_partition(
+                    docs.sparkSession, digest_store, store_batch_id
+                )
                 write_batch_partition(
                     survivors.select(
                         normalized_digest(F.col(text_col)).alias("digest"),
@@ -542,10 +548,10 @@ def curate_corpus(
                     digest_store,
                     allow_curate=True,
                 )
-                _mark_partition(
-                    docs.sparkSession, digest_store, store_batch_id
-                )
             if band_store is not None:
+                _mark_partition(
+                    docs.sparkSession, band_store, store_batch_id
+                )
                 write_batch_partition(
                     _bands_for_append.join(
                         survivors.select(F.col(id_col).alias("id")), "id"
@@ -553,9 +559,6 @@ def curate_corpus(
                     store_batch_id,
                     band_store,
                     allow_curate=True,
-                )
-                _mark_partition(
-                    docs.sparkSession, band_store, store_batch_id
                 )
         if dst is not None:
             # production path: materialize survivors WHILE the scoped

@@ -260,13 +260,17 @@ def _decode_meta_one(payload: "bytes | None") -> dict:
             # garbage sample rates and durations (review r5)
             hdr = _wav_header(payload)
             if hdr is not None:
-                _fmt_tag, ch, sr, bits, _data, declared = hdr
+                fmt_tag, ch, sr, bits, _data, declared = hdr
                 if sr > 0 and ch > 0 and bits > 0:
-                    frames = declared // (ch * max(bits // 8, 1))
-                    meta.update(
-                        format="wav", channels=ch, sample_rate=sr,
-                        duration_ms=frames * 1000 // sr,
-                    )
+                    meta.update(format="wav", channels=ch, sample_rate=sr)
+                    # duration only for uncompressed frames (PCM tag 1,
+                    # IEEE-float tag 3), where bytes/frame is exactly
+                    # ch * bits/8. For compressed tags (ADPCM, MP3 in
+                    # WAV) that formula reports confidently wrong
+                    # durations — leave NULL, don't guess (review r5)
+                    if fmt_tag in (1, 3) and bits % 8 == 0:
+                        frames = declared // (ch * (bits // 8))
+                        meta.update(duration_ms=frames * 1000 // sr)
         elif payload[:4] == MVID_MAGIC and len(payload) >= 20:
             nf, _fs, w, h = struct.unpack("<IIII", payload[4:20])
             meta.update(
@@ -274,6 +278,18 @@ def _decode_meta_one(payload: "bytes | None") -> dict:
             )
     except (struct.error, ZeroDivisionError):
         # Truncated container past its magic: all-NULL, never a task failure.
+        return dict.fromkeys(meta)
+    # META_TYPE fields are int32, and every container field above is an
+    # unvalidated uint32 (a hostile WAV can declare sample_rate 2^32-1,
+    # a corrupt PNG a 4-billion-pixel width): an out-of-range value
+    # would surface as ArrowInvalid during batch serialization — a TASK
+    # failure, violating the tolerant contract. Corrupt-but-parseable
+    # headers degrade to all-NULL instead (review r5).
+    if any(
+        v is not None and not (0 <= v < 2**31)
+        for k, v in meta.items()
+        if k != "format"
+    ):
         return dict.fromkeys(meta)
     return meta
 

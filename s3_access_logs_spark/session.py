@@ -69,16 +69,20 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Arrow batch row cap for the mapInPandas operators: multimodal
-        # payload rows are fat, and a binary column's Arrow offsets are
-        # signed int32, so rows-per-batch x avg payload must stay under
-        # 2 GiB or the transfer itself overflows. 512 rows x 1 MiB
-        # payloads = 512 MiB — 4x headroom at the design payload size
-        # (payloads averaging past ~4 MiB need a lower session cap) —
-        # while narrow text/vector batches lose nothing measurable vs
-        # the 10k default (review r5: the prior 2048 cap hit exactly
-        # 2^31 bytes at its own stated 1 MiB design case).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # 64-bit Arrow offsets for binary/string columns: with the
+        # default 32-bit types, rows-per-batch x avg payload crossing
+        # 2 GiB makes the TRANSFER itself fail with an offset overflow
+        # (review r5: the prior 2048-row cap hit exactly 2^31 bytes at
+        # its own stated 1 MiB design payload). Large var types remove
+        # that hard cliff, leaving batch sizing a pure memory tradeoff.
+        .config("spark.sql.execution.arrow.useLargeVarTypes", "true")
+        # Arrow batch row cap for the mapInPandas operators: 1024 rows
+        # x 1 MiB design payloads = 1 GiB in flight per task — bounded,
+        # while narrow text/vector rows (few KB) still move in multi-MB
+        # batches so the per-batch Python round-trip overhead stays
+        # negligible. Jobs decoding payloads that average well past
+        # 1 MiB should lower this via get_spark(extra_conf=...).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

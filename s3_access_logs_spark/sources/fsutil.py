@@ -21,24 +21,31 @@ def hadoop_fs(spark: SparkSession, path_str: str):
     return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
 
 
-CURATE_MARKER = "_curate_batch"
+CURATE_MARKER = "_curate_owned"
 
 
 def _marker_jpath(spark, store: str, batch_id: int, marker: str):
+    # STORE-ROOT file, not a file inside the partition dir: dynamic
+    # partition overwrite deletes the partition's contents, so an
+    # in-partition marker vanishes during every curate replay and a
+    # crash before the re-stamp would leave committed curate rows
+    # unmarked — exactly the unguarded state the marker exists to
+    # prevent (review r5). Root-level ``_``-files survive any partition
+    # write and stay invisible to parquet readers.
     jvm = spark._jvm
     return jvm.org.apache.hadoop.fs.Path(
-        f"{store.rstrip('/')}/batch_id={batch_id}/{marker}"
+        f"{store.rstrip('/')}/{marker}_{batch_id}"
     )
 
 
 def partition_has_marker(
     spark: SparkSession, store: str, batch_id: int, marker: str = CURATE_MARKER
 ) -> bool:
-    """True iff the ``batch_id=<n>`` partition carries the named
-    ownership marker (a ``_``-prefixed file, invisible to every parquet
-    reader). Ownership markers make the shared batch_id store layout
-    safe for TWO writers — the streaming ingest (unmarked partitions)
-    and ``curate_corpus`` (marked) — by letting each side refuse to
+    """True iff ``batch_id=<n>`` carries the named ownership marker (a
+    ``_``-prefixed store-root file, invisible to every parquet reader).
+    Ownership markers make the shared batch_id store layout safe for
+    TWO writers — the streaming ingest (unmarked partitions) and
+    ``curate_corpus`` (marked) — by letting each side refuse to
     dynamic-overwrite the other's committed history (review r5)."""
     fs, _ = hadoop_fs(spark, store)
     return bool(fs.exists(_marker_jpath(spark, store, batch_id, marker)))
@@ -47,7 +54,9 @@ def partition_has_marker(
 def touch_partition_marker(
     spark: SparkSession, store: str, batch_id: int, marker: str = CURATE_MARKER
 ) -> None:
-    """Stamp the ownership marker on an already-written partition."""
+    """Stamp the ownership marker. Callers stamp BEFORE writing data
+    (claim-first): the marker survives the write and any crash, so
+    there is no window in which committed rows sit unmarked."""
     fs, _ = hadoop_fs(spark, store)
     fs.create(_marker_jpath(spark, store, batch_id, marker), True).close()
 

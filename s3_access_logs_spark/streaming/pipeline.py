@@ -895,6 +895,17 @@ def compact_ingest_store(
         raise IOError("fold: cannot install staged base partition")
     fs.delete(HPath(trash), True)
     fs.delete(HPath(staging), True)
+    # retire curate ownership markers for folded ids: their rows now
+    # live in the base partition, so a FRESH stream checkpoint reusing
+    # a low epoch id may safely write the (now absent) partition —
+    # keeping the marker would refuse it forever
+    from s3_access_logs_spark.sources.fsutil import (
+        CURATE_MARKER,
+        _marker_jpath,
+    )
+
+    for b in folded:
+        fs.delete(_marker_jpath(spark, store, b, CURATE_MARKER), False)
     compacted = compact_partitions(
         spark, store, target_file_bytes=target_file_bytes
     )
@@ -954,8 +965,9 @@ def write_batch_partition(
     sinks therefore fail loudly here on a marked partition; curate's own
     appends pass ``allow_curate=True`` (its entry check already
     validated the id against foreign UNMARKED partitions). The check is
-    one driver-side ``exists`` per store write; markers are re-stamped
-    after each overwrite, so a writer's own replay always passes."""
+    one driver-side ``exists`` per store write; markers are store-root
+    files stamped claim-first, so they survive the partition overwrite
+    itself and a writer's own replay always passes."""
     from s3_access_logs_spark.sources.fsutil import partition_has_marker
 
     if not allow_curate and partition_has_marker(

@@ -85,6 +85,28 @@ def test_decode_metadata_walks_riff_chunks():
     truncated = wav(fmt16, b"", 4000)[:-7000]
     m = MM._decode_meta_one(truncated)
     assert (m["format"], m["duration_ms"]) == ("wav", 500)
+    # compressed tag (IMA ADPCM): bytes/frame != ch*bits/8, so duration
+    # must stay NULL instead of a confidently wrong guess
+    fmt_adpcm = struct.pack("<HHIIHH", 0x11, 1, 8000, 4055, 256, 4)
+    m = MM._decode_meta_one(wav(fmt_adpcm, b"", 2000))
+    assert (m["format"], m["sample_rate"], m["duration_ms"]) == (
+        "wav", 8000, None,
+    )
+    # hostile uint32 header fields that overflow the int32 meta schema
+    # must degrade to all-NULL, not fail the Arrow batch downstream
+    hostile = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 1, 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFF0)
+    )
+    assert MM._decode_meta_one(hostile)["format"] is None
+    png_huge = (
+        MM.PNG_SIG + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 0x80000000, 10, 8, 2, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    assert MM._decode_meta_one(png_huge)["format"] is None
 
 
 def test_decode_unknown_format_yields_nulls(spark):
