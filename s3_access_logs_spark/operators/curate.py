@@ -83,10 +83,34 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
         )
 
 
-def _mark_partition(spark, store: str, batch_id: int) -> None:
-    from s3_access_logs_spark.sources.fsutil import touch_partition_marker
+def _claimed_append(df, batch_id: int, store: str) -> None:
+    """Claim-first store append: stamp the root ownership marker, then
+    write. The marker survives the partition overwrite and any crash,
+    so the partition is never committed-but-unmarked (review r5). If
+    the WRITE fails without a crash, a claim this call created is
+    released again — otherwise the failed id would sit permanently
+    poisoned for stream sinks with a misleading 'committed by
+    curate_corpus' refusal (review r5). A pre-existing claim (replay
+    over a previously committed curate partition) is NOT released on
+    failure: the prior commit's surviving rows must stay guarded."""
+    from s3_access_logs_spark.sources.fsutil import (
+        partition_has_marker,
+        remove_partition_marker,
+        touch_partition_marker,
+    )
+    from s3_access_logs_spark.streaming.pipeline import (
+        write_batch_partition,
+    )
 
+    spark = df.sparkSession
+    fresh_claim = not partition_has_marker(spark, store, batch_id)
     touch_partition_marker(spark, store, batch_id)
+    try:
+        write_batch_partition(df, batch_id, store, allow_curate=True)
+    except BaseException:
+        if fresh_claim:
+            remove_partition_marker(spark, store, batch_id)
+        raise
 
 
 def curate_corpus(
@@ -527,18 +551,8 @@ def curate_corpus(
             # batch_id, so an at-least-once rerun rewrites exactly its
             # own partitions. Reads above excluded this batch_id, so
             # the rerun's gates see only true history.
-            from s3_access_logs_spark.streaming.pipeline import (
-                write_batch_partition,
-            )
-
             if digest_store is not None:
-                # claim-first: the root marker survives the partition
-                # overwrite and any crash, so the partition is never
-                # committed-but-unmarked (review r5)
-                _mark_partition(
-                    docs.sparkSession, digest_store, store_batch_id
-                )
-                write_batch_partition(
+                _claimed_append(
                     survivors.select(
                         normalized_digest(F.col(text_col)).alias("digest"),
                         F.col(id_col).alias("keep_id"),
@@ -546,19 +560,14 @@ def curate_corpus(
                     ).dropDuplicates(["digest"]),
                     store_batch_id,
                     digest_store,
-                    allow_curate=True,
                 )
             if band_store is not None:
-                _mark_partition(
-                    docs.sparkSession, band_store, store_batch_id
-                )
-                write_batch_partition(
+                _claimed_append(
                     _bands_for_append.join(
                         survivors.select(F.col(id_col).alias("id")), "id"
                     ),
                     store_batch_id,
                     band_store,
-                    allow_curate=True,
                 )
         if dst is not None:
             # production path: materialize survivors WHILE the scoped

@@ -22,6 +22,9 @@ def hadoop_fs(spark: SparkSession, path_str: str):
 
 
 CURATE_MARKER = "_curate_owned"
+# the first marker scheme lived INSIDE the partition dir; stores marked
+# by it are still recognized (dual read below), never written anew
+LEGACY_CURATE_MARKER = "_curate_batch"
 
 
 def _marker_jpath(spark, store: str, batch_id: int, marker: str):
@@ -46,9 +49,21 @@ def partition_has_marker(
     Ownership markers make the shared batch_id store layout safe for
     TWO writers — the streaming ingest (unmarked partitions) and
     ``curate_corpus`` (marked) — by letting each side refuse to
-    dynamic-overwrite the other's committed history (review r5)."""
+    dynamic-overwrite the other's committed history (review r5). A
+    store marked by the first, in-partition scheme is still recognized
+    so an existing store's protection survives the relocation."""
     fs, _ = hadoop_fs(spark, store)
-    return bool(fs.exists(_marker_jpath(spark, store, batch_id, marker)))
+    if fs.exists(_marker_jpath(spark, store, batch_id, marker)):
+        return True
+    jvm = spark._jvm
+    return bool(
+        fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{store.rstrip('/')}/batch_id={batch_id}/"
+                f"{LEGACY_CURATE_MARKER}"
+            )
+        )
+    )
 
 
 def touch_partition_marker(
@@ -59,6 +74,34 @@ def touch_partition_marker(
     there is no window in which committed rows sit unmarked."""
     fs, _ = hadoop_fs(spark, store)
     fs.create(_marker_jpath(spark, store, batch_id, marker), True).close()
+
+
+def remove_partition_marker(
+    spark: SparkSession, store: str, batch_id: int, marker: str = CURATE_MARKER
+) -> None:
+    """Retire an ownership marker (idempotent; absent is fine). One
+    module owns the marker path scheme — callers never build paths."""
+    fs, _ = hadoop_fs(spark, store)
+    fs.delete(_marker_jpath(spark, store, batch_id, marker), False)
+
+
+def list_partition_markers(
+    spark: SparkSession, store: str, marker: str = CURATE_MARKER
+) -> set[int]:
+    """Batch ids carrying a store-root ownership marker."""
+    fs, root = hadoop_fs(spark, store)
+    if not fs.exists(root):
+        return set()
+    out: set[int] = set()
+    prefix = f"{marker}_"
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(prefix):
+            try:
+                out.add(int(name[len(prefix):]))
+            except ValueError:
+                continue
+    return out
 
 
 def has_data_files(spark: SparkSession, path_str: str) -> bool:

@@ -776,6 +776,29 @@ def _recover_fold(spark: SparkSession, store: str) -> None:
     fs.delete(staging, True)
 
 
+def _sweep_orphan_markers(spark: SparkSession, store: str) -> None:
+    """Retire curate ownership markers whose ``batch_id=`` partition no
+    longer exists. Orphans arise two ways: a fold retires the partition
+    (its rows move into the base, so a FRESH stream checkpoint reusing
+    the low epoch id may safely write it — keeping the marker would
+    refuse it forever), and a curate run that claimed an id crash- or
+    error-failed before committing data. Running the sweep from
+    ``compact_ingest_store`` — idempotently, on every maintenance run —
+    means a crash between a fold's commit and its marker retirement
+    merely defers the cleanup to the next run instead of leaking the
+    marker permanently (review r5). Safe against live claims only under
+    the store's one-maintenance-writer-at-a-time contract, which
+    curate and compaction already share."""
+    from s3_access_logs_spark.sources.fsutil import (
+        list_partition_markers,
+        remove_partition_marker,
+    )
+
+    live = _hive_batch_ids(spark, store)
+    for b in list_partition_markers(spark, store) - live:
+        remove_partition_marker(spark, store, b)
+
+
 def compact_ingest_store(
     spark: SparkSession,
     store: str,
@@ -835,6 +858,9 @@ def compact_ingest_store(
     if keep_recent < 0:
         raise ValueError("keep_recent must be >= 0")
     _recover_fold(spark, store)
+    # sweep BEFORE the empty-store return too: a crashed fold's rerun
+    # (or a claim that never wrote data) must not leak markers
+    _sweep_orphan_markers(spark, store)
     if not has_data_files(spark, store):
         return {"folded": [], "kept": [], "compacted": []}
     fs, root_path = hadoop_fs(spark, store)
@@ -895,17 +921,7 @@ def compact_ingest_store(
         raise IOError("fold: cannot install staged base partition")
     fs.delete(HPath(trash), True)
     fs.delete(HPath(staging), True)
-    # retire curate ownership markers for folded ids: their rows now
-    # live in the base partition, so a FRESH stream checkpoint reusing
-    # a low epoch id may safely write the (now absent) partition —
-    # keeping the marker would refuse it forever
-    from s3_access_logs_spark.sources.fsutil import (
-        CURATE_MARKER,
-        _marker_jpath,
-    )
-
-    for b in folded:
-        fs.delete(_marker_jpath(spark, store, b, CURATE_MARKER), False)
+    _sweep_orphan_markers(spark, store)
     compacted = compact_partitions(
         spark, store, target_file_bytes=target_file_bytes
     )
@@ -980,7 +996,10 @@ def write_batch_partition(
             "history and re-ingest those documents as new. The stream's "
             "checkpoint epoch has collided with a curate store_batch_id; "
             "re-curate into a disjoint id range (e.g. far above the "
-            "stream's epoch counter) and delete the marked partition."
+            "stream's epoch counter), then fold the store "
+            "(compact_ingest_store retires the id's partition AND its "
+            f"store-root _curate_owned_{batch_id} marker) before "
+            "resuming the stream."
         )
     (
         df.withColumn("batch_id", F.lit(batch_id))

@@ -4211,3 +4211,77 @@ class TestCurateStoreOwnership:
         write_batch_partition(stream_rows, 0, store)
         kept = {r.keep_id for r in spark.read.parquet(store).collect()}
         assert kept == {9, 5}
+
+    def test_failed_write_releases_fresh_claim_only(self, spark, tmp_path):
+        """Review r5: a claim-first marker must be released when the
+        write itself fails (else the id sits poisoned for stream sinks
+        with a misleading 'committed by curate' refusal) — but a
+        PRE-EXISTING claim guards a prior commit's rows and must
+        survive a failed replay write."""
+        from s3_access_logs_spark.operators.curate import _claimed_append
+        from s3_access_logs_spark.sources.fsutil import (
+            partition_has_marker,
+            touch_partition_marker,
+        )
+
+        store = str(tmp_path / "store")
+        # a frame whose WRITE fails at execution time (ANSI division)
+        bad = spark.range(1).selectExpr("1/0 AS boom")
+        with pytest.raises(Exception):
+            _claimed_append(bad, 3, store)
+        assert not partition_has_marker(spark, store, 3)
+        # pre-existing claim: failure must NOT release it
+        touch_partition_marker(spark, store, 4)
+        with pytest.raises(Exception):
+            _claimed_append(bad, 4, store)
+        assert partition_has_marker(spark, store, 4)
+
+    def test_legacy_in_partition_marker_recognized(self, spark, tmp_path):
+        """A store marked by the first (in-partition) scheme keeps its
+        protection after the relocation to store-root markers."""
+        import os
+
+        from s3_access_logs_spark.sources.fsutil import partition_has_marker
+        from s3_access_logs_spark.streaming.pipeline import (
+            write_batch_partition,
+        )
+
+        store = str(tmp_path / "store")
+        rows = spark.createDataFrame([("d", 1, "t")],
+                                     "digest string, keep_id bigint, text string")
+        write_batch_partition(rows, 0, store)
+        os.makedirs(f"{store}/batch_id=0", exist_ok=True)
+        open(f"{store}/batch_id=0/_curate_batch", "w").close()
+        assert partition_has_marker(spark, store, 0)
+        with pytest.raises(RuntimeError, match="curate_corpus"):
+            write_batch_partition(rows, 0, store)
+
+    def test_compaction_sweeps_orphan_markers(self, spark, tmp_path):
+        """Review r5: markers for folded or never-committed ids are
+        retired by the next maintenance run, so a crash between a
+        fold's commit and its marker cleanup cannot leak a marker (and
+        a permanently refused epoch id) forever."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+        from s3_access_logs_spark.sources.fsutil import (
+            partition_has_marker,
+            touch_partition_marker,
+        )
+        from s3_access_logs_spark.streaming import compact_ingest_store
+
+        store = str(tmp_path / "store")
+        docs = spark.createDataFrame(
+            [(5, "a curated document body")], ["doc_id", "text"]
+        )
+        curate_corpus(docs, digest_store=store, store_batch_id=0)
+        docs2 = spark.createDataFrame(
+            [(6, "a different second document body")], ["doc_id", "text"]
+        )
+        curate_corpus(docs2, digest_store=store, store_batch_id=1)
+        touch_partition_marker(spark, store, 99)  # crashed claim, no data
+        res = compact_ingest_store(spark, store, keep_recent=0)
+        assert res["folded"] == [0, 1]
+        for b in (0, 1, 99):
+            assert not partition_has_marker(spark, store, b)
+        # folded curate rows survive under the base partition
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {5, 6}
