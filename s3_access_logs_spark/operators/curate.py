@@ -38,6 +38,7 @@ STAGES = (
     "classifier",
     "near_dup",
     "contained",
+    "semantic",
     "contaminated",
 )
 
@@ -127,6 +128,12 @@ def curate_corpus(
     near_dup: bool = False,
     drop_contained: bool = False,
     containment_threshold: float = 0.8,
+    embeddings: DataFrame | None = None,
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    semantic_centroids: DataFrame | None = None,
+    semantic_nlist: int | None = None,
     benchmark: DataFrame | None = None,
     max_overlap: float = 0.5,
     html: bool = False,
@@ -150,9 +157,21 @@ def curate_corpus(
     ``min_prob`` (trained quality model, operators.quality_classifier),
     ``near_dup`` (MinHash+LSH cluster keep-first), ``drop_contained`` +
     ``containment_threshold`` (asymmetric subset-dup removal,
-    operators.dedup.containment_pairs — keeps the superset), and
-    ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact dedup always runs —
-    a curation pass that can emit byte-duplicates is not curation.
+    operators.dedup.containment_pairs — keeps the superset),
+    ``embeddings`` (+ ``semantic_threshold``/``semantic_centroids``/
+    ``semantic_nlist``) — SemDeDup-style semantic dedup
+    (operators.similarity.semantic_dedup): an ``(emb_id_col, emb_col)``
+    frame keyed by document id; a doc whose embedding has cosine
+    similarity above the threshold to a lower-id GATE-PASSING doc in
+    the same quantizer cluster drops as ``semantic``; docs with no
+    embedding row pass (no signal is not a rejection, the perplexity
+    convention). Centroids come from ``semantic_centroids`` or a
+    spherical k-means fit over the eligible embeddings
+    (``semantic_nlist`` clusters, default ~sqrt(n) — the standard IVF
+    sizing keeping every within-cluster pair block sub-quadratic); and
+    ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact
+    dedup always runs — a curation pass that can emit byte-duplicates
+    is not curation.
 
     TRANSFORM options rewrite the text before any gate (same order as
     the streaming ingest): ``html`` (strip_html), ``normalize``
@@ -359,7 +378,9 @@ def curate_corpus(
     # the min-id PASSING row; when the whole group fails, min id wins
     # and attribution lands on the real gate.
     _doc_gates = [
-        s for s in STAGES if s not in ("exact_dup", "near_dup", "contained")
+        s
+        for s in STAGES
+        if s not in ("exact_dup", "near_dup", "contained", "semantic")
     ]
     gate_fail = F.lit(False)
     for s in _doc_gates:
@@ -418,7 +439,7 @@ def curate_corpus(
     # rejected, dropping every member of the group and erasing the
     # content entirely.
     _pre_dedup = [
-        s for s in STAGES if s not in ("near_dup", "contained")
+        s for s in STAGES if s not in ("near_dup", "contained", "semantic")
     ]
     eligible_pred = F.lit(True)
     for s in _pre_dedup:
@@ -432,7 +453,12 @@ def curate_corpus(
     # so the cache can release before returning and the survivors frame
     # never re-enters the expensive stages.
     _scoped: list[DataFrame] = []
-    if near_dup or drop_contained or band_store is not None:
+    if (
+        near_dup
+        or drop_contained
+        or band_store is not None
+        or embeddings is not None
+    ):
         flags = flags.persist()
         _scoped.append(flags)
     _bands_for_append = None
@@ -519,6 +545,58 @@ def curate_corpus(
         ).drop("_sub")
     else:
         flags = flags.withColumn("_f_contained", F.lit(False))
+    if embeddings is not None:
+        from s3_access_logs_spark.operators.similarity import (
+            kmeans_fit,
+            semantic_dedup,
+        )
+
+        # keeper election among GATE-PASSING docs only (the shared
+        # dedup-stage pattern): a doc may only be dominated by a doc
+        # that itself survives every earlier stage, so dropping it
+        # never erases content whose canonical copy was rejected
+        eligible3 = flags.filter(
+            eligible_pred
+            & ~F.col("_f_near_dup")
+            & ~F.col("_f_contained")
+        ).select(id_col)
+        cand = eligible3.join(
+            embeddings.select(
+                F.col(emb_id_col).alias(id_col),
+                F.col(emb_col).alias("_emb"),
+            ),
+            id_col,
+        )
+        cents = semantic_centroids
+        if cents is None:
+            # ~sqrt(n) clusters (standard IVF sizing) keeps every
+            # within-cluster pair block sub-quadratic; the count is one
+            # bounded scalar job over the cached flags frame
+            n_emb = cand.count()
+            if n_emb > 0:
+                k = semantic_nlist or max(1, int(n_emb**0.5))
+                cents = kmeans_fit(cand, k, vec_col="_emb")
+        if cents is None:  # no eligible embeddings: nothing to judge
+            flags = flags.withColumn("_f_semantic", F.lit(False))
+        else:
+            dropped_sem = (
+                semantic_dedup(
+                    cand,
+                    threshold=semantic_threshold,
+                    id_col=id_col,
+                    vec_col="_emb",
+                    centroids=cents,
+                )
+                .filter(~F.col("keep"))
+                .select(F.col("id").alias(id_col))
+                .withColumn("_sem", F.lit(True))
+                .localCheckpoint()
+            )
+            flags = flags.join(dropped_sem, id_col, "left").withColumn(
+                "_f_semantic", F.coalesce(F.col("_sem"), F.lit(False))
+            ).drop("_sem")
+    else:
+        flags = flags.withColumn("_f_semantic", F.lit(False))
     # waterfall attribution: first failing stage wins
     verdict = F.lit("kept")
     for stage in reversed(STAGES):

@@ -1067,6 +1067,93 @@ _Q["curate_waterfall"] = _dc.replace(
 )
 
 
+@query(
+    "curate_semantic",
+    oracle=None,  # filled below (reuses the semantic-dedup SQL fragments)
+    tags=("llm", "pipeline", "curation", "semantic", "dedup"),
+)
+def curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's SemDeDup stage (operators/curate.py):
+    documents joined to their embeddings (vec_id = doc_id), label
+    centroids as the quantizer (deterministic 6-dp per-dim means — the
+    SQL-replayable path; production fits them with kmeans_fit), cosine
+    threshold 0.3. The waterfall must attribute empty -> exact_dup ->
+    semantic with domination elected ONLY among gate-passing docs, and
+    dropped-per-stage plus survivors sums to the corpus exactly."""
+    from s3_access_logs_spark.operators.curate import curate_corpus
+    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, report = curate_corpus(
+        docs,
+        embeddings=emb,
+        semantic_threshold=0.3,
+        semantic_centroids=_cached_centroids(spark, sf_dir),
+    )
+    return report
+
+
+def _curate_semantic_sql() -> str:
+    from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
+
+    return f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             (text IS NULL OR trim(text) = '') AS f_empty
+      FROM documents
+    ),
+    e AS (
+      SELECT *,
+             (ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g')))
+                ORDER BY f_empty::INT, doc_id)
+              > 1) AND NOT f_empty AS f_exact
+      FROM f
+    ),
+    elig AS (SELECT doc_id FROM e WHERE NOT f_empty AND NOT f_exact),
+    emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+    dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
+    cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
+           FROM emb CROSS JOIN dims GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+    ee AS (SELECT emb.vec_id, emb.v
+           FROM emb JOIN elig ON emb.vec_id = elig.doc_id),
+    ca AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT ee.vec_id, ee.v, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY ee.vec_id
+                 ORDER BY {SQL_COSINE.format(a='ee.v', b='cent.c')} DESC,
+                          cent.label) AS rn
+        FROM ee CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id FROM ca a JOIN ca b
+        ON a.cl = b.cl AND b.vec_id < a.vec_id
+           AND {SQL_COSINE.format(a='a.v', b='b.v')} > 0.3
+    ),
+    v AS (
+      SELECT CASE WHEN f_empty THEN 'empty'
+                  WHEN f_exact THEN 'exact_dup'
+                  WHEN doc_id IN (SELECT vec_id FROM dropped)
+                       THEN 'semantic'
+                  ELSE 'kept' END AS stage
+      FROM e
+    )
+    SELECT stage, COUNT(*) AS dropped FROM v
+    WHERE stage <> 'kept' GROUP BY stage
+    """
+
+
+_Q["curate_semantic"] = _dc.replace(
+    _Q["curate_semantic"], oracle=_curate_semantic_sql()
+)
+
+
 # ---------------------------------------------------------------------------
 # Rows-only entries: iterative numeric training (no SQL-expressible oracle;
 # the driver records the documented weaker rows-only check)
