@@ -560,25 +560,46 @@ def curate_corpus(
             & ~F.col("_f_near_dup")
             & ~F.col("_f_contained")
         ).select(id_col)
+        # persisted: the frame below is read by the nlist sizing job,
+        # every kmeans iteration, and three references inside the dedup
+        # self-join plan — without the cache each would re-scan the
+        # embeddings source and re-run the join (review r5)
         cand = eligible3.join(
             embeddings.select(
                 F.col(emb_id_col).alias(id_col),
                 F.col(emb_col).alias("_emb"),
             ),
             id_col,
-        )
+        ).persist()
+        _scoped.append(cand)
         cents = semantic_centroids
         if cents is None:
             # ~sqrt(n) clusters (standard IVF sizing) keeps every
-            # within-cluster pair block sub-quadratic; the count is one
-            # bounded scalar job over the cached flags frame
-            n_emb = cand.count()
-            if n_emb > 0:
+            # within-cluster pair block sub-quadratic — clamped to the
+            # DISTINCT vector count, which is what kmeans seeds need:
+            # duplicate-heavy embeddings (SemDeDup's primary target)
+            # must size down, not crash the curation call (review r5)
+            n_emb, n_distinct = (
+                cand.agg(
+                    F.count(F.lit(1)),
+                    F.count_distinct(F.col("_emb")),
+                )
+                .collect()[0]
+            )
+            if n_distinct > 0:
                 k = semantic_nlist or max(1, int(n_emb**0.5))
-                cents = kmeans_fit(cand, k, vec_col="_emb")
+                cents = kmeans_fit(
+                    cand, min(k, n_distinct), vec_col="_emb"
+                )
+        elif cand.isEmpty():
+            cents = None
         if cents is None:  # no eligible embeddings: nothing to judge
             flags = flags.withColumn("_f_semantic", F.lit(False))
         else:
+            # distinct BEFORE the join back (the contained/store_hits
+            # pattern): duplicate embedding rows for one id would fan
+            # the flags join out and inflate the waterfall past the
+            # "dropped + survivors == input" invariant (review r5)
             dropped_sem = (
                 semantic_dedup(
                     cand,
@@ -589,6 +610,7 @@ def curate_corpus(
                 )
                 .filter(~F.col("keep"))
                 .select(F.col("id").alias(id_col))
+                .distinct()
                 .withColumn("_sem", F.lit(True))
                 .localCheckpoint()
             )

@@ -1095,7 +1095,7 @@ def curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_semantic_sql() -> str:
-    from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
+    from s3_access_logs_spark.plans.vector_queries import semantic_sql_ctes
 
     return f"""
     WITH f AS (
@@ -1115,27 +1115,9 @@ def _curate_semantic_sql() -> str:
     elig AS (SELECT doc_id FROM e WHERE NOT f_empty AND NOT f_exact),
     emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
             FROM embeddings),
-    dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
-    cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
-           FROM emb CROSS JOIN dims GROUP BY label, i),
-    cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
     ee AS (SELECT emb.vec_id, emb.v
            FROM emb JOIN elig ON emb.vec_id = elig.doc_id),
-    ca AS (
-      SELECT vec_id, v, cl FROM (
-        SELECT ee.vec_id, ee.v, cent.label AS cl,
-               ROW_NUMBER() OVER (
-                 PARTITION BY ee.vec_id
-                 ORDER BY {SQL_COSINE.format(a='ee.v', b='cent.c')} DESC,
-                          cent.label) AS rn
-        FROM ee CROSS JOIN cent
-      ) WHERE rn = 1
-    ),
-    dropped AS (
-      SELECT DISTINCT a.vec_id FROM ca a JOIN ca b
-        ON a.cl = b.cl AND b.vec_id < a.vec_id
-           AND {SQL_COSINE.format(a='a.v', b='b.v')} > 0.3
-    ),
+    {semantic_sql_ctes(train_src='emb', assign_src='ee')},
     v AS (
       SELECT CASE WHEN f_empty THEN 'empty'
                   WHEN f_exact THEN 'exact_dup'

@@ -232,32 +232,48 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_semantic_dedup",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+def semantic_sql_ctes(
+    train_src: str = "e", assign_src: str = "e", threshold: float = 0.3
+) -> str:
+    """The ONE copy of the SemDeDup oracle fragments, shared by
+    ``embedding_semantic_dedup`` and curation_queries'
+    ``curate_semantic`` (review r5 — the block had been pasted
+    verbatim): ``dims``/``cm``/``cent`` train 6-dp label centroids over
+    ``train_src`` (vec_id, label, v); ``ca`` argmax-assigns
+    ``assign_src`` (vec_id, v) with the smaller-label tie-break;
+    ``dropped`` is the within-cluster lower-id cosine domination at
+    ``threshold`` — each mirroring operators/similarity.py exactly."""
+    return f"""
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
     cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
-           FROM e CROSS JOIN dims GROUP BY label, i),
+           FROM {train_src} CROSS JOIN dims GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
-    train AS (SELECT label, COUNT(*)::BIGINT AS n,
-              ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
-              FROM e GROUP BY label),
     ca AS (
       SELECT vec_id, v, cl FROM (
-        SELECT e.vec_id, e.v, cent.label AS cl,
+        SELECT {assign_src}.vec_id, {assign_src}.v, cent.label AS cl,
                ROW_NUMBER() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {SQL_COSINE.format(a='e.v', b='cent.c')} DESC,
+                 PARTITION BY {assign_src}.vec_id
+                 ORDER BY {SQL_COSINE.format(a=assign_src + '.v',
+                                             b='cent.c')} DESC,
                           cent.label) AS rn
-        FROM e CROSS JOIN cent
+        FROM {assign_src} CROSS JOIN cent
       ) WHERE rn = 1
     ),
     dropped AS (
       SELECT DISTINCT a.vec_id FROM ca a JOIN ca b
         ON a.cl = b.cl AND b.vec_id < a.vec_id
-           AND {SQL_COSINE.format(a='a.v', b='b.v')} > 0.3
-    ),
+           AND {SQL_COSINE.format(a='a.v', b='b.v')} > {threshold}
+    )"""
+
+
+@query(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    {semantic_sql_ctes()},
+    train AS (SELECT label, COUNT(*)::BIGINT AS n,
+              ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
+              FROM e GROUP BY label),
     stats AS (
       SELECT cl, COUNT(*)::BIGINT AS n_assigned,
              SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)

@@ -4161,6 +4161,83 @@ class TestPslSnapshot:
         assert [r.doc_id for r in kept.collect()] == [2]
 
 
+class TestCurateSemantic:
+    def test_semantic_stage_drops_dominated_docs(self, spark):
+        """The SemDeDup stage: a doc whose embedding has cosine
+        similarity above the threshold to a lower-id GATE-PASSING doc
+        drops as `semantic`; docs with no embedding pass (no signal);
+        a rejected doc (here: empty text) cannot dominate anyone."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (0, "   "),  # fails the empty gate; vector twins doc 3
+                (1, "first unique document body"),
+                (2, "second unique document body"),
+                (3, "third unique document body"),
+                (4, "fourth unique document body"),  # no embedding row
+                (5, "fifth unique document body"),
+            ],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [
+                (0, [0.0, 0.0, 1.0, 0.0]),
+                (1, [1.0, 0.0, 0.0, 0.0]),
+                (2, [0.99, 0.14, 0.0, 0.0]),  # cos ~0.99 vs doc 1
+                (3, [0.0, 0.0, 1.0, 0.0]),
+                (5, [1.0, 0.0, 0.0, 0.0]),  # identical to doc 1
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        survivors, report = curate_corpus(
+            docs, embeddings=emb, semantic_threshold=0.9
+        )
+        assert {r.doc_id for r in survivors.collect()} == {1, 3, 4}
+        water = {r.stage: r.dropped for r in report.collect()}
+        assert water == {"empty": 1, "semantic": 2}
+
+    def test_duplicate_heavy_embeddings_size_kmeans_down(self, spark):
+        """Review r5: the auto nlist is ~sqrt(row count), but kmeans
+        seeds need k DISTINCT vectors — duplicate-heavy embeddings
+        (SemDeDup's primary target input) must size the quantizer down,
+        not crash the curation call."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"doc body number {i} entirely unique") for i in range(9)],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(9)],  # ONE distinct vector
+            "vec_id long, embedding array<double>",
+        )
+        survivors, report = curate_corpus(docs, embeddings=emb)
+        assert {r.doc_id for r in survivors.collect()} == {0}
+        assert {(r.stage, r.dropped) for r in report.collect()} == {
+            ("semantic", 8)
+        }
+
+    def test_duplicate_embedding_rows_do_not_inflate_waterfall(self, spark):
+        """Review r5: duplicate vec_id rows must not fan the flags join
+        out — dropped + survivors must equal the input row count."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "first document body"), (2, "second document body")],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        survivors, report = curate_corpus(docs, embeddings=emb)
+        assert [r.doc_id for r in survivors.collect()] == [1]
+        assert {(r.stage, r.dropped) for r in report.collect()} == {
+            ("semantic", 1)
+        }
+
+
 class TestCurateStoreOwnership:
     def test_colliding_stream_partition_fails_loud(self, spark, tmp_path):
         """Review r5: curate_corpus shares the streaming stores' batch_id
@@ -4211,41 +4288,6 @@ class TestCurateStoreOwnership:
         write_batch_partition(stream_rows, 0, store)
         kept = {r.keep_id for r in spark.read.parquet(store).collect()}
         assert kept == {9, 5}
-
-    def test_semantic_stage_drops_dominated_docs(self, spark):
-        """The SemDeDup stage: a doc whose embedding has cosine
-        similarity above the threshold to a lower-id GATE-PASSING doc
-        drops as `semantic`; docs with no embedding pass (no signal);
-        a rejected doc (here: empty text) cannot dominate anyone."""
-        from s3_access_logs_spark.operators.curate import curate_corpus
-
-        docs = spark.createDataFrame(
-            [
-                (0, "   "),  # fails the empty gate; vector twins doc 3
-                (1, "first unique document body"),
-                (2, "second unique document body"),
-                (3, "third unique document body"),
-                (4, "fourth unique document body"),  # no embedding row
-                (5, "fifth unique document body"),
-            ],
-            ["doc_id", "text"],
-        )
-        emb = spark.createDataFrame(
-            [
-                (0, [0.0, 0.0, 1.0, 0.0]),
-                (1, [1.0, 0.0, 0.0, 0.0]),
-                (2, [0.99, 0.14, 0.0, 0.0]),  # cos ~0.99 vs doc 1
-                (3, [0.0, 0.0, 1.0, 0.0]),
-                (5, [1.0, 0.0, 0.0, 0.0]),  # identical to doc 1
-            ],
-            "vec_id long, embedding array<double>",
-        )
-        survivors, report = curate_corpus(
-            docs, embeddings=emb, semantic_threshold=0.9
-        )
-        assert {r.doc_id for r in survivors.collect()} == {1, 3, 4}
-        water = {r.stage: r.dropped for r in report.collect()}
-        assert water == {"empty": 1, "semantic": 2}
 
     def test_failed_write_releases_fresh_claim_only(self, spark, tmp_path):
         """Review r5: a claim-first marker must be released when the
