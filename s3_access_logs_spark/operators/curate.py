@@ -453,188 +453,196 @@ def curate_corpus(
     # so the cache can release before returning and the survivors frame
     # never re-enters the expensive stages.
     _scoped: list[DataFrame] = []
-    if (
-        near_dup
-        or drop_contained
-        or band_store is not None
-        or embeddings is not None
-    ):
-        flags = flags.persist()
-        _scoped.append(flags)
-    _bands_for_append = None
-    if band_store is not None:
-        # history near-dup gate BEFORE within-batch clustering: a doc
-        # colliding with the stored bands must drop, and excluding it
-        # from the clustering below keeps it from being elected a
-        # keeper whose batch-mates vanish with it.
-        from s3_access_logs_spark.operators.dedup import (
-            near_dup_incremental,
-        )
-        from s3_access_logs_spark.sources.fsutil import has_data_files
-        from s3_access_logs_spark.streaming.pipeline import (
-            check_no_fold_residue,
-        )
-
-        sess = docs.sparkSession
-        check_no_fold_residue(sess, band_store)
-        if has_data_files(sess, band_store):
-            hist_bands = sess.read.parquet(band_store)
-            if store_batch_id is not None:
-                hist_bands = hist_bands.filter(
-                    F.col("batch_id") != store_batch_id
-                )
-            seen_bands = hist_bands.select("id", "band_idx", "band_key")
-        else:
-            seen_bands = sess.createDataFrame(
-                [], "id long, band_idx int, band_key string"
+    # every persist/localCheckpoint below is released on ANY exit:
+    # a failing stage (ragged vector, store error) must not pin the
+    # cached gate stack in executor storage for the session lifetime
+    # (review r5)
+    try:
+        if (
+            near_dup
+            or drop_contained
+            or band_store is not None
+            or embeddings is not None
+        ):
+            flags = flags.persist()
+            _scoped.append(flags)
+        _bands_for_append = None
+        if band_store is not None:
+            # history near-dup gate BEFORE within-batch clustering: a doc
+            # colliding with the stored bands must drop, and excluding it
+            # from the clustering below keeps it from being elected a
+            # keeper whose batch-mates vanish with it.
+            from s3_access_logs_spark.operators.dedup import (
+                near_dup_incremental,
             )
-        eligible0 = flags.filter(eligible_pred).select(id_col, text_col)
-        hits, _bands_for_append = near_dup_incremental(
-            eligible0, seen_bands, id_col=id_col, text_col=text_col
-        )
-        store_hits = (
-            hits.select(F.col("new_id").alias(id_col))
-            .distinct()
-            .withColumn("_bhit", F.lit(True))
-            .localCheckpoint()
-        )
-        flags = flags.join(store_hits, id_col, "left").withColumn(
-            "_f_near_dup_store",
-            F.coalesce(F.col("_bhit"), F.lit(False)),
-        ).drop("_bhit")
-    else:
-        flags = flags.withColumn("_f_near_dup_store", F.lit(False))
-    if near_dup:
-        eligible = flags.filter(
-            eligible_pred & ~F.col("_f_near_dup_store")
-        ).select(id_col, text_col)
-        clusters = dedup_clusters(
-            eligible, id_col=id_col, text_col=text_col
-        )
-        flags = flags.join(clusters, id_col, "left").withColumn(
-            "_f_near_dup",
-            F.coalesce(
-                F.col("cluster_id") != F.col(id_col), F.lit(False)
-            ),
-        ).drop("cluster_id")
-    else:
-        flags = flags.withColumn("_f_near_dup", F.lit(False))
-    flags = flags.withColumn(
-        "_f_near_dup", F.col("_f_near_dup") | F.col("_f_near_dup_store")
-    ).drop("_f_near_dup_store")
-    if drop_contained:
-        from s3_access_logs_spark.operators.dedup import containment_pairs
-
-        eligible2 = flags.filter(
-            eligible_pred & ~F.col("_f_near_dup")
-        ).select(id_col, text_col)
-        contained = (
-            containment_pairs(
-                eligible2,
-                id_col=id_col,
-                text_col=text_col,
-                threshold=containment_threshold,
+            from s3_access_logs_spark.sources.fsutil import has_data_files
+            from s3_access_logs_spark.streaming.pipeline import (
+                check_no_fold_residue,
             )
-            .select(F.col("contained_id").alias(id_col))
-            .distinct()
-            .withColumn("_sub", F.lit(True))
-            .localCheckpoint()
-        )
-        flags = flags.join(contained, id_col, "left").withColumn(
-            "_f_contained", F.coalesce(F.col("_sub"), F.lit(False))
-        ).drop("_sub")
-    else:
-        flags = flags.withColumn("_f_contained", F.lit(False))
-    if embeddings is not None:
-        from s3_access_logs_spark.operators.similarity import (
-            kmeans_fit,
-            semantic_dedup,
-        )
 
-        # keeper election among GATE-PASSING docs only (the shared
-        # dedup-stage pattern): a doc may only be dominated by a doc
-        # that itself survives every earlier stage, so dropping it
-        # never erases content whose canonical copy was rejected
-        eligible3 = flags.filter(
-            eligible_pred
-            & ~F.col("_f_near_dup")
-            & ~F.col("_f_contained")
-        ).select(id_col)
-        # persisted: the frame below is read by the nlist sizing job,
-        # every kmeans iteration, and three references inside the dedup
-        # self-join plan — without the cache each would re-scan the
-        # embeddings source and re-run the join (review r5)
-        cand = eligible3.join(
-            embeddings.select(
-                F.col(emb_id_col).alias(id_col),
-                F.col(emb_col).alias("_emb"),
-            ),
-            id_col,
-        ).persist()
-        _scoped.append(cand)
-        cents = semantic_centroids
-        if cents is None:
-            # ~sqrt(n) clusters (standard IVF sizing) keeps every
-            # within-cluster pair block sub-quadratic — clamped to the
-            # DISTINCT vector count, which is what kmeans seeds need:
-            # duplicate-heavy embeddings (SemDeDup's primary target)
-            # must size down, not crash the curation call (review r5)
-            n_emb, n_distinct = (
-                cand.agg(
-                    F.count(F.lit(1)),
-                    F.count_distinct(F.col("_emb")),
+            sess = docs.sparkSession
+            check_no_fold_residue(sess, band_store)
+            if has_data_files(sess, band_store):
+                hist_bands = sess.read.parquet(band_store)
+                if store_batch_id is not None:
+                    hist_bands = hist_bands.filter(
+                        F.col("batch_id") != store_batch_id
+                    )
+                seen_bands = hist_bands.select("id", "band_idx", "band_key")
+            else:
+                seen_bands = sess.createDataFrame(
+                    [], "id long, band_idx int, band_key string"
                 )
-                .collect()[0]
+            eligible0 = flags.filter(eligible_pred).select(id_col, text_col)
+            hits, _bands_for_append = near_dup_incremental(
+                eligible0, seen_bands, id_col=id_col, text_col=text_col
             )
-            if n_distinct > 0:
-                k = semantic_nlist or max(1, int(n_emb**0.5))
-                cents = kmeans_fit(
-                    cand, min(k, n_distinct), vec_col="_emb"
-                )
-        elif cand.isEmpty():
-            cents = None
-        if cents is None:  # no eligible embeddings: nothing to judge
-            flags = flags.withColumn("_f_semantic", F.lit(False))
-        else:
-            # distinct BEFORE the join back (the contained/store_hits
-            # pattern): duplicate embedding rows for one id would fan
-            # the flags join out and inflate the waterfall past the
-            # "dropped + survivors == input" invariant (review r5)
-            dropped_sem = (
-                semantic_dedup(
-                    cand,
-                    threshold=semantic_threshold,
-                    id_col=id_col,
-                    vec_col="_emb",
-                    centroids=cents,
-                )
-                .filter(~F.col("keep"))
-                .select(F.col("id").alias(id_col))
+            store_hits = (
+                hits.select(F.col("new_id").alias(id_col))
                 .distinct()
-                .withColumn("_sem", F.lit(True))
+                .withColumn("_bhit", F.lit(True))
                 .localCheckpoint()
             )
-            flags = flags.join(dropped_sem, id_col, "left").withColumn(
-                "_f_semantic", F.coalesce(F.col("_sem"), F.lit(False))
-            ).drop("_sem")
-    else:
-        flags = flags.withColumn("_f_semantic", F.lit(False))
-    # waterfall attribution: first failing stage wins
-    verdict = F.lit("kept")
-    for stage in reversed(STAGES):
-        verdict = F.when(F.col(f"_f_{stage}"), F.lit(stage)).otherwise(
-            verdict
+            flags = flags.join(store_hits, id_col, "left").withColumn(
+                "_f_near_dup_store",
+                F.coalesce(F.col("_bhit"), F.lit(False)),
+            ).drop("_bhit")
+        else:
+            flags = flags.withColumn("_f_near_dup_store", F.lit(False))
+        if near_dup:
+            eligible = flags.filter(
+                eligible_pred & ~F.col("_f_near_dup_store")
+            ).select(id_col, text_col)
+            clusters = dedup_clusters(
+                eligible, id_col=id_col, text_col=text_col
+            )
+            flags = flags.join(clusters, id_col, "left").withColumn(
+                "_f_near_dup",
+                F.coalesce(
+                    F.col("cluster_id") != F.col(id_col), F.lit(False)
+                ),
+            ).drop("cluster_id")
+        else:
+            flags = flags.withColumn("_f_near_dup", F.lit(False))
+        flags = flags.withColumn(
+            "_f_near_dup", F.col("_f_near_dup") | F.col("_f_near_dup_store")
+        ).drop("_f_near_dup_store")
+        if drop_contained:
+            from s3_access_logs_spark.operators.dedup import containment_pairs
+
+            eligible2 = flags.filter(
+                eligible_pred & ~F.col("_f_near_dup")
+            ).select(id_col, text_col)
+            contained = (
+                containment_pairs(
+                    eligible2,
+                    id_col=id_col,
+                    text_col=text_col,
+                    threshold=containment_threshold,
+                )
+                .select(F.col("contained_id").alias(id_col))
+                .distinct()
+                .withColumn("_sub", F.lit(True))
+                .localCheckpoint()
+            )
+            flags = flags.join(contained, id_col, "left").withColumn(
+                "_f_contained", F.coalesce(F.col("_sub"), F.lit(False))
+            ).drop("_sub")
+        else:
+            flags = flags.withColumn("_f_contained", F.lit(False))
+        if embeddings is not None:
+            from s3_access_logs_spark.operators.similarity import (
+                kmeans_fit,
+                semantic_dedup,
+            )
+
+            # keeper election among GATE-PASSING docs only (the shared
+            # dedup-stage pattern): a doc may only be dominated by a doc
+            # that itself survives every earlier stage, so dropping it
+            # never erases content whose canonical copy was rejected
+            eligible3 = flags.filter(
+                eligible_pred
+                & ~F.col("_f_near_dup")
+                & ~F.col("_f_contained")
+            ).select(id_col)
+            # persisted: the frame below is read by the nlist sizing job,
+            # every kmeans iteration, and three references inside the dedup
+            # self-join plan — without the cache each would re-scan the
+            # embeddings source and re-run the join (review r5)
+            cand = eligible3.join(
+                embeddings.select(
+                    F.col(emb_id_col).alias(id_col),
+                    F.col(emb_col).alias("_emb"),
+                ),
+                id_col,
+            ).persist()
+            _scoped.append(cand)
+            cents = semantic_centroids
+            if cents is None:
+                # ~sqrt(n) clusters (standard IVF sizing) keeps every
+                # within-cluster pair block sub-quadratic. The auto-sized
+                # fit passes allow_fewer: kmeans clamps k to the distinct
+                # seeds its own seed collect finds, so duplicate-heavy
+                # embeddings (SemDeDup's primary target) size the quantizer
+                # down — no crash, and no extra distinct pass (review r5).
+                # An EXPLICIT semantic_nlist keeps kmeans' loud too-few-
+                # distinct-vectors error: silently coarsening a user-chosen
+                # quantizer would hide a misconfiguration.
+                n_emb = cand.count()
+                if n_emb > 0:
+                    k = semantic_nlist or max(1, int(n_emb**0.5))
+                    cents = kmeans_fit(
+                        cand,
+                        k,
+                        vec_col="_emb",
+                        allow_fewer=semantic_nlist is None,
+                    )
+            if cents is None:  # no eligible embeddings: nothing to judge
+                flags = flags.withColumn("_f_semantic", F.lit(False))
+            else:
+                # distinct BEFORE the join back (the contained/store_hits
+                # pattern): duplicate embedding rows for one id would fan
+                # the flags join out and inflate the waterfall past the
+                # "dropped + survivors == input" invariant (review r5)
+                dropped_sem = (
+                    semantic_dedup(
+                        cand,
+                        threshold=semantic_threshold,
+                        id_col=id_col,
+                        vec_col="_emb",
+                        centroids=cents,
+                    )
+                    .filter(~F.col("keep"))
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                    .withColumn("_sem", F.lit(True))
+                    .localCheckpoint()
+                )
+                flags = flags.join(dropped_sem, id_col, "left").withColumn(
+                    "_f_semantic", F.coalesce(F.col("_sem"), F.lit(False))
+                ).drop("_sem")
+        else:
+            flags = flags.withColumn("_f_semantic", F.lit(False))
+        # waterfall attribution: first failing stage wins
+        verdict = F.lit("kept")
+        for stage in reversed(STAGES):
+            verdict = F.when(F.col(f"_f_{stage}"), F.lit(stage)).otherwise(
+                verdict
+            )
+        flags = flags.withColumn("_verdict", verdict)
+        survivors = flags.filter(F.col("_verdict") == "kept").drop(
+            "_verdict", "_line_ratio", *[f"_f_{s}" for s in STAGES]
         )
-    flags = flags.withColumn("_verdict", verdict)
-    survivors = flags.filter(F.col("_verdict") == "kept").drop(
-        "_verdict", "_line_ratio", *[f"_f_{s}" for s in STAGES]
-    )
-    # the report materializes EAGERLY (it is <= len(STAGES) rows) and
-    # the lineage is then released — a session-lifetime persist per
-    # call would leak executor storage with no handle to unpersist.
-    # The expensive sub-results (connected components) are already
-    # lineage-truncated internally, so the survivor pass that follows
-    # re-derives only the cheap column flags.
+        # the report materializes EAGERLY (it is <= len(STAGES) rows) and
+        # the lineage is then released — a session-lifetime persist per
+        # call would leak executor storage with no handle to unpersist.
+        # The expensive sub-results (connected components) are already
+        # lineage-truncated internally, so the survivor pass that follows
+        # re-derives only the cheap column flags.
+    except BaseException:
+        for df_ in _scoped:
+            df_.unpersist()
+        raise
     flags = flags.persist()
     try:
         rows = (

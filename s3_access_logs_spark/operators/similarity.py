@@ -175,6 +175,7 @@ def kmeans_fit(
     init: list | None = None,
     decimals: int = 6,
     dims: int | None = None,
+    allow_fewer: bool = False,
 ) -> DataFrame:
     """Train ``k`` centroids with distributed Lloyd's iterations (spherical
     k-means: assignment by cosine, matching how :func:`ivf_topk` /
@@ -245,10 +246,21 @@ def kmeans_fit(
                 train.distinct().orderBy(F.xxhash64("_v")).limit(k).collect()
             )
             if len(cand) < k:
-                raise ValueError(
-                    f"kmeans_fit: corpus holds only {len(cand)} distinct "
-                    f"vectors, need k={k}; lower k or raise sample_fraction"
-                )
+                # allow_fewer: size k down to the available distinct
+                # seeds instead of failing — the AUTO-sizing callers'
+                # contract (curate_corpus's ~sqrt(n) default must not
+                # crash on duplicate-heavy corpora, review r5). The
+                # clamp rides the seed collect the fit already does, so
+                # no extra distinct pass anywhere. An EXPLICIT k keeps
+                # the loud error: silently coarsening a user-chosen
+                # quantizer would hide a misconfiguration.
+                if not allow_fewer or not cand:
+                    raise ValueError(
+                        f"kmeans_fit: corpus holds only {len(cand)} "
+                        f"distinct vectors, need k={k}; lower k or raise "
+                        f"sample_fraction"
+                    )
+                k = len(cand)
             cents = [[float(x) for x in r[0]] for r in cand]
         if dims is None:
             dims = len(cents[0])

@@ -4237,6 +4237,45 @@ class TestCurateSemantic:
             ("semantic", 1)
         }
 
+    def test_explicit_nlist_still_fails_loud(self, spark):
+        """Review r5: only the AUTO-sized quantizer sizes down on too
+        few distinct vectors; an explicit semantic_nlist that cannot be
+        honored must keep kmeans' loud error — silently coarsening a
+        user-chosen quantizer would hide a misconfiguration."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(i, f"body {i} words all different") for i in range(4)],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(i, [1.0, 0.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            curate_corpus(docs, embeddings=emb, semantic_nlist=3)
+
+    def test_failing_stage_releases_scoped_caches(self, spark):
+        """Review r5: an exception inside a dedup stage (here: a ragged
+        embedding vector failing kmeans_fit) must release the scoped
+        persists instead of pinning the gate stack in executor storage
+        for the session lifetime."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        docs = spark.createDataFrame(
+            [(i, f"body {i} all distinct words here") for i in range(4)],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0, 9.9])],
+            "vec_id long, embedding array<double>",
+        )
+        with pytest.raises(ValueError, match="dims"):
+            curate_corpus(docs, embeddings=emb)
+        after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        assert after == before
+
 
 class TestCurateStoreOwnership:
     def test_colliding_stream_partition_fails_loud(self, spark, tmp_path):
