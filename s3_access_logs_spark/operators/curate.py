@@ -239,6 +239,14 @@ def curate_corpus(
             "curate_corpus: min_line_ratio needs line_clean=True — the "
             "ratio is defined by the line filter's verdicts"
         )
+    if semantic_nlist is not None and semantic_nlist < 1:
+        # without this, 0 would fall through `semantic_nlist or ...` to
+        # the auto size while keeping explicit-k crash semantics — an
+        # inconsistent hybrid the caller never chose (review r5)
+        raise ValueError(
+            f"curate_corpus: semantic_nlist must be >= 1, got "
+            f"{semantic_nlist}"
+        )
     if store_batch_id is not None:
         if digest_store is None and band_store is None:
             raise ValueError(
@@ -453,10 +461,15 @@ def curate_corpus(
     # so the cache can release before returning and the survivors frame
     # never re-enters the expensive stages.
     _scoped: list[DataFrame] = []
-    # every persist/localCheckpoint below is released on ANY exit:
-    # a failing stage (ragged vector, store error) must not pin the
-    # cached gate stack in executor storage for the session lifetime
-    # (review r5)
+    # ONE try/finally covers the whole stage + report + write sequence:
+    # every scoped persist is released on ANY exit — a failing stage
+    # (ragged vector, store error) must not pin the cached gate stack
+    # in executor storage for the session lifetime (review r5).
+    # localCheckpointed intermediates (store_hits/contained/dropped_sem)
+    # are NOT in _scoped: on success the survivors' lineage references
+    # them (the whole point of the truncation), and on failure the
+    # ContextCleaner reclaims them when the frames go unreferenced —
+    # explicit release here would corrupt the success path.
     try:
         if (
             near_dup
@@ -568,9 +581,13 @@ def curate_corpus(
             # persisted: the frame below is read by the nlist sizing job,
             # every kmeans iteration, and three references inside the dedup
             # self-join plan — without the cache each would re-scan the
-            # embeddings source and re-run the join (review r5)
+            # embeddings source and re-run the join (review r5). NULL
+            # vectors are out here, not downstream: a doc whose embedding
+            # row carries a NULL vector has no signal — it passes, same as
+            # a doc with no row at all (and an all-NULL frame must skip
+            # the fit, not crash it — review r5)
             cand = eligible3.join(
-                embeddings.select(
+                embeddings.filter(F.col(emb_col).isNotNull()).select(
                     F.col(emb_id_col).alias(id_col),
                     F.col(emb_col).alias("_emb"),
                 ),
@@ -639,12 +656,7 @@ def curate_corpus(
         # The expensive sub-results (connected components) are already
         # lineage-truncated internally, so the survivor pass that follows
         # re-derives only the cheap column flags.
-    except BaseException:
-        for df_ in _scoped:
-            df_.unpersist()
-        raise
-    flags = flags.persist()
-    try:
+        flags = flags.persist()
         rows = (
             flags.groupBy(F.col("_verdict").alias("stage"))
             .agg(F.count("*").alias("dropped"))

@@ -209,7 +209,13 @@ def kmeans_fit(
     re-seeding would trade determinism for marginal quality).
 
     ``init`` (list of k vectors) overrides seeding — warm restarts, or
-    externally chosen seeds. Returns (label int, centroid array<double>),
+    externally chosen seeds. ``allow_fewer=True`` clamps ``k`` down to
+    the distinct-vector count when the seed collect finds fewer than
+    ``k`` (the auto-sizing callers' contract — duplicate-heavy corpora
+    size the quantizer down instead of failing; note the returned
+    centroid count can then be less than the requested ``k``); the
+    default keeps the loud error so an explicitly chosen ``k`` is never
+    silently coarsened. Returns (label int, centroid array<double>),
     directly pluggable as the ``centroids=`` argument downstream.
     """
     spark = corpus.sparkSession

@@ -4237,6 +4237,34 @@ class TestCurateSemantic:
             ("semantic", 1)
         }
 
+    def test_all_null_vectors_skip_the_stage(self, spark):
+        """Review r5: embedding rows whose vector is NULL carry no
+        signal — they pass like rowless docs, and an all-NULL frame
+        must skip the quantizer fit instead of crashing it."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "one document body"), (2, "two document body")],
+            ["doc_id", "text"],
+        )
+        emb = spark.createDataFrame(
+            [(1, None), (2, None)],
+            "vec_id long, embedding array<double>",
+        )
+        survivors, report = curate_corpus(docs, embeddings=emb)
+        assert {r.doc_id for r in survivors.collect()} == {1, 2}
+        assert report.count() == 0
+
+    def test_nlist_zero_rejected(self, spark):
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        emb = spark.createDataFrame(
+            [(1, [1.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="semantic_nlist"):
+            curate_corpus(docs, embeddings=emb, semantic_nlist=0)
+
     def test_explicit_nlist_still_fails_loud(self, spark):
         """Review r5: only the AUTO-sized quantizer sizes down on too
         few distinct vectors; an explicit semantic_nlist that cannot be
