@@ -582,12 +582,16 @@ def curate_corpus(
             # every kmeans iteration, and three references inside the dedup
             # self-join plan — without the cache each would re-scan the
             # embeddings source and re-run the join (review r5). NULL
-            # vectors are out here, not downstream: a doc whose embedding
-            # row carries a NULL vector has no signal — it passes, same as
-            # a doc with no row at all (and an all-NULL frame must skip
-            # the fit, not crash it — review r5)
+            # and zero-length vectors are out here, not downstream: a
+            # doc whose embedding row carries no usable vector has no
+            # signal — it passes, same as a doc with no row at all (and
+            # a frame with none must skip the fit, not crash it —
+            # review r5)
             cand = eligible3.join(
-                embeddings.filter(F.col(emb_col).isNotNull()).select(
+                embeddings.filter(
+                    F.col(emb_col).isNotNull()
+                    & (F.size(F.col(emb_col)) > 0)
+                ).select(
                     F.col(emb_id_col).alias(id_col),
                     F.col(emb_col).alias("_emb"),
                 ),
@@ -613,6 +617,18 @@ def curate_corpus(
                         k,
                         vec_col="_emb",
                         allow_fewer=semantic_nlist is None,
+                    )
+                elif semantic_nlist is not None:
+                    # an EXPLICITLY requested quantizer with nothing to
+                    # train it on is the misconfiguration the loud-k
+                    # contract exists to catch (e.g. an upstream job
+                    # wrote NULL vectors for every row); only the auto
+                    # path may treat it as "no signal" (review r5)
+                    raise ValueError(
+                        f"curate_corpus: semantic_nlist="
+                        f"{semantic_nlist} requested but no eligible "
+                        "document has a usable (non-NULL, non-empty) "
+                        "embedding — check the embeddings frame"
                     )
             if cents is None:  # no eligible embeddings: nothing to judge
                 flags = flags.withColumn("_f_semantic", F.lit(False))

@@ -270,6 +270,14 @@ def kmeans_fit(
             cents = [[float(x) for x in r[0]] for r in cand]
         if dims is None:
             dims = len(cents[0])
+        if dims == 0:
+            # a zero-length seed would otherwise die deep in the update
+            # step (empty agg list / max() over an empty zip) — fail
+            # with the named error instead (review r5)
+            raise ValueError(
+                "kmeans_fit: corpus contains zero-length vectors — "
+                "filter empty embeddings before fitting"
+            )
         # fail loud on ragged vectors: element_at past a short array is
         # NULL, which would silently average over a subset (or surface as
         # a driver TypeError on the shift check after a wasted iteration)
