@@ -618,18 +618,17 @@ def curate_corpus(
                         vec_col="_emb",
                         allow_fewer=semantic_nlist is None,
                     )
-                elif semantic_nlist is not None:
-                    # an EXPLICITLY requested quantizer with nothing to
-                    # train it on is the misconfiguration the loud-k
-                    # contract exists to catch (e.g. an upstream job
-                    # wrote NULL vectors for every row); only the auto
-                    # path may treat it as "no signal" (review r5)
-                    raise ValueError(
-                        f"curate_corpus: semantic_nlist="
-                        f"{semantic_nlist} requested but no eligible "
-                        "document has a usable (non-NULL, non-empty) "
-                        "embedding — check the embeddings frame"
-                    )
+                # empty cand skips the stage SILENTLY even with an
+                # explicit nlist: emptiness has benign causes a raise
+                # would misfire on — an empty batch, every doc dropped
+                # by an earlier gate (routine in incremental mode), or
+                # eligible docs simply having no embedding rows (the
+                # documented pass condition). Distinguishing those from
+                # an all-NULL embeddings frame would cost extra jobs;
+                # the loud misconfiguration error stays where kmeans
+                # can actually detect it — usable vectors exist but
+                # fewer distinct than the explicitly requested k
+                # (review r5, twice).
             if cents is None:  # no eligible embeddings: nothing to judge
                 flags = flags.withColumn("_f_semantic", F.lit(False))
             else:
