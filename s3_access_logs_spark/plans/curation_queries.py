@@ -1171,38 +1171,96 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "kmeans_assignments",
-    oracle=None,
-    tags=("similarity", "llm", "kmeans", "rows-only"),
+    oracle=None,  # filled below (generated unrolled-Lloyd SQL)
+    tags=("similarity", "llm", "kmeans"),
 )
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (operators/similarity.py:168):
-    deterministic hash seeding, broadcast-assign + per-dim mean per
-    iteration, corpus never shuffles. Lloyd's is iterative with a
-    driver-side convergence check — not SQL-expressible, so rows-only:
-    one assignment row per vector, always."""
+    broadcast-assign + per-dim mean per iteration, corpus never shuffles.
+    The full training loop is value-pinned (VERDICT r5 item 2): seeds are
+    the k lowest-vec_id embeddings (SQL-expressible, unlike the library
+    default's xxhash64 order), ``tol=0.0`` so the early-stop fires only at
+    an exact fixpoint (where further unrolled iterations are no-ops), and
+    per-iteration means round to 6dp — so the oracle replays all 5 Lloyd
+    iterations in SQL and checks every assignment value-exactly."""
     from s3_access_logs_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=8, max_iter=5)
+    seeds = [
+        r["embedding"]
+        for r in emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    centroids = kmeans_fit(emb, k=8, max_iter=5, tol=0.0, init=seeds)
     return _assign_clusters(emb, centroids, "embedding", 1).select(
         "vec_id", "cluster"
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
+    """Unrolled-Lloyd oracle for ``kmeans_assignments``: cent0 = the k
+    lowest-vec_id vectors; each iteration argmax-assigns by cosine
+    (smaller-label tie-break, the ``_assign_clusters`` contract) then
+    re-centers with ROUND(AVG, 6) per dimension, empty clusters keeping
+    their previous centroid via the LEFT JOIN + COALESCE. Rounding at
+    every iteration is what makes the replay cross-engine exact — raw
+    float means would drift apart in summation order."""
+    from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
+
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
+        f"""cent0 AS (
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for j in range(iters):
+        cos = SQL_COSINE.format(a="e.v", b=f"cent{j}.c")
+        parts.append(f"""a{j} AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, cent{j}.label AS cl,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos} DESC, cent{j}.label) AS rn
+        FROM e CROSS JOIN cent{j}) WHERE rn = 1)""")
+        parts.append(f"""m{j} AS (
+      SELECT cl AS label, i, ROUND(AVG(v[i]), 6) AS mval
+      FROM a{j} CROSS JOIN dims GROUP BY cl, i)""")
+        parts.append(f"""cent{j + 1} AS (
+      SELECT c.label, list(COALESCE(m.mval, c.c[d.i]) ORDER BY d.i) AS c
+      FROM cent{j} c CROSS JOIN dims d
+      LEFT JOIN m{j} m ON m.label = c.label AND m.i = d.i
+      GROUP BY c.label)""")
+    cos = SQL_COSINE.format(a="e.v", b=f"cent{iters}.c")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, cl AS cluster FROM (
+      SELECT e.vec_id, cent{iters}.label AS cl,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, cent{iters}.label) AS rn
+      FROM e CROSS JOIN cent{iters}) WHERE rn = 1
+    """
+    )
+
+
 @query(
     "embedding_pq_topk",
-    oracle=None,
-    tags=("similarity", "llm", "ann", "pq", "rows-only"),
+    oracle=None,  # filled below (generated SQL with plane literals)
+    tags=("similarity", "llm", "ann", "pq"),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search (operators/similarity.py:863,987):
-    per-subspace hyperplane-bucket codebooks whose per-dimension means
-    are float aggregates (summation-order sensitive before rounding —
-    hence rows-only), 32x-compressed codes, asymmetric-distance top-5
-    for 4 query vectors. 20 result rows, always."""
+    """Product-quantization ADC search (operators/similarity.py:889,1013):
+    per-subspace hyperplane-bucket codebooks with 6dp-rounded means,
+    32x-compressed codes, asymmetric-distance top-5 for 4 query vectors.
+    Every stage is deterministic given the LCG plane literals, so the
+    oracle replays bucketing -> codebook -> encode -> ADC ranking and
+    checks neighbor/rank/adist value-exactly (VERDICT r5 item 2)."""
     from s3_access_logs_spark.operators.similarity import (
         pq_encode,
         pq_topk,
@@ -1213,9 +1271,73 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = train_pq_codebook(emb, dims=64, m=8)
     encoded = pq_encode(emb, codebook, dims=64, m=8)
     queries = emb.filter(F.col("vec_id") < 4)
-    return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8).select(
-        "query_id", "neighbor_id", "rank"
-    )
+    return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8)
+
+
+def _pq_topk_sql(
+    dims: int = 64, m: int = 8, n_planes: int = 4, k: int = 5
+) -> str:
+    """Oracle for the PQ path: same LCG plane constants (float literals
+    round-trip exactly through repr), same sign-bucket formula, dense
+    code ids by bucket order, argmin encode with the smaller-code
+    tie-break, ADC distance as the sum of per-subspace LUT entries."""
+    from s3_access_logs_spark.operators.similarity import _lcg_planes
+
+    d = dims // m
+    rows = []
+    for j in range(m):
+        for pid, row in enumerate(_lcg_planes(n_planes, d, seed=42 + j)):
+            vals = ", ".join(repr(v) for v in row)
+            rows.append(f"({j}, {pid}, [{vals}]::DOUBLE[])")
+    plane_values = ",\n      ".join(rows)
+    return f"""
+    WITH p(j, pid, pv) AS (VALUES
+      {plane_values}
+    ),
+    subs AS (SELECT j::INT AS j FROM range(0, {m}) t(j)),
+    dims8 AS (SELECT i::INT AS i FROM range(1, {d + 1}) t(i)),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, s.j,
+                   v[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS sv
+            FROM e CROSS JOIN subs s),
+    b AS (SELECT vec_id, j, sv,
+                 SUM(CASE WHEN list_dot_product(sv, pv) >= 0
+                     THEN (1 << pid) ELSE 0 END)::BIGINT AS bucket
+          FROM sub JOIN p USING (j) GROUP BY vec_id, j, sv),
+    cbm AS (SELECT j, bucket, i, ROUND(AVG(sv[i]), 6) AS mval
+            FROM b CROSS JOIN dims8 GROUP BY j, bucket, i),
+    cb AS (SELECT j, bucket, list(mval ORDER BY i) AS c
+           FROM cbm GROUP BY j, bucket),
+    codes AS (SELECT j, bucket,
+                     (ROW_NUMBER() OVER (PARTITION BY j ORDER BY bucket)
+                      - 1)::INT AS code,
+                     c
+              FROM cb),
+    dist AS (SELECT b.vec_id, b.j, codes.code,
+                    SUM((b.sv[d.i] - codes.c[d.i])
+                        * (b.sv[d.i] - codes.c[d.i])) AS dsq
+             FROM b JOIN codes USING (j) CROSS JOIN dims8 d
+             GROUP BY b.vec_id, b.j, codes.code),
+    enc AS (SELECT vec_id, j, code FROM (
+              SELECT vec_id, j, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dsq, code) AS rn
+              FROM dist) WHERE rn = 1),
+    qdist AS (SELECT vec_id AS query_id, j, code, dsq
+              FROM dist WHERE vec_id < 4),
+    ad AS (SELECT qd.query_id, n.vec_id AS neighbor_id,
+                  SUM(qd.dsq) AS adist_raw
+           FROM enc n JOIN qdist qd ON qd.j = n.j AND qd.code = n.code
+           WHERE qd.query_id <> n.vec_id
+           GROUP BY qd.query_id, n.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, adist_raw,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist_raw, neighbor_id
+                                         ) AS rank
+               FROM ad)
+    SELECT query_id, neighbor_id, rank, ROUND(adist_raw, 6) AS adist
+    FROM ranked WHERE rank <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1426,4 +1548,12 @@ def _cut_spans_sql() -> str:
 
 _Q["cut_duplicate_spans"] = _dc.replace(
     _Q["cut_duplicate_spans"], oracle=_cut_spans_sql()
+)
+
+
+_Q["kmeans_assignments"] = _dc.replace(
+    _Q["kmeans_assignments"], oracle=_kmeans_sql()
+)
+_Q["embedding_pq_topk"] = _dc.replace(
+    _Q["embedding_pq_topk"], oracle=_pq_topk_sql()
 )

@@ -659,23 +659,17 @@ def backfill_bloom_store(
         [(_COVER_MAX_BATCH, max(covered) if covered else -1)],
         "word bigint, bits bigint",
     )
-    # save/restore the overwrite mode (compact_ingest_store's own
-    # convention): a driver-level utility must not flip shared session
-    # semantics for every later write the user performs
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
+    # writer-scoped dynamic overwrite (the convention everywhere else):
+    # only the base partition is replaced, and shared session semantics
+    # are never flipped for later writes the user performs
+    (
+        base.unionByName(marker)
+        .withColumn("batch_id", F.lit(base_batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(bloom_store)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            base.unionByName(marker)
-            .withColumn("batch_id", F.lit(base_batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(bloom_store)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 _MOVED_OK = "_moved_ok"  # every partition fully moved aside; install began
