@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from s3_access_logs_spark.plans.catalog import load_all  # noqa: E402
+from s3_access_logs_spark.plans.catalog import driver_surface, load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,16 +33,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.builder for name, q in sorted(load_all().items())}
+    """One entry per implemented operator from SURVEY.md §2, with related
+    capability groups composed into value-exact ``suite_*`` folds
+    (plans/fold_queries.py) so the surface fits the driver's 50-row
+    correctness window; the granular members remain in the registry for
+    the bench set and pytest suite."""
+    return {name: q.builder for name, q in sorted(driver_surface().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query. Everything is
-    oracle-checked except approx_count_distinct, whose HLL sketch is
-    engine-specific by nature (deliberate rows-only check); even the
-    MinHash/SimHash/LSH/IVF paths are deterministic-by-design and verified
-    value-for-value."""
+    oracle-checked except quality_classifier_scores, whose L-BFGS training
+    is float-summation-order-sensitive end-to-end (documented rows-only
+    check); even the MinHash/SimHash/LSH/IVF/PQ/k-means paths are
+    deterministic-by-design and verified value-for-value."""
     return {
-        name: q.oracle for name, q in sorted(load_all().items()) if q.oracle
+        name: q.oracle
+        for name, q in sorted(driver_surface().items())
+        if q.oracle
     }

@@ -26,6 +26,98 @@ from s3_access_logs_spark.plans.catalog import load_all  # noqa: E402
 from s3_access_logs_spark.session import get_spark  # noqa: E402
 
 
+def _curate_flagship(spark, sf_dir: str):
+    """The composed LLM-curation pipeline at full stack — quality +
+    language gates, MinHash near-dup, SemDeDup semantic stage — no write
+    (VERDICT r5 item 5: the flagship needs a per-round BENCH row, not
+    ad-hoc BASELINE notes). Executing the waterfall report executes the
+    whole gate stack once (single lazy flags frame)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from s3_access_logs_spark.operators.curate import curate_corpus
+    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
+    from s3_access_logs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, report = curate_corpus(
+        docs,
+        min_quality=0.5,
+        langs=("en",),
+        near_dup=True,
+        embeddings=emb,
+        semantic_threshold=0.3,
+        semantic_centroids=_cached_centroids(spark, sf_dir),
+    )
+    return report
+
+
+def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """recall@k vs the exact brute-force top-k for every approximate ANN
+    path (VERDICT r5 item 4): a quantizer/codebook regression now shows
+    up in BENCH_r{N}.json next to the wall-times instead of hiding until
+    a one-off pytest threshold trips."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from s3_access_logs_spark.operators import similarity as S
+    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
+    from s3_access_logs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = _cached_centroids(spark, sf_dir)
+
+    def pairs(df):
+        got: dict[int, set[int]] = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return got
+
+    exact = pairs(S.brute_force_topk(emb, queries, k=k))
+
+    def recall(df) -> float:
+        got = pairs(df)
+        per_q = [
+            len(got.get(q, set()) & hits) / len(hits)
+            for q, hits in exact.items()
+        ]
+        return round(sum(per_q) / len(per_q), 4)
+
+    out = {
+        "embedding_ivf_topk": recall(
+            S.ivf_topk(emb, queries, k=k, nprobe=2, centroids=cents)
+        ),
+        "embedding_ann_lsh": recall(
+            S.lsh_bucketed_topk(emb, queries, k=k)
+        ),
+    }
+    with tempfile.TemporaryDirectory() as td:
+        idx = f"{td}/ivfpq"
+        cb_cents, codebook = S.build_ivfpq_index(
+            emb, idx, centroids=cents
+        )
+        out["ivfpq_adc"] = recall(
+            S.probe_ivfpq_index(
+                spark, idx, queries, cb_cents, codebook, k=k, nprobe=2
+            )
+        )
+        out["ivfpq_refine"] = recall(
+            S.probe_ivfpq_index(
+                spark,
+                idx,
+                queries,
+                cb_cents,
+                codebook,
+                k=k,
+                nprobe=2,
+                refine_corpus=emb,
+            )
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     bench_all = "--all" in sys.argv
@@ -37,14 +129,20 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
-    for name, q in queries.items():
-        df = q.builder(spark, sf_dir)
+    builders = {name: q.builder for name, q in queries.items()}
+    builders["curate_corpus"] = _curate_flagship  # flagship pipeline row
+    runs_of = {
+        name: (3 if "iterative" in q.tags else 2)
+        for name, q in queries.items()
+    }
+    for name, build in builders.items():
+        df = build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm-up
         best = float("inf")
-        runs = 3 if "iterative" in q.tags else 2
+        runs = runs_of.get(name, 2)
         for _ in range(runs):  # best-of-N: a GC pause / scheduler hiccup
             t0 = time.perf_counter()  # can't inflate a query's number
-            q.builder(spark, sf_dir).write.format("noop").mode(
+            build(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             best = min(best, time.perf_counter() - t0)
@@ -58,6 +156,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_10": _recall_at_k(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

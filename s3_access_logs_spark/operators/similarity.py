@@ -51,6 +51,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pre_reduce: str = "jvm",
 ) -> DataFrame:
     """Exact top-k cosine neighbors: (query_id, neighbor_id, rank, sim).
 
@@ -59,19 +60,36 @@ def brute_force_topk(
     side before the join, so each corpus row pays its l2 fold once instead
     of once per query.
 
-    Before the ranking window, an Arrow-batched per-batch top-k pre-reduce
-    (VERDICT r3 item 4) bounds the window's input: each Arrow batch keeps
-    only its best ``k`` candidates per query under the FINAL total order
-    (sim desc, neighbor_id asc), so the shuffle into the window carries
-    ~``batches x k x |queries|`` narrow rows instead of
+    Before the ranking window, a per-partition top-k pre-reduce (VERDICT
+    r3 item 4) bounds the window's input: each input slice keeps only its
+    best ``k`` candidates per query under the FINAL total order (sim desc,
+    neighbor_id asc), so the exchange into the window carries
+    ~``slices x k x |queries|`` narrow rows instead of
     ``|corpus| x |queries|``, and no single window task ever sorts a
-    corpus-sized group. Exact by construction: any row a batch drops has
-    ``k`` better rows in that same batch under the same total order, so it
-    cannot appear in the global top-k. This is a deliberate Arrow
-    escape-hatch stage (numpy lexsort over three scalar columns) on the
-    documented small-N oracle path — Catalyst has no bounded partial
-    top-k aggregate to express this JVM-side; IVF / IVF-PQ / LSH remain
-    the scale paths."""
+    corpus-sized group. Exact by construction: any row a slice drops has
+    ``k`` better rows in that same slice under the same total order, so it
+    cannot appear in the global top-k.
+
+    ``pre_reduce`` selects the stage's engine (VERDICT r5 item 8 A/B):
+
+    * ``"jvm"`` (default, A/B winner — no Python worker in the plan):
+      group by (query_id, spark_partition_id) — every group is complete
+      inside one map task — and fold each group to its top ``k`` with
+      ``slice(array_sort(collect_list(struct(-sim, id))), 1, k)``, the
+      ascending struct sort realizing the final total order. Memory is
+      the task's candidate rows in one aggregation buffer — fine on this
+      documented small-N oracle path (IVF / IVF-PQ / LSH are the scale
+      paths; at a corpus size where a partition's candidates strain the
+      buffer, brute force is already the wrong tier).
+    * ``"arrow"``: the r3 Arrow-batched variant (numpy lexsort per
+      ~10k-row batch) — strictly bounded memory per batch, kept for
+      oversized-partition use.
+    """
+    if pre_reduce not in ("jvm", "arrow"):
+        raise ValueError(
+            f"brute_force_topk: pre_reduce must be 'jvm' or 'arrow', "
+            f"got {pre_reduce!r}"
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -91,23 +109,51 @@ def brute_force_topk(
         .select("query_id", "neighbor_id", "sim")  # narrow: vectors pruned
     )
 
-    def local_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            # total order matching the final window: sim desc, neighbor asc
-            yield (
-                pdf.sort_values(
-                    ["query_id", "sim", "neighbor_id"],
-                    ascending=[True, False, True],
-                    kind="mergesort",
+    if pre_reduce == "jvm":
+        # (-sim, neighbor_id) ascending == (sim desc, neighbor asc); the
+        # double negation is exact in IEEE (-(-x) == x, -(-0.0) == 0.0)
+        top = F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("sim")).alias("ns"),
+                        F.col("neighbor_id").alias("nid"),
+                    )
                 )
-                .groupby("query_id", sort=False)
-                .head(k)
+            ),
+            1,
+            k,
+        )
+        reduced = (
+            scored.withColumn("_p", F.spark_partition_id())
+            .groupBy("query_id", "_p")
+            .agg(top.alias("_top"))
+            .select("query_id", F.explode("_top").alias("_t"))
+            .select(
+                "query_id",
+                F.col("_t.nid").alias("neighbor_id"),
+                (-F.col("_t.ns")).alias("sim"),
             )
+        )
+    else:
 
-    reduced = scored.mapInPandas(local_topk, schema=scored.schema)
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf
+                    continue
+                # total order matching the final window
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "sim", "neighbor_id"],
+                        ascending=[True, False, True],
+                        kind="mergesort",
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        reduced = scored.mapInPandas(local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

@@ -28,6 +28,11 @@ class Query:
     oracle: str | None  # DuckDB SQL over the pre-registered views; None -> rows-only check
     tags: tuple[str, ...]
     bench: bool  # part of the headline bench set
+    # Non-empty for a driver-surface fold (plans/fold_queries.py): the
+    # granular entries this query composes. Folded members stay registered
+    # (bench/tests/diagnostics) but are excluded from the driver surface so
+    # it fits the correctness gate's 50-row window (VERDICT r5 item 1).
+    members: tuple[str, ...] = ()
 
 
 QUERIES: dict[str, Query] = {}
@@ -60,5 +65,16 @@ def load_all() -> dict[str, Query]:
         text_queries,
         vector_queries,
     )
+    from s3_access_logs_spark.plans import fold_queries  # noqa: F401  (last: folds reference the modules above)
 
     return QUERIES
+
+
+def driver_surface() -> dict[str, Query]:
+    """The driver-facing subset: every fold plus every granular entry not
+    composed into one. Kept <= 50 names (pinned by test_driver_surface) so
+    the round driver's 50-row correctness window covers the whole
+    catalog."""
+    all_q = load_all()
+    folded = {m for q in all_q.values() for m in q.members}
+    return {n: q for n, q in all_q.items() if n not in folded}

@@ -37,17 +37,19 @@ def test_brute_force_topk_broadcasts_queries(spark, catalog):
 
 
 def test_brute_force_topk_window_input_is_bounded(spark, catalog):
-    """The per-query ranking window must consume the Arrow per-batch
-    top-k pre-reduce (~batches x k x queries rows), never the raw
-    |corpus| x |queries| score stream — and the pre-reduce must see only
-    the three narrow scalar columns, vectors already pruned."""
+    """The per-query ranking window must consume the per-partition JVM
+    top-k pre-reduce (~partitions x k x queries rows), never the raw
+    |corpus| x |queries| score stream — and the whole path must stay
+    JVM-side (VERDICT r5 item 8: the Arrow stage was the one Python hop
+    in an otherwise codegen'd vector path)."""
     plan = plan_of(catalog["embedding_topk"].builder(spark, SF))
-    assert "MapInPandas" in plan
-    # plan prints top-down: the reducer sits BELOW the window (i.e. later
-    # in the string), so the window's exchange carries reduced rows only
-    assert plan.index("MapInPandas") > plan.index("Window")
-    # and the reducer emits only the three narrow scalar columns
-    assert "MapInPandas" in plan and "query_id" in plan.split("MapInPandas")[1].splitlines()[0]
+    assert "MapInPandas" not in plan and "PythonUDF" not in plan
+    # plan prints top-down: the pre-reduce aggregate sits BELOW the window
+    # (later in the string), so the window's exchange carries reduced rows
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+    # the pre-reduce groups per input slice: spark_partition_id is the salt
+    assert "SPARK_PARTITION_ID" in plan.upper()
 
 
 def test_filter_pushdown_reaches_parquet_scan(spark):

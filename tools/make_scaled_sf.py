@@ -89,10 +89,11 @@ def scale(src: str, dst: str, factor: int) -> None:
     )
 
     docs = load_table(spark, src, "documents")
+    doc_off = _offset(docs, "doc_id")
     doc_copies = []
     for i in range(factor):
         c = docs.withColumn(
-            "doc_id", F.col("doc_id") + F.lit(i * _offset(docs, "doc_id"))
+            "doc_id", F.col("doc_id") + F.lit(i * doc_off)
         )
         if i:
             mut = F.array_join(
