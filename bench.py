@@ -90,7 +90,7 @@ def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
             S.ivf_topk(emb, queries, k=k, nprobe=2, centroids=cents)
         ),
         "embedding_ann_lsh": recall(
-            S.lsh_bucketed_topk(emb, queries, k=k)
+            S.lsh_bucketed_topk(emb, queries, k=k, multiprobe=1)
         ),
     }
     with tempfile.TemporaryDirectory() as td:

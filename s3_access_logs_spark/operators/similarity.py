@@ -803,9 +803,25 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dims: int = 64,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket. Same output
-    contract as brute_force_topk (rank within bucket)."""
+    """Approximate top-k: probe the query's LSH bucket. Same output
+    contract as brute_force_topk (rank within probed buckets).
+
+    ``multiprobe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's signature (each single plane-bit flip —
+    the Lv et al. multi-probe idea with the full distance-1 ring), so a
+    query touches ``n_planes + 1`` of the ``2^n_planes`` buckets instead
+    of 1. The fan-out lands entirely on the broadcast QUERY side (the
+    corpus is bucketed once and never replicated), and the probed bucket
+    ids are distinct by construction (XOR with distinct masks), so no
+    pair dedup is needed. At 100 TB with the corpus pre-bucketed on
+    disk this is the recall/IO dial: single-probe reads ~1/2^m of the
+    data, distance-1 reads ~(m+1)/2^m."""
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            f"lsh_bucketed_topk: multiprobe must be 0 or 1, got {multiprobe!r}"
+        )
     planes = _lcg_planes(n_planes, dims)
     # Pass the column NAME: the bucket expression is then one generated SQL
     # string instead of ~n_planes x dims literal Columns (py4j chatter —
@@ -822,6 +838,18 @@ def lsh_bucketed_topk(
         random_projection_bucket(vec_col, planes).alias("bucket"),
         l2_norm(vec_col).alias("q_norm"),
     )
+    if multiprobe:
+        masks = [0] + [1 << i for i in range(n_planes)]
+        q = q.select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.explode(
+                F.array(
+                    *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("bucket"),
+        )
     scored = (
         c.join(broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

