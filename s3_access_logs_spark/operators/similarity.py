@@ -62,8 +62,8 @@ def brute_force_topk(
 
     Before the ranking window, a per-partition top-k pre-reduce (VERDICT
     r3 item 4) bounds the window's input: each input slice keeps only its
-    best ``k`` candidates per query under the FINAL total order (sim desc,
-    neighbor_id asc), so the exchange into the window carries
+    best ``k`` candidates per query under the FINAL total order (sim desc
+    NULLS LAST, neighbor_id asc), so the window's exchange carries
     ~``slices x k x |queries|`` narrow rows instead of
     ``|corpus| x |queries|``, and no single window task ever sorts a
     corpus-sized group. Exact by construction: any row a slice drops has
@@ -72,18 +72,28 @@ def brute_force_topk(
 
     ``pre_reduce`` selects the stage's engine (VERDICT r5 item 8 A/B):
 
-    * ``"jvm"`` (default, A/B winner — no Python worker in the plan):
-      group by (query_id, spark_partition_id) — every group is complete
-      inside one map task — and fold each group to its top ``k`` with
-      ``slice(array_sort(collect_list(struct(-sim, id))), 1, k)``, the
-      ascending struct sort realizing the final total order. Memory is
-      the task's candidate rows in one aggregation buffer — fine on this
-      documented small-N oracle path (IVF / IVF-PQ / LSH are the scale
-      paths; at a corpus size where a partition's candidates strain the
-      buffer, brute force is already the wrong tier).
+    * ``"jvm"`` (default, A/B-equal wall time — no Python worker in the
+      plan): group by (query_id, spark_partition_id) — every group is
+      complete inside one map task — and fold each group to its top ``k``
+      with ``slice(array_sort(collect_list(struct(key, id, sim))), 1,
+      k)``, the ascending struct sort realizing the final total order
+      (``key = coalesce(-sim, +inf)`` so NULL-sim rows — zero-norm
+      vectors — sort LAST like the window's DESC NULLS LAST, never
+      evicting real candidates). Honest cost note: collect_list's partial
+      aggregate cannot truncate, so the AGG exchange itself still carries
+      every scored row (packed as per-group arrays) — what this stage
+      bounds is the window's sort groups and the window exchange, not
+      total shuffle bytes. Memory is the task's candidate rows in one
+      aggregation buffer — fine on this documented small-N oracle path
+      (IVF / IVF-PQ / LSH are the scale paths; at a corpus size where a
+      partition's candidates strain the buffer, brute force is already
+      the wrong tier).
     * ``"arrow"``: the r3 Arrow-batched variant (numpy lexsort per
-      ~10k-row batch) — strictly bounded memory per batch, kept for
-      oversized-partition use.
+      ~10k-row batch; pandas sorts NaN last, same NULLS LAST order) —
+      strictly bounded memory per batch AND truly reduces before any
+      exchange (~batches x k x |queries| rows shuffled in total); prefer
+      it when the corpus side is big enough for shuffle volume to matter
+      more than a Python-free plan.
     """
     if pre_reduce not in ("jvm", "arrow"):
         raise ValueError(
@@ -110,14 +120,22 @@ def brute_force_topk(
     )
 
     if pre_reduce == "jvm":
-        # (-sim, neighbor_id) ascending == (sim desc, neighbor asc); the
-        # double negation is exact in IEEE (-(-x) == x, -(-0.0) == 0.0)
+        # (coalesce(-sim, +inf), neighbor_id) ascending == (sim desc
+        # NULLS LAST, neighbor asc): negation is exact in IEEE, and the
+        # +inf sentinel sends NULL-sim rows (zero-norm vectors) to the
+        # END of the sort so they can never evict a real candidate from
+        # the k-slice (struct fields with NULLs would sort FIRST). The
+        # true sim rides as a third struct field — neighbor_id is unique
+        # per query, so the comparator never reaches it.
         top = F.slice(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (-F.col("sim")).alias("ns"),
+                        F.coalesce(
+                            -F.col("sim"), F.lit(float("inf"))
+                        ).alias("ns"),
                         F.col("neighbor_id").alias("nid"),
+                        F.col("sim").alias("s"),
                     )
                 )
             ),
@@ -132,7 +150,7 @@ def brute_force_topk(
             .select(
                 "query_id",
                 F.col("_t.nid").alias("neighbor_id"),
-                (-F.col("_t.ns")).alias("sim"),
+                F.col("_t.s").alias("sim"),
             )
         )
     else:
@@ -1052,8 +1070,16 @@ def pq_encode(
             F.aggregate(
                 F.transform(
                     F.element_at(F.col("_cb"), j + 1),
-                    lambda c: _l2sq(
-                        F.transform(sv, lambda x: x.cast("double")), c
+                    # 6dp-rounded BEFORE the argmin compare (review r6):
+                    # the oracle recomputes this sum with DuckDB's
+                    # unordered hash-agg SUM — comparing raw fold results
+                    # across engines lets a last-ulp difference flip a
+                    # near-tie encode; rounding both sides first makes
+                    # the argmin order engine-independent (the kmeans
+                    # oracle's per-iteration-mean defense, same reason)
+                    lambda c: F.round(
+                        _l2sq(F.transform(sv, lambda x: x.cast("double")), c),
+                        6,
                     ),
                 ),
                 F.struct(
@@ -1101,16 +1127,25 @@ def pq_topk(
     side); a corpus row's distance is then m array lookups over its code
     array — the corpus is scanned once, never decoded, never shuffled
     until the final per-query top-k window."""
+    # LUT entries and the total ADC distance are both 6dp-rounded before
+    # any cross-row comparison (review r6): the ranking key must not
+    # depend on float summation order, which differs between Spark's
+    # ordered fold and the oracle's hash-agg SUM.
     lut = F.transform(
         F.col("_cb"),
         lambda cents, j: F.transform(
             cents,
-            lambda c: _l2sq(
-                F.transform(
-                    F.slice(F.col("q_vec"), j * (dims // m) + 1, dims // m),
-                    lambda x: x.cast("double"),
+            lambda c: F.round(
+                _l2sq(
+                    F.transform(
+                        F.slice(
+                            F.col("q_vec"), j * (dims // m) + 1, dims // m
+                        ),
+                        lambda x: x.cast("double"),
+                    ),
+                    c,
                 ),
-                c,
+                6,
             ),
         ),
     )
@@ -1137,7 +1172,7 @@ def pq_topk(
         )
         .filter(F.col(codes_col).isNotNull())  # malformed vectors skipped
         .join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", adist)
+        .withColumn("adist", F.round(adist, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
@@ -1353,16 +1388,23 @@ def probe_ivfpq_index(
     posting = spark.read.parquet(index_path).filter(
         F.col("cluster").isin(probe_clusters)
     )
+    # same 6dp rounding as pq_topk (review r6): the two ADC paths must
+    # rank identically, independent of float summation order
     lut = F.transform(
         F.col("_cb"),
         lambda cents_j, j: F.transform(
             cents_j,
-            lambda c: _l2sq(
-                F.transform(
-                    F.slice(F.col("q_vec"), j * (dims // m) + 1, dims // m),
-                    lambda x: x.cast("double"),
+            lambda c: F.round(
+                _l2sq(
+                    F.transform(
+                        F.slice(
+                            F.col("q_vec"), j * (dims // m) + 1, dims // m
+                        ),
+                        lambda x: x.cast("double"),
+                    ),
+                    c,
                 ),
-                c,
+                6,
             ),
         ),
     )
@@ -1384,7 +1426,7 @@ def probe_ivfpq_index(
         posting.filter(F.col("pq_codes").isNotNull())
         .join(broadcast(q_lut), "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", adist)
+        .withColumn("adist", F.round(adist, 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")

@@ -1280,7 +1280,12 @@ def _pq_topk_sql(
     """Oracle for the PQ path: same LCG plane constants (float literals
     round-trip exactly through repr), same sign-bucket formula, dense
     code ids by bucket order, argmin encode with the smaller-code
-    tie-break, ADC distance as the sum of per-subspace LUT entries."""
+    tie-break, ADC distance as the sum of per-subspace LUT entries.
+    Both comparison keys — the encode argmin's dsq and the ranking's
+    adist — are 6dp-rounded on BOTH engines before any ORDER BY (review
+    r6): DuckDB's hash-agg SUM has no defined summation order, so raw
+    float keys could flip a near-tie that Spark's ordered fold resolves
+    the other way."""
     from s3_access_logs_spark.operators.similarity import _lcg_planes
 
     d = dims // m
@@ -1314,8 +1319,8 @@ def _pq_topk_sql(
                      c
               FROM cb),
     dist AS (SELECT b.vec_id, b.j, codes.code,
-                    SUM((b.sv[d.i] - codes.c[d.i])
-                        * (b.sv[d.i] - codes.c[d.i])) AS dsq
+                    ROUND(SUM((b.sv[d.i] - codes.c[d.i])
+                              * (b.sv[d.i] - codes.c[d.i])), 6) AS dsq
              FROM b JOIN codes USING (j) CROSS JOIN dims8 d
              GROUP BY b.vec_id, b.j, codes.code),
     enc AS (SELECT vec_id, j, code FROM (
@@ -1326,7 +1331,7 @@ def _pq_topk_sql(
     qdist AS (SELECT vec_id AS query_id, j, code, dsq
               FROM dist WHERE vec_id < 4),
     ad AS (SELECT qd.query_id, n.vec_id AS neighbor_id,
-                  SUM(qd.dsq) AS adist_raw
+                  ROUND(SUM(qd.dsq), 6) AS adist_raw
            FROM enc n JOIN qdist qd ON qd.j = n.j AND qd.code = n.code
            WHERE qd.query_id <> n.vec_id
            GROUP BY qd.query_id, n.vec_id),

@@ -50,12 +50,18 @@ def _fold(name: str, members: tuple[str, ...], tags: tuple[str, ...]) -> None:
     def builder(
         spark: SparkSession, sf_dir: str, _members: tuple[str, ...] = members
     ) -> DataFrame:
-        tagged = [
-            QUERIES[m]
-            .builder(spark, sf_dir)
-            .select(F.lit(m).alias(TAG), "*")
-            for m in _members
-        ]
+        tagged = []
+        for m in _members:
+            df = QUERIES[m].builder(spark, sf_dir)
+            if TAG in df.columns:
+                # loud at plan-build time, not a runtime unionByName
+                # surprise (or a silent DuckDB BY-NAME merge of the tag
+                # with member data)
+                raise ValueError(
+                    f"fold member {m} emits a column named {TAG!r}, "
+                    f"colliding with the fold tag — rename it"
+                )
+            tagged.append(df.select(F.lit(m).alias(TAG), "*"))
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged
         )

@@ -47,14 +47,21 @@ def test_folds_stay_value_checked():
                 f"{q.name}: member {m} is rows-only — folding it would "
                 f"silently weaken the whole fold to rows-only"
             )
-            assert "entry" not in _oracle_first_select_cols(all_q[m]), (
-                f"{q.name}: member {m} uses the fold tag column name"
+            assert not _oracle_mentions_tag_col(all_q[m]), (
+                f"{q.name}: member {m}'s oracle aliases or selects a "
+                f"column named 'entry' — collides with the fold tag "
+                f"(the Spark side is guarded at fold build time in "
+                f"fold_queries._fold.builder)"
             )
 
 
-def _oracle_first_select_cols(q) -> set[str]:
-    # cheap guard: a member whose oracle aliases a column as the fold tag
-    # would collide with the tag the fold prepends
+def _oracle_mentions_tag_col(q) -> bool:
+    # cheap, case-insensitive guard: a member whose oracle aliases a
+    # column as the fold tag would collide with the tag the fold prepends
+    # (DuckDB UNION ALL BY NAME would silently merge them). The bare
+    # `entry` select / source-column case is caught by the Spark-side
+    # build-time columns check, which the driver's side-by-side run
+    # exercises for every fold.
     import re
 
-    return set(re.findall(r"AS\s+(entry)\b", q.oracle or ""))
+    return bool(re.search(r"(?i)\bAS\s+entry\b", q.oracle or ""))

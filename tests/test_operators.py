@@ -234,6 +234,34 @@ class TestSimilarity:
         out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
         assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
 
+    def test_zero_norm_vectors_never_evict_real_candidates(self, spark):
+        """Review r6: cosine vs a zero-norm vector is NULL, and struct
+        fields with NULLs sort FIRST in array_sort — un-sentineled, the
+        JVM pre-reduce kept NULL-sim rows in the per-slice top-k and
+        evicted true neighbors. Both engines must rank every real
+        candidate ahead of the NULL-sim tail and agree exactly."""
+        rows = [(0, [1.0, 0.0])] + [
+            (i, [0.9 - 0.1 * i, 0.1 * i]) for i in range(1, 6)
+        ] + [(10 + i, [0.0, 0.0]) for i in range(4)]  # 4 zero-norm vectors
+        # one partition: zero-norm and real candidates must share a slice
+        # for the pre-fix eviction to trigger deterministically
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+        q = emb.filter(F.col("vec_id") == 0)
+
+        def ranked(pre_reduce):
+            return [
+                (r.rank, r.neighbor_id, r.sim)
+                for r in sorted(
+                    brute_force_topk(emb, q, k=5, pre_reduce=pre_reduce).collect(),
+                    key=lambda r: r.rank,
+                )
+            ]
+
+        jvm, arrow = ranked("jvm"), ranked("arrow")
+        assert jvm == arrow
+        assert [n for _, n, _ in jvm] == [1, 2, 3, 4, 5]  # no NULL-sim row
+        assert all(s is not None for _, _, s in jvm)
+
 
 class TestIvfTopk:
     def test_ivf_recall_vs_brute_force(self, spark):
@@ -277,8 +305,8 @@ class TestLshMultiprobe:
         """Distance-1 multi-probe searches a strict superset of the home
         bucket, so per rank position the multi-probe sim must be >= the
         single-probe sim for every query, and recall vs exact must not
-        drop. Also pins the probe fan-out staying on the broadcast query
-        side: the corpus subtree carries no explode."""
+        drop. (The query-side-only explode is pinned by
+        test_plan_shapes.test_lsh_multiprobe_explodes_query_side_only.)"""
         from s3_access_logs_spark.operators.similarity import (
             brute_force_topk,
             lsh_bucketed_topk,

@@ -52,6 +52,19 @@ def test_brute_force_topk_window_input_is_bounded(spark, catalog):
     assert "SPARK_PARTITION_ID" in plan.upper()
 
 
+def test_lsh_multiprobe_explodes_query_side_only(spark, catalog):
+    """The distance-1 probe ring must fan out the broadcast QUERY side,
+    never replicate the corpus: exactly one Generate(explode), and it
+    sits inside the BroadcastExchange subtree (the plan string prints the
+    streamed corpus child before the broadcast child, so a corpus-side
+    explode would appear BEFORE the exchange). This is the plan property
+    the operator's 100 TB probed-IO claim rests on."""
+    plan = plan_of(catalog["embedding_ann_lsh"].builder(spark, SF))
+    assert plan.count("Generate") == 1
+    assert "BroadcastExchange" in plan
+    assert plan.index("Generate") > plan.index("BroadcastExchange")
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark):
     li = load_table(spark, SF, "lineitem")
     q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
