@@ -32,8 +32,6 @@ def _curate_flagship(spark, sf_dir: str):
     (VERDICT r5 item 5: the flagship needs a per-round BENCH row, not
     ad-hoc BASELINE notes). Executing the waterfall report executes the
     whole gate stack once (single lazy flags frame)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from s3_access_logs_spark.operators.curate import curate_corpus
     from s3_access_logs_spark.plans.vector_queries import _cached_centroids
     from s3_access_logs_spark.sources.tables import load_table
@@ -124,7 +122,10 @@ def main() -> None:
     queries = {
         name: q
         for name, q in sorted(load_all().items())
-        if bench_all or q.bench
+        # folds re-execute their members (review r6): benching them under
+        # --all would triple-run every folded member and double-count its
+        # work in the output, so only granular entries are ever timed
+        if (bench_all or q.bench) and not q.members
     }
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -149,6 +150,13 @@ def main() -> None:
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        # computed before the print so a recall-job failure (full /tmp,
+        # index-build error) can't discard the minutes of wall-time
+        # measurements it was meant to sit next to (review r6)
+        recall = _recall_at_k(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — secondary metric, keep timings
+        recall = {"error": f"{type(e).__name__}: {e}"}
     print(
         json.dumps(
             {
@@ -156,7 +164,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "recall_at_10": _recall_at_k(spark, sf_dir),
+                "recall_at_10": recall,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

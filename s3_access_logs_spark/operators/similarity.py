@@ -995,6 +995,16 @@ def train_pq_codebook(
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     d = dims // m
+    # malformed vectors (NULL / shorter than dims) are excluded from
+    # training (review r6): un-filtered, a short vector's padded-NULL dot
+    # products bucket it to 0 and pollute bucket-0 centroid membership —
+    # and a NULL bucket would densify to code 0 (window NULLS FIRST),
+    # shifting every real code by one. pq_encode marks such rows
+    # NULL-coded and every search path skips them; the PQ oracle applies
+    # the identical filter, so the engines stay value-exact on dirty data.
+    corpus = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
+    )
     subs = F.array(
         *[
             F.struct(
@@ -1180,12 +1190,8 @@ def pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("adist", 6).alias("adist"),
-        )
+        # adist is already 6dp (rounded where it became the ranking key)
+        .select("query_id", "neighbor_id", "rank", "adist")
     )
 
 
@@ -1433,11 +1439,9 @@ def probe_ivfpq_index(
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if refine_corpus is None:
+        # adist is already 6dp (rounded where it became the ranking key)
         return ranked.filter(F.col("rank") <= k).select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("adist", 6).alias("adist"),
+            "query_id", "neighbor_id", "rank", "adist"
         )
     if refine_factor < 1:
         raise ValueError(

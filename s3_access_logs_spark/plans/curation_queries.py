@@ -1301,7 +1301,11 @@ def _pq_topk_sql(
     ),
     subs AS (SELECT j::INT AS j FROM range(0, {m}) t(j)),
     dims8 AS (SELECT i::INT AS i FROM range(1, {d + 1}) t(i)),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- malformed vectors excluded exactly like train_pq_codebook /
+    -- pq_encode's NULL-code marking (review r6): without the filter the
+    -- two engines diverge the moment the corpus holds a NULL/short row
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) >= {dims}),
     sub AS (SELECT vec_id, s.j,
                    v[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS sv
             FROM e CROSS JOIN subs s),
@@ -1340,7 +1344,7 @@ def _pq_topk_sql(
                                          ORDER BY adist_raw, neighbor_id
                                          ) AS rank
                FROM ad)
-    SELECT query_id, neighbor_id, rank, ROUND(adist_raw, 6) AS adist
+    SELECT query_id, neighbor_id, rank, adist_raw AS adist
     FROM ranked WHERE rank <= {k}
     """
 

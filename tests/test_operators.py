@@ -2257,6 +2257,39 @@ class TestReviewFixes:
         assert len(rows) == 10
         assert all(r.neighbor_id != 9999 for r in rows)
 
+    def test_pq_training_excludes_malformed_vectors(self, spark):
+        """Review r6: a NULL or short vector in the TRAINING corpus must
+        not perturb the codebook — un-filtered, a short vector's
+        padded-NULL dots bucketed it to 0 (polluting that centroid) and a
+        NULL bucket densified to code 0, shifting every real code. The
+        codebook over a dirtied corpus must equal the clean one, and the
+        dirty rows must come back NULL-coded."""
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        dirty = emb.unionByName(
+            spark.createDataFrame(
+                [(9998, None), (9999, [1.0, 2.0, 3.0])],
+                "vec_id long, embedding array<float>",
+            ),
+            allowMissingColumns=True,
+        )
+        clean_cb = sorted(
+            map(tuple, train_pq_codebook(emb).collect())
+        )
+        dirty_cb = sorted(
+            map(tuple, train_pq_codebook(dirty).collect())
+        )
+        assert clean_cb == dirty_cb
+        enc = pq_encode(dirty, train_pq_codebook(dirty))
+        bad = enc.filter(F.col("vec_id") >= 9998).collect()
+        assert len(bad) == 2
+        assert all(r["pq_codes"] is None for r in bad)
+
     def test_skew_stats_empty_input(self, spark):
         from s3_access_logs_spark.operators.joins import (
             key_skew_stats,

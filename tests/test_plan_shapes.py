@@ -50,6 +50,12 @@ def test_brute_force_topk_window_input_is_bounded(spark, catalog):
     assert plan.rindex("HashAggregate") > plan.index("Window")
     # the pre-reduce groups per input slice: spark_partition_id is the salt
     assert "SPARK_PARTITION_ID" in plan.upper()
+    # and its collected struct stays narrow — (key, id, sim) scalars only,
+    # vectors pruned before the fold (review r6: the old Arrow-path test
+    # pinned input narrowness; keep the equivalent pin on the JVM path)
+    agg_lines = [ln for ln in plan.splitlines() if "collect_list" in ln]
+    assert agg_lines, "pre-reduce collect_list missing from plan"
+    assert all("vec" not in ln for ln in agg_lines)
 
 
 def test_lsh_multiprobe_explodes_query_side_only(spark, catalog):
