@@ -1130,13 +1130,25 @@ def pq_topk(
     codes_col: str = "pq_codes",
     dims: int = 64,
     m: int = 8,
+    refine_corpus: DataFrame | None = None,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, rank, adist) by approximate L2
     distance, ascending. Each query precomputes lut[j][code] =
     ||q_j - centroid||^2 once (m x ks doubles, built on the tiny query
     side); a corpus row's distance is then m array lookups over its code
     array — the corpus is scanned once, never decoded, never shuffled
-    until the final per-query top-k window."""
+    until the final per-query top-k window.
+
+    With ``refine_corpus`` the ADC ranking becomes a candidate generator:
+    the top ``k * refine_factor`` per query re-rank by EXACT L2 over the
+    original vectors (the standard IVF-PQ refine stage, recovering the
+    recall PQ quantization loses), and the output becomes (query_id,
+    neighbor_id, rank, dist) with the exact distance. The exact read is
+    candidate-pruned — the bounded candidate set broadcasts into the
+    corpus join, so the refine never rescans the corpus. The ranking key
+    is the 6dp-rounded distance (same cross-engine discipline as adist:
+    a raw float key would depend on summation order)."""
     # LUT entries and the total ADC distance are both 6dp-rounded before
     # any cross-row comparison (review r6): the ranking key must not
     # depend on float summation order, which differs between Spark's
@@ -1187,11 +1199,48 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if refine_corpus is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            # adist is already 6dp (rounded where it became the ranking key)
+            "query_id", "neighbor_id", "rank", "adist"
+        )
+    if refine_factor < 1:
+        raise ValueError(
+            f"pq_topk: refine_factor must be >= 1, got {refine_factor}"
+        )
+    cand = ranked.filter(F.col("rank") <= k * refine_factor).select(
+        "query_id", "neighbor_id"
+    )
+    vecs = refine_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_n_vec"
+        ),
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "_q_vec"
+        ),
+    )
+    exact = (
+        # candidate set is <= |queries| x k x refine_factor rows:
+        # broadcasting it turns the corpus join into a pruning probe
+        vecs.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q_full), "query_id")
+        .withColumn(
+            "dist",
+            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        # adist is already 6dp (rounded where it became the ranking key)
-        .select("query_id", "neighbor_id", "rank", "adist")
+        .select("query_id", "neighbor_id", "rank", "dist")
     )
 
 
@@ -1499,7 +1548,12 @@ def probe_ivfpq_index(
     exact = (
         cand.join(vecs, "neighbor_id")
         .join(broadcast(q_full), "query_id")
-        .withColumn("dist", F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))))
+        # 6dp-rounded BEFORE ranking, like every other distance key: the
+        # ranking key and the output key are the same value
+        .withColumn(
+            "dist",
+            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
+        )
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id")
@@ -1507,10 +1561,5 @@ def probe_ivfpq_index(
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("dist", 6).alias("dist"),
-        )
+        .select("query_id", "neighbor_id", "rank", "dist")
     )

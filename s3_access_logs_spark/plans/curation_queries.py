@@ -1274,10 +1274,48 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8)
 
 
-def _pq_topk_sql(
-    dims: int = 64, m: int = 8, n_planes: int = 4, k: int = 5
-) -> str:
-    """Oracle for the PQ path: same LCG plane constants (float literals
+@query(
+    "embedding_pq_refine",
+    oracle=None,  # filled below (generated SQL with plane literals)
+    tags=("similarity", "llm", "ann", "pq", "refine"),
+)
+def embedding_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ exact re-rank refine stage as a first-class entry
+    (operators/similarity.py:pq_topk refine path, mirroring
+    probe_ivfpq_index's): ADC generates top-20 candidates per query,
+    which re-rank by exact L2 over the original vectors to top-5 —
+    recovering the recall PQ quantization loses while reading only the
+    bounded candidate set (the broadcast candidate probe prunes the
+    corpus join; at index scale the posting-list variant id-prunes the
+    parquet read). The oracle replays the full chain plus the exact
+    re-rank; dist is 6dp-rounded before ranking on both engines."""
+    from s3_access_logs_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = train_pq_codebook(emb, dims=64, m=8)
+    encoded = pq_encode(emb, codebook, dims=64, m=8)
+    queries = emb.filter(F.col("vec_id") < 4)
+    return pq_topk(
+        encoded,
+        queries,
+        codebook,
+        k=5,
+        dims=64,
+        m=8,
+        refine_corpus=emb,
+        refine_factor=4,
+    )
+
+
+def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
+    """The ONE copy of the PQ oracle's CTE chain (plane literals →
+    bucketing → codebook → encode → ADC ranking, ending at ``ranked``
+    with an unfiltered per-query ROW_NUMBER), shared by the ADC top-k
+    and exact-refine oracles. Same LCG plane constants (float literals
     round-trip exactly through repr), same sign-bucket formula, dense
     code ids by bucket order, argmin encode with the smaller-code
     tie-break, ADC distance as the sum of per-subspace LUT entries.
@@ -1343,9 +1381,47 @@ def _pq_topk_sql(
                       ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY adist_raw, neighbor_id
                                          ) AS rank
-               FROM ad)
+               FROM ad)"""
+
+
+def _pq_topk_sql(
+    dims: int = 64, m: int = 8, n_planes: int = 4, k: int = 5
+) -> str:
+    """ADC-only final select over the shared PQ CTE chain."""
+    return f"""{_pq_ctes(dims, m, n_planes)}
     SELECT query_id, neighbor_id, rank, adist_raw AS adist
     FROM ranked WHERE rank <= {k}
+    """
+
+
+def _pq_refine_sql(
+    dims: int = 64,
+    m: int = 8,
+    n_planes: int = 4,
+    k: int = 5,
+    refine_factor: int = 4,
+) -> str:
+    """Exact-re-rank final stage over the shared PQ CTE chain: the top
+    k*refine_factor ADC candidates re-rank by exact L2 over the original
+    vectors — dist 6dp-rounded before the ORDER BY, exactly like the
+    Spark side's ranking key."""
+    return f"""{_pq_ctes(dims, m, n_planes)},
+    cand AS (SELECT query_id, neighbor_id FROM ranked
+             WHERE rank <= {k * refine_factor}),
+    dimsF AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i)),
+    ex AS (SELECT c.query_id, c.neighbor_id,
+                  ROUND(sqrt(SUM((q.v[d.i] - n.v[d.i])
+                                 * (q.v[d.i] - n.v[d.i]))), 6) AS dist
+           FROM cand c
+           JOIN e q ON q.vec_id = c.query_id
+           JOIN e n ON n.vec_id = c.neighbor_id
+           CROSS JOIN dimsF d
+           GROUP BY c.query_id, c.neighbor_id),
+    r2 AS (SELECT query_id, neighbor_id, dist,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dist, neighbor_id) AS rank
+           FROM ex)
+    SELECT query_id, neighbor_id, rank, dist FROM r2 WHERE rank <= {k}
     """
 
 
@@ -1562,6 +1638,9 @@ _Q["cut_duplicate_spans"] = _dc.replace(
 
 _Q["kmeans_assignments"] = _dc.replace(
     _Q["kmeans_assignments"], oracle=_kmeans_sql()
+)
+_Q["embedding_pq_refine"] = _dc.replace(
+    _Q["embedding_pq_refine"], oracle=_pq_refine_sql()
 )
 _Q["embedding_pq_topk"] = _dc.replace(
     _Q["embedding_pq_topk"], oracle=_pq_topk_sql()

@@ -84,7 +84,13 @@ _fold(
 )
 _fold(
     "suite_ann_topk",
-    ("embedding_topk", "embedding_ivf_topk", "embedding_ann_lsh"),
+    (
+        "embedding_topk",
+        "embedding_ivf_topk",
+        "embedding_ann_lsh",
+        "embedding_pq_topk",
+        "embedding_pq_refine",
+    ),
     ("similarity", "llm", "ann", "fold"),
 )
 _fold(
