@@ -305,6 +305,15 @@ def kmeans_fit(
                 raise ValueError(
                     f"kmeans_fit: init has {len(init)} vectors, need k={k}"
                 )
+            bad = [i for i, v in enumerate(init) if v is None or not len(v)]
+            if bad:
+                # loud and named, not a TypeError deep in the float cast
+                # (review r6): a NULL seed usually means the caller
+                # collected seeds without filtering malformed vectors
+                raise ValueError(
+                    f"kmeans_fit: init vectors at positions {bad} are "
+                    f"NULL/empty — filter malformed vectors before seeding"
+                )
             cents = [[float(x) for x in v] for v in init]
         else:
             # k distinct seeds by hash order: distinct() first (duplicate
@@ -1149,6 +1158,13 @@ def pq_topk(
     corpus join, so the refine never rescans the corpus. The ranking key
     is the 6dp-rounded distance (same cross-engine discipline as adist:
     a raw float key would depend on summation order)."""
+    # malformed QUERY vectors are excluded like corpus ones (review r6):
+    # un-filtered, a NULL/short query builds an all-NULL LUT and the
+    # NULLS-FIRST window would emit k NULL-adist rows for it, where the
+    # oracle (whose `e` CTE feeds queries too) emits none
+    queries = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
+    )
     # LUT entries and the total ADC distance are both 6dp-rounded before
     # any cross-row comparison (review r6): the ranking key must not
     # depend on float summation order, which differs between Spark's
@@ -1433,6 +1449,10 @@ def probe_ivfpq_index(
     L2. Output becomes (query_id, neighbor_id, rank, dist) with the
     EXACT distance; cost adds one pruned read of
     |queries| x k x refine_factor vectors, nothing corpus-scale."""
+    # malformed query vectors excluded, same contract as pq_topk
+    queries = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

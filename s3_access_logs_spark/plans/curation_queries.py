@@ -1189,15 +1189,23 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # seed, train AND assign over well-formed vectors only, mirroring
+    # the oracle's filtered `e` (review r6): un-filtered, a NULL in the
+    # k lowest vec_ids crashed kmeans_fit while the oracle silently took
+    # it as a centroid; NULL-cosine ordering is engine-specific; and a
+    # short vector would leak its leading dims into the training means
+    well_formed = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    )
     seeds = [
         r["embedding"]
-        for r in emb.select("vec_id", "embedding")
+        for r in well_formed.select("vec_id", "embedding")
         .orderBy("vec_id")
         .limit(8)
         .collect()
     ]
-    centroids = kmeans_fit(emb, k=8, max_iter=5, tol=0.0, init=seeds)
-    return _assign_clusters(emb, centroids, "embedding", 1).select(
+    centroids = kmeans_fit(well_formed, k=8, max_iter=5, tol=0.0, init=seeds)
+    return _assign_clusters(well_formed, centroids, "embedding", 1).select(
         "vec_id", "cluster"
     )
 
@@ -1213,7 +1221,11 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
 
     parts = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        # well-formed vectors only, mirroring the builder's seed and
+        # assignment filters (review r6): NULL-cosine ordering is
+        # engine-specific, so malformed rows are out of contract
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) >= {dims})""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
@@ -1261,17 +1273,39 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is deterministic given the LCG plane literals, so the
     oracle replays bucketing -> codebook -> encode -> ADC ranking and
     checks neighbor/rank/adist value-exactly (VERDICT r5 item 2)."""
-    from s3_access_logs_spark.operators.similarity import (
-        pq_encode,
-        pq_topk,
-        train_pq_codebook,
-    )
+    from s3_access_logs_spark.operators.similarity import pq_encode, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebook = train_pq_codebook(emb, dims=64, m=8)
+    codebook = _cached_codebook(spark, sf_dir)
     encoded = pq_encode(emb, codebook, dims=64, m=8)
     queries = emb.filter(F.col("vec_id") < 4)
     return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8)
+
+
+# Trained-codebook cache, keyed like vector_queries._cached_centroids
+# (review r6): the PQ codebook is a build-once artifact shared by the ADC
+# and refine entries — both ran the full-corpus bucketing/means training
+# from scratch in every catalog pass. Deterministic (6dp-rounded means of
+# deterministic buckets), so caching cannot change any result; a
+# rewritten corpus retrains via the mtime key.
+_PQ_CODEBOOKS: dict[tuple, list] = {}
+
+
+def _cached_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from s3_access_logs_spark.operators.similarity import train_pq_codebook
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (path, mtime)
+    if key not in _PQ_CODEBOOKS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_CODEBOOKS[key] = train_pq_codebook(emb, dims=64, m=8).collect()
+    return spark.createDataFrame(_PQ_CODEBOOKS[key])
 
 
 @query(
@@ -1289,14 +1323,10 @@ def embedding_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus join; at index scale the posting-list variant id-prunes the
     parquet read). The oracle replays the full chain plus the exact
     re-rank; dist is 6dp-rounded before ranking on both engines."""
-    from s3_access_logs_spark.operators.similarity import (
-        pq_encode,
-        pq_topk,
-        train_pq_codebook,
-    )
+    from s3_access_logs_spark.operators.similarity import pq_encode, pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebook = train_pq_codebook(emb, dims=64, m=8)
+    codebook = _cached_codebook(spark, sf_dir)
     encoded = pq_encode(emb, codebook, dims=64, m=8)
     queries = emb.filter(F.col("vec_id") < 4)
     return pq_topk(

@@ -2290,6 +2290,45 @@ class TestReviewFixes:
         assert len(bad) == 2
         assert all(r["pq_codes"] is None for r in bad)
 
+    def test_pq_malformed_query_yields_no_rows(self, spark):
+        """Review r6 pass 3: a NULL/short QUERY vector must vanish from
+        the result (the oracle's filtered `e` CTE feeds queries too) —
+        un-filtered, its all-NULL LUT produced k NULL-adist rows under
+        the NULLS-FIRST window. Both the ADC and refine paths."""
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = train_pq_codebook(emb)
+        enc = pq_encode(emb, cb)
+        queries = emb.filter(F.col("vec_id") < 2).unionByName(
+            spark.createDataFrame(
+                [(7777, None), (7778, [1.0, 2.0])],
+                "vec_id long, embedding array<float>",
+            ),
+            allowMissingColumns=True,
+        )
+        adc = pq_topk(enc, queries, cb, k=5).collect()
+        assert {r.query_id for r in adc} == {0, 1} and len(adc) == 10
+        assert all(r.adist is not None for r in adc)
+        ref = pq_topk(enc, queries, cb, k=5, refine_corpus=emb).collect()
+        assert {r.query_id for r in ref} == {0, 1} and len(ref) == 10
+        assert all(r.dist is not None for r in ref)
+
+    def test_kmeans_null_seed_raises_loudly(self, spark):
+        """Review r6 pass 3: a NULL seed must fail with a named error at
+        validation, not a TypeError deep inside the float cast."""
+        from s3_access_logs_spark.operators.similarity import kmeans_fit
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        with pytest.raises(ValueError, match="init vectors at positions"):
+            kmeans_fit(emb, k=2, init=[None, [1.0] * 64])
+
     def test_skew_stats_empty_input(self, spark):
         from s3_access_logs_spark.operators.joins import (
             key_skew_stats,
