@@ -1129,6 +1129,53 @@ def pq_encode(
     )
 
 
+def _exact_rerank(
+    cand: DataFrame,
+    refine_corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+) -> DataFrame:
+    """The ONE copy of the exact-L2 re-rank stage shared by
+    :func:`pq_topk` and :func:`probe_ivfpq_index` (review r6 — the block
+    had been pasted in both, and the two must stay rank-identical by
+    contract). ``cand`` is the bounded (query_id, neighbor_id) candidate
+    set; it broadcasts into the corpus join so the refine never rescans
+    the corpus. Both vectors are sliced to ``dims`` before the distance
+    (an over-length vector passes every ``size >= dims`` filter and
+    would otherwise NULL-pad the zip_with — NULL dist ranks FIRST under
+    asc and would evict true neighbors); dist is 6dp-rounded BEFORE
+    ranking, so the ranking key is the output key and never rides a raw
+    cross-engine float sum."""
+    dvec = lambda c: F.transform(  # noqa: E731 — local projection shorthand
+        F.slice(F.col(c), 1, dims), lambda x: x.cast("double")
+    )
+    vecs = refine_corpus.select(
+        F.col(id_col).alias("neighbor_id"), dvec(vec_col).alias("_n_vec")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"), dvec(vec_col).alias("_q_vec")
+    )
+    exact = (
+        vecs.join(broadcast(cand), "neighbor_id")
+        .join(broadcast(q_full), "query_id")
+        .withColumn(
+            "dist",
+            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
 def pq_topk(
     encoded_corpus: DataFrame,
     queries: DataFrame,
@@ -1228,36 +1275,7 @@ def pq_topk(
     cand = ranked.filter(F.col("rank") <= k * refine_factor).select(
         "query_id", "neighbor_id"
     )
-    vecs = refine_corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "_n_vec"
-        ),
-    )
-    q_full = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "_q_vec"
-        ),
-    )
-    exact = (
-        # candidate set is <= |queries| x k x refine_factor rows:
-        # broadcasting it turns the corpus join into a pruning probe
-        vecs.join(broadcast(cand), "neighbor_id")
-        .join(broadcast(q_full), "query_id")
-        .withColumn(
-            "dist",
-            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dist")
-    )
+    return _exact_rerank(cand, refine_corpus, queries, k, id_col, vec_col, dims)
 
 
 def pq_reconstruct(
@@ -1553,33 +1571,4 @@ def probe_ivfpq_index(
             "left_semi",
         )
     )
-    vecs = pruned.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "_n_vec"
-        ),
-    )
-    q_full = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
-            "_q_vec"
-        ),
-    )
-    exact = (
-        cand.join(vecs, "neighbor_id")
-        .join(broadcast(q_full), "query_id")
-        # 6dp-rounded BEFORE ranking, like every other distance key: the
-        # ranking key and the output key are the same value
-        .withColumn(
-            "dist",
-            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dist")
-    )
+    return _exact_rerank(cand, pruned, queries, k, id_col, vec_col, dims)

@@ -1282,30 +1282,25 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, queries, codebook, k=5, dims=64, m=8)
 
 
-# Trained-codebook cache, keyed like vector_queries._cached_centroids
-# (review r6): the PQ codebook is a build-once artifact shared by the ADC
-# and refine entries — both ran the full-corpus bucketing/means training
-# from scratch in every catalog pass. Deterministic (6dp-rounded means of
+# Trained-codebook cache via vector_queries.cached_artifact (review r6):
+# the PQ codebook is a build-once artifact shared by the ADC and refine
+# entries — both had run the full-corpus bucketing/means training from
+# scratch in every catalog pass. Deterministic (6dp-rounded means of
 # deterministic buckets), so caching cannot change any result; a
 # rewritten corpus retrains via the mtime key.
 _PQ_CODEBOOKS: dict[tuple, list] = {}
 
 
 def _cached_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from s3_access_logs_spark.operators.similarity import train_pq_codebook
+    from s3_access_logs_spark.plans.vector_queries import cached_artifact
 
-    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = 0.0
-    key = (path, mtime)
-    if key not in _PQ_CODEBOOKS:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _PQ_CODEBOOKS[key] = train_pq_codebook(emb, dims=64, m=8).collect()
-    return spark.createDataFrame(_PQ_CODEBOOKS[key])
+    return cached_artifact(
+        spark,
+        sf_dir,
+        _PQ_CODEBOOKS,
+        lambda emb: train_pq_codebook(emb, dims=64, m=8),
+    )
 
 
 @query(

@@ -37,6 +37,11 @@ TAG = "entry"  # fold tag column; no granular entry may use this name
 
 
 def _fold(name: str, members: tuple[str, ...], tags: tuple[str, ...]) -> None:
+    if name in QUERIES:
+        # same loud guard the @query decorator enforces (review r6):
+        # writing QUERIES[name] directly must not silently clobber an
+        # existing entry
+        raise ValueError(f"fold {name}: duplicate query name")
     missing = [m for m in members if m not in QUERIES]
     if missing:
         raise ValueError(f"fold {name}: unknown members {missing}")

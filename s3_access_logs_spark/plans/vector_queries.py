@@ -177,31 +177,50 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Trained-quantizer cache, keyed by corpus dir. IVF's coarse quantizer is a
-# build-once artifact: production systems train it when the index is built
-# (see operators/similarity.py:build_ivf_index, which materializes it with
-# the posting lists) and reuse it for every query — retraining per query
-# would be like rebuilding a B-tree per lookup. The centroids are
-# deterministic (rounded per-dimension means of a deterministic
-# partitioner), so caching cannot change any result, only skip the
-# recurring full-corpus training job; a cold session still trains
-# transparently on first use.
+# Trained-quantizer caches, keyed by corpus file. A coarse quantizer /
+# codebook is a build-once artifact: production systems train it when the
+# index is built (see operators/similarity.py:build_ivf_index, which
+# materializes it with the posting lists) and reuse it for every query —
+# retraining per query would be like rebuilding a B-tree per lookup. The
+# artifacts are deterministic (rounded per-dimension means of
+# deterministic partitioners), so caching cannot change any result, only
+# skip the recurring full-corpus training job; a cold session still
+# trains transparently on first use.
 _CENTROIDS: dict[tuple, list] = {}
 
 
-def _cached_centroids(spark: SparkSession, sf_dir: str):
+def cached_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict[tuple, list],
+    trainer,
+    table: str = "embeddings",
+) -> DataFrame:
+    """The ONE copy of the mtime-keyed trained-artifact cache (review r6
+    — the keying logic had been pasted per artifact): ``trainer`` maps
+    the loaded table DataFrame to the artifact DataFrame, whose collected
+    rows are cached under (path, mtime) so a rewritten corpus retrains
+    instead of serving a stale hit."""
     import os
 
-    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
     try:
         mtime = os.path.getmtime(path)
     except OSError:
         mtime = 0.0
     key = (path, mtime)  # rewritten corpus -> retrain, not a stale hit
-    if key not in _CENTROIDS:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _CENTROIDS[key] = S.label_centroids(emb, "label", "embedding").collect()
-    return spark.createDataFrame(_CENTROIDS[key])
+    if key not in cache:
+        cache[key] = trainer(load_table(spark, sf_dir, table)).collect()
+    return spark.createDataFrame(cache[key])
+
+
+def _cached_centroids(spark: SparkSession, sf_dir: str):
+    return cached_artifact(
+        spark,
+        sf_dir,
+        _CENTROIDS,
+        lambda emb: S.label_centroids(emb, "label", "embedding"),
+    )
 
 
 @query(
