@@ -1011,9 +1011,7 @@ def train_pq_codebook(
     # shifting every real code by one. pq_encode marks such rows
     # NULL-coded and every search path skips them; the PQ oracle applies
     # the identical filter, so the engines stay value-exact on dirty data.
-    corpus = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
-    )
+    corpus = corpus.filter(well_formed_vector(vec_col, dims))
     subs = F.array(
         *[
             F.struct(
@@ -1055,6 +1053,17 @@ def _codebook_array(codebook: DataFrame) -> Column:
             lambda s: F.transform(s["cents"], lambda c: c["centroid"]),
         ).alias("_cb")
     )
+
+
+def well_formed_vector(vec_col: Column | str, dims: int) -> Column:
+    """The ONE copy of the malformed-vector predicate (review r6 — it
+    had been pasted at every filter site): a vector is well-formed iff
+    non-NULL with at least ``dims`` components. Callers that do math on
+    the components slice to ``dims`` (over-length rows are usable on
+    their leading dims); rows failing this predicate are excluded from
+    training/search and surface as NULL-coded/absent, on both engines."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return c.isNotNull() & (F.size(c) >= F.lit(dims))
 
 
 def _l2sq(a: Column, b: Column) -> Column:
@@ -1209,9 +1218,7 @@ def pq_topk(
     # un-filtered, a NULL/short query builds an all-NULL LUT and the
     # NULLS-FIRST window would emit k NULL-adist rows for it, where the
     # oracle (whose `e` CTE feeds queries too) emits none
-    queries = queries.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
-    )
+    queries = queries.filter(well_formed_vector(vec_col, dims))
     # LUT entries and the total ADC distance are both 6dp-rounded before
     # any cross-row comparison (review r6): the ranking key must not
     # depend on float summation order, which differs between Spark's
@@ -1468,9 +1475,7 @@ def probe_ivfpq_index(
     EXACT distance; cost adds one pruned read of
     |queries| x k x refine_factor vectors, nothing corpus-scale."""
     # malformed query vectors excluded, same contract as pq_topk
-    queries = queries.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) >= F.lit(dims))
-    )
+    queries = queries.filter(well_formed_vector(vec_col, dims))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

@@ -1186,16 +1186,20 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_access_logs_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
+        well_formed_vector,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # seed, train AND assign over well-formed vectors only, mirroring
-    # the oracle's filtered `e` (review r6): un-filtered, a NULL in the
-    # k lowest vec_ids crashed kmeans_fit while the oracle silently took
-    # it as a centroid; NULL-cosine ordering is engine-specific; and a
-    # short vector would leak its leading dims into the training means
-    well_formed = emb.filter(
-        F.col("embedding").isNotNull() & (F.size("embedding") >= 64)
+    # seed, train AND assign over well-formed vectors only — sliced to
+    # 64 dims — mirroring the oracle's filtered+sliced `e` (review r6):
+    # un-filtered, a NULL in the k lowest vec_ids crashed kmeans_fit
+    # while the oracle silently took it as a centroid; NULL-cosine
+    # ordering is engine-specific; a short vector would leak its leading
+    # dims into the training means; and an over-length vector passes the
+    # size filter but trips kmeans_fit's ragged check un-sliced (the PQ
+    # entries slice and proceed on the same row — same posture here)
+    well_formed = emb.filter(well_formed_vector("embedding", 64)).select(
+        "vec_id", F.slice("embedding", 1, 64).alias("embedding")
     )
     seeds = [
         r["embedding"]
@@ -1204,7 +1208,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(8)
         .collect()
     ]
-    centroids = kmeans_fit(well_formed, k=8, max_iter=5, tol=0.0, init=seeds)
+    if not seeds:
+        # no seedable vector: zero assignments, exactly like the
+        # oracle's empty cent0 cross join
+        return spark.createDataFrame([], "vec_id long, cluster int")
+    # fewer than 8 well-formed vectors fits that many clusters, matching
+    # the oracle's `LIMIT 8` silently yielding fewer seed rows
+    centroids = kmeans_fit(
+        well_formed, k=len(seeds), max_iter=5, tol=0.0, init=seeds
+    )
     return _assign_clusters(well_formed, centroids, "embedding", 1).select(
         "vec_id", "cluster"
     )
@@ -1221,10 +1233,12 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
 
     parts = [
-        # well-formed vectors only, mirroring the builder's seed and
-        # assignment filters (review r6): NULL-cosine ordering is
-        # engine-specific, so malformed rows are out of contract
-        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        # well-formed vectors only, sliced to dims, mirroring the
+        # builder's seed/train/assign frame (review r6): NULL-cosine
+        # ordering is engine-specific, so malformed rows are out of
+        # contract; over-length rows participate on their leading dims
+        f"""e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{dims}] AS v
+           FROM embeddings
            WHERE embedding IS NOT NULL AND len(embedding) >= {dims})""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (

@@ -2319,6 +2319,42 @@ class TestReviewFixes:
         assert {r.query_id for r in ref} == {0, 1} and len(ref) == 10
         assert all(r.dist is not None for r in ref)
 
+    def test_kmeans_entry_matches_oracle_on_dirty_corpus(self, spark, tmp_path):
+        """Review r6 pass 5: the kmeans_assignments entry must stay
+        value-exact vs its DuckDB oracle on a corpus holding NULL, short
+        AND over-length vectors — the dirty classes that previously
+        crashed the fit (NULL seed), leaked leading dims (short), or
+        tripped the ragged check (over-length)."""
+        import duckdb
+
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(64)])
+            for i in range(20)
+        ]
+        rows += [(100, None), (101, [1.0, 2.0]), (102, [0.5] * 70)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        sf_dir = str(tmp_path)
+        emb.write.parquet(f"{sf_dir}/embeddings.parquet")
+
+        q = load_all()["kmeans_assignments"]
+        got = sorted(
+            (r.vec_id, r.cluster)
+            for r in q.builder(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+        )
+        want = sorted((r[0], r[1]) for r in con.execute(q.oracle).fetchall())
+        # over-length 102 participates (sliced); NULL 100 / short 101 don't
+        assert {v for v, _ in got} == set(range(20)) | {102}
+        assert got == want
+
     def test_kmeans_null_seed_raises_loudly(self, spark):
         """Review r6 pass 3: a NULL seed must fail with a named error at
         validation, not a TypeError deep inside the float cast."""
