@@ -113,8 +113,20 @@ def brute_force_topk(
     )
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        # NaN sims (an inf vector component) normalize to NULL (review
+        # r6): Spark orders NaN as the LARGEST double, so the window's
+        # sim DESC would rank a NaN row FIRST while both pre-reduce
+        # orders sort it last — the pre-reduce could drop a row the
+        # window would crown, making output flip with k and partition
+        # count. As NULL it is uniformly no-signal: DESC NULLS LAST in
+        # the window, the +inf sentinel in the JVM fold, NaN-last in
+        # pandas — all three orders agree.
         .withColumn(
-            "sim", cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm")
+            "sim",
+            F.nanvl(
+                cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm"),
+                F.lit(None).cast("double"),
+            ),
         )
         .select("query_id", "neighbor_id", "sim")  # narrow: vectors pruned
     )
@@ -1058,12 +1070,21 @@ def _codebook_array(codebook: DataFrame) -> Column:
 def well_formed_vector(vec_col: Column | str, dims: int) -> Column:
     """The ONE copy of the malformed-vector predicate (review r6 — it
     had been pasted at every filter site): a vector is well-formed iff
-    non-NULL with at least ``dims`` components. Callers that do math on
-    the components slice to ``dims`` (over-length rows are usable on
-    their leading dims); rows failing this predicate are excluded from
-    training/search and surface as NULL-coded/absent, on both engines."""
+    non-NULL, with at least ``dims`` components, none of its first
+    ``dims`` components NULL. The element-level check matters
+    cross-engine: an interior NULL crashes DuckDB's ``list_dot_product``
+    outright while Spark folds it to a NULL score, so such a row must be
+    out of contract on BOTH engines, not an engine-specific behavior.
+    Callers that do math on the components slice to ``dims``
+    (over-length rows are usable on their leading dims); rows failing
+    this predicate are excluded from training/search and surface as
+    NULL-coded/absent, on both engines."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return c.isNotNull() & (F.size(c) >= F.lit(dims))
+    return (
+        c.isNotNull()
+        & (F.size(c) >= F.lit(dims))
+        & ~F.exists(F.slice(c, 1, dims), lambda x: x.isNull())
+    )
 
 
 def _l2sq(a: Column, b: Column) -> Column:

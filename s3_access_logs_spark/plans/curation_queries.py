@@ -1239,7 +1239,9 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
         # contract; over-length rows participate on their leading dims
         f"""e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{dims}] AS v
            FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) >= {dims})""",
+           WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
+             AND len(list_filter(embedding[1:{dims}],
+                                 x -> x IS NULL)) = 0)""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
@@ -1302,7 +1304,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scratch in every catalog pass. Deterministic (6dp-rounded means of
 # deterministic buckets), so caching cannot change any result; a
 # rewritten corpus retrains via the mtime key.
-_PQ_CODEBOOKS: dict[tuple, list] = {}
+_PQ_CODEBOOKS: dict[tuple, tuple] = {}
 
 
 def _cached_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1378,11 +1380,13 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     ),
     subs AS (SELECT j::INT AS j FROM range(0, {m}) t(j)),
     dims8 AS (SELECT i::INT AS i FROM range(1, {d + 1}) t(i)),
-    -- malformed vectors excluded exactly like train_pq_codebook /
+    -- malformed vectors excluded exactly like well_formed_vector /
     -- pq_encode's NULL-code marking (review r6): without the filter the
-    -- two engines diverge the moment the corpus holds a NULL/short row
+    -- two engines diverge the moment the corpus holds a NULL/short row,
+    -- and an interior NULL element crashes list_dot_product outright
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) >= {dims}),
+          WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
+            AND len(list_filter(embedding[1:{dims}], x -> x IS NULL)) = 0),
     sub AS (SELECT vec_id, s.j,
                    v[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS sv
             FROM e CROSS JOIN subs s),

@@ -186,21 +186,25 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic partitioners), so caching cannot change any result, only
 # skip the recurring full-corpus training job; a cold session still
 # trains transparently on first use.
-_CENTROIDS: dict[tuple, list] = {}
+_CENTROIDS: dict[tuple, tuple] = {}
 
 
 def cached_artifact(
     spark: SparkSession,
     sf_dir: str,
-    cache: dict[tuple, list],
+    cache: dict[tuple, tuple],
     trainer,
     table: str = "embeddings",
 ) -> DataFrame:
     """The ONE copy of the mtime-keyed trained-artifact cache (review r6
     — the keying logic had been pasted per artifact): ``trainer`` maps
-    the loaded table DataFrame to the artifact DataFrame, whose collected
-    rows are cached under (path, mtime) so a rewritten corpus retrains
-    instead of serving a stale hit."""
+    the loaded table DataFrame to the artifact DataFrame, whose schema
+    AND collected rows are cached under (path, mtime) so a rewritten
+    corpus retrains instead of serving a stale hit. Caching the schema
+    keeps an EMPTY artifact rebuildable — ``createDataFrame([])``
+    without one raises a schema-inference error, turning an
+    all-malformed corpus into a crash where the oracle cleanly returns
+    zero rows."""
     import os
 
     path = f"{sf_dir.rstrip('/')}/{table}.parquet"
@@ -210,8 +214,10 @@ def cached_artifact(
         mtime = 0.0
     key = (path, mtime)  # rewritten corpus -> retrain, not a stale hit
     if key not in cache:
-        cache[key] = trainer(load_table(spark, sf_dir, table)).collect()
-    return spark.createDataFrame(cache[key])
+        artifact = trainer(load_table(spark, sf_dir, table))
+        cache[key] = (artifact.schema, artifact.collect())
+    schema, rows = cache[key]
+    return spark.createDataFrame(rows, schema)
 
 
 def _cached_centroids(spark: SparkSession, sf_dir: str):

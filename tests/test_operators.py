@@ -262,6 +262,46 @@ class TestSimilarity:
         assert [n for _, n, _ in jvm] == [1, 2, 3, 4, 5]  # no NULL-sim row
         assert all(s is not None for _, _, s in jvm)
 
+    def test_nan_sims_rank_last_and_k_independently(self, spark):
+        """Review r6 pass 6: a NaN sim (inf vector component) previously
+        sorted LAST in both pre-reduces but FIRST in the final window's
+        sim DESC (Spark orders NaN above +inf), so the same row's rank
+        flipped with k and partitioning. Normalized to NULL, all three
+        orders agree: NaN rows rank strictly after every real sim, and
+        appear only when fewer than k real candidates exist."""
+        rows = (
+            [(0, [1.0, 0.0])]
+            + [(i, [1.0, 0.1 * i]) for i in range(1, 8)]
+            + [(20, [float("inf"), 1.0])]
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1)
+        q = emb.filter(F.col("vec_id") == 0)
+
+        def ranked(k, pre_reduce):
+            from s3_access_logs_spark.operators.similarity import (
+                brute_force_topk,
+            )
+
+            return [
+                (r.rank, r.neighbor_id, r.sim)
+                for r in sorted(
+                    brute_force_topk(emb, q, k=k, pre_reduce=pre_reduce).collect(),
+                    key=lambda r: r.rank,
+                )
+            ]
+
+        for k in (5, 8):
+            jvm, arrow = ranked(k, "jvm"), ranked(k, "arrow")
+            assert jvm == arrow
+            real = [n for _, n, s in jvm if s is not None]
+            assert 20 not in real  # the NaN row never outranks a real sim
+        # k=5: dropped entirely; k=8: present, but dead last with NULL sim
+        assert [n for _, n, _ in ranked(5, "jvm")] == [1, 2, 3, 4, 5]
+        last = ranked(8, "jvm")[-1]
+        assert last[1] == 20 and last[2] is None
+
 
 class TestIvfTopk:
     def test_ivf_recall_vs_brute_force(self, spark):
@@ -2333,7 +2373,13 @@ class TestReviewFixes:
             (i, [float((i * 7 + j * 3) % 11) for j in range(64)])
             for i in range(20)
         ]
-        rows += [(100, None), (101, [1.0, 2.0]), (102, [0.5] * 70)]
+        rows += [
+            (100, None),
+            (101, [1.0, 2.0]),
+            (102, [0.5] * 70),
+            (103, [1.0] * 30 + [None] + [1.0] * 33),  # interior NULL:
+            # crashes DuckDB list_dot_product if not filtered out
+        ]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
         )
