@@ -1071,19 +1071,32 @@ def well_formed_vector(vec_col: Column | str, dims: int) -> Column:
     """The ONE copy of the malformed-vector predicate (review r6 — it
     had been pasted at every filter site): a vector is well-formed iff
     non-NULL, with at least ``dims`` components, none of its first
-    ``dims`` components NULL. The element-level check matters
-    cross-engine: an interior NULL crashes DuckDB's ``list_dot_product``
-    outright while Spark folds it to a NULL score, so such a row must be
-    out of contract on BOTH engines, not an engine-specific behavior.
-    Callers that do math on the components slice to ``dims``
-    (over-length rows are usable on their leading dims); rows failing
-    this predicate are excluded from training/search and surface as
-    NULL-coded/absent, on both engines."""
+    ``dims`` components NULL or non-finite. The element-level checks
+    matter cross-engine: an interior NULL crashes DuckDB's
+    ``list_dot_product`` outright while Spark folds it to a NULL score,
+    and an inf/NaN component poisons every distance downstream into
+    NaN/inf, whose SORT ORDER is engine-specific (DuckDB ranks NaN
+    FIRST under ``DESC``; Spark's struct-sort pre-reduce ranks it last;
+    an all-inf subspace makes ``pq_encode``'s strict-less argmin never
+    fire while the oracle's ROW_NUMBER always assigns a code) — so such
+    rows must be out of contract on BOTH engines, not an
+    engine-specific behavior (review r6 pass 7). The SQL twin is
+    ``plans.vector_queries.sql_well_formed``; ``TestVectorContract``
+    pins the two to accept identical rows. Callers that do math on the
+    components slice to ``dims`` (over-length rows are usable on their
+    leading dims); rows failing this predicate are excluded from
+    training/search and surface as NULL-coded/absent, on both
+    engines."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return (
         c.isNotNull()
         & (F.size(c) >= F.lit(dims))
-        & ~F.exists(F.slice(c, 1, dims), lambda x: x.isNull())
+        & ~F.exists(
+            F.slice(c, 1, dims),
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
     )
 
 
@@ -1173,19 +1186,25 @@ def _exact_rerank(
     had been pasted in both, and the two must stay rank-identical by
     contract). ``cand`` is the bounded (query_id, neighbor_id) candidate
     set; it broadcasts into the corpus join so the refine never rescans
-    the corpus. Both vectors are sliced to ``dims`` before the distance
-    (an over-length vector passes every ``size >= dims`` filter and
-    would otherwise NULL-pad the zip_with — NULL dist ranks FIRST under
-    asc and would evict true neighbors); dist is 6dp-rounded BEFORE
-    ranking, so the ranking key is the output key and never rides a raw
-    cross-engine float sum."""
+    the corpus. Both sides pass :func:`well_formed_vector` first
+    (review r6 pass 7): an index can hold codes for a row whose vector
+    in TODAY'S ``refine_corpus`` is NULL/short/non-finite (stale index,
+    rewritten corpus), and such a row's exact dist folds to NULL —
+    which ranks FIRST under the asc window and would evict true
+    neighbors. Filtering (not NULLS LAST) is the contract: the oracle's
+    refine stage inner-joins candidates against its well-formed ``e``
+    CTE, so a malformed candidate must VANISH (ranks close up), not
+    occupy a trailing rank. Both vectors are then sliced to ``dims``
+    before the distance (an over-length vector is usable on its leading
+    dims); dist is 6dp-rounded BEFORE ranking, so the ranking key is
+    the output key and never rides a raw cross-engine float sum."""
     dvec = lambda c: F.transform(  # noqa: E731 — local projection shorthand
         F.slice(F.col(c), 1, dims), lambda x: x.cast("double")
     )
-    vecs = refine_corpus.select(
+    vecs = refine_corpus.filter(well_formed_vector(vec_col, dims)).select(
         F.col(id_col).alias("neighbor_id"), dvec(vec_col).alias("_n_vec")
     )
-    q_full = queries.select(
+    q_full = queries.filter(well_formed_vector(vec_col, dims)).select(
         F.col(id_col).alias("query_id"), dvec(vec_col).alias("_q_vec")
     )
     exact = (

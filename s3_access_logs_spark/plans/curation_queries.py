@@ -1230,18 +1230,21 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     their previous centroid via the LEFT JOIN + COALESCE. Rounding at
     every iteration is what makes the replay cross-engine exact — raw
     float means would drift apart in summation order."""
-    from s3_access_logs_spark.plans.vector_queries import SQL_COSINE
+    from s3_access_logs_spark.plans.vector_queries import (
+        SQL_COSINE,
+        sql_well_formed,
+    )
 
     parts = [
-        # well-formed vectors only, sliced to dims, mirroring the
-        # builder's seed/train/assign frame (review r6): NULL-cosine
-        # ordering is engine-specific, so malformed rows are out of
-        # contract; over-length rows participate on their leading dims
+        # well-formed vectors only (shared sql_well_formed fragment —
+        # the Python twin filters the builder's frame), sliced to dims:
+        # NULL- and NaN-cosine ordering is engine-specific (DuckDB
+        # ranks NaN FIRST under DESC, Spark's struct sort last), so
+        # malformed and non-finite rows are out of contract;
+        # over-length rows participate on their leading dims
         f"""e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{dims}] AS v
            FROM embeddings
-           WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
-             AND len(list_filter(embedding[1:{dims}],
-                                 x -> x IS NULL)) = 0)""",
+           WHERE {sql_well_formed(dims)})""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
@@ -1366,6 +1369,7 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     float keys could flip a near-tie that Spark's ordered fold resolves
     the other way."""
     from s3_access_logs_spark.operators.similarity import _lcg_planes
+    from s3_access_logs_spark.plans.vector_queries import sql_well_formed
 
     d = dims // m
     rows = []
@@ -1381,12 +1385,14 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     subs AS (SELECT j::INT AS j FROM range(0, {m}) t(j)),
     dims8 AS (SELECT i::INT AS i FROM range(1, {d + 1}) t(i)),
     -- malformed vectors excluded exactly like well_formed_vector /
-    -- pq_encode's NULL-code marking (review r6): without the filter the
-    -- two engines diverge the moment the corpus holds a NULL/short row,
-    -- and an interior NULL element crashes list_dot_product outright
+    -- pq_encode's NULL-code marking (review r6; shared sql_well_formed
+    -- fragment): without the filter the two engines diverge the moment
+    -- the corpus holds a NULL/short row (interior NULL crashes
+    -- list_dot_product outright) or a non-finite component (all-inf
+    -- dsq never fires Spark's strict-less argmin while ROW_NUMBER here
+    -- always assigns a code)
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-          WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
-            AND len(list_filter(embedding[1:{dims}], x -> x IS NULL)) = 0),
+          WHERE {sql_well_formed(dims)}),
     sub AS (SELECT vec_id, s.j,
                    v[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS sv
             FROM e CROSS JOIN subs s),

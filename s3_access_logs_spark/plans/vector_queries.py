@@ -20,6 +20,24 @@ SQL_COSINE = (
 )
 
 
+def sql_well_formed(dims: int, col: str = "embedding") -> str:
+    """The ONE DuckDB copy of the well-formed-vector predicate (review
+    r6 pass 7 — it had been pasted into the kmeans and PQ oracle CTEs,
+    and both copies were finite-blind while the fix had to land in
+    three places). Must accept exactly the rows
+    ``operators.similarity.well_formed_vector`` accepts — non-NULL,
+    ``len >= dims``, no NULL/NaN/inf among the first ``dims``
+    components — because every value-pinned vector oracle feeds its
+    training/search from a CTE filtered by this fragment while the
+    Spark side filters by the Python twin; ``TestVectorContract`` pins
+    the two predicates row-identical."""
+    return (
+        f"{col} IS NOT NULL AND len({col}) >= {dims} "
+        f"AND len(list_filter({col}[1:{dims}], "
+        f"x -> x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0"
+    )
+
+
 @query(
     "embedding_topk",
     oracle=f"""

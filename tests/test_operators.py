@@ -2379,6 +2379,12 @@ class TestReviewFixes:
             (102, [0.5] * 70),
             (103, [1.0] * 30 + [None] + [1.0] * 33),  # interior NULL:
             # crashes DuckDB list_dot_product if not filtered out
+            # non-finite components (review r6 pass 7): an inf dim
+            # makes every later cosine vs its cluster's centroid NaN,
+            # which DuckDB ranks FIRST under DESC and Spark ranks last
+            # — assignments would diverge wholesale if not filtered
+            (104, [1.0] * 20 + [float("inf")] + [1.0] * 43),
+            (105, [float("nan")] + [2.0] * 63),
         ]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
@@ -2400,6 +2406,135 @@ class TestReviewFixes:
         # over-length 102 participates (sliced); NULL 100 / short 101 don't
         assert {v for v, _ in got} == set(range(20)) | {102}
         assert got == want
+
+    def test_pq_entries_match_oracle_on_dirty_corpus(self, spark, tmp_path):
+        """Review r6 pass 7: the value-pinned PQ entries must stay exact
+        vs DuckDB on a corpus holding non-finite components, not just
+        NULL/short/interior-NULL rows — un-filtered, an inf-component
+        vector's all-inf subspace dsq never fires Spark's strict-less
+        argmin (row NULL-codes and vanishes) while the oracle's
+        ROW_NUMBER always assigned a code and RANKED the row."""
+        import duckdb
+
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(64)])
+            for i in range(20)
+        ]
+        rows += [
+            (100, None),
+            (101, [1.0, 2.0]),
+            (102, [0.5] * 70),
+            (103, [1.0] * 30 + [None] + [1.0] * 33),
+            (104, [1.0] * 20 + [float("inf")] + [1.0] * 43),
+            (105, [float("nan")] + [2.0] * 63),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        sf_dir = str(tmp_path)
+        emb.write.parquet(f"{sf_dir}/embeddings.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+        )
+        cat = load_all()
+        for name in ("embedding_pq_topk", "embedding_pq_refine"):
+            q = cat[name]
+            got = sorted(
+                map(tuple, q.builder(spark, sf_dir).collect())
+            )
+            want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+            assert got == want, name
+            ids = {r[1] for r in got}
+            assert ids and ids.isdisjoint({100, 101, 103, 104, 105}), name
+
+    def test_refine_skips_stale_malformed_corpus_rows(self, spark):
+        """Review r6 pass 7: a row can be encoded in the index (vector
+        was well-formed at build time) yet NULL/short in TODAY'S
+        refine_corpus — its exact dist folds to NULL, which the asc
+        window ranked FIRST, crowning the stale row and evicting a true
+        neighbor. The contract is the oracle's: malformed candidates
+        VANISH (inner join vs the well-formed CTE), ranks close up."""
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cb = train_pq_codebook(emb)
+        enc = pq_encode(emb, cb)
+        queries = emb.filter(F.col("vec_id") < 2)
+        base = pq_topk(
+            enc, queries, cb, k=5, refine_corpus=emb, refine_factor=4
+        ).collect()
+        stale_id = next(
+            r.neighbor_id for r in base if r.query_id == 0 and r.rank == 1
+        )
+        stale = emb.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") != stale_id, F.col("embedding")),
+        )
+        out = pq_topk(
+            enc, queries, cb, k=5, refine_corpus=stale, refine_factor=4
+        ).collect()
+        assert all(r.neighbor_id != stale_id for r in out)
+        assert all(r.dist is not None for r in out)
+        # ranks close up: still k rows per query, contiguous from 1
+        for qid in (0, 1):
+            ranks = sorted(r.rank for r in out if r.query_id == qid)
+            assert ranks == [1, 2, 3, 4, 5]
+
+    def test_well_formed_predicate_sql_parity(self, spark, tmp_path):
+        """The Python and DuckDB copies of the well-formedness contract
+        (well_formed_vector / sql_well_formed) must accept identical
+        rows — every value-pinned vector oracle leans on this parity."""
+        import duckdb
+
+        from s3_access_logs_spark.operators.similarity import (
+            well_formed_vector,
+        )
+        from s3_access_logs_spark.plans.vector_queries import (
+            sql_well_formed,
+        )
+
+        rows = [
+            (0, [1.0] * 64),  # clean
+            (1, [0.0] * 64),  # zero vector: well-formed (no-signal later)
+            (2, None),
+            (3, [1.0, 2.0]),  # short
+            (4, [0.5] * 70),  # over-length: OK on leading dims
+            (5, [1.0] * 30 + [None] + [1.0] * 33),  # interior NULL
+            (6, [1.0] * 20 + [float("inf")] + [1.0] * 43),
+            (7, [-float("inf")] + [1.0] * 63),
+            (8, [float("nan")] + [2.0] * 63),
+            (9, [1.0] * 64 + [float("inf")]),  # inf PAST dims: OK
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        path = f"{tmp_path}/embeddings.parquet"
+        emb.write.parquet(path)
+        got = {
+            r.vec_id
+            for r in emb.filter(
+                well_formed_vector("embedding", 64)
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            r[0]
+            for r in con.execute(
+                "SELECT vec_id FROM "
+                f"read_parquet('{path}/*.parquet') "
+                f"WHERE {sql_well_formed(64)}"
+            ).fetchall()
+        }
+        assert got == want == {0, 1, 4, 9}
 
     def test_kmeans_null_seed_raises_loudly(self, spark):
         """Review r6 pass 3: a NULL seed must fail with a named error at
