@@ -31,9 +31,23 @@ def l2_norm(a: Column | str) -> Column:
     )
 
 
+def _no_nan(sim: Column) -> Column:
+    """NaN cosine -> NULL, uniformly no-signal (review r6). A NaN sim
+    (an inf vector component; inf/inf) is the ONE value whose sort
+    order is engine- and stage-specific: Spark windows order NaN as the
+    LARGEST double (it would rank FIRST under sim DESC), DuckDB also
+    ranks NaN first under DESC, but Spark's struct-sort/pandas
+    pre-reduces order it last — so a NaN-sim row could be crowned by
+    one path and dropped by another. As NULL every order agrees: DESC
+    NULLS LAST in windows, threshold compares are false, the JVM fold's
+    +inf sentinel sends it last. Applied INSIDE the cosine helpers so
+    every ranking call site shares one contract."""
+    return F.nanvl(sim, F.lit(None).cast("double"))
+
+
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    return _no_nan(F.when(denom > 0, dot(a, b) / denom))
 
 
 def cosine_from_norms(
@@ -47,7 +61,7 @@ def cosine_from_norms(
     the join and use this instead; the arithmetic (dot / (na * nb)) is
     identical, so results are bit-for-bit the same."""
     denom = _c(norm_a) * _c(norm_b)
-    return F.when(denom > 0, dot(a, b) / denom)
+    return _no_nan(F.when(denom > 0, dot(a, b) / denom))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

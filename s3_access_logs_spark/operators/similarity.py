@@ -16,6 +16,8 @@ Two tiers, same contract (query set -> top-k neighbors per query):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -113,20 +115,13 @@ def brute_force_topk(
     )
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        # NaN sims (an inf vector component) normalize to NULL (review
-        # r6): Spark orders NaN as the LARGEST double, so the window's
-        # sim DESC would rank a NaN row FIRST while both pre-reduce
-        # orders sort it last — the pre-reduce could drop a row the
-        # window would crown, making output flip with k and partition
-        # count. As NULL it is uniformly no-signal: DESC NULLS LAST in
-        # the window, the +inf sentinel in the JVM fold, NaN-last in
-        # pandas — all three orders agree.
+        # NaN-sim -> NULL happens INSIDE cosine_from_norms (review r6,
+        # moved to functions/vectors._no_nan in pass 8): a NaN row would
+        # rank FIRST in the window but LAST in both pre-reduce orders,
+        # flipping output with k and partition count. As NULL all three
+        # orders agree (DESC NULLS LAST / +inf sentinel / NaN-last).
         .withColumn(
-            "sim",
-            F.nanvl(
-                cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm"),
-                F.lit(None).cast("double"),
-            ),
+            "sim", cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm")
         )
         .select("query_id", "neighbor_id", "sim")  # narrow: vectors pruned
     )
@@ -317,14 +312,27 @@ def kmeans_fit(
                 raise ValueError(
                     f"kmeans_fit: init has {len(init)} vectors, need k={k}"
                 )
-            bad = [i for i, v in enumerate(init) if v is None or not len(v)]
+            bad = [
+                i
+                for i, v in enumerate(init)
+                if v is None
+                or not len(v)
+                or any(
+                    x is None or not math.isfinite(x) for x in v
+                )
+            ]
             if bad:
                 # loud and named, not a TypeError deep in the float cast
-                # (review r6): a NULL seed usually means the caller
-                # collected seeds without filtering malformed vectors
+                # (review r6; pass 8 extended to interior NULL/non-finite
+                # components — a seed like [1.0, None] passed the
+                # wholly-NULL check and still died as a bare TypeError,
+                # and an inf/NaN seed would poison every later centroid):
+                # a bad seed usually means the caller collected seeds
+                # without filtering malformed vectors
                 raise ValueError(
                     f"kmeans_fit: init vectors at positions {bad} are "
-                    f"NULL/empty — filter malformed vectors before seeding"
+                    f"NULL/empty or hold NULL/non-finite components — "
+                    f"filter malformed vectors before seeding"
                 )
             cents = [[float(x) for x in v] for v in init]
         else:
@@ -1225,6 +1233,83 @@ def _exact_rerank(
     )
 
 
+def _adc_rank(
+    codes_frame: DataFrame,
+    q_frame: DataFrame,
+    codebook: DataFrame,
+    dims: int,
+    m: int,
+    codes_col: str = "pq_codes",
+    join_key: str | None = None,
+) -> DataFrame:
+    """The ONE copy of the ADC scoring stage shared by :func:`pq_topk`
+    and :func:`probe_ivfpq_index` (review r6 pass 8 — the LUT build,
+    adist fold, rounding and ranking window had been pasted in both,
+    and the two paths must rank identically by contract; the same
+    keep-in-lockstep rationale as :func:`_exact_rerank`). ``q_frame``
+    carries (query_id, q_vec[, join_key]); ``codes_frame`` carries
+    (neighbor_id, codes_col[, join_key]). With ``join_key`` (the probe
+    path's ``cluster``) the broadcast join is an equi-join on it;
+    without, it is the non-equi query!=neighbor broadcast join. Returns
+    the full ranked frame (neighbor_id, query_id, adist, rank).
+
+    Each query precomputes lut[j][code] = ||q_j - centroid||^2 once
+    (m x ks doubles, built on the tiny query side); a corpus row's
+    distance is then m array lookups over its code array. Both the LUT
+    entries and the total adist are 6dp-rounded BEFORE any cross-row
+    comparison (review r6): the ranking key must not depend on float
+    summation order, which differs between Spark's ordered fold and the
+    oracle's hash-agg SUM."""
+    lut = F.transform(
+        F.col("_cb"),
+        lambda cents_j, j: F.transform(
+            cents_j,
+            lambda c: F.round(
+                _l2sq(
+                    F.transform(
+                        F.slice(
+                            F.col("q_vec"), j * (dims // m) + 1, dims // m
+                        ),
+                        lambda x: x.cast("double"),
+                    ),
+                    c,
+                ),
+                6,
+            ),
+        ),
+    )
+    q_lut = (
+        q_frame.crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn("_lut", lut)
+        .select("query_id", "_lut", *([join_key] if join_key else []))
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("_lut"),
+            lambda code, sub_lut: F.element_at(sub_lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = codes_frame.filter(
+        F.col(codes_col).isNotNull()  # malformed vectors skipped
+    )
+    if join_key is not None:
+        scored = base.join(broadcast(q_lut), join_key).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        scored = base.join(
+            broadcast(q_lut), F.col("query_id") != F.col("neighbor_id")
+        )
+    scored = scored.withColumn("adist", F.round(adist, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))
+
+
 def pq_topk(
     encoded_corpus: DataFrame,
     queries: DataFrame,
@@ -1259,57 +1344,18 @@ def pq_topk(
     # NULLS-FIRST window would emit k NULL-adist rows for it, where the
     # oracle (whose `e` CTE feeds queries too) emits none
     queries = queries.filter(well_formed_vector(vec_col, dims))
-    # LUT entries and the total ADC distance are both 6dp-rounded before
-    # any cross-row comparison (review r6): the ranking key must not
-    # depend on float summation order, which differs between Spark's
-    # ordered fold and the oracle's hash-agg SUM.
-    lut = F.transform(
-        F.col("_cb"),
-        lambda cents, j: F.transform(
-            cents,
-            lambda c: F.round(
-                _l2sq(
-                    F.transform(
-                        F.slice(
-                            F.col("q_vec"), j * (dims // m) + 1, dims // m
-                        ),
-                        lambda x: x.cast("double"),
-                    ),
-                    c,
-                ),
-                6,
-            ),
-        ),
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
-        .crossJoin(broadcast(_codebook_array(codebook)))
-        .withColumn("_lut", lut)
-        .select("query_id", "_lut")
-    )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col(codes_col),
-            F.col("_lut"),
-            lambda code, sub_lut: F.element_at(sub_lut, code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
+    ranked = _adc_rank(
         encoded_corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(codes_col)
-        )
-        .filter(F.col(codes_col).isNotNull())  # malformed vectors skipped
-        .join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", F.round(adist, 6))
+        ),
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        codebook,
+        dims,
+        m,
+        codes_col=codes_col,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
     if refine_corpus is None:
         return ranked.filter(F.col("rank") <= k).select(
             # adist is already 6dp (rounded where it became the ranking key)
@@ -1526,50 +1572,17 @@ def probe_ivfpq_index(
     posting = spark.read.parquet(index_path).filter(
         F.col("cluster").isin(probe_clusters)
     )
-    # same 6dp rounding as pq_topk (review r6): the two ADC paths must
-    # rank identically, independent of float summation order
-    lut = F.transform(
-        F.col("_cb"),
-        lambda cents_j, j: F.transform(
-            cents_j,
-            lambda c: F.round(
-                _l2sq(
-                    F.transform(
-                        F.slice(
-                            F.col("q_vec"), j * (dims // m) + 1, dims // m
-                        ),
-                        lambda x: x.cast("double"),
-                    ),
-                    c,
-                ),
-                6,
-            ),
-        ),
+    # the shared ADC stage (_adc_rank) keeps this path rank-identical
+    # to pq_topk by construction; cluster equi-join instead of pq_topk's
+    # non-equi join, so each query scores only its probed posting lists
+    ranked = _adc_rank(
+        posting,
+        q_probes.select("query_id", "q_vec", "cluster"),
+        codebook,
+        dims,
+        m,
+        join_key="cluster",
     )
-    q_lut = (
-        q_probes.crossJoin(broadcast(_codebook_array(codebook)))
-        .withColumn("_lut", lut)
-        .select("query_id", "cluster", "_lut")
-    )
-    adist = F.aggregate(
-        F.zip_with(
-            F.col("pq_codes"),
-            F.col("_lut"),
-            lambda code, sub_lut: F.element_at(sub_lut, code + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        posting.filter(F.col("pq_codes").isNotNull())
-        .join(broadcast(q_lut), "cluster")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adist", F.round(adist, 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id")
-    )
-    ranked = scored.withColumn("rank", F.row_number().over(w))
     if refine_corpus is None:
         # adist is already 6dp (rounded where it became the ranking key)
         return ranked.filter(F.col("rank") <= k).select(

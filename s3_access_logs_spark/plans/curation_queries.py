@@ -836,10 +836,16 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic LCG plane family rides in one broadcast row and
     the projection is a zero-exchange fold. The oracle inlines the same
     plane values as SQL literals and folds in the same left-to-right
-    order, so every component matches to the rounding digit."""
+    order, so every component matches to the rounding digit. Malformed
+    vectors are out of contract on both engines (review r6 pass 8):
+    un-filtered, a ragged vector trips random_projection's loud
+    size-assert while the oracle emits NULL-component rows for it."""
     from s3_access_logs_spark.operators.similarity import random_projection
+    from s3_access_logs_spark.plans.vector_queries import (
+        well_formed_embeddings,
+    )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     out = random_projection(emb, "embedding", dims=64, out_dims=16)
     return out.select(
         "vec_id", F.posexplode("projection").alias("dim", "value")
@@ -850,6 +856,7 @@ def jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jl_sql(out_dims: int = 16, dims: int = 64, seed: int = 42) -> str:
     from s3_access_logs_spark.operators.similarity import _lcg_planes
+    from s3_access_logs_spark.plans.vector_queries import sql_well_formed
 
     planes = _lcg_planes(out_dims, dims, seed)
     scale = (3.0 / out_dims) ** 0.5
@@ -860,6 +867,9 @@ def _jl_sql(out_dims: int = 16, dims: int = 64, seed: int = 42) -> str:
         )
         + "]"
     )
+    # well-formed rows only (shared sql_well_formed; the builder routes
+    # through well_formed_embeddings) — no slice needed: i is bounded by
+    # dims, so over-length rows project on their leading dims either way
     return f"""
     WITH p AS (SELECT {pl} AS pl)
     SELECT vec_id, u.j - 1 AS dim,
@@ -868,6 +878,7 @@ def _jl_sql(out_dims: int = 16, dims: int = 64, seed: int = 42) -> str:
                                   i -> embedding[i]::DOUBLE * pl[u.j][i]),
                    (a, b) -> a + b) * {scale!r}, 6) AS proj6
     FROM embeddings, p, unnest(range(1, {out_dims + 1})) AS u(j)
+    WHERE {sql_well_formed(dims)}
     """
 
 
@@ -1186,10 +1197,11 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_access_logs_spark.operators.similarity import (
         _assign_clusters,
         kmeans_fit,
-        well_formed_vector,
+    )
+    from s3_access_logs_spark.plans.vector_queries import (
+        well_formed_embeddings,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
     # seed, train AND assign over well-formed vectors only — sliced to
     # 64 dims — mirroring the oracle's filtered+sliced `e` (review r6):
     # un-filtered, a NULL in the k lowest vec_ids crashed kmeans_fit
@@ -1198,9 +1210,9 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims into the training means; and an over-length vector passes the
     # size filter but trips kmeans_fit's ragged check un-sliced (the PQ
     # entries slice and proceed on the same row — same posture here)
-    well_formed = emb.filter(well_formed_vector("embedding", 64)).select(
-        "vec_id", F.slice("embedding", 1, 64).alias("embedding")
-    )
+    well_formed = well_formed_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     seeds = [
         r["embedding"]
         for r in well_formed.select("vec_id", "embedding")

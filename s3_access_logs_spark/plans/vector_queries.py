@@ -20,6 +20,26 @@ SQL_COSINE = (
 )
 
 
+EMB_DIMS = 64  # the embeddings table's vector contract
+
+
+def well_formed_embeddings(emb: DataFrame, dims: int = EMB_DIMS) -> DataFrame:
+    """Spark twin of the oracle CTEs' well-formed filter + leading-dims
+    slice (review r6 pass 8 — the kmeans/PQ entries had this contract
+    while the topk/LSH/IVF/near-pairs/semantic/quantize entries fed raw
+    frames whose NULL/short/non-finite rows diverge cross-engine: DuckDB
+    ranks NaN FIRST under DESC and `NaN >= t` is true there, Spark's
+    NULL-sim rows rank last and fail thresholds; an interior NULL
+    crashes list_dot_product outright). Every embeddings-table catalog
+    entry routes its frame through here so malformed vectors are out of
+    contract on BOTH engines; other columns (label) ride along."""
+    from s3_access_logs_spark.operators.similarity import well_formed_vector
+
+    return emb.filter(well_formed_vector("embedding", dims)).withColumn(
+        "embedding", F.slice("embedding", 1, dims)
+    )
+
+
 def sql_well_formed(dims: int, col: str = "embedding") -> str:
     """The ONE DuckDB copy of the well-formed-vector predicate (review
     r6 pass 7 — it had been pasted into the kmeans and PQ oracle CTEs,
@@ -41,9 +61,10 @@ def sql_well_formed(dims: int, col: str = "embedding") -> str:
 @query(
     "embedding_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id < 8),
-    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:64] AS v
+               FROM embeddings WHERE {sql_well_formed(64)}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
     scored AS (
       SELECT query_id, neighbor_id,
              {SQL_COSINE.format(a='qv', b='cv')} AS sim_raw
@@ -63,8 +84,9 @@ def sql_well_formed(dims: int, col: str = "embedding") -> str:
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for 8 query vectors — the correctness
     baseline for ANN. Queries broadcast; no shuffle before the final
-    per-query top-k window."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    per-query top-k window. Malformed vectors are out of contract on
+    both engines (well_formed_embeddings / the oracle's filtered e)."""
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
@@ -83,8 +105,9 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 9x the probed volume, at equal wall time.
     The hyperplanes are a deterministic LCG sequence, so the oracle
     re-derives the exact buckets and probe ring and verifies every
-    neighbor/rank/sim."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    neighbor/rank/sim. Malformed vectors are out of contract on both
+    engines (well_formed_embeddings / the oracle's filtered e)."""
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return S.lsh_bucketed_topk(
         emb, emb.filter(F.col("vec_id") < 8), k=5, multiprobe=1
     )
@@ -108,7 +131,8 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
       {plane_values}
     ),
     mp(mask) AS (VALUES {mask_values}),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{dims}] AS v
+          FROM embeddings WHERE {sql_well_formed(dims)}),
     b AS (
       SELECT vec_id, v,
              SUM(CASE WHEN list_dot_product(v, pv) >= 0
@@ -137,7 +161,8 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
 @query(
     "embedding_ivf_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:64] AS v
+               FROM embeddings WHERE {sql_well_formed(64)}),
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
     cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
            FROM e CROSS JOIN dims GROUP BY label, i),
@@ -184,8 +209,11 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 for 8 query vectors, nprobe=2: the production-shape ANN
     path (coarse quantizer -> posting lists -> probe nearest lists), made
     fully deterministic so the DuckDB oracle checks every neighbor,
-    rank and similarity — see operators/similarity.py:ivf_topk."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    rank and similarity — see operators/similarity.py:ivf_topk.
+    Malformed vectors are out of contract on both engines
+    (well_formed_embeddings feeds the search AND the cached centroid
+    training, mirroring the oracle's filtered e)."""
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     return S.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -239,19 +267,30 @@ def cached_artifact(
 
 
 def _cached_centroids(spark: SparkSession, sf_dir: str):
+    # trains over the SAME well-formed frame the entries search (review
+    # r6 pass 8): un-filtered, a malformed row perturbs the label means
+    # on one engine but not the other (short rows NULL-skip different
+    # dims; an inf component poisons a mean into inf/NaN)
     return cached_artifact(
         spark,
         sf_dir,
         _CENTROIDS,
-        lambda emb: S.label_centroids(emb, "label", "embedding"),
+        # dims=64 explicit: skips the dims-inference first() job AND
+        # keeps an all-malformed (empty after filter) corpus producing
+        # an empty artifact — dims inference would raise on it, where
+        # the oracle's filtered CTEs cleanly yield zero rows
+        lambda emb: S.label_centroids(
+            well_formed_embeddings(emb), "label", "embedding", dims=64
+        ),
     )
 
 
 @query(
     "embedding_near_pairs",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE vec_id < 200),
+    WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:64] AS v
+               FROM embeddings
+               WHERE vec_id < 200 AND {sql_well_formed(64)}),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              {SQL_COSINE.format(a='a.v', b='b.v')} AS sim_raw
@@ -265,10 +304,14 @@ def _cached_centroids(spark: SparkSession, sf_dir: str):
 def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.3) on a bounded
     slice — exact pairwise at verification scale; the LSH variant above is
-    the scale path for the full corpus."""
+    the scale path for the full corpus. Malformed vectors are out of
+    contract on both engines: un-filtered, DuckDB's `NaN >= 0.3` is TRUE
+    (NaN sorts greatest) while Spark's NULL-normalized sim fails it."""
     from s3_access_logs_spark.functions.vectors import cosine_from_norms, l2_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = well_formed_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    ).filter(F.col("vec_id") < 200)
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -325,7 +368,8 @@ def semantic_sql_ctes(
 @query(
     "embedding_semantic_dedup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:64] AS v
+               FROM embeddings WHERE {sql_well_formed(64)}),
     {semantic_sql_ctes()},
     train AS (SELECT label, COUNT(*)::BIGINT AS n,
               ROUND(AVG(list_dot_product(v, v)), 6) AS avg_sq_norm
@@ -358,8 +402,10 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:semantic_dedup for the dedup semantics and
     100 TB shape. One full-corpus aggregation trains; assignment is a
     zero-exchange argmax projection; the pair search is confined to
-    within-cluster blocks."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    within-cluster blocks. Malformed vectors are out of contract on both
+    engines — they would otherwise perturb the training means and the
+    NaN-cosine assignment order engine-specifically."""
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     v = F.transform("embedding", lambda x: x.cast("double"))
     sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     dims = 64
@@ -411,19 +457,23 @@ _Q["embedding_ann_lsh"] = _dc.replace(
 
 @query(
     "embedding_quantize_int8",
-    oracle="""
-    WITH s AS (
+    oracle=f"""
+    WITH w AS (
+      SELECT vec_id, embedding[1:64] AS emb FROM embeddings
+      WHERE {sql_well_formed(64)}
+    ),
+    s AS (
       SELECT vec_id,
-             embedding,
+             emb,
              127.0 / greatest(
-               list_max(list_transform(embedding, x -> abs(x)))::DOUBLE, 1e-12
+               list_max(list_transform(emb, x -> abs(x)))::DOUBLE, 1e-12
              ) AS scale
-      FROM embeddings
+      FROM w
     )
     SELECT vec_id,
            ROUND(scale, 6) AS scale6,
            array_to_string(
-             list_transform(embedding,
+             list_transform(emb,
                             x -> floor(x::DOUBLE * scale + 0.5)::INT), '-'
            ) AS q_str
     FROM s
@@ -439,8 +489,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow map-only plan: no shuffle, quantization cost is bounded per row
     (the scale lambda re-evaluates array_max per element under Catalyst's
     project collapsing — 64x64 flops/row, still branchless JVM codegen;
-    acceptable until Spark learns lambda CSE)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    acceptable until Spark learns lambda CSE). Malformed vectors are out
+    of contract on both engines — floor(inf) diverges (DuckDB INT cast
+    error vs Spark NULL) and NULL-element array_join skipping is
+    engine-specific."""
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
     scale = F.lit(127.0) / F.greatest(max_abs.cast("double"), F.lit(1e-12))
     q = F.transform(

@@ -2489,6 +2489,101 @@ class TestReviewFixes:
             ranks = sorted(r.rank for r in out if r.query_id == qid)
             assert ranks == [1, 2, 3, 4, 5]
 
+    def test_vector_entries_match_oracle_on_dirty_corpus(
+        self, spark, tmp_path
+    ):
+        """Review r6 pass 8: EVERY embeddings-table entry must stay
+        value-exact vs DuckDB on a dirty corpus, not just kmeans/PQ —
+        un-filtered, DuckDB ranks a NaN cosine FIRST under DESC (and
+        `NaN >= t` is true there) while Spark's NULL-normalized sim
+        ranks last and fails thresholds; an interior NULL crashes
+        list_dot_product; a ragged vector trips random_projection's
+        size assert. The driver's canon (sort cols/rows, round floats,
+        int/float kinds) is replicated via tools/check_oracle.canon."""
+        import importlib.util
+        from pathlib import Path
+
+        import duckdb
+
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        spec = importlib.util.spec_from_file_location(
+            "check_oracle",
+            Path(__file__).resolve().parents[1] / "tools" / "check_oracle.py",
+        )
+        co = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(co)
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(64)], i % 4)
+            for i in range(20)
+        ]
+        rows += [
+            (100, None, 0),
+            (101, [1.0, 2.0], 1),
+            (102, [0.5] * 70, 2),
+            (103, [1.0] * 30 + [None] + [1.0] * 33, 3),
+            (104, [1.0] * 20 + [float("inf")] + [1.0] * 43, 0),
+            (105, [float("nan")] + [2.0] * 63, 1),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        sf_dir = str(tmp_path)
+        emb.write.parquet(f"{sf_dir}/embeddings.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+        )
+        cat = load_all()
+        for name in (
+            "embedding_topk",
+            "embedding_ann_lsh",
+            "embedding_ivf_topk",
+            "embedding_near_pairs",
+            "embedding_semantic_dedup",
+            "embedding_quantize_int8",
+            "jl_projection",
+        ):
+            q = cat[name]
+            sdf = q.builder(spark, sf_dir)
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(r) for r in spdf.itertuples(index=False, name=None)
+            ]
+            odf = con.execute(q.oracle).fetchdf()
+            drows = [
+                tuple(r) for r in odf.itertuples(index=False, name=None)
+            ]
+            assert sorted(sdf.columns) == sorted(odf.columns), name
+            got = co.canon(srows, sdf.columns)
+            want = co.canon(drows, list(odf.columns))
+            assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
+            assert got, f"{name}: empty result on the clean subset"
+
+    def test_cosine_nan_is_null_uniformly(self, spark):
+        """Review r6 pass 8: NaN cosine -> NULL lives INSIDE the cosine
+        helpers now (functions/vectors._no_nan), so every ranking call
+        site — brute force, LSH, IVF probes, semantic dedup — shares
+        one no-signal contract instead of only brute_force_topk."""
+        from s3_access_logs_spark.functions.vectors import (
+            cosine_from_norms,
+            cosine_similarity,
+            l2_norm,
+        )
+
+        df = spark.createDataFrame(
+            [([float("inf"), 1.0], [1.0, 1.0])], "a array<float>, b array<float>"
+        )
+        row = df.select(
+            cosine_similarity("a", "b").alias("s1"),
+            cosine_from_norms(
+                "a", "b", l2_norm("a"), l2_norm("b")
+            ).alias("s2"),
+        ).first()
+        assert row["s1"] is None and row["s2"] is None
+
     def test_well_formed_predicate_sql_parity(self, spark, tmp_path):
         """The Python and DuckDB copies of the well-formedness contract
         (well_formed_vector / sql_well_formed) must accept identical
@@ -2537,14 +2632,22 @@ class TestReviewFixes:
         assert got == want == {0, 1, 4, 9}
 
     def test_kmeans_null_seed_raises_loudly(self, spark):
-        """Review r6 pass 3: a NULL seed must fail with a named error at
-        validation, not a TypeError deep inside the float cast."""
+        """Review r6 pass 3 (+ pass 8): a NULL seed — or one holding an
+        interior NULL or non-finite component — must fail with a named
+        error at validation, not a TypeError deep inside the float cast
+        (interior NULL) or silent centroid poisoning (inf/NaN)."""
         from s3_access_logs_spark.operators.similarity import kmeans_fit
         from s3_access_logs_spark.sources.tables import load_table
 
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
-        with pytest.raises(ValueError, match="init vectors at positions"):
-            kmeans_fit(emb, k=2, init=[None, [1.0] * 64])
+        for bad_seed in (
+            None,
+            [1.0, None] + [1.0] * 62,
+            [float("inf")] + [1.0] * 63,
+            [float("nan")] * 64,
+        ):
+            with pytest.raises(ValueError, match="init vectors at positions"):
+                kmeans_fit(emb, k=2, init=[bad_seed, [1.0] * 64])
 
     def test_skew_stats_empty_input(self, spark):
         from s3_access_logs_spark.operators.joins import (
