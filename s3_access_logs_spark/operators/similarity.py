@@ -334,6 +334,20 @@ def kmeans_fit(
                     f"NULL/empty or hold NULL/non-finite components — "
                     f"filter malformed vectors before seeding"
                 )
+            # ragged seeds are as loud as malformed ones (review r6
+            # pass 9): a short seed in position 0 mis-inferred dims and
+            # blamed the healthy CORPUS, while one in a later position
+            # silently produced a ragged centroid set whose short
+            # centroid can never win an assignment — dead capacity
+            # handed to every downstream consumer
+            lens = sorted({len(v) for v in init})
+            want = dims if dims is not None else lens[0]
+            if lens != [want]:
+                raise ValueError(
+                    f"kmeans_fit: init vectors have lengths {lens}, "
+                    f"expected all {want} — seeds must match the corpus "
+                    f"dims"
+                )
             cents = [[float(x) for x in v] for v in init]
         else:
             # k distinct seeds by hash order: distinct() first (duplicate

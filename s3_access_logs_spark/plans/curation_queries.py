@@ -1215,10 +1215,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "embedding")
     seeds = [
         r["embedding"]
-        for r in well_formed.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(8)
-        .collect()
+        for r in well_formed.orderBy("vec_id").limit(8).collect()
     ]
     if not seeds:
         # no seedable vector: zero assignments, exactly like the

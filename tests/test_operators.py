@@ -2648,6 +2648,16 @@ class TestReviewFixes:
         ):
             with pytest.raises(ValueError, match="init vectors at positions"):
                 kmeans_fit(emb, k=2, init=[bad_seed, [1.0] * 64])
+        # ragged seeds (review r6 pass 9): in EITHER position they must
+        # name the seeds, not mis-infer dims and blame the corpus (short
+        # seed first) or silently return a ragged centroid set (short
+        # seed later)
+        for ragged in ([[1.0, 2.0], [1.0] * 64], [[1.0] * 64, [1.0, 2.0]]):
+            with pytest.raises(ValueError, match="init vectors have lengths"):
+                kmeans_fit(emb, k=2, init=ragged)
+        # explicit dims: uniform seeds of the wrong length are ragged too
+        with pytest.raises(ValueError, match="init vectors have lengths"):
+            kmeans_fit(emb, k=2, init=[[1.0] * 4, [2.0] * 4], dims=64)
 
     def test_skew_stats_empty_input(self, spark):
         from s3_access_logs_spark.operators.joins import (
