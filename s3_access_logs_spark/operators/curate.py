@@ -165,7 +165,11 @@ def curate_corpus(
     similarity above the threshold to a lower-id GATE-PASSING doc in
     the same quantizer cluster drops as ``semantic``; docs with no
     embedding row pass (no signal is not a rejection, the perplexity
-    convention). Centroids come from ``semantic_centroids`` or a
+    convention). NULL and zero-length vectors are likewise no-signal;
+    RAGGED vectors fail LOUD in the quantizer fit's dims check — on a
+    dirty corpus pre-filter with ``similarity.well_formed_vector`` (the
+    catalog entry routes through ``well_formed_embeddings``).
+    Centroids come from ``semantic_centroids`` or a
     spherical k-means fit over the eligible embeddings
     (``semantic_nlist`` clusters, default ~sqrt(n) — the standard IVF
     sizing keeping every within-cluster pair block sub-quadratic); and

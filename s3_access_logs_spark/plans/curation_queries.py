@@ -1090,12 +1090,21 @@ def curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-replayable path; production fits them with kmeans_fit), cosine
     threshold 0.3. The waterfall must attribute empty -> exact_dup ->
     semantic with domination elected ONLY among gate-passing docs, and
-    dropped-per-stage plus survivors sums to the corpus exactly."""
+    dropped-per-stage plus survivors sums to the corpus exactly.
+    Embeddings route through well_formed_embeddings (review r6 pass 9):
+    curate_corpus itself treats NULL/zero-length vectors as no-signal
+    but fails LOUD on ragged ones (the quantizer fit's dims check), and
+    the oracle's 64-dim CTEs would error on an over-length vector and
+    rank a NaN cosine engine-specifically — malformed vectors are out
+    of contract on both engines, like every other embeddings entry."""
     from s3_access_logs_spark.operators.curate import curate_corpus
-    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
+    from s3_access_logs_spark.plans.vector_queries import (
+        _cached_centroids,
+        well_formed_embeddings,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
     _, report = curate_corpus(
         docs,
         embeddings=emb,
@@ -1106,7 +1115,10 @@ def curate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curate_semantic_sql() -> str:
-    from s3_access_logs_spark.plans.vector_queries import semantic_sql_ctes
+    from s3_access_logs_spark.plans.vector_queries import (
+        semantic_sql_ctes,
+        sql_well_formed,
+    )
 
     return f"""
     WITH f AS (
@@ -1124,8 +1136,8 @@ def _curate_semantic_sql() -> str:
       FROM f
     ),
     elig AS (SELECT doc_id FROM e WHERE NOT f_empty AND NOT f_exact),
-    emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-            FROM embeddings),
+    emb AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:64] AS v
+            FROM embeddings WHERE {sql_well_formed(64)}),
     ee AS (SELECT emb.vec_id, emb.v
            FROM emb JOIN elig ON emb.vec_id = elig.doc_id),
     {semantic_sql_ctes(train_src='emb', assign_src='ee')},

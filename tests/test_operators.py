@@ -2562,6 +2562,58 @@ class TestReviewFixes:
             assert got == want, f"{name}: {len(got)} vs {len(want)} rows"
             assert got, f"{name}: empty result on the clean subset"
 
+    def test_curate_semantic_matches_oracle_on_dirty_corpus(
+        self, spark, tmp_path
+    ):
+        """Review r6 pass 9: the curate_semantic entry must stay
+        value-exact vs DuckDB when the EMBEDDINGS side is dirty — the
+        oracle's 64-dim CTEs error on an over-length vector
+        (list_dot_product length mismatch) and rank a NaN cosine first,
+        while an un-pre-filtered Spark stage crashes the quantizer fit
+        on a ragged row. Docs whose embedding is malformed must PASS the
+        semantic stage on both engines (no signal != rejection)."""
+        import duckdb
+
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        docs = [(i, f"document body number {i} with words " * 3) for i in range(20)]
+        docs += [(100, None), (101, "   "), (102, docs[5][1])]  # empty + dup
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            f"{tmp_path}/documents.parquet"
+        )
+        # docs 0-14,16,17: clean embeddings; doc 15: NO embedding row;
+        # docs 18/19: ONLY a malformed row (ragged / NaN — must pass the
+        # semantic stage as no-signal, not crash the fit); ids 30-33:
+        # malformed rows with no matching doc (an interior NULL here
+        # crashes the unfiltered oracle's centroid training outright)
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(64)], i % 4)
+            for i in range(18)
+            if i != 15
+        ]
+        rows += [
+            (18, [1.0, 2.0], 1),
+            (19, [float("nan")] + [2.0] * 63, 1),
+            (30, None, 0),
+            (31, [0.5] * 70, 2),
+            (32, [1.0] * 30 + [None] + [1.0] * 33, 3),
+            (33, [1.0] * 20 + [float("inf")] + [1.0] * 43, 0),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{tmp_path}/embeddings.parquet")
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet/*.parquet')"
+            )
+        q = load_all()["curate_semantic"]
+        got = sorted(map(tuple, q.builder(spark, str(tmp_path)).collect()))
+        want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+        assert got == want
+        assert ("empty", 2) in got and ("exact_dup", 1) in got
+
     def test_cosine_nan_is_null_uniformly(self, spark):
         """Review r6 pass 8: NaN cosine -> NULL lives INSIDE the cosine
         helpers now (functions/vectors._no_nan), so every ranking call
