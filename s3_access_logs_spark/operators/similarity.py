@@ -432,25 +432,62 @@ def kmeans_fit(
     return spark.createDataFrame(list(enumerate(cents)), schema)
 
 
+# nlist at or above which _assign_clusters auto-switches to the Arrow
+# matmul path: the fold's per-centroid HOF lambdas are interpreted (no
+# whole-stage codegen), measured ~30 MFLOPS — fine at nlist<=10 bench
+# scale, a 383 s cliff for 200k rows x nlist=1000 where BLAS does the
+# same assignment in seconds. Below the threshold the fold keeps the
+# plan Python-free.
+_ARROW_NLIST_MIN = 128
+
+
 def _assign_clusters(
-    df: DataFrame, cents: DataFrame, vec: str, n_best: int
+    df: DataFrame,
+    cents: DataFrame,
+    vec: str,
+    n_best: int,
+    impl: str | None = None,
 ) -> DataFrame:
     """Attach the ``n_best`` nearest centroids (cosine, ties broken on the
     smaller label) to every row as ``cluster`` (one output row per
     (input row, probed centroid)).
 
-    One shuffle-free shape for both the corpus-indexing path (n_best=1)
-    and the query-probe path (n_best=nprobe): the ~nlist centroids are
-    broadcast as ONE row holding a sorted array of (label, vector, norm)
-    structs; per input row the similarity array is computed once, sorted
-    by (sim desc, label asc) via an ascending struct sort on
-    (-sim, label), and the first ``n_best`` entries explode out. The r1
-    formulation ranked broadcast centroids with a ``row_number`` window,
-    which shuffled the ENTIRE corpus by vector id just to take an argmax
-    over 10 values (VERDICT r1 item 4); the round-3 unification removes
-    the same window+shuffle from the probe side too.
+    The comparison key is the 6dp-ROUNDED cosine (review r6 pass 10,
+    the PQ encode argmin's discipline at ``pq_encode``): a raw float
+    key is only cross-engine stable while both engines happen to sum in
+    the same order — DuckDB's ``list_dot_product`` is sequential today,
+    but nothing pins it, and the Arrow path below sums via BLAS matmul
+    (pairwise order). Rounding both engines' keys before the argmax
+    makes the assignment order summation-independent; ties (now
+    possible at 6dp) break on the smaller label, deterministically.
 
-    Plan-shape notes (measured):
+    Two implementations, selected by ``impl`` (``None`` = auto by
+    nlist, the ``_ARROW_NLIST_MIN`` threshold; forced values for tests):
+
+    * ``"fold"`` — one shuffle-free JVM shape for both the
+      corpus-indexing path (n_best=1) and the query-probe path
+      (n_best=nprobe): the ~nlist centroids are broadcast as ONE row
+      holding a sorted array of (label, vector, norm) structs; per
+      input row the similarity array is computed once, sorted by
+      (sim desc, label asc) via an ascending struct sort on
+      (-sim, label), and the first ``n_best`` entries explode out. The
+      r1 formulation ranked broadcast centroids with a ``row_number``
+      window, which shuffled the ENTIRE corpus by vector id just to
+      take an argmax over 10 values (VERDICT r1 item 4). Zero Python
+      in the plan, but the per-centroid lambdas are interpreted —
+      O(nlist x dims) per row at ~30 MFLOPS.
+    * ``"arrow"`` — ``mapInPandas`` with the centroid matrix in the
+      closure: per batch, cosines are one float64 matmul
+      (rows x dims @ dims x nlist), rounded with the same
+      half-away-from-zero rule as ``F.round``/DuckDB ``ROUND``, then a
+      stable argsort over (key, label). Same zero-shuffle shape (the
+      corpus still never exchanges); the Python hop is Arrow-batched
+      and BLAS-bound. Malformed rows (NULL / ragged / interior-NULL /
+      non-finite / zero-norm) reproduce the fold's sentinel outcome:
+      every centroid keys to the same no-signal value, so the row
+      assigns to the ``n_best`` smallest labels.
+
+    Plan-shape notes for the fold (measured):
 
     * Per-centroid work must live inside higher-order-function lambdas
       (lambda variables are bound values at runtime). The chained
@@ -460,24 +497,39 @@ def _assign_clusters(
       48 s instead of 2 s at sf0.1 with nlist=10.
     * The centroid values ride in the broadcast row, NOT as plan
       literals. An earlier variant embedded 10x64 literals in one
-      generated SQL string; correct, but expensive at every stage of its
-      life — ~0.5 s to parse per plan build and an oversized codegen
-      method to JIT per executor — for zero runtime advantage, and a
-      dead end at production nlist.
-    * ``array_sort`` over nlist (sim, label) structs is O(nlist log
-      nlist) per row vs the fold's O(nlist); at nlist where that matters
-      the argmax fold for n_best=1 is the right special case to
-      resurrect — at nlist=10 the sort is measurably identical and one
-      code path is worth more."""
+      generated SQL string; correct, but expensive at every stage of
+      its life — ~0.5 s to parse per plan build and an oversized
+      codegen method to JIT per executor — for zero runtime advantage,
+      and a dead end at production nlist."""
+    if impl not in (None, "fold", "arrow"):
+        raise ValueError(
+            f"_assign_clusters: impl must be None, 'fold' or 'arrow', "
+            f"got {impl!r}"
+        )
+    # The quantizer is collected ONCE (nlist rows — small by definition;
+    # even nlist=1e5 x 64 dims is ~50 MB, and the fold broadcast
+    # materializes the same data anyway): the collected rows give the
+    # emptiness check and the impl switch for free, and the fold path
+    # rebuilds its broadcast row from the LOCAL frame — so the centroid
+    # plan executes once per call instead of twice (the r6 pass-10 probe
+    # jobs cost a visible ~0.5 s per call at bench scale).
+    cent_rows = cents.select("label", "centroid").collect()
     # fail loud on an empty quantizer: explode over the empty probes array
     # would silently emit ZERO rows (build_ivf_index / build_ivfpq_index
     # accept caller-supplied centroids and would write an empty index)
-    if cents.isEmpty():
+    if not cent_rows:
         raise ValueError(
             "_assign_clusters: empty centroid set — a quantizer with no "
             "centroids would silently drop every input row"
         )
-    one = cents.agg(
+    if impl is None:
+        impl = "arrow" if len(cent_rows) >= _ARROW_NLIST_MIN else "fold"
+    if impl == "arrow":
+        return _assign_clusters_arrow(df, cent_rows, vec, n_best)
+    local = df.sparkSession.createDataFrame(
+        cent_rows, cents.select("label", "centroid").schema
+    )
+    one = local.agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -495,16 +547,19 @@ def _assign_clusters(
         lambda ct: F.struct(
             (
                 -F.coalesce(
-                    F.when(
-                        (F.col("__vnorm") * ct["n"]) > 0,
-                        F.aggregate(
-                            F.zip_with(
-                                F.col("__vd"), ct["c"], lambda p, q: p * q
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        )
-                        / (F.col("__vnorm") * ct["n"]),
+                    F.round(
+                        F.when(
+                            (F.col("__vnorm") * ct["n"]) > 0,
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("__vd"), ct["c"], lambda p, q: p * q
+                                ),
+                                F.lit(0.0),
+                                lambda acc, x: acc + x,
+                            )
+                            / (F.col("__vnorm") * ct["n"]),
+                        ),
+                        6,
                     ),
                     F.lit(-2.0),
                 )
@@ -521,6 +576,87 @@ def _assign_clusters(
         .withColumn("cluster", F.col("_probe")["l"])
         .drop("_cents", "__vd", "__vnorm", "_probe")
     )
+
+
+def _assign_clusters_arrow(
+    df: DataFrame, cent_rows: list, vec: str, n_best: int
+) -> DataFrame:
+    """The large-nlist implementation behind :func:`_assign_clusters`
+    (see there for the contract; ``cent_rows`` is its already-collected
+    (label, centroid) list): float64 matmul per Arrow batch. The key is
+    the 6dp-rounded cosine, so the matmul's pairwise summation order is
+    immaterial — identical to the fold's key by the same argument that
+    lets DuckDB's hash-agg SUM match Spark's ordered fold everywhere
+    else in the repo. Rounding replays F.round/DuckDB ROUND
+    half-AWAY-FROM-ZERO (numpy's .round is half-to-even and would
+    diverge on exact .5 boundaries)."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    labels = np.asarray([r[0] for r in rows], dtype=np.int64)
+    d = len(rows[0][1]) if rows[0][1] is not None else 0
+    for r in rows:
+        if r[1] is None or len(r[1]) != d:
+            raise ValueError(
+                "_assign_clusters: ragged or NULL centroid for label "
+                f"{r[0]} — the quantizer must be uniform-dims"
+            )
+    C = np.asarray([r[1] for r in rows], dtype=np.float64)  # (k, d)
+    cnorm = np.sqrt((C * C).sum(axis=1))  # (k,)
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("cluster", IntegerType(), True)]
+    )
+    # C rides in the task closure (k x d doubles — 512 KB at nlist=1000;
+    # serialized once per executor). At an extreme nlist where that
+    # bloats, hand the matrix to a SparkContext.broadcast instead.
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec].to_numpy()
+            m = len(pdf)
+            V = np.zeros((m, d), dtype=np.float64)
+            bad = np.zeros(m, dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None or len(v) != d:
+                    bad[i] = True
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if not np.isfinite(a).all():  # NaN covers interior NULL
+                    bad[i] = True
+                    continue
+                V[i] = a
+            vnorm = np.sqrt((V * V).sum(axis=1))  # (m,)
+            denom = vnorm[:, None] * cnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V @ C.T) / denom
+            # F.round / DuckDB ROUND: half away from zero
+            key = -np.where(
+                denom > 0,
+                np.copysign(
+                    np.floor(np.abs(cos) * 1e6 + 0.5), cos
+                )
+                / 1e6,
+                2.0,  # the fold's no-signal sentinel (-coalesce(-2.0))
+            )
+            key[bad] = 2.0  # malformed row: every centroid no-signal
+            nb = min(n_best, len(labels))
+            if nb == 1:
+                # argmin returns the FIRST minimum — smaller label wins
+                # ties, same as the fold's (ns, label) struct sort
+                picked = np.argmin(key, axis=1)[:, None]
+            else:
+                picked = np.argsort(key, axis=1, kind="stable")[:, :nb]
+            rep = np.repeat(np.arange(m), picked.shape[1])
+            out = pdf.iloc[rep].reset_index(drop=True)
+            out["cluster"] = labels[picked.ravel()].astype(np.int32)
+            yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_topk(
@@ -1130,6 +1266,14 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+# corpus size at or above which pq_encode auto-switches to the Arrow
+# path: the per-subspace argmin fold is ~1k interpreted HOF ops per row
+# (measured 13.7 s for 200k rows at dims=64/m=8) — irrelevant at bench
+# scale, the dominant term of a bulk encode. The probe that decides is
+# a bounded limit-count of the input (one cheap scan job).
+_ARROW_ENCODE_ROWS_MIN = 50_000
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -1137,6 +1281,7 @@ def pq_encode(
     dims: int = 64,
     m: int = 8,
     out_col: str = "pq_codes",
+    impl: str | None = None,
 ) -> DataFrame:
     """Attach ``out_col``: array of m codebook ids (the 32x-compressed
     representation), or NULL for a row whose vector cannot be encoded
@@ -1146,9 +1291,32 @@ def pq_encode(
     ``element_at(lut, code+1)`` into a runtime error that kills the whole
     scan; search paths (`pq_topk`, `probe_ivfpq_index`) skip NULL-coded
     rows instead, and ``filter(out_col IS NULL)`` is the malformed-vector
-    diagnostic. Pure broadcast + projection — the corpus never shuffles;
-    each subspace's argmin is the same runtime fold as IVF's cluster
-    assignment (lambda-variable accumulator, O(ks) plan)."""
+    diagnostic.
+
+    Two implementations (``impl=None`` auto-picks by a bounded
+    limit-count of ``df``, the ``_ARROW_ENCODE_ROWS_MIN`` threshold;
+    forced values for tests): ``"fold"`` is a pure broadcast +
+    projection — the corpus never shuffles; each subspace's argmin is
+    the same runtime fold as IVF's cluster assignment (lambda-variable
+    accumulator, O(ks) plan), zero Python, but interpreted per element.
+    ``"arrow"`` is the bulk-encode path (:func:`_pq_encode_arrow`):
+    same zero-shuffle shape via ``mapInPandas``, the per-subspace
+    distances vectorized in numpy with the SAME per-dim left-to-right
+    accumulation and 6dp rounding, so codes are identical — pinned by
+    ``test_pq_encode_arrow_matches_fold``."""
+    if impl not in (None, "fold", "arrow"):
+        raise ValueError(
+            f"pq_encode: impl must be None, 'fold' or 'arrow', got {impl!r}"
+        )
+    if impl is None:
+        probe_n = (
+            df.select(F.lit(1).alias("_one"))
+            .limit(_ARROW_ENCODE_ROWS_MIN)
+            .count()
+        )
+        impl = "arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold"
+    if impl == "arrow":
+        return _pq_encode_arrow(df, codebook, vec_col, dims, m, out_col)
     codes = F.array(
         *[
             F.aggregate(
@@ -1192,6 +1360,91 @@ def pq_encode(
         )
         .drop("_cb")
     )
+
+
+def _pq_encode_arrow(
+    df: DataFrame,
+    codebook: DataFrame,
+    vec_col: str,
+    dims: int,
+    m: int,
+    out_col: str,
+) -> DataFrame:
+    """The bulk-encode implementation behind :func:`pq_encode` (see
+    there for the contract). Per Arrow batch and subspace, the squared
+    distances to all ks centroids accumulate per-DIM over vectorized
+    (rows x ks) planes — the exact left-to-right order of the fold's
+    ``_l2sq``, so even before the 6dp rounding the values are
+    bit-identical (no matmul-expansion cancellation). Malformed rows
+    (NULL / shorter than dims / non-finite or interior-NULL among the
+    first dims) NULL-code exactly like the fold's never-firing argmin;
+    the argmin itself is numpy's first-occurrence minimum = the fold's
+    smaller-code tie-break."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    d = dims // m
+    by_sub: dict[int, list] = {}
+    for r in codebook.select("subspace", "code", "centroid").collect():
+        by_sub.setdefault(r[0], []).append((r[1], r[2]))
+    mats = []
+    for j in range(m):
+        entries = sorted(by_sub.get(j, []), key=lambda t: t[0])
+        if [c for c, _ in entries] != list(range(len(entries))) or not entries:
+            raise ValueError(
+                f"pq_encode: codebook subspace {j} is empty or has "
+                f"non-dense code ids — train_pq_codebook emits dense codes"
+            )
+        if any(cv is None or len(cv) != d for _, cv in entries):
+            raise ValueError(
+                f"pq_encode: codebook subspace {j} holds a NULL or "
+                f"ragged centroid (need {d} dims)"
+            )
+        mats.append(np.asarray([cv for _, cv in entries], dtype=np.float64))
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()), True)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = pdf[vec_col].to_numpy()
+            n = len(pdf)
+            V = np.zeros((n, dims), dtype=np.float64)
+            bad = np.zeros(n, dtype=bool)
+            for i, v in enumerate(vals):
+                if v is None or len(v) < dims:
+                    bad[i] = True
+                    continue
+                a = np.asarray(v[:dims], dtype=np.float64)
+                if not np.isfinite(a).all():  # NaN covers interior NULL
+                    bad[i] = True
+                    continue
+                V[i] = a
+            codes = np.zeros((n, m), dtype=np.int32)
+            for j in range(m):
+                SV = V[:, j * d : (j + 1) * d]
+                C = mats[j]
+                dsq = np.zeros((n, C.shape[0]), dtype=np.float64)
+                for i in range(d):  # exact _l2sq fold order per scalar
+                    diff = SV[:, i : i + 1] - C[None, :, i]
+                    dsq += diff * diff
+                # F.round half away from zero (dsq >= 0 here)
+                dsq = np.floor(dsq * 1e6 + 0.5) / 1e6
+                codes[:, j] = np.argmin(dsq, axis=1)  # first min = low code
+            col = [None if bad[i] else codes[i].tolist() for i in range(n)]
+            out = pdf.copy()
+            out[out_col] = col
+            yield out
+
+    return df.mapInPandas(encode, schema=out_schema)
 
 
 def _exact_rerank(
@@ -1306,9 +1559,15 @@ def _adc_rank(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    base = codes_frame.filter(
-        F.col(codes_col).isNotNull()  # malformed vectors skipped
-    )
+    # malformed vectors skipped. filter_unpushed, not .filter (review
+    # r6 pass 10): with a LAZY pq_encode lineage, PushPredicateThrough*
+    # inlines the ~1k-op encode expression into this predicate — the
+    # whole encode ran twice per corpus row (measured: 35 s -> 25 s at
+    # a 200k-row corpus just from fencing). For materialized posting
+    # lists the fence costs one monotonically_increasing_id per row.
+    from s3_access_logs_spark.functions.expr import filter_unpushed
+
+    base = filter_unpushed(codes_frame, F.col(codes_col).isNotNull())
     if join_key is not None:
         scored = base.join(broadcast(q_lut), join_key).filter(
             F.col("query_id") != F.col("neighbor_id")

@@ -1271,13 +1271,16 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
     ]
+    # assignment key = ROUND(cos, 6), the _assign_clusters contract
+    # (review r6 pass 10: summation-order-independent on both engines)
     for j in range(iters):
         cos = SQL_COSINE.format(a="e.v", b=f"cent{j}.c")
         parts.append(f"""a{j} AS (
       SELECT vec_id, v, cl FROM (
         SELECT e.vec_id, e.v, cent{j}.label AS cl,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos} DESC, cent{j}.label) AS rn
+                                  ORDER BY ROUND({cos}, 6) DESC,
+                                           cent{j}.label) AS rn
         FROM e CROSS JOIN cent{j}) WHERE rn = 1)""")
         parts.append(f"""m{j} AS (
       SELECT cl AS label, i, ROUND(AVG(v[i]), 6) AS mval
@@ -1295,7 +1298,8 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     SELECT vec_id, cl AS cluster FROM (
       SELECT e.vec_id, cent{iters}.label AS cl,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {cos} DESC, cent{iters}.label) AS rn
+                                ORDER BY ROUND({cos}, 6) DESC,
+                                         cent{iters}.label) AS rn
       FROM e CROSS JOIN cent{iters}) WHERE rn = 1
     """
     )

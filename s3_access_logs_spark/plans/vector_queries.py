@@ -172,7 +172,8 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
         SELECT e.vec_id, e.v, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {SQL_COSINE.format(a='e.v', b='cent.c')} DESC,
+                 ORDER BY ROUND({SQL_COSINE.format(a='e.v',
+                                                   b='cent.c')}, 6) DESC,
                           cent.label) AS rn
         FROM e CROSS JOIN cent
       ) WHERE rn = 1
@@ -183,7 +184,8 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
         SELECT q.query_id, q.qv, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY {SQL_COSINE.format(a='q.qv', b='cent.c')} DESC,
+                 ORDER BY ROUND({SQL_COSINE.format(a='q.qv',
+                                                   b='cent.c')}, 6) DESC,
                           cent.label) AS rn
         FROM q CROSS JOIN cent
       ) WHERE rn <= 2
@@ -341,7 +343,10 @@ def semantic_sql_ctes(
     ``train_src`` (vec_id, label, v); ``ca`` argmax-assigns
     ``assign_src`` (vec_id, v) with the smaller-label tie-break;
     ``dropped`` is the within-cluster lower-id cosine domination at
-    ``threshold`` — each mirroring operators/similarity.py exactly."""
+    ``threshold`` — each mirroring operators/similarity.py exactly.
+    The assignment key is ROUND(cos, 6) like ``_assign_clusters``
+    (review r6 pass 10): a raw float key is only stable while both
+    engines sum in the same order."""
     return f"""
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
     cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
@@ -352,8 +357,8 @@ def semantic_sql_ctes(
         SELECT {assign_src}.vec_id, {assign_src}.v, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY {assign_src}.vec_id
-                 ORDER BY {SQL_COSINE.format(a=assign_src + '.v',
-                                             b='cent.c')} DESC,
+                 ORDER BY ROUND({SQL_COSINE.format(a=assign_src + '.v',
+                                                   b='cent.c')}, 6) DESC,
                           cent.label) AS rn
         FROM {assign_src} CROSS JOIN cent
       ) WHERE rn = 1

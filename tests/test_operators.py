@@ -2614,6 +2614,141 @@ class TestReviewFixes:
         assert got == want
         assert ("empty", 2) in got and ("exact_dup", 1) in got
 
+    def test_assign_clusters_arrow_matches_fold(self, spark):
+        """Review r6 pass 10: the Arrow matmul assignment must emit
+        EXACTLY the fold's assignments — the 6dp-rounded cosine key
+        makes the summation order immaterial, ties break on the smaller
+        label in both, and every malformed-row class (NULL / ragged /
+        interior-NULL / NaN / zero-norm) lands on the same no-signal
+        outcome (the n_best smallest labels)."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+            label_centroids,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = label_centroids(emb, "label", "embedding", dims=64)
+        dirty = emb.unionByName(
+            spark.createDataFrame(
+                [
+                    (9000, None, 0),
+                    (9001, [1.0, 2.0], 0),
+                    (9002, [0.0] * 64, 1),
+                    (9003, [float("nan")] * 64, 1),
+                    (9004, [1.0] * 30 + [None] + [1.0] * 33, 2),
+                    (9005, [float("inf")] + [1.0] * 63, 2),
+                ],
+                "vec_id long, embedding array<float>, label int",
+            ),
+            allowMissingColumns=True,
+        )
+        for nb in (1, 2):
+            fold = sorted(
+                (r.vec_id, r.cluster)
+                for r in _assign_clusters(
+                    dirty, cents, "embedding", nb, impl="fold"
+                ).collect()
+            )
+            arrow = sorted(
+                (r.vec_id, r.cluster)
+                for r in _assign_clusters(
+                    dirty, cents, "embedding", nb, impl="arrow"
+                ).collect()
+            )
+            assert fold == arrow, f"n_best={nb}"
+        # the malformed rows all landed on the smallest labels
+        byid = dict(
+            (r.vec_id, r.cluster)
+            for r in _assign_clusters(
+                dirty, cents, "embedding", 1, impl="arrow"
+            ).collect()
+        )
+        assert all(byid[i] == 0 for i in range(9000, 9006))
+
+    def test_assign_clusters_auto_switches_at_large_nlist(self, spark):
+        """The impl=None auto path must pick the Arrow matmul at
+        _ARROW_NLIST_MIN centroids and stay on the Python-free fold
+        below it — and both produce identical assignments either way."""
+        from s3_access_logs_spark.operators.similarity import (
+            _ARROW_NLIST_MIN,
+            _assign_clusters,
+        )
+
+        k = _ARROW_NLIST_MIN
+        cents = spark.createDataFrame(
+            [(i, [float((i * 3 + j) % 7) for j in range(8)]) for i in range(k)],
+            "label int, centroid array<double>",
+        )
+        rows = spark.createDataFrame(
+            [(i, [float((i + j) % 5) for j in range(8)]) for i in range(50)],
+            "vec_id long, embedding array<float>",
+        )
+        auto = sorted(
+            (r.vec_id, r.cluster)
+            for r in _assign_clusters(rows, cents, "embedding", 1).collect()
+        )
+        fold = sorted(
+            (r.vec_id, r.cluster)
+            for r in _assign_clusters(
+                rows, cents, "embedding", 1, impl="fold"
+            ).collect()
+        )
+        assert auto == fold
+        # auto on a large-nlist quantizer goes through mapInPandas
+        plan = _assign_clusters(
+            rows, cents, "embedding", 1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        small = cents.filter(F.col("label") < k - 1)
+        plan_small = _assign_clusters(
+            rows, small, "embedding", 1
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan_small
+
+    def test_pq_encode_arrow_matches_fold(self, spark):
+        """Review r6 pass 10: the Arrow bulk-encode must emit EXACTLY
+        the fold's codes — per-dim left-to-right accumulation matches
+        _l2sq bit-for-bit, the 6dp rounding and first-min tie-break
+        match, and every malformed class NULL-codes identically."""
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebook,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        dirty = emb.unionByName(
+            spark.createDataFrame(
+                [
+                    (9000, None),
+                    (9001, [1.0, 2.0]),
+                    (9002, [0.5] * 70),  # over-length encodes on dims
+                    (9003, [1.0] * 30 + [None] + [1.0] * 33),
+                    (9004, [float("inf")] + [1.0] * 63),
+                    (9005, [float("nan")] * 64),
+                ],
+                "vec_id long, embedding array<float>",
+            ),
+            allowMissingColumns=True,
+        )
+        cb = train_pq_codebook(emb)
+        fold = {
+            r.vec_id: r.pq_codes
+            for r in pq_encode(dirty, cb, impl="fold")
+            .select("vec_id", "pq_codes")
+            .collect()
+        }
+        arrow = {
+            r.vec_id: r.pq_codes
+            for r in pq_encode(dirty, cb, impl="arrow")
+            .select("vec_id", "pq_codes")
+            .collect()
+        }
+        assert fold == arrow
+        assert arrow[9002] is not None  # over-length: leading dims encode
+        assert all(arrow[i] is None for i in (9000, 9001, 9003, 9004, 9005))
+
     def test_cosine_nan_is_null_uniformly(self, spark):
         """Review r6 pass 8: NaN cosine -> NULL lives INSIDE the cosine
         helpers now (functions/vectors._no_nan), so every ranking call
