@@ -441,6 +441,68 @@ def kmeans_fit(
 _ARROW_NLIST_MIN = 128
 
 
+def _round6_half_up(a):
+    """Vectorized replay of ``F.round(x, 6)`` for the Arrow fast paths
+    (review r6 pass 11). F.round goes through Scala BigDecimal on the
+    double's SHORTEST DECIMAL repr with HALF_UP (= half away from
+    zero), so the naive float emulation ``floor(|x|*1e6+0.5)`` can land
+    on the wrong side of a .5 boundary: ``0.5222235 * 1e6`` is
+    ``522223.49999999994`` in binary (→ 522223) while BigDecimal scales
+    the decimal string exactly (→ 522224). The fast path handles
+    everything else; elements whose scaled fraction sits within 1e-6 of
+    .5 (the float-multiply noise zone, ~2e-6 of uniform inputs) re-round
+    through Python Decimal on ``repr`` — the exact BigDecimal walk.
+    Pinned element-for-element against F.round by
+    ``test_round6_matches_spark_round``."""
+    import numpy as np
+
+    y = np.abs(a) * 1e6
+    fast = np.floor(y + 0.5)
+    with np.errstate(invalid="ignore"):
+        frac = y - np.floor(y)
+        sus = np.abs(frac - 0.5) < 1e-6  # NaN/inf compare False -> fast
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        flat_idx = np.nonzero(sus)
+        vals = np.abs(a)[flat_idx]
+        fast[flat_idx] = [
+            float(
+                Decimal(repr(float(v)))
+                .scaleb(6)
+                .quantize(Decimal(1), rounding=ROUND_HALF_UP)
+            )
+            for v in vals
+        ]
+    return np.copysign(fast, a) / 1e6
+
+
+def _vector_batch(vals, dims: int, exact_len: bool):
+    """The ONE copy of the Arrow paths' malformed-row scan (review r6
+    pass 11 — it had been pasted in both): returns (V, bad) where V is
+    the (n, dims) float64 matrix of the usable rows' leading ``dims``
+    components and ``bad`` marks NULL / wrong-length / non-finite rows
+    (Arrow surfaces interior NULL elements as NaN, so ``isfinite``
+    covers that class too). ``exact_len`` replays the fold being
+    fenced: cluster assignment NULL-dots any length mismatch against
+    the centroid, while PQ encode slices and accepts over-length."""
+    import numpy as np
+
+    n = len(vals)
+    V = np.zeros((n, dims), dtype=np.float64)
+    bad = np.zeros(n, dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None or (len(v) != dims if exact_len else len(v) < dims):
+            bad[i] = True
+            continue
+        a = np.asarray(v[:dims], dtype=np.float64)
+        if not np.isfinite(a).all():
+            bad[i] = True
+            continue
+        V[i] = a
+    return V, bad
+
+
 def _assign_clusters(
     df: DataFrame,
     cents: DataFrame,
@@ -522,10 +584,39 @@ def _assign_clusters(
             "_assign_clusters: empty centroid set — a quantizer with no "
             "centroids would silently drop every input row"
         )
+    # validate the quantizer LOUD, for BOTH impls (review r6 pass 11):
+    # a NULL/ragged/interior-NULL/non-finite centroid is a caller bug
+    # (stale artifact, unfiltered training data) — the fold would bury
+    # it as engine-specific sentinel/NaN orderings and the Arrow argmin
+    # would invert them, so neither outcome is worth preserving. A
+    # kmeans_fit/label_centroids artifact over well-formed vectors is
+    # always clean; zero-NORM centroids are valid (empty-text means)
+    # and key as no-signal per cell.
+    import numpy as np
+
+    if any(r[0] is None for r in cent_rows):
+        raise ValueError("_assign_clusters: quantizer holds a NULL label")
+    rows_sorted = sorted(cent_rows, key=lambda r: r[0])
+    try:
+        C = np.asarray(
+            [r["centroid"] for r in rows_sorted], dtype=np.float64
+        )
+        clean = C.ndim == 2 and bool(np.isfinite(C).all())
+    except (TypeError, ValueError):
+        clean = False
+    if not clean:
+        raise ValueError(
+            "_assign_clusters: the quantizer holds a NULL, ragged or "
+            "non-finite centroid — retrain it over well-formed vectors "
+            "(kmeans_fit / label_centroids always produce a clean one)"
+        )
     if impl is None:
         impl = "arrow" if len(cent_rows) >= _ARROW_NLIST_MIN else "fold"
     if impl == "arrow":
-        return _assign_clusters_arrow(df, cent_rows, vec, n_best)
+        label_type = cents.select("label").schema[0].dataType
+        return _assign_clusters_arrow(
+            df, [r[0] for r in rows_sorted], C, vec, n_best, label_type
+        )
     local = df.sparkSession.createDataFrame(
         cent_rows, cents.select("label", "centroid").schema
     )
@@ -579,35 +670,35 @@ def _assign_clusters(
 
 
 def _assign_clusters_arrow(
-    df: DataFrame, cent_rows: list, vec: str, n_best: int
+    df: DataFrame,
+    labels_sorted: list,
+    C,
+    vec: str,
+    n_best: int,
+    label_type,
 ) -> DataFrame:
     """The large-nlist implementation behind :func:`_assign_clusters`
-    (see there for the contract; ``cent_rows`` is its already-collected
-    (label, centroid) list): float64 matmul per Arrow batch. The key is
-    the 6dp-rounded cosine, so the matmul's pairwise summation order is
+    (see there for the contract; ``labels_sorted``/``C`` are its
+    already-collected-and-validated label list and (k, d) float64
+    centroid matrix): float64 matmul per Arrow batch. The key is the
+    6dp-rounded cosine, so the matmul's pairwise summation order is
     immaterial — identical to the fold's key by the same argument that
     lets DuckDB's hash-agg SUM match Spark's ordered fold everywhere
-    else in the repo. Rounding replays F.round/DuckDB ROUND
-    half-AWAY-FROM-ZERO (numpy's .round is half-to-even and would
-    diverge on exact .5 boundaries)."""
+    else in the repo; :func:`_round6_half_up` replays F.round's exact
+    decimal boundary behavior. The per-CELL no-signal sentinel (a
+    zero-norm centroid against a valid row) keys +2.0 exactly like the
+    fold's ``-coalesce(..., -2.0)`` — sorts WORST, never captures a
+    row (review r6 pass 11: the first cut negated it to -2.0, handing
+    every row to a degenerate centroid). ``cluster`` keeps the source
+    label column's type, like the fold."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField
+    from pyspark.sql.types import StructField, StructType
 
-    rows = sorted(cent_rows, key=lambda r: r[0])
-    labels = np.asarray([r[0] for r in rows], dtype=np.int64)
-    d = len(rows[0][1]) if rows[0][1] is not None else 0
-    for r in rows:
-        if r[1] is None or len(r[1]) != d:
-            raise ValueError(
-                "_assign_clusters: ragged or NULL centroid for label "
-                f"{r[0]} — the quantizer must be uniform-dims"
-            )
-    C = np.asarray([r[1] for r in rows], dtype=np.float64)  # (k, d)
+    labels = np.asarray(labels_sorted, dtype=np.int64)
+    d = C.shape[1]
     cnorm = np.sqrt((C * C).sum(axis=1))  # (k,)
-    from pyspark.sql.types import StructType
-
     out_schema = StructType(
-        list(df.schema.fields) + [StructField("cluster", IntegerType(), True)]
+        list(df.schema.fields) + [StructField("cluster", label_type, True)]
     )
     # C rides in the task closure (k x d doubles — 512 KB at nlist=1000;
     # serialized once per executor). At an extreme nlist where that
@@ -617,32 +708,16 @@ def _assign_clusters_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = pdf[vec].to_numpy()
+            V, bad = _vector_batch(
+                pdf[vec].to_numpy(), d, exact_len=True
+            )
             m = len(pdf)
-            V = np.zeros((m, d), dtype=np.float64)
-            bad = np.zeros(m, dtype=bool)
-            for i, v in enumerate(vals):
-                if v is None or len(v) != d:
-                    bad[i] = True
-                    continue
-                a = np.asarray(v, dtype=np.float64)
-                if not np.isfinite(a).all():  # NaN covers interior NULL
-                    bad[i] = True
-                    continue
-                V[i] = a
             vnorm = np.sqrt((V * V).sum(axis=1))  # (m,)
             denom = vnorm[:, None] * cnorm[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (V @ C.T) / denom
-            # F.round / DuckDB ROUND: half away from zero
-            key = -np.where(
-                denom > 0,
-                np.copysign(
-                    np.floor(np.abs(cos) * 1e6 + 0.5), cos
-                )
-                / 1e6,
-                2.0,  # the fold's no-signal sentinel (-coalesce(-2.0))
-            )
+            # sentinel +2.0 = the fold's -coalesce(NULL, -2.0): worst
+            key = np.where(denom > 0, -_round6_half_up(cos), 2.0)
             key[bad] = 2.0  # malformed row: every centroid no-signal
             nb = min(n_best, len(labels))
             if nb == 1:
@@ -653,7 +728,7 @@ def _assign_clusters_arrow(
                 picked = np.argsort(key, axis=1, kind="stable")[:, :nb]
             rep = np.repeat(np.arange(m), picked.shape[1])
             out = pdf.iloc[rep].reset_index(drop=True)
-            out["cluster"] = labels[picked.ravel()].astype(np.int32)
+            out["cluster"] = labels[picked.ravel()]
             yield out
 
     return df.mapInPandas(assign, schema=out_schema)
@@ -1400,12 +1475,27 @@ def _pq_encode_arrow(
                 f"pq_encode: codebook subspace {j} is empty or has "
                 f"non-dense code ids — train_pq_codebook emits dense codes"
             )
-        if any(cv is None or len(cv) != d for _, cv in entries):
-            raise ValueError(
-                f"pq_encode: codebook subspace {j} holds a NULL or "
-                f"ragged centroid (need {d} dims)"
+        # loud on a NULL/ragged/interior-NULL/non-finite centroid
+        # (review r6 pass 11 — np.argmin over a NaN column would pick
+        # the broken code for EVERY row where the fold's strict-less
+        # skips it; a broken codebook is a caller bug either way, the
+        # same loud-quantizer contract as _assign_clusters)
+        try:
+            mat = np.asarray([cv for _, cv in entries], dtype=np.float64)
+            clean = (
+                mat.ndim == 2
+                and mat.shape[1] == d
+                and bool(np.isfinite(mat).all())
             )
-        mats.append(np.asarray([cv for _, cv in entries], dtype=np.float64))
+        except (TypeError, ValueError):
+            clean = False
+        if not clean:
+            raise ValueError(
+                f"pq_encode: codebook subspace {j} holds a NULL, ragged "
+                f"or non-finite centroid (need {d} finite dims) — "
+                f"train_pq_codebook over well-formed vectors is clean"
+            )
+        mats.append(mat)
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(IntegerType()), True)]
@@ -1415,19 +1505,10 @@ def _pq_encode_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            vals = pdf[vec_col].to_numpy()
+            V, bad = _vector_batch(
+                pdf[vec_col].to_numpy(), dims, exact_len=False
+            )
             n = len(pdf)
-            V = np.zeros((n, dims), dtype=np.float64)
-            bad = np.zeros(n, dtype=bool)
-            for i, v in enumerate(vals):
-                if v is None or len(v) < dims:
-                    bad[i] = True
-                    continue
-                a = np.asarray(v[:dims], dtype=np.float64)
-                if not np.isfinite(a).all():  # NaN covers interior NULL
-                    bad[i] = True
-                    continue
-                V[i] = a
             codes = np.zeros((n, m), dtype=np.int32)
             for j in range(m):
                 SV = V[:, j * d : (j + 1) * d]
@@ -1436,8 +1517,12 @@ def _pq_encode_arrow(
                 for i in range(d):  # exact _l2sq fold order per scalar
                     diff = SV[:, i : i + 1] - C[None, :, i]
                     dsq += diff * diff
-                # F.round half away from zero (dsq >= 0 here)
-                dsq = np.floor(dsq * 1e6 + 0.5) / 1e6
+                dsq = _round6_half_up(dsq)
+                # an all-inf dsq row (square overflow on a huge-but-
+                # finite vector) never fires the fold's strict-less
+                # argmin -> the row NULL-codes; replicate instead of
+                # letting argmin emit code 0 (review r6 pass 11)
+                bad |= ~np.isfinite(dsq).any(axis=1)
                 codes[:, j] = np.argmin(dsq, axis=1)  # first min = low code
             col = [None if bad[i] else codes[i].tolist() for i in range(n)]
             out = pdf.copy()
@@ -1702,7 +1787,23 @@ def build_ivfpq_index(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     assigned = _assign_clusters(c, cents, "c_vec", 1)
-    encoded = pq_encode(assigned, cb, vec_col="c_vec", dims=dims, m=m)
+    # decide the encode impl on the RAW corpus, not the assignment
+    # lineage (review r6 pass 11): pq_encode's impl=None limit-count
+    # probe would re-run the whole assignment for its first 50k rows
+    # just to pick a branch; counting the source scan costs a footer read
+    probe_n = (
+        corpus.select(F.lit(1).alias("_one"))
+        .limit(_ARROW_ENCODE_ROWS_MIN)
+        .count()
+    )
+    encoded = pq_encode(
+        assigned,
+        cb,
+        vec_col="c_vec",
+        dims=dims,
+        m=m,
+        impl="arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold",
+    )
     (
         encoded.select("neighbor_id", "pq_codes", "cluster")
         .repartition("cluster")
@@ -1752,8 +1853,20 @@ def append_to_ivfpq_index(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     assigned = _assign_clusters(c, centroids, "c_vec", 1)
+    # impl probed on the raw slice, not the assignment lineage (see
+    # build_ivfpq_index)
+    probe_n = (
+        new_vectors.select(F.lit(1).alias("_one"))
+        .limit(_ARROW_ENCODE_ROWS_MIN)
+        .count()
+    )
     encoded = pq_encode(
-        assigned, codebook, vec_col="c_vec", dims=dims, m=m
+        assigned,
+        codebook,
+        vec_col="c_vec",
+        dims=dims,
+        m=m,
+        impl="arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold",
     ).select("neighbor_id", "pq_codes", "cluster")
     if not skip_existing:
         # two consumers (count + write) -> persist, else assign+encode

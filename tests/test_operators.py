@@ -2706,6 +2706,147 @@ class TestReviewFixes:
         )._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan_small
 
+    def test_round6_matches_spark_round(self, spark):
+        """Review r6 pass 11: F.round goes through BigDecimal on the
+        double's shortest DECIMAL repr, so floor(|x|*1e6+0.5) on the
+        BINARY scaled value rounds 0.5222235 the wrong way (its float
+        x*1e6 is 522223.49999999994). _round6_half_up must match
+        F.round element-for-element, boundary doubles included."""
+        import numpy as np
+
+        from s3_access_logs_spark.operators.similarity import (
+            _round6_half_up,
+        )
+
+        vals = [
+            0.5222235,
+            -0.5202505,
+            -0.9806954999999999,
+            0.1234565,
+            -0.1234575,
+            0.9999995,
+            -0.9999995,
+            0.0,
+            1.0,
+            -1.0,
+            2.0,
+            float("inf"),
+        ] + [((i * 7919) % 20001 - 10000) / 10007.0 for i in range(500)]
+        got = _round6_half_up(np.asarray(vals, dtype=np.float64))
+        want = [
+            r[0]
+            for r in spark.createDataFrame([(v,) for v in vals], "x double")
+            .select(F.round("x", 6))
+            .collect()
+        ]
+        assert list(got) == want
+
+    def test_assign_clusters_zero_norm_centroid_never_wins(self, spark):
+        """Review r6 pass 11: the Arrow path's per-cell sentinel was
+        NEGATED (-2.0, the best key) so a zero-norm centroid captured
+        every row where the fold keys it +2.0 (worst). Both impls must
+        agree and never assign a valid row to the zero centroid."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        cents = spark.createDataFrame(
+            [(0, [0.0] * 8), (1, [1.0] * 8), (2, [0.5] * 4 + [1.5] * 4)],
+            "label int, centroid array<double>",
+        )
+        rows = spark.createDataFrame(
+            [(i, [float((i + j) % 5 + 1) for j in range(8)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        outs = {}
+        for impl in ("fold", "arrow"):
+            outs[impl] = sorted(
+                (r.vec_id, r.cluster)
+                for r in _assign_clusters(
+                    rows, cents, "embedding", 1, impl=impl
+                ).collect()
+            )
+            assert all(c != 0 for _, c in outs[impl]), impl
+        assert outs["fold"] == outs["arrow"]
+
+    def test_assign_clusters_rejects_broken_quantizer(self, spark):
+        """Review r6 pass 11: a NULL/ragged/non-finite centroid must be
+        a loud named error on BOTH impls — the fold buried it in
+        engine-specific NaN orderings and the Arrow argmin inverted
+        them (np.argmin treats NaN as the minimum)."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        rows = spark.createDataFrame(
+            [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        for broken in (
+            [(0, None), (1, [1.0] * 8)],
+            [(0, [1.0, 2.0]), (1, [1.0] * 8)],
+            [(0, [float("nan")] * 8), (1, [1.0] * 8)],
+            [(0, [float("inf")] + [1.0] * 7), (1, [1.0] * 8)],
+            [(0, [1.0] * 4 + [None] + [1.0] * 3), (1, [1.0] * 8)],
+        ):
+            cents = spark.createDataFrame(
+                broken, "label int, centroid array<double>"
+            )
+            for impl in ("fold", "arrow"):
+                with pytest.raises(ValueError, match="quantizer holds"):
+                    _assign_clusters(rows, cents, "embedding", 1, impl=impl)
+
+    def test_assign_clusters_arrow_keeps_label_type(self, spark):
+        """Review r6 pass 11: the Arrow path hard-coded cluster to
+        int32; it must inherit the source label type like the fold."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        cents = spark.createDataFrame(
+            [(int(2**40 + i), [float(i + 1)] * 4) for i in range(3)],
+            "label long, centroid array<double>",
+        )
+        rows = spark.createDataFrame(
+            [(0, [1.0] * 4)], "vec_id long, embedding array<float>"
+        )
+        for impl in ("fold", "arrow"):
+            out = _assign_clusters(rows, cents, "embedding", 1, impl=impl)
+            assert dict(out.dtypes)["cluster"] == "bigint", impl
+            assert out.first()["cluster"] >= 2**40, impl
+
+    def test_pq_encode_overflow_dsq_null_codes(self, spark):
+        """Review r6 pass 11: a huge-but-finite vector whose squared
+        subspace distances overflow to inf must NULL-code on BOTH impls
+        — the fold's strict-less argmin never fires on all-inf, while
+        np.argmin over an all-inf row would have emitted code 0."""
+        from s3_access_logs_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebook,
+        )
+
+        base = spark.createDataFrame(
+            [
+                (i, [float((i * 7 + j * 3) % 11) for j in range(64)])
+                for i in range(10)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        dirty = base.unionByName(
+            spark.createDataFrame(
+                [(99, [1e200] * 64)], "vec_id long, embedding array<double>"
+            )
+        )
+        cb = train_pq_codebook(base)
+        for impl in ("fold", "arrow"):
+            got = {
+                r.vec_id: r.pq_codes
+                for r in pq_encode(dirty, cb, impl=impl)
+                .select("vec_id", "pq_codes")
+                .collect()
+            }
+            assert got[99] is None, impl
+            assert all(got[i] is not None for i in range(10)), impl
+
     def test_pq_encode_arrow_matches_fold(self, spark):
         """Review r6 pass 10: the Arrow bulk-encode must emit EXACTLY
         the fold's codes — per-dim left-to-right accumulation matches
