@@ -212,7 +212,15 @@ def label_centroids(
     Components are rounded to ``decimals`` so a cross-engine oracle
     (different float summation order) reproduces the centroids exactly and
     every downstream distance is bit-identical. ``dims`` is inferred from
-    the first row when not given (one LIMIT-1 job)."""
+    the first row when not given (one LIMIT-1 job).
+
+    NULL labels define NO centroid (review r6 pass 12): a NULL-label
+    group would carry a NULL into the quantizer, where its tie-break
+    order is engine-specific (Spark's struct sort puts NULL first,
+    DuckDB's ORDER BY puts it last) and ``_assign_clusters`` now
+    rejects it loud — rows with a NULL label still get ASSIGNED to
+    real centroids downstream; they just don't train one."""
+    corpus = corpus.filter(F.col(label_col).isNotNull())
     if dims is None:
         first = corpus.select(vec_col).first()
         if first is None or first[0] is None:
@@ -449,32 +457,38 @@ def _round6_half_up(a):
     on the wrong side of a .5 boundary: ``0.5222235 * 1e6`` is
     ``522223.49999999994`` in binary (→ 522223) while BigDecimal scales
     the decimal string exactly (→ 522224). The fast path handles
-    everything else; elements whose scaled fraction sits within 1e-6 of
-    .5 (the float-multiply noise zone, ~2e-6 of uniform inputs) re-round
-    through Python Decimal on ``repr`` — the exact BigDecimal walk.
-    Pinned element-for-element against F.round by
-    ``test_round6_matches_spark_round``."""
+    everything else; elements whose scaled fraction sits within the
+    suspicion window of .5 re-round through Python Decimal on ``repr``
+    — the exact BigDecimal walk. The window is ADAPTIVE (review r6
+    pass 12): the float-multiply noise is ~ulp(x*1e6), which exceeds a
+    fixed 1e-6 once |x| > ~4.5e3 — and PQ squared distances are
+    unbounded — so the window is max(1e-6, 4*spacing(y)); past
+    2^53 the scaled value has no fractional part and the fast path is
+    the identity on both walks. Pinned element-for-element against
+    F.round by ``test_round6_matches_spark_round`` (boundary doubles at
+    small AND large magnitudes)."""
     import numpy as np
 
     y = np.abs(a) * 1e6
     fast = np.floor(y + 0.5)
     with np.errstate(invalid="ignore"):
         frac = y - np.floor(y)
-        sus = np.abs(frac - 0.5) < 1e-6  # NaN/inf compare False -> fast
+        # NaN/inf compare False -> fast path (identity on both walks)
+        sus = np.abs(frac - 0.5) < np.maximum(1e-6, 4.0 * np.spacing(y))
+    res = np.copysign(fast, a) / 1e6
     if sus.any():
         from decimal import ROUND_HALF_UP, Decimal
 
         flat_idx = np.nonzero(sus)
-        vals = np.abs(a)[flat_idx]
-        fast[flat_idx] = [
-            float(
-                Decimal(repr(float(v)))
-                .scaleb(6)
-                .quantize(Decimal(1), rounding=ROUND_HALF_UP)
-            )
-            for v in vals
+        # ONE decimal quantize + ONE float conversion, exactly
+        # BigDecimal.setScale(6, HALF_UP).toDouble — a scaleb/divide
+        # pair would double-round at magnitudes where 1e-6 is sub-ulp
+        q6 = Decimal("0.000001")
+        res[flat_idx] = [
+            float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
+            for v in a[flat_idx]
         ]
-    return np.copysign(fast, a) / 1e6
+    return res
 
 
 def _vector_batch(vals, dims: int, exact_len: bool):
@@ -514,14 +528,15 @@ def _assign_clusters(
     smaller label) to every row as ``cluster`` (one output row per
     (input row, probed centroid)).
 
-    The comparison key is the 6dp-ROUNDED cosine (review r6 pass 10,
-    the PQ encode argmin's discipline at ``pq_encode``): a raw float
-    key is only cross-engine stable while both engines happen to sum in
-    the same order — DuckDB's ``list_dot_product`` is sequential today,
-    but nothing pins it, and the Arrow path below sums via BLAS matmul
-    (pairwise order). Rounding both engines' keys before the argmax
-    makes the assignment order summation-independent; ties (now
-    possible at 6dp) break on the smaller label, deterministically.
+    The comparison key is ``floor(cos*1e6 + 0.5)`` in explicit double
+    arithmetic (review r6 passes 10/12, the ``quantize_int8``
+    discipline): a raw float key is only cross-engine stable while both
+    engines happen to sum in the same order, and decimal F.round
+    diverges from DuckDB's binary ROUND on exact .5 boundary doubles —
+    floor over the same IEEE ops is bit-identical across Spark, DuckDB
+    and numpy. Quantizing the key makes the assignment order
+    summation-independent; ties (now possible at the 1e-6 grid) break
+    on the smaller label, deterministically.
 
     Two implementations, selected by ``impl`` (``None`` = auto by
     nlist, the ``_ARROW_NLIST_MIN`` threshold; forced values for tests):
@@ -633,30 +648,34 @@ def _assign_clusters(
             )
         ).alias("_cents")
     )
+    def _ns(ct):
+        # key = floor(cos*1e6 + 0.5) in explicit double arithmetic
+        # (review r6 pass 12, the quantize_int8 discipline): F.round
+        # walks BigDecimal on the decimal repr while DuckDB ROUND
+        # rounds the binary-scaled value, so they disagree on exact .5
+        # boundary doubles (0.5222235 -> 0.522224 vs 0.522223); floor
+        # of the same IEEE ops is bit-identical across Spark, DuckDB
+        # and numpy. The abs guard maps NaN/inf cosines (overflowed
+        # garbage vectors) to the no-signal sentinel like zero-norm —
+        # NaN <= 1.5 is false, so the when yields NULL — at the cost of
+        # evaluating the dot twice per centroid (the fold is the
+        # small-nlist path; the arrow path takes over at 128).
+        denom = F.col("__vnorm") * ct["n"]
+        cos = F.when(denom > 0, _dot_fold(ct) / denom)
+        safe = F.when(F.abs(cos) <= F.lit(1.5), cos)
+        q = F.floor(safe * F.lit(1e6) + F.lit(0.5)).cast("double")
+        return -F.coalesce(q, F.lit(-2.0e6))
+
+    def _dot_fold(ct):
+        return F.aggregate(
+            F.zip_with(F.col("__vd"), ct["c"], lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     sims = F.transform(
         F.col("_cents"),
-        lambda ct: F.struct(
-            (
-                -F.coalesce(
-                    F.round(
-                        F.when(
-                            (F.col("__vnorm") * ct["n"]) > 0,
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("__vd"), ct["c"], lambda p, q: p * q
-                                ),
-                                F.lit(0.0),
-                                lambda acc, x: acc + x,
-                            )
-                            / (F.col("__vnorm") * ct["n"]),
-                        ),
-                        6,
-                    ),
-                    F.lit(-2.0),
-                )
-            ).alias("ns"),
-            ct["l"].alias("l"),
-        ),
+        lambda ct: F.struct(_ns(ct).alias("ns"), ct["l"].alias("l")),
     )
     probes = F.slice(F.array_sort(sims), 1, n_best)
     return (
@@ -680,23 +699,30 @@ def _assign_clusters_arrow(
     """The large-nlist implementation behind :func:`_assign_clusters`
     (see there for the contract; ``labels_sorted``/``C`` are its
     already-collected-and-validated label list and (k, d) float64
-    centroid matrix): float64 matmul per Arrow batch. The key is the
-    6dp-rounded cosine, so the matmul's pairwise summation order is
-    immaterial — identical to the fold's key by the same argument that
-    lets DuckDB's hash-agg SUM match Spark's ordered fold everywhere
-    else in the repo; :func:`_round6_half_up` replays F.round's exact
-    decimal boundary behavior. The per-CELL no-signal sentinel (a
-    zero-norm centroid against a valid row) keys +2.0 exactly like the
-    fold's ``-coalesce(..., -2.0)`` — sorts WORST, never captures a
-    row (review r6 pass 11: the first cut negated it to -2.0, handing
-    every row to a degenerate centroid). ``cluster`` keeps the source
-    label column's type, like the fold."""
+    centroid matrix): vectorized numpy per Arrow batch. Dots and norms
+    accumulate per-DIM over row-blocked (block x k) planes — the EXACT
+    left-to-right order of the fold's zip_with/aggregate, so every
+    cosine is bit-identical to the fold's before the key is even taken
+    (review r6 pass 12: a matmul's pairwise summation could land on
+    the other side of a quantization boundary). The key itself is
+    ``floor(cos*1e6 + 0.5)`` — the same IEEE ops as the fold and the
+    DuckDB oracles, see the fold's ``_ns``. The per-CELL no-signal
+    sentinel (a zero-norm centroid against a valid row, or a NaN/inf
+    cosine) keys +2e6 exactly like the fold's ``-coalesce(...,-2e6)``
+    — sorts WORST, never captures a row (review r6 pass 11: the first
+    cut negated it, handing every row to a degenerate centroid).
+    ``cluster`` keeps the source label column's type and values — no
+    int64 coercion, string labels work (review r6 pass 12)."""
     import numpy as np
     from pyspark.sql.types import StructField, StructType
 
-    labels = np.asarray(labels_sorted, dtype=np.int64)
+    labels = np.asarray(labels_sorted, dtype=object)
+    k = C.shape[0]
     d = C.shape[1]
-    cnorm = np.sqrt((C * C).sum(axis=1))  # (k,)
+    cn = np.zeros(k, dtype=np.float64)
+    for i in range(d):  # l2_norm's fold order
+        cn += C[:, i] * C[:, i]
+    cnorm = np.sqrt(cn)  # (k,)
     out_schema = StructType(
         list(df.schema.fields) + [StructField("cluster", label_type, True)]
     )
@@ -712,13 +738,25 @@ def _assign_clusters_arrow(
                 pdf[vec].to_numpy(), d, exact_len=True
             )
             m = len(pdf)
-            vnorm = np.sqrt((V * V).sum(axis=1))  # (m,)
-            denom = vnorm[:, None] * cnorm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (V @ C.T) / denom
-            # sentinel +2.0 = the fold's -coalesce(NULL, -2.0): worst
-            key = np.where(denom > 0, -_round6_half_up(cos), 2.0)
-            key[bad] = 2.0  # malformed row: every centroid no-signal
+            key = np.empty((m, k), dtype=np.float64)
+            # 256-row blocks keep the (block x k) accumulators cache-
+            # resident through the d per-dim passes
+            for s in range(0, m, 256):
+                VB = V[s : s + 256]
+                b = VB.shape[0]
+                dot = np.zeros((b, k), dtype=np.float64)
+                vn = np.zeros(b, dtype=np.float64)
+                for i in range(d):
+                    dot += VB[:, i : i + 1] * C[None, :, i]
+                    vn += VB[:, i] * VB[:, i]
+                denom = np.sqrt(vn)[:, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / denom
+                    q = np.floor(cos * 1e6 + 0.5)
+                    key[s : s + 256] = np.where(
+                        (denom > 0) & (np.abs(cos) <= 1.5), -q, 2.0e6
+                    )
+            key[bad] = 2.0e6  # malformed row: every centroid no-signal
             nb = min(n_best, len(labels))
             if nb == 1:
                 # argmin returns the FIRST minimum — smaller label wins
@@ -1349,6 +1387,20 @@ def _l2sq(a: Column, b: Column) -> Column:
 _ARROW_ENCODE_ROWS_MIN = 50_000
 
 
+def _bulk_encode_impl(df: DataFrame) -> str:
+    """The ONE copy of the encode-impl probe (review r6 pass 12 — it
+    had been pasted at three sites): bounded limit-count of ``df``,
+    'arrow' at or past ``_ARROW_ENCODE_ROWS_MIN``. Probe the RAW source
+    frame, never a lazy assignment lineage — the count executes the
+    frame's plan for its first 50k rows."""
+    probe_n = (
+        df.select(F.lit(1).alias("_one"))
+        .limit(_ARROW_ENCODE_ROWS_MIN)
+        .count()
+    )
+    return "arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold"
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
@@ -1384,12 +1436,7 @@ def pq_encode(
             f"pq_encode: impl must be None, 'fold' or 'arrow', got {impl!r}"
         )
     if impl is None:
-        probe_n = (
-            df.select(F.lit(1).alias("_one"))
-            .limit(_ARROW_ENCODE_ROWS_MIN)
-            .count()
-        )
-        impl = "arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold"
+        impl = _bulk_encode_impl(df)
     if impl == "arrow":
         return _pq_encode_arrow(df, codebook, vec_col, dims, m, out_col)
     codes = F.array(
@@ -1791,18 +1838,13 @@ def build_ivfpq_index(
     # lineage (review r6 pass 11): pq_encode's impl=None limit-count
     # probe would re-run the whole assignment for its first 50k rows
     # just to pick a branch; counting the source scan costs a footer read
-    probe_n = (
-        corpus.select(F.lit(1).alias("_one"))
-        .limit(_ARROW_ENCODE_ROWS_MIN)
-        .count()
-    )
     encoded = pq_encode(
         assigned,
         cb,
         vec_col="c_vec",
         dims=dims,
         m=m,
-        impl="arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold",
+        impl=_bulk_encode_impl(corpus),
     )
     (
         encoded.select("neighbor_id", "pq_codes", "cluster")
@@ -1855,18 +1897,13 @@ def append_to_ivfpq_index(
     assigned = _assign_clusters(c, centroids, "c_vec", 1)
     # impl probed on the raw slice, not the assignment lineage (see
     # build_ivfpq_index)
-    probe_n = (
-        new_vectors.select(F.lit(1).alias("_one"))
-        .limit(_ARROW_ENCODE_ROWS_MIN)
-        .count()
-    )
     encoded = pq_encode(
         assigned,
         codebook,
         vec_col="c_vec",
         dims=dims,
         m=m,
-        impl="arrow" if probe_n >= _ARROW_ENCODE_ROWS_MIN else "fold",
+        impl=_bulk_encode_impl(new_vectors),
     ).select("neighbor_id", "pq_codes", "cluster")
     if not skip_existing:
         # two consumers (count + write) -> persist, else assign+encode

@@ -1271,15 +1271,17 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
       SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
     ]
-    # assignment key = ROUND(cos, 6), the _assign_clusters contract
-    # (review r6 pass 10: summation-order-independent on both engines)
+    # assignment key = floor(cos*1e6 + 0.5), the _assign_clusters
+    # contract (review r6 passes 10/12: summation-order-independent AND
+    # bit-identical across engines — decimal ROUND vs DuckDB's binary
+    # ROUND diverge on exact .5 boundary doubles)
     for j in range(iters):
         cos = SQL_COSINE.format(a="e.v", b=f"cent{j}.c")
         parts.append(f"""a{j} AS (
       SELECT vec_id, v, cl FROM (
         SELECT e.vec_id, e.v, cent{j}.label AS cl,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY ROUND({cos}, 6) DESC,
+                                  ORDER BY floor(({cos}) * 1e6 + 0.5) DESC,
                                            cent{j}.label) AS rn
         FROM e CROSS JOIN cent{j}) WHERE rn = 1)""")
         parts.append(f"""m{j} AS (
@@ -1298,7 +1300,7 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     SELECT vec_id, cl AS cluster FROM (
       SELECT e.vec_id, cent{iters}.label AS cl,
              ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY ROUND({cos}, 6) DESC,
+                                ORDER BY floor(({cos}) * 1e6 + 0.5) DESC,
                                          cent{iters}.label) AS rn
       FROM e CROSS JOIN cent{iters}) WHERE rn = 1
     """

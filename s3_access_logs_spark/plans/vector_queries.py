@@ -165,15 +165,17 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
                FROM embeddings WHERE {sql_well_formed(64)}),
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
     cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
-           FROM e CROSS JOIN dims GROUP BY label, i),
+           FROM e CROSS JOIN dims
+           WHERE label IS NOT NULL GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
     ca AS (
       SELECT vec_id, v, cl FROM (
         SELECT e.vec_id, e.v, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY ROUND({SQL_COSINE.format(a='e.v',
-                                                   b='cent.c')}, 6) DESC,
+                 ORDER BY floor(({SQL_COSINE.format(a='e.v',
+                                                    b='cent.c')})
+                                * 1e6 + 0.5) DESC,
                           cent.label) AS rn
         FROM e CROSS JOIN cent
       ) WHERE rn = 1
@@ -184,8 +186,9 @@ def _ann_lsh_sql(n_planes: int = 8, dims: int = 64, k: int = 5) -> str:
         SELECT q.query_id, q.qv, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY q.query_id
-                 ORDER BY ROUND({SQL_COSINE.format(a='q.qv',
-                                                   b='cent.c')}, 6) DESC,
+                 ORDER BY floor(({SQL_COSINE.format(a='q.qv',
+                                                    b='cent.c')})
+                                * 1e6 + 0.5) DESC,
                           cent.label) AS rn
         FROM q CROSS JOIN cent
       ) WHERE rn <= 2
@@ -344,21 +347,27 @@ def semantic_sql_ctes(
     ``assign_src`` (vec_id, v) with the smaller-label tie-break;
     ``dropped`` is the within-cluster lower-id cosine domination at
     ``threshold`` — each mirroring operators/similarity.py exactly.
-    The assignment key is ROUND(cos, 6) like ``_assign_clusters``
-    (review r6 pass 10): a raw float key is only stable while both
-    engines sum in the same order."""
+    The assignment key is floor(cos*1e6 + 0.5) like ``_assign_clusters``
+    (review r6 passes 10/12): a raw float key is only stable while both
+    engines sum in the same order, and decimal ROUND diverges from
+    DuckDB's binary ROUND on exact .5 boundary doubles — floor of the
+    same IEEE ops is bit-identical across engines. NULL labels define
+    no centroid (``label_centroids`` drops them — a NULL-label group's
+    tie-break order is engine-specific)."""
     return f"""
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
     cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
-           FROM {train_src} CROSS JOIN dims GROUP BY label, i),
+           FROM {train_src} CROSS JOIN dims
+           WHERE label IS NOT NULL GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
     ca AS (
       SELECT vec_id, v, cl FROM (
         SELECT {assign_src}.vec_id, {assign_src}.v, cent.label AS cl,
                ROW_NUMBER() OVER (
                  PARTITION BY {assign_src}.vec_id
-                 ORDER BY ROUND({SQL_COSINE.format(a=assign_src + '.v',
-                                                   b='cent.c')}, 6) DESC,
+                 ORDER BY floor(({SQL_COSINE.format(a=assign_src + '.v',
+                                                    b='cent.c')})
+                                * 1e6 + 0.5) DESC,
                           cent.label) AS rn
         FROM {assign_src} CROSS JOIN cent
       ) WHERE rn = 1
@@ -414,7 +423,11 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform("embedding", lambda x: x.cast("double"))
     sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     dims = 64
-    train = emb.groupBy("label").agg(
+    # NULL labels define no cluster (review r6 pass 12): the oracle's
+    # inner join against cent drops its NULL-label train row (NULL
+    # never equi-matches), so the Spark side must not keep one either;
+    # such rows still get ASSIGNED in the stats side
+    train = emb.filter(F.col("label").isNotNull()).groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.avg(sq), 6).alias("avg_sq_norm"),
         *[

@@ -2525,6 +2525,9 @@ class TestReviewFixes:
             (103, [1.0] * 30 + [None] + [1.0] * 33, 3),
             (104, [1.0] * 20 + [float("inf")] + [1.0] * 43, 0),
             (105, [float("nan")] + [2.0] * 63, 1),
+            # clean vector, NULL label (review r6 pass 12): defines no
+            # centroid on either engine but still gets assigned/ranked
+            (106, [float((j * 5 + 3) % 11) for j in range(64)], None),
         ]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>, label int"
@@ -2731,7 +2734,21 @@ class TestReviewFixes:
             -1.0,
             2.0,
             float("inf"),
-        ] + [((i * 7919) % 20001 - 10000) / 10007.0 for i in range(500)]
+            # review r6 pass 12: magnitudes where ulp(x*1e6) > 1e-6 —
+            # the fixed 1e-6 suspicion window missed these boundaries
+            # (PQ squared distances are unbounded)
+            32774.1234565,
+            -32774.1234565,
+            123456.7890625,
+            9.8765432155e6,
+            4.611686018427388e9,
+            1.23456789e12,
+            7.5e15,
+        ] + [
+            ((i * 7919) % 20001 - 10000) / 10007.0 for i in range(500)
+        ] + [
+            ((i * 104729) % 999983) * 1.0009765625 for i in range(200)
+        ]
         got = _round6_half_up(np.asarray(vals, dtype=np.float64))
         want = [
             r[0]
@@ -2787,6 +2804,7 @@ class TestReviewFixes:
             [(0, [float("nan")] * 8), (1, [1.0] * 8)],
             [(0, [float("inf")] + [1.0] * 7), (1, [1.0] * 8)],
             [(0, [1.0] * 4 + [None] + [1.0] * 3), (1, [1.0] * 8)],
+            [(None, [2.0] * 8), (1, [1.0] * 8)],  # NULL label
         ):
             cents = spark.createDataFrame(
                 broken, "label int, centroid array<double>"
@@ -2794,6 +2812,77 @@ class TestReviewFixes:
             for impl in ("fold", "arrow"):
                 with pytest.raises(ValueError, match="quantizer holds"):
                     _assign_clusters(rows, cents, "embedding", 1, impl=impl)
+
+    def test_label_centroids_drops_null_label_groups(self, spark):
+        """Review r6 pass 12: a NULL label defines no centroid — the
+        NULL-label group's tie-break order is engine-specific and the
+        quantizer guard now rejects it loud, so training must drop it
+        (rows with NULL labels still get assigned downstream)."""
+        from s3_access_logs_spark.operators.similarity import (
+            label_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [1.0] * 4, 0), (1, [2.0] * 4, None), (2, [3.0] * 4, 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        cents = label_centroids(emb, "label", "embedding", dims=4)
+        assert sorted(r.label for r in cents.collect()) == [0, 1]
+
+    def test_assign_clusters_arrow_string_labels(self, spark):
+        """Review r6 pass 12: the arrow path coerced labels to int64,
+        crashing on string label types the fold supports."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        cents = spark.createDataFrame(
+            [("en", [1.0] * 4), ("fr", [-1.0] * 4), ("de", [0.5] * 4)],
+            "label string, centroid array<double>",
+        )
+        rows = spark.createDataFrame(
+            [(0, [1.0] * 4), (1, [-2.0] * 4)],
+            "vec_id long, embedding array<float>",
+        )
+        outs = {}
+        for impl in ("fold", "arrow"):
+            out = _assign_clusters(rows, cents, "embedding", 1, impl=impl)
+            assert dict(out.dtypes)["cluster"] == "string", impl
+            outs[impl] = sorted(
+                (r.vec_id, r.cluster) for r in out.collect()
+            )
+        # "de" and "en" are colinear with row 0 (cosine 1.0 tie) — the
+        # smaller label wins lexicographically on both impls
+        assert outs["fold"] == outs["arrow"] == [(0, "de"), (1, "fr")]
+
+    def test_assign_clusters_nan_cosine_is_no_signal(self, spark):
+        """Review r6 pass 12: a NaN cosine (inf/inf from huge-but-finite
+        DOUBLE vectors that overflow the norm product) must key as the
+        no-signal sentinel on BOTH impls — np.argmin would have picked
+        the NaN centroid as BEST while the fold ranks it worst."""
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+        )
+
+        cents = spark.createDataFrame(
+            [(0, [1e200] * 8), (1, [1.0] * 8), (2, [2.0] * 8)],
+            "label int, centroid array<double>",
+        )
+        rows = spark.createDataFrame(
+            [(0, [1e200] * 8), (1, [1.0] * 8)],
+            "vec_id long, embedding array<double>",
+        )
+        outs = {}
+        for impl in ("fold", "arrow"):
+            outs[impl] = sorted(
+                (r.vec_id, r.cluster)
+                for r in _assign_clusters(
+                    rows, cents, "embedding", 1, impl=impl
+                ).collect()
+            )
+            # row 1 (valid) must not land on the overflow centroid 0
+            assert dict(outs[impl])[1] != 0, impl
+        assert outs["fold"] == outs["arrow"]
 
     def test_assign_clusters_arrow_keeps_label_type(self, spark):
         """Review r6 pass 11: the Arrow path hard-coded cluster to
