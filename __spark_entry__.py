@@ -42,11 +42,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. Everything is
-    oracle-checked except quality_classifier_scores, whose L-BFGS training
-    is float-summation-order-sensitive end-to-end (documented rows-only
-    check); even the MinHash/SimHash/LSH/IVF/PQ/k-means paths are
-    deterministic-by-design and verified value-for-value."""
+    """DuckDB-equivalent SQL for every query — the whole surface is
+    value-checked: even the MinHash/SimHash/LSH/IVF/PQ/k-means paths and
+    the learned quality filter (difference-of-document-frequency
+    training, integer-count deterministic) are deterministic-by-design
+    and verified value-for-value. The one non-replayable trainer (MLlib
+    L-BFGS logistic regression) stays under pytest's separation-quality
+    contract instead of a weakened rows-only driver row."""
     return {
         name: q.oracle
         for name, q in sorted(driver_surface().items())

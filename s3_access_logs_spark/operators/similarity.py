@@ -47,6 +47,37 @@ def _lcg_planes(n_planes: int, dims: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+# Per-component magnitude bound of the well-formed-vector contract
+# (review r7, ADVICE r6): finiteness alone is not enough — a
+# huge-but-finite component (1e200) passes isfinite yet overflows every
+# downstream dot/norm/distance to inf/NaN, whose sort order is
+# engine-specific, and Spark's FLOOR(double) collapses inf to Long.MAX
+# while DuckDB/numpy keep inf. Bounding |x| <= 1e4 (embeddings are
+# unit-ish; the test corpus sits in [-0.53, 0.46]) keeps every rounded
+# key far inside the floor-safe range: means <= 1e4, full-vector
+# squared distances <= dims*(2e4)^2 ~ 2.6e10 at dims=64, so
+# key*1e6 < 2^53 — exact in long AND double on both engines.
+VEC_ABS_MAX = 1e4
+
+
+def round_fixed(c, decimals: int = 6):
+    """``floor(x * 10^d + 0.5) / 10^d`` in explicit double arithmetic —
+    the repo-wide cross-engine rounding for every float that becomes a
+    ranking/argmin key or an iterated artifact (kmeans / codebook means,
+    PQ dsq / adist, refine dist). Unlike the decimal-string F.round vs
+    DuckDB's binary ROUND (which disagree on .5-boundary doubles like
+    0.5222235, ADVICE r6), floor over the same IEEE ops is bit-identical
+    across Spark, DuckDB and numpy. Half-way values round toward +inf
+    (not away from zero) — fine, because both engines apply the same
+    formula. Valid only while ``|x|*10^d`` stays below 2^53 (Spark's
+    FLOOR returns long; DuckDB's returns double; beyond 2^53 they can
+    differ and Spark saturates inf to Long.MAX) — guaranteed in-contract
+    by the ``VEC_ABS_MAX`` magnitude bound. NULL passes through; NaN/inf
+    must be guarded by the caller (Spark FLOOR maps NaN to 0)."""
+    f = F.lit(float(10**decimals))
+    return F.floor(c * f + F.lit(0.5)).cast("double") / f
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -230,11 +261,16 @@ def label_centroids(
             )
         dims = len(first[0])
     v = F.col(vec_col)
+    # round_fixed, not F.round (review r7, ADVICE r6): the AVG input is
+    # a float sum whose order differs between engines, and decimal
+    # F.round vs DuckDB's binary ROUND additionally disagree on
+    # .5-boundary doubles — the floor formula removes the latter
+    # entirely, so the means the oracle re-derives stay bit-identical
     per = corpus.groupBy(F.col(label_col).alias("label")).agg(
         *[
-            F.round(F.avg(F.element_at(v, i).cast("double")), decimals).alias(
-                f"_m{i}"
-            )
+            round_fixed(
+                F.avg(F.element_at(v, i).cast("double")), decimals
+            ).alias(f"_m{i}")
             for i in range(1, dims + 1)
         ]
     )
@@ -410,8 +446,12 @@ def kmeans_fit(
                 _assign_clusters(train, cdf, "_v", 1)
                 .groupBy("cluster")
                 .agg(
+                    # round_fixed like label_centroids (review r7): a
+                    # .5-boundary hit in a decimal-rounded mean would
+                    # compound through every later unrolled oracle
+                    # iteration
                     *[
-                        F.round(
+                        round_fixed(
                             F.avg(F.element_at("_v", i).cast("double")),
                             decimals,
                         ).alias(f"_m{i}")
@@ -449,46 +489,20 @@ def kmeans_fit(
 _ARROW_NLIST_MIN = 128
 
 
-def _round6_half_up(a):
-    """Vectorized replay of ``F.round(x, 6)`` for the Arrow fast paths
-    (review r6 pass 11). F.round goes through Scala BigDecimal on the
-    double's SHORTEST DECIMAL repr with HALF_UP (= half away from
-    zero), so the naive float emulation ``floor(|x|*1e6+0.5)`` can land
-    on the wrong side of a .5 boundary: ``0.5222235 * 1e6`` is
-    ``522223.49999999994`` in binary (→ 522223) while BigDecimal scales
-    the decimal string exactly (→ 522224). The fast path handles
-    everything else; elements whose scaled fraction sits within the
-    suspicion window of .5 re-round through Python Decimal on ``repr``
-    — the exact BigDecimal walk. The window is ADAPTIVE (review r6
-    pass 12): the float-multiply noise is ~ulp(x*1e6), which exceeds a
-    fixed 1e-6 once |x| > ~4.5e3 — and PQ squared distances are
-    unbounded — so the window is max(1e-6, 4*spacing(y)); past
-    2^53 the scaled value has no fractional part and the fast path is
-    the identity on both walks. Pinned element-for-element against
-    F.round by ``test_round6_matches_spark_round`` (boundary doubles at
-    small AND large magnitudes)."""
+def _round6_floor(a):
+    """Vectorized replay of :func:`round_fixed` (decimals=6) for the
+    Arrow fast paths — the SAME IEEE ops (multiply, add 0.5, floor,
+    divide) numpy-side, so it is bit-identical to the Spark expression
+    and the DuckDB oracle fragment by construction, with no JDK
+    Double.toString dependency (review r7, ADVICE r6 — the previous
+    BigDecimal-replay emulation leaned on the JVM's shortest-repr
+    behavior). np.floor keeps NaN/inf as NaN/inf (unlike Spark's
+    long-cast FLOOR), so non-finite garbage stays visibly non-finite
+    for the callers' bad-row detection; in-contract inputs are bounded
+    by ``VEC_ABS_MAX`` well inside the exact range."""
     import numpy as np
 
-    y = np.abs(a) * 1e6
-    fast = np.floor(y + 0.5)
-    with np.errstate(invalid="ignore"):
-        frac = y - np.floor(y)
-        # NaN/inf compare False -> fast path (identity on both walks)
-        sus = np.abs(frac - 0.5) < np.maximum(1e-6, 4.0 * np.spacing(y))
-    res = np.copysign(fast, a) / 1e6
-    if sus.any():
-        from decimal import ROUND_HALF_UP, Decimal
-
-        flat_idx = np.nonzero(sus)
-        # ONE decimal quantize + ONE float conversion, exactly
-        # BigDecimal.setScale(6, HALF_UP).toDouble — a scaleb/divide
-        # pair would double-round at magnitudes where 1e-6 is sub-ulp
-        q6 = Decimal("0.000001")
-        res[flat_idx] = [
-            float(Decimal(repr(float(v))).quantize(q6, rounding=ROUND_HALF_UP))
-            for v in a[flat_idx]
-        ]
-    return res
+    return np.floor(a * 1e6 + 0.5) / 1e6
 
 
 def _vector_batch(vals, dims: int, exact_len: bool):
@@ -510,7 +524,10 @@ def _vector_batch(vals, dims: int, exact_len: bool):
             bad[i] = True
             continue
         a = np.asarray(v[:dims], dtype=np.float64)
-        if not np.isfinite(a).all():
+        # abs(x) <= bound is False for NaN (interior NULLs surface as
+        # NaN through Arrow) and both infinities, so this one compare
+        # is the full finite-and-bounded well-formedness check
+        if not (np.abs(a) <= VEC_ABS_MAX).all():
             bad[i] = True
             continue
         V[i] = a
@@ -616,14 +633,20 @@ def _assign_clusters(
         C = np.asarray(
             [r["centroid"] for r in rows_sorted], dtype=np.float64
         )
-        clean = C.ndim == 2 and bool(np.isfinite(C).all())
+        # abs <= bound is False for NaN/inf too — the same
+        # finite-and-bounded check as the row side (review r7): an
+        # out-of-bound centroid overflows the norm product, so every
+        # cosine against it degenerates to 0 — a finite garbage key
+        # that can spuriously capture rows, not even a visible NaN
+        clean = C.ndim == 2 and bool((np.abs(C) <= VEC_ABS_MAX).all())
     except (TypeError, ValueError):
         clean = False
     if not clean:
         raise ValueError(
-            "_assign_clusters: the quantizer holds a NULL, ragged or "
-            "non-finite centroid — retrain it over well-formed vectors "
-            "(kmeans_fit / label_centroids always produce a clean one)"
+            "_assign_clusters: the quantizer holds a NULL, ragged, "
+            "non-finite or out-of-magnitude-bound centroid — retrain it "
+            "over well-formed vectors (kmeans_fit / label_centroids "
+            "always produce a clean one)"
         )
     if impl is None:
         impl = "arrow" if len(cent_rows) >= _ARROW_NLIST_MIN else "fold"
@@ -655,14 +678,16 @@ def _assign_clusters(
         # rounds the binary-scaled value, so they disagree on exact .5
         # boundary doubles (0.5222235 -> 0.522224 vs 0.522223); floor
         # of the same IEEE ops is bit-identical across Spark, DuckDB
-        # and numpy. The abs guard maps NaN/inf cosines (overflowed
-        # garbage vectors) to the no-signal sentinel like zero-norm —
-        # NaN <= 1.5 is false, so the when yields NULL — at the cost of
-        # evaluating the dot twice per centroid (the fold is the
-        # small-nlist path; the arrow path takes over at 128).
+        # and numpy. The guards map garbage to the no-signal sentinel
+        # like zero-norm: __vok is the row-level magnitude-bound check
+        # (review r7 — an out-of-bound row can overflow the denom to
+        # inf and degenerate cos to a FINITE 0, which abs(cos) <= 1.5
+        # alone would accept; the Arrow path's _vector_batch marks the
+        # same rows bad), and the abs(cos) guard keeps catching NaN/inf
+        # cosines — NaN <= 1.5 is false, so the when yields NULL.
         denom = F.col("__vnorm") * ct["n"]
         cos = F.when(denom > 0, _dot_fold(ct) / denom)
-        safe = F.when(F.abs(cos) <= F.lit(1.5), cos)
+        safe = F.when(F.col("__vok") & (F.abs(cos) <= F.lit(1.5)), cos)
         q = F.floor(safe * F.lit(1e6) + F.lit(0.5)).cast("double")
         return -F.coalesce(q, F.lit(-2.0e6))
 
@@ -682,9 +707,19 @@ def _assign_clusters(
         df.crossJoin(broadcast(one))
         .withColumn("__vd", F.transform(vec, lambda x: x.cast("double")))
         .withColumn("__vnorm", l2_norm(vec))
+        # row-level finite-and-bounded check, the fold twin of the
+        # Arrow path's _vector_batch bad-marking (review r7); length
+        # mismatches still sentinel via the NULL-padded zip_with dot
+        .withColumn(
+            "__vok",
+            ~F.exists(
+                F.col("__vd"),
+                lambda x: x.isNull() | ~(F.abs(x) <= F.lit(VEC_ABS_MAX)),
+            ),
+        )
         .withColumn("_probe", F.explode(probes))
         .withColumn("cluster", F.col("_probe")["l"])
-        .drop("_cents", "__vd", "__vnorm", "_probe")
+        .drop("_cents", "__vd", "__vnorm", "__vok", "_probe")
     )
 
 
@@ -1310,8 +1345,11 @@ def train_pq_codebook(
     )
     exploded = corpus.select(F.explode(subs).alias("s")).select("s.*")
     per = exploded.groupBy("subspace", "bucket").agg(
+        # round_fixed like the kmeans means (review r7, ADVICE r6)
         *[
-            F.round(F.avg(F.element_at("sv", i)), decimals).alias(f"_m{i}")
+            round_fixed(F.avg(F.element_at("sv", i)), decimals).alias(
+                f"_m{i}"
+            )
             for i in range(1, d + 1)
         ]
     )
@@ -1351,7 +1389,12 @@ def well_formed_vector(vec_col: Column | str, dims: int) -> Column:
     an all-inf subspace makes ``pq_encode``'s strict-less argmin never
     fire while the oracle's ROW_NUMBER always assigns a code) — so such
     rows must be out of contract on BOTH engines, not an
-    engine-specific behavior (review r6 pass 7). The SQL twin is
+    engine-specific behavior (review r6 pass 7). Components must also
+    sit within ``VEC_ABS_MAX`` (review r7, ADVICE r6): a huge-but-finite
+    component passes isfinite yet overflows dot/norm/distance to
+    inf/NaN downstream — the same engine-specific orderings by another
+    route — and would push the floor-quantized keys past the
+    long-exact range. The SQL twin is
     ``plans.vector_queries.sql_well_formed``; ``TestVectorContract``
     pins the two to accept identical rows. Callers that do math on the
     components slice to ``dims`` (over-length rows are usable on their
@@ -1364,9 +1407,10 @@ def well_formed_vector(vec_col: Column | str, dims: int) -> Column:
         & (F.size(c) >= F.lit(dims))
         & ~F.exists(
             F.slice(c, 1, dims),
-            lambda x: x.isNull()
-            | F.isnan(x)
-            | (F.abs(x) == F.lit(float("inf"))),
+            # NOT (|x| <= bound) also catches NaN (all compares false),
+            # but keep the explicit isNull — and note abs(inf) > bound
+            # covers both infinities
+            lambda x: x.isNull() | ~(F.abs(x) <= F.lit(VEC_ABS_MAX)),
         )
     )
 
@@ -1444,16 +1488,19 @@ def pq_encode(
             F.aggregate(
                 F.transform(
                     F.element_at(F.col("_cb"), j + 1),
-                    # 6dp-rounded BEFORE the argmin compare (review r6):
-                    # the oracle recomputes this sum with DuckDB's
-                    # unordered hash-agg SUM — comparing raw fold results
-                    # across engines lets a last-ulp difference flip a
-                    # near-tie encode; rounding both sides first makes
-                    # the argmin order engine-independent (the kmeans
-                    # oracle's per-iteration-mean defense, same reason)
-                    lambda c: F.round(
-                        _l2sq(F.transform(sv, lambda x: x.cast("double")), c),
-                        6,
+                    # round_fixed BEFORE the argmin compare (review r6
+                    # + r7): the oracle recomputes this sum with
+                    # DuckDB's unordered hash-agg SUM — comparing raw
+                    # fold results across engines lets a last-ulp
+                    # difference flip a near-tie encode, and decimal
+                    # F.round vs binary ROUND additionally disagree on
+                    # .5-boundary doubles; the floor formula fixes both
+                    # sides to the same IEEE ops. Out-of-contract rows
+                    # (where dsq could overflow past the floor-safe
+                    # range) are NULL-coded by the well-formed output
+                    # guard below, so garbage keys never escape.
+                    lambda c: round_fixed(
+                        _l2sq(F.transform(sv, lambda x: x.cast("double")), c)
                     ),
                 ),
                 F.struct(
@@ -1478,7 +1525,19 @@ def pq_encode(
         df.crossJoin(broadcast(_codebook_array(codebook)))
         .withColumn(
             out_col,
-            F.when(F.array_min(codes) >= 0, codes),
+            # the explicit well-formed guard NULL-codes rows the
+            # never-firing argmin can no longer catch (review r7): a
+            # huge-but-finite vector used to overflow dsq to inf and
+            # fail the strict-less compare, but Spark's FLOOR saturates
+            # inf to Long.MAX — a finite garbage key that WOULD fire.
+            # The predicate is the same contract the Arrow path's
+            # _vector_batch bound check and the oracle's
+            # sql_well_formed CTE filter apply.
+            F.when(
+                well_formed_vector(vec_col, dims)
+                & (F.array_min(codes) >= 0),
+                codes,
+            ),
         )
         .drop("_cb")
     )
@@ -1564,7 +1623,7 @@ def _pq_encode_arrow(
                 for i in range(d):  # exact _l2sq fold order per scalar
                     diff = SV[:, i : i + 1] - C[None, :, i]
                     dsq += diff * diff
-                dsq = _round6_half_up(dsq)
+                dsq = _round6_floor(dsq)
                 # an all-inf dsq row (square overflow on a huge-but-
                 # finite vector) never fires the fold's strict-less
                 # argmin -> the row NULL-codes; replicate instead of
@@ -1618,8 +1677,11 @@ def _exact_rerank(
         vecs.join(broadcast(cand), "neighbor_id")
         .join(broadcast(q_full), "query_id")
         .withColumn(
+            # round_fixed, not F.round (review r7, ADVICE r6): the
+            # ranking key derives from an engine-order-different SUM,
+            # so both engines must also round it with the same IEEE ops
             "dist",
-            F.round(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec"))), 6),
+            round_fixed(F.sqrt(_l2sq(F.col("_q_vec"), F.col("_n_vec")))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1655,15 +1717,17 @@ def _adc_rank(
     Each query precomputes lut[j][code] = ||q_j - centroid||^2 once
     (m x ks doubles, built on the tiny query side); a corpus row's
     distance is then m array lookups over its code array. Both the LUT
-    entries and the total adist are 6dp-rounded BEFORE any cross-row
-    comparison (review r6): the ranking key must not depend on float
-    summation order, which differs between Spark's ordered fold and the
-    oracle's hash-agg SUM."""
+    entries and the total adist are ``round_fixed`` BEFORE any
+    cross-row comparison (review r6 + r7): the ranking key must not
+    depend on float summation order, which differs between Spark's
+    ordered fold and the oracle's hash-agg SUM — and the floor formula
+    keeps the rounding itself bit-identical cross-engine where decimal
+    F.round vs binary ROUND diverge on .5-boundary doubles."""
     lut = F.transform(
         F.col("_cb"),
         lambda cents_j, j: F.transform(
             cents_j,
-            lambda c: F.round(
+            lambda c: round_fixed(
                 _l2sq(
                     F.transform(
                         F.slice(
@@ -1672,8 +1736,7 @@ def _adc_rank(
                         lambda x: x.cast("double"),
                     ),
                     c,
-                ),
-                6,
+                )
             ),
         ),
     )
@@ -1708,7 +1771,7 @@ def _adc_rank(
         scored = base.join(
             broadcast(q_lut), F.col("query_id") != F.col("neighbor_id")
         )
-    scored = scored.withColumn("adist", F.round(adist, 6))
+    scored = scored.withColumn("adist", round_fixed(adist))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )

@@ -1159,36 +1159,114 @@ _Q["curate_semantic"] = _dc.replace(
 )
 
 
-# ---------------------------------------------------------------------------
-# Rows-only entries: iterative numeric training (no SQL-expressible oracle;
-# the driver records the documented weaker rows-only check)
+_CLS_NF = 1 << 12  # hashed-BoW feature-space size of the learned filter
+
+
+def _classifier_scores_sql(nf: int = _CLS_NF) -> str:
+    """Full train+score replay of the deterministic learned filter
+    (operators/quality_classifier.py:train_difference_classifier):
+    heuristic quality labels -> per-bucket document frequencies
+    (integer counts, order-free) -> w = df_pos/Npos - df_neg/Nneg ->
+    per-doc ordered fold of w over the sorted distinct buckets. The
+    fold order is pinned by ``list(... ORDER BY bucket)`` +
+    ``list_reduce`` (sequential, like Spark's F.aggregate starting at
+    an exact 0.0), and the output key is ``sql_round_fixed`` on both
+    engines."""
+    from s3_access_logs_spark.plans.text_queries import (
+        SQL_MD5_LONG,
+        SQL_WORDS,
+        _lang_hits_sql,
+    )
+    from s3_access_logs_spark.plans.vector_queries import sql_round_fixed
+
+    bucket = f"{SQL_MD5_LONG.format(x='t')} % {nf}"
+    return f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+             + 0.3 * (len(list_distinct(toks))::DOUBLE
+                      / greatest(len(toks), 1)::DOUBLE)
+             + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
+                           / greatest(len(toks), 1)::DOUBLE * 4.0,
+                           1.0) AS qs,
+             list_sort(list_distinct(
+               list_transform(toks, t -> {bucket}))) AS bl
+      FROM (SELECT doc_id, text, {SQL_WORDS} AS toks FROM d)
+    ),
+    pc AS (SELECT COUNT(*) AS n FROM q WHERE qs >= 0.5),
+    nc AS (SELECT COUNT(*) AS n FROM q WHERE qs < 0.5),
+    pf AS (SELECT b AS bucket, COUNT(*) AS pn
+           FROM (SELECT unnest(bl) AS b FROM q WHERE qs >= 0.5)
+           GROUP BY b),
+    nf AS (SELECT b AS bucket, COUNT(*) AS nn
+           FROM (SELECT unnest(bl) AS b FROM q WHERE qs < 0.5)
+           GROUP BY b),
+    w AS (SELECT COALESCE(pf.bucket, nf.bucket) AS bucket,
+                 COALESCE(pn, 0)::DOUBLE / (SELECT n FROM pc)::DOUBLE
+                 - COALESCE(nn, 0)::DOUBLE / (SELECT n FROM nc)::DOUBLE
+                   AS w
+          FROM pf FULL OUTER JOIN nf ON pf.bucket = nf.bucket),
+    db AS (SELECT doc_id, unnest(bl) AS bucket FROM q),
+    dw AS (SELECT db.doc_id,
+                  list(COALESCE(w.w, 0.0) ORDER BY db.bucket) AS ws
+           FROM db LEFT JOIN w ON w.bucket = db.bucket
+           GROUP BY db.doc_id),
+    s AS (SELECT q.doc_id, len(q.bl)::BIGINT AS n_feats,
+                 CASE WHEN dw.ws IS NULL THEN 0.0
+                      ELSE list_reduce(list_prepend(0.0, dw.ws),
+                                       (a, b) -> a + b) END AS logit
+          FROM q LEFT JOIN dw ON dw.doc_id = q.doc_id)
+    SELECT doc_id, n_feats,
+           {sql_round_fixed('logit')} AS logit6,
+           {sql_round_fixed('logit')} > 0.0 AS keep
+    FROM s
+    """
+
 
 @query(
     "quality_classifier_scores",
-    oracle=None,
-    tags=("llm", "quality", "classifier", "rows-only"),
+    oracle=_classifier_scores_sql(),
+    tags=("llm", "quality", "classifier"),
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality filter (operators/quality_classifier.py): train
-    hashed-BoW logistic regression with heuristic-score labels (top vs
-    bottom quality halves of the corpus), score every document. L-BFGS
-    coefficient values depend on float summation order, so this is the
-    documented rows-only entry — one row per document, always."""
+    """Learned quality filter, value-pinned end to end (VERDICT r6
+    item 1): heuristic-score labels (quality_score >= 0.5 vs < 0.5)
+    train a deterministic difference-of-document-frequency linear model
+    over md5-hashed binary BoW features
+    (operators/quality_classifier.py:train_difference_classifier —
+    integer-count training, so the weights are bit-identical across
+    engines, unlike the L-BFGS sibling whose coefficients are
+    float-order sensitive and which stays under pytest's
+    separation-quality contract); every document then scores via a
+    zero-shuffle broadcast-map fold over its sorted feature buckets.
+    One row per document: (doc_id, n_feats, logit6, keep)."""
     from s3_access_logs_spark.functions.text import quality_score
     from s3_access_logs_spark.operators.quality_classifier import (
-        score_quality,
-        train_quality_classifier,
+        doc_feature_buckets,
+        score_difference_classifier,
+        train_difference_classifier,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.withColumn("_q", quality_score("text"))
-    model = train_quality_classifier(
-        scored.filter(F.col("_q") >= 0.5),
-        scored.filter(F.col("_q") < 0.5),
-        num_features=1 << 14,
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
     )
-    return score_quality(docs, model).select(
-        "doc_id", F.round("quality_prob", 4).alias("prob4")
+    labeled = docs.withColumn("_q", quality_score("text"))
+    weights = train_difference_classifier(
+        labeled.filter(F.col("_q") >= 0.5),
+        labeled.filter(F.col("_q") < 0.5),
+        num_features=_CLS_NF,
+    )
+    from s3_access_logs_spark.operators.similarity import round_fixed
+
+    scored = score_difference_classifier(docs, weights, num_features=_CLS_NF)
+    return scored.select(
+        "doc_id",
+        F.size(doc_feature_buckets("text", _CLS_NF))
+        .cast("long")
+        .alias("n_feats"),
+        round_fixed(F.col("logit")).alias("logit6"),
+        (round_fixed(F.col("logit")) > F.lit(0.0)).alias("keep"),
     )
 
 
@@ -1247,12 +1325,15 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
     """Unrolled-Lloyd oracle for ``kmeans_assignments``: cent0 = the k
     lowest-vec_id vectors; each iteration argmax-assigns by cosine
     (smaller-label tie-break, the ``_assign_clusters`` contract) then
-    re-centers with ROUND(AVG, 6) per dimension, empty clusters keeping
-    their previous centroid via the LEFT JOIN + COALESCE. Rounding at
-    every iteration is what makes the replay cross-engine exact — raw
-    float means would drift apart in summation order."""
+    re-centers with ``sql_round_fixed(AVG)`` per dimension (the floor
+    formula — decimal ROUND vs F.round diverge on .5-boundary doubles,
+    ADVICE r6), empty clusters keeping their previous centroid via the
+    LEFT JOIN + COALESCE. Rounding at every iteration is what makes the
+    replay cross-engine exact — raw float means would drift apart in
+    summation order."""
     from s3_access_logs_spark.plans.vector_queries import (
         SQL_COSINE,
+        sql_round_fixed,
         sql_well_formed,
     )
 
@@ -1285,7 +1366,7 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
                                            cent{j}.label) AS rn
         FROM e CROSS JOIN cent{j}) WHERE rn = 1)""")
         parts.append(f"""m{j} AS (
-      SELECT cl AS label, i, ROUND(AVG(v[i]), 6) AS mval
+      SELECT cl AS label, i, {sql_round_fixed('AVG(v[i])')} AS mval
       FROM a{j} CROSS JOIN dims GROUP BY cl, i)""")
         parts.append(f"""cent{j + 1} AS (
       SELECT c.label, list(COALESCE(m.mval, c.c[d.i]) ORDER BY d.i) AS c
@@ -1391,12 +1472,17 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     code ids by bucket order, argmin encode with the smaller-code
     tie-break, ADC distance as the sum of per-subspace LUT entries.
     Both comparison keys — the encode argmin's dsq and the ranking's
-    adist — are 6dp-rounded on BOTH engines before any ORDER BY (review
-    r6): DuckDB's hash-agg SUM has no defined summation order, so raw
-    float keys could flip a near-tie that Spark's ordered fold resolves
-    the other way."""
+    adist — are ``sql_round_fixed`` on BOTH engines before any ORDER BY
+    (review r6 + r7): DuckDB's hash-agg SUM has no defined summation
+    order, so raw float keys could flip a near-tie that Spark's ordered
+    fold resolves the other way — and the floor formula keeps the
+    rounding itself bit-identical where decimal ROUND vs F.round
+    diverge on .5-boundary doubles (ADVICE r6)."""
     from s3_access_logs_spark.operators.similarity import _lcg_planes
-    from s3_access_logs_spark.plans.vector_queries import sql_well_formed
+    from s3_access_logs_spark.plans.vector_queries import (
+        sql_round_fixed,
+        sql_well_formed,
+    )
 
     d = dims // m
     rows = []
@@ -1427,7 +1513,7 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
                  SUM(CASE WHEN list_dot_product(sv, pv) >= 0
                      THEN (1 << pid) ELSE 0 END)::BIGINT AS bucket
           FROM sub JOIN p USING (j) GROUP BY vec_id, j, sv),
-    cbm AS (SELECT j, bucket, i, ROUND(AVG(sv[i]), 6) AS mval
+    cbm AS (SELECT j, bucket, i, {sql_round_fixed('AVG(sv[i])')} AS mval
             FROM b CROSS JOIN dims8 GROUP BY j, bucket, i),
     cb AS (SELECT j, bucket, list(mval ORDER BY i) AS c
            FROM cbm GROUP BY j, bucket),
@@ -1437,8 +1523,10 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
                      c
               FROM cb),
     dist AS (SELECT b.vec_id, b.j, codes.code,
-                    ROUND(SUM((b.sv[d.i] - codes.c[d.i])
-                              * (b.sv[d.i] - codes.c[d.i])), 6) AS dsq
+                    {sql_round_fixed(
+                        'SUM((b.sv[d.i] - codes.c[d.i])'
+                        ' * (b.sv[d.i] - codes.c[d.i]))'
+                    )} AS dsq
              FROM b JOIN codes USING (j) CROSS JOIN dims8 d
              GROUP BY b.vec_id, b.j, codes.code),
     enc AS (SELECT vec_id, j, code FROM (
@@ -1449,7 +1537,7 @@ def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     qdist AS (SELECT vec_id AS query_id, j, code, dsq
               FROM dist WHERE vec_id < 4),
     ad AS (SELECT qd.query_id, n.vec_id AS neighbor_id,
-                  ROUND(SUM(qd.dsq), 6) AS adist_raw
+                  {sql_round_fixed('SUM(qd.dsq)')} AS adist_raw
            FROM enc n JOIN qdist qd ON qd.j = n.j AND qd.code = n.code
            WHERE qd.query_id <> n.vec_id
            GROUP BY qd.query_id, n.vec_id),
@@ -1479,15 +1567,19 @@ def _pq_refine_sql(
 ) -> str:
     """Exact-re-rank final stage over the shared PQ CTE chain: the top
     k*refine_factor ADC candidates re-rank by exact L2 over the original
-    vectors — dist 6dp-rounded before the ORDER BY, exactly like the
-    Spark side's ranking key."""
+    vectors — dist ``sql_round_fixed`` before the ORDER BY, exactly
+    like the Spark side's ranking key."""
+    from s3_access_logs_spark.plans.vector_queries import sql_round_fixed
+
     return f"""{_pq_ctes(dims, m, n_planes)},
     cand AS (SELECT query_id, neighbor_id FROM ranked
              WHERE rank <= {k * refine_factor}),
     dimsF AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i)),
     ex AS (SELECT c.query_id, c.neighbor_id,
-                  ROUND(sqrt(SUM((q.v[d.i] - n.v[d.i])
-                                 * (q.v[d.i] - n.v[d.i]))), 6) AS dist
+                  {sql_round_fixed(
+                      'sqrt(SUM((q.v[d.i] - n.v[d.i])'
+                      ' * (q.v[d.i] - n.v[d.i])))'
+                  )} AS dist
            FROM cand c
            JOIN e q ON q.vec_id = c.query_id
            JOIN e n ON n.vec_id = c.neighbor_id

@@ -23,6 +23,18 @@ SQL_COSINE = (
 EMB_DIMS = 64  # the embeddings table's vector contract
 
 
+def sql_round_fixed(expr: str, decimals: int = 6) -> str:
+    """DuckDB twin of ``operators.similarity.round_fixed`` —
+    ``floor(x*10^d + 0.5)/10^d`` in explicit double arithmetic, the
+    repo-wide cross-engine rounding for ranking keys and iterated means
+    (review r7, ADVICE r6: decimal F.round vs DuckDB's binary ROUND
+    diverge on .5-boundary doubles; floor over the same IEEE ops is
+    bit-identical across engines). In-contract inputs are bounded by
+    the well-formed magnitude contract (``VEC_ABS_MAX``)."""
+    f = repr(float(10**decimals))
+    return f"(floor(({expr}) * {f} + 0.5) / {f})"
+
+
 def well_formed_embeddings(emb: DataFrame, dims: int = EMB_DIMS) -> DataFrame:
     """Spark twin of the oracle CTEs' well-formed filter + leading-dims
     slice (review r6 pass 8 — the kmeans/PQ entries had this contract
@@ -50,11 +62,17 @@ def sql_well_formed(dims: int, col: str = "embedding") -> str:
     components — because every value-pinned vector oracle feeds its
     training/search from a CTE filtered by this fragment while the
     Spark side filters by the Python twin; ``TestVectorContract`` pins
-    the two predicates row-identical."""
+    the two predicates row-identical. The magnitude bound mirrors
+    ``similarity.VEC_ABS_MAX`` (review r7, ADVICE r6): huge-but-finite
+    components overflow downstream distances to inf/NaN with
+    engine-specific sort order and push floor-quantized keys past the
+    long-exact range — ``NOT abs(x) <= bound`` covers NaN and both
+    infinities in the same compare as the bound, exactly like the
+    Python twin."""
     return (
         f"{col} IS NOT NULL AND len({col}) >= {dims} "
         f"AND len(list_filter({col}[1:{dims}], "
-        f"x -> x IS NULL OR isnan(x::DOUBLE) OR isinf(x::DOUBLE))) = 0"
+        f"x -> x IS NULL OR NOT abs(x::DOUBLE) <= 1e4)) = 0"
     )
 
 
@@ -356,7 +374,7 @@ def semantic_sql_ctes(
     tie-break order is engine-specific)."""
     return f"""
     dims AS (SELECT i::INT AS i FROM range(1, 65) t(i)),
-    cm AS (SELECT label, i, ROUND(AVG(v[i]), 6) AS m
+    cm AS (SELECT label, i, {sql_round_fixed('AVG(v[i])')} AS m
            FROM {train_src} CROSS JOIN dims
            WHERE label IS NOT NULL GROUP BY label, i),
     cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),

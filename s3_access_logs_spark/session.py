@@ -44,7 +44,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # NO session-global partitionOverwriteMode (VERDICT r6 item 7):
+        # every sink that needs dynamic overwrite carries the
+        # writer-scoped .option("partitionOverwriteMode", "dynamic") —
+        # a session default would mask a sink that forgot it.
         # TIMESTAMP(NANOS) parquet columns read as raw int64 (no Spark
         # nanos type); sources/tables.py truncates them to micros. Set here
         # permanently rather than toggled per-read so correctness never

@@ -2709,16 +2709,23 @@ class TestReviewFixes:
         )._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" not in plan_small
 
-    def test_round6_matches_spark_round(self, spark):
-        """Review r6 pass 11: F.round goes through BigDecimal on the
-        double's shortest DECIMAL repr, so floor(|x|*1e6+0.5) on the
-        BINARY scaled value rounds 0.5222235 the wrong way (its float
-        x*1e6 is 522223.49999999994). _round6_half_up must match
-        F.round element-for-element, boundary doubles included."""
+    def test_round_fixed_three_way_parity(self, spark):
+        """Review r7 (ADVICE r6): the repo-wide key rounding is
+        floor(x*1e6+0.5)/1e6 in three places — the Spark expression
+        (round_fixed), its numpy Arrow-path replay (_round6_floor) and
+        the DuckDB oracle fragment (sql_round_fixed). All three must be
+        bit-identical over the in-contract domain, .5-boundary doubles
+        included (0.5222235 is the value where decimal F.round and
+        binary rounding historically diverged)."""
+        import duckdb
         import numpy as np
 
         from s3_access_logs_spark.operators.similarity import (
-            _round6_half_up,
+            _round6_floor,
+            round_fixed,
+        )
+        from s3_access_logs_spark.plans.vector_queries import (
+            sql_round_fixed,
         )
 
         vals = [
@@ -2729,34 +2736,49 @@ class TestReviewFixes:
             -0.1234575,
             0.9999995,
             -0.9999995,
+            -2.5e-06,  # negative half: floor rounds toward +inf
             0.0,
             1.0,
             -1.0,
             2.0,
-            float("inf"),
-            # review r6 pass 12: magnitudes where ulp(x*1e6) > 1e-6 —
-            # the fixed 1e-6 suspicion window missed these boundaries
-            # (PQ squared distances are unbounded)
+            # in-contract key magnitudes: means <= VEC_ABS_MAX, squared
+            # distances <= dims*(2*VEC_ABS_MAX)^2 ~ 2.6e10
             32774.1234565,
             -32774.1234565,
             123456.7890625,
             9.8765432155e6,
+            2.56e10,
             4.611686018427388e9,
-            1.23456789e12,
-            7.5e15,
         ] + [
             ((i * 7919) % 20001 - 10000) / 10007.0 for i in range(500)
         ] + [
             ((i * 104729) % 999983) * 1.0009765625 for i in range(200)
         ]
-        got = _round6_half_up(np.asarray(vals, dtype=np.float64))
-        want = [
+        got_np = list(_round6_floor(np.asarray(vals, dtype=np.float64)))
+        got_spark = [
             r[0]
             for r in spark.createDataFrame([(v,) for v in vals], "x double")
-            .select(F.round("x", 6))
+            .select(round_fixed(F.col("x")))
             .collect()
         ]
-        assert list(got) == want
+        got_duck = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                "SELECT "
+                + sql_round_fixed("x")
+                + " FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+                [vals],
+            )
+            .fetchall()
+        ]
+        assert got_np == got_spark == got_duck
+        # out-of-contract garbage stays visibly non-finite on the numpy
+        # walk (callers detect bad rows AFTER rounding)
+        weird = _round6_floor(
+            np.asarray([float("inf"), float("nan")], dtype=np.float64)
+        )
+        assert np.isinf(weird[0]) and np.isnan(weird[1])
 
     def test_assign_clusters_zero_norm_centroid_never_wins(self, spark):
         """Review r6 pass 11: the Arrow path's per-cell sentinel was
@@ -2855,23 +2877,31 @@ class TestReviewFixes:
         # smaller label wins lexicographically on both impls
         assert outs["fold"] == outs["arrow"] == [(0, "de"), (1, "fr")]
 
-    def test_assign_clusters_nan_cosine_is_no_signal(self, spark):
-        """Review r6 pass 12: a NaN cosine (inf/inf from huge-but-finite
-        DOUBLE vectors that overflow the norm product) must key as the
-        no-signal sentinel on BOTH impls — np.argmin would have picked
-        the NaN centroid as BEST while the fold ranks it worst."""
+    def test_assign_clusters_out_of_bound_rows_are_no_signal(self, spark):
+        """Review r6 pass 12 + r7: a huge-but-finite DOUBLE vector (it
+        overflows the norm product to inf, degenerating the cosine to
+        NaN — or worse, to a FINITE 0 that could spuriously capture the
+        row) is out of the magnitude-bound contract and must key as the
+        no-signal sentinel on BOTH impls; and a quantizer holding such a
+        centroid is rejected loudly instead of handing out finite
+        garbage keys."""
+        import pytest
+
         from s3_access_logs_spark.operators.similarity import (
             _assign_clusters,
         )
 
-        cents = spark.createDataFrame(
+        dirty_cents = spark.createDataFrame(
             [(0, [1e200] * 8), (1, [1.0] * 8), (2, [2.0] * 8)],
             "label int, centroid array<double>",
         )
         rows = spark.createDataFrame(
-            [(0, [1e200] * 8), (1, [1.0] * 8)],
+            [(0, [1e200] * 8), (1, [1.0] * 8), (2, [2e4] * 8)],
             "vec_id long, embedding array<double>",
         )
+        with pytest.raises(ValueError, match="magnitude"):
+            _assign_clusters(rows, dirty_cents, "embedding", 1)
+        cents = dirty_cents.filter(F.col("label") > 0)
         outs = {}
         for impl in ("fold", "arrow"):
             outs[impl] = sorted(
@@ -2880,8 +2910,11 @@ class TestReviewFixes:
                     rows, cents, "embedding", 1, impl=impl
                 ).collect()
             )
-            # row 1 (valid) must not land on the overflow centroid 0
-            assert dict(outs[impl])[1] != 0, impl
+            got = dict(outs[impl])
+            # rows 0 and 2 are out of contract -> all-sentinel keys ->
+            # the smallest label; row 1 (valid, colinear with both
+            # centroids) ties at cos 1.0 and takes the smaller label
+            assert got == {0: 1, 1: 1, 2: 1}, impl
         assert outs["fold"] == outs["arrow"]
 
     def test_assign_clusters_arrow_keeps_label_type(self, spark):
@@ -3025,6 +3058,12 @@ class TestReviewFixes:
             (7, [-float("inf")] + [1.0] * 63),
             (8, [float("nan")] + [2.0] * 63),
             (9, [1.0] * 64 + [float("inf")]),  # inf PAST dims: OK
+            # magnitude bound (review r7, ADVICE r6): huge-but-finite
+            # components overflow downstream math — out of contract
+            (10, [1e20] + [1.0] * 63),
+            (11, [-2e4] + [1.0] * 63),
+            (12, [1e4] * 64),  # exactly AT the bound: well-formed
+            (13, [1.0] * 64 + [1e20]),  # past dims: OK
         ]
         emb = spark.createDataFrame(
             rows, "vec_id long, embedding array<float>"
@@ -3046,7 +3085,7 @@ class TestReviewFixes:
                 f"WHERE {sql_well_formed(64)}"
             ).fetchall()
         }
-        assert got == want == {0, 1, 4, 9}
+        assert got == want == {0, 1, 4, 9, 12, 13}
 
     def test_kmeans_null_seed_raises_loudly(self, spark):
         """Review r6 pass 3 (+ pass 8): a NULL seed — or one holding an
@@ -3618,6 +3657,88 @@ class TestQualityClassifier:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+    def test_difference_classifier_separates_and_is_deterministic(
+        self, spark
+    ):
+        """Review r7 (VERDICT r6 item 1): the value-pinnable sibling of
+        the L-BFGS path — integer-count training must be bit-identical
+        under repartitioning (the property L-BFGS lacks), and it must
+        still separate the held-out classes."""
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_difference_classifier,
+            train_difference_classifier,
+        )
+
+        docs, _ = self._seed(spark)
+        # vocabulary-shifted negatives (caesar-rotated spelling): the
+        # difference model is a PRESENCE-based scorer, so its honest
+        # test is distribution shift — the repeated-single-word
+        # degeneracy of _seed's negatives is a token-COUNT signal that
+        # only the L-BFGS intercept (or the rep_token_ratio heuristic
+        # gate) captures, as the operator docstring documents
+        neg = docs.withColumn(
+            "text",
+            F.translate(
+                F.lower("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "bcdefghijklmnopqrstuvwxyza",
+            ),
+        )
+        train_pos = docs.filter(F.col("doc_id") % 2 == 0)
+        train_neg = neg.filter(F.col("doc_id") % 2 == 0)
+        w1 = train_difference_classifier(
+            train_pos, train_neg, num_features=1 << 10
+        )
+        w2 = train_difference_classifier(
+            train_pos.repartition(7),
+            train_neg.repartition(3),
+            num_features=1 << 10,
+        )
+        assert sorted(map(tuple, w1.collect())) == sorted(
+            map(tuple, w2.collect())
+        )
+        held_pos = score_difference_classifier(
+            docs.filter(F.col("doc_id") % 2 == 1), w1, num_features=1 << 10
+        )
+        held_neg = score_difference_classifier(
+            neg.filter(F.col("doc_id") % 2 == 1), w1, num_features=1 << 10
+        )
+        acc_pos = held_pos.filter(F.col("logit") > 0).count() / max(
+            held_pos.count(), 1
+        )
+        acc_neg = held_neg.filter(F.col("logit") < 0).count() / max(
+            held_neg.count(), 1
+        )
+        assert acc_pos > 0.9 and acc_neg > 0.9
+        # with a MATERIALIZED weights artifact (the deployment shape —
+        # train once, persist, score many), scoring is a pure broadcast
+        # pass: no join of any kind over the corpus, no corpus shuffle,
+        # no Python; the only Exchange is the SinglePartition collapse
+        # of the <= num_features-row weights into the map row
+        frozen = spark.createDataFrame(w1.collect(), w1.schema)
+        plan = (
+            score_difference_classifier(
+                docs, frozen, num_features=1 << 10
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
+        assert "Exchange hashpartitioning" not in plan
+
+    def test_difference_classifier_empty_class_raises(self, spark):
+        from s3_access_logs_spark.operators.quality_classifier import (
+            train_difference_classifier,
+        )
+
+        docs, _ = self._seed(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            train_difference_classifier(
+                docs, docs.filter(F.lit(False)), num_features=1 << 10
+            )
 
 
 class TestIvfPqAppend:

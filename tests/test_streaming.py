@@ -1421,15 +1421,16 @@ class TestPipelineReviewFixes:
         ingest_documents_stream(
             spark, str(src), store, str(tmp_path / "ckpt")
         ).awaitTermination(120)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-        backfill_bloom_store(
-            spark, store, str(tmp_path / "bloom"), num_bits=1 << 10
-        )
-        assert (
-            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-            == "static"
-        )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "static")
+        try:
+            backfill_bloom_store(
+                spark, store, str(tmp_path / "bloom"), num_bits=1 << 10
+            )
+            assert spark.conf.get(key) == "static"
+        finally:
+            spark.conf.set(key, prev)
 
     def test_half_specified_lm_gate_raises(self, spark, tmp_path):
         from s3_access_logs_spark.functions.lm import train_bigram_lm
