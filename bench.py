@@ -50,22 +50,14 @@ def _curate_flagship(spark, sf_dir: str):
     return report
 
 
-def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+def _recall_suite(
+    spark, emb, cents, queries, k: int = 10, nprobe: int = 2
+) -> dict[str, float]:
     """recall@k vs the exact brute-force top-k for every approximate ANN
-    path (VERDICT r5 item 4): a quantizer/codebook regression now shows
-    up in BENCH_r{N}.json next to the wall-times instead of hiding until
-    a one-off pytest threshold trips."""
+    path, over whichever corpus/quantizer the caller hands in."""
     import tempfile
 
-    from pyspark.sql import functions as F
-
     from s3_access_logs_spark.operators import similarity as S
-    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
-    from s3_access_logs_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    cents = _cached_centroids(spark, sf_dir)
 
     def pairs(df):
         got: dict[int, set[int]] = {}
@@ -85,7 +77,7 @@ def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
 
     out = {
         "embedding_ivf_topk": recall(
-            S.ivf_topk(emb, queries, k=k, nprobe=2, centroids=cents)
+            S.ivf_topk(emb, queries, k=k, nprobe=nprobe, centroids=cents)
         ),
         "embedding_ann_lsh": recall(
             S.lsh_bucketed_topk(emb, queries, k=k, multiprobe=1)
@@ -98,7 +90,7 @@ def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         )
         out["ivfpq_adc"] = recall(
             S.probe_ivfpq_index(
-                spark, idx, queries, cb_cents, codebook, k=k, nprobe=2
+                spark, idx, queries, cb_cents, codebook, k=k, nprobe=nprobe
             )
         )
         out["ivfpq_refine"] = recall(
@@ -109,10 +101,50 @@ def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
                 cb_cents,
                 codebook,
                 k=k,
-                nprobe=2,
+                nprobe=nprobe,
                 refine_corpus=emb,
             )
         )
+    return out
+
+
+def _recall_at_k(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """Relative regression signal (VERDICT r5 item 4): recall on the
+    driver's near-random embeddings — every quantizer sits near its
+    worst case here, so only a DROP means anything."""
+    from pyspark.sql import functions as F
+
+    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
+    from s3_access_logs_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = _cached_centroids(spark, sf_dir)
+    return _recall_suite(spark, emb, cents, queries, k=k, nprobe=2)
+
+
+def _recall_clustered(spark, k: int = 10) -> dict[str, float]:
+    """Absolute quality signal (VERDICT r6 item 2): the same ANN paths
+    over seeded Gaussian blobs (sources/synthetic.py), where the true
+    top-k is intra-blob by construction and IVF probing the right cells
+    MUST recover it — ``floor`` is the asserted minimum for IVF at
+    nprobe=4 (also pinned by tests/test_recall_clustered.py), so a real
+    quantizer bug fails loudly instead of hiding in the near-random
+    corpus's noise floor."""
+    from pyspark.sql import functions as F
+
+    from s3_access_logs_spark.operators.similarity import label_centroids
+    from s3_access_logs_spark.sources.synthetic import clustered_embeddings
+
+    emb = clustered_embeddings(spark).persist()
+    try:
+        queries = emb.filter(F.col("vec_id") < 8)
+        cents = label_centroids(emb, "label", dims=64)
+        out = _recall_suite(spark, emb, cents, queries, k=k, nprobe=4)
+    finally:
+        emb.unpersist()
+    out["floor"] = 0.8
+    out["ivf_clears_floor"] = out["embedding_ivf_topk"] >= out["floor"]
     return out
 
 
@@ -157,6 +189,10 @@ def main() -> None:
         recall = _recall_at_k(spark, sf_dir)
     except Exception as e:  # noqa: BLE001 — secondary metric, keep timings
         recall = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        recall_clustered = _recall_clustered(spark)
+    except Exception as e:  # noqa: BLE001 — secondary metric, keep timings
+        recall_clustered = {"error": f"{type(e).__name__}: {e}"}
     print(
         json.dumps(
             {
@@ -165,6 +201,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "recall_at_10": recall,
+                "recall_at_10_clustered": recall_clustered,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

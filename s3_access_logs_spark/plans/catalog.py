@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
         curation_queries,
         etl_queries,
         relational,
+        sql_surface,
         text_queries,
         vector_queries,
     )

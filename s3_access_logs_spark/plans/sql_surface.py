@@ -1,0 +1,138 @@
+"""Arbitrary-SQL entry surface (VERDICT r6 item 8).
+
+The reference never runs a query itself — its ETL exists so Athena can
+run SQL over the partitioned parquet it writes (reference README "Use
+Athena" / SURVEY §2.2); the repo's catalog replaces those Athena queries
+with DataFrame plans. What was missing is the *entry point* story: a
+user who today types ad-hoc SQL into Athena should be able to point
+``spark.sql`` at the same warehouse with one call. :func:`sql_catalog`
+is that call — it registers the ten driver tables plus the parsed
+``logs`` table as temp views, and from then on every query is plain
+ANSI SQL. No separate engine path is involved: ``spark.sql`` compiles
+to the same Catalyst logical plans as the DataFrame catalog, so
+pushdown, pruning, AQE and broadcast behave identically.
+
+At 100 TB the views would be Hive-metastore/Unity tables over the
+partitioned layout ``operators/etl.py`` writes (hour-partitioned,
+row-group-clustered); temp views over the parquet dirs are the exact
+local[32] analogue — the scan, pruning and join plans are the same.
+
+Two catalog entries smoke the surface end to end under the driver's
+value gate:
+
+* ``sql_tpch_q6`` — one PORTABLE SQL string executed verbatim by BOTH
+  engines (Spark result, DuckDB oracle): the sharpest possible
+  demonstration that the surface speaks ANSI, not a dialect.
+* ``sql_logs_report`` — pure SQL over the parsed ``logs`` view (the
+  reference's actual Athena use case: traffic report per bucket and
+  operation), oracle recomputed from the source ``events`` columns like
+  ``log_line_parse`` does, so a parse-pipeline bug cannot hide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from s3_access_logs_spark.operators.parse import parse_logs
+from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.plans.etl_queries import _synthetic_log_lines
+from s3_access_logs_spark.sources.tables import TABLE_NAMES, register_views
+
+#: Everything :func:`sql_catalog` registers: the driver tables plus the
+#: parsed access-log table (the reference's Athena target).
+SQL_VIEW_NAMES: tuple[str, ...] = TABLE_NAMES + ("logs",)
+
+
+def sql_catalog(
+    spark: SparkSession, sf_dir: str, include_logs: bool = True
+) -> tuple[str, ...]:
+    """Register the warehouse for arbitrary ``spark.sql`` — the
+    Athena-replacement entry point. Returns the registered view names.
+
+    ``include_logs=False`` skips synthesizing + parsing the log lines
+    (the one non-trivial view) for callers that only need the star
+    schema."""
+    register_views(spark, sf_dir)
+    if not include_logs:
+        return TABLE_NAMES
+    parse_logs(_synthetic_log_lines(spark, sf_dir)).createOrReplaceTempView(
+        "logs"
+    )
+    return SQL_VIEW_NAMES
+
+
+# One string, two engines. Portability constraints, and why each holds:
+# * floor(x*1e2+0.5)/1e2 is the repo-wide cross-engine rounding
+#   (operators/similarity.py round_fixed) — Spark's floor returns BIGINT
+#   and DuckDB's DOUBLE, but the division lands both on the same DOUBLE.
+#   The scale literal MUST be written 1e2, not 100.0: a decimal-point
+#   literal is DECIMAL in Spark SQL (and BIGINT/DECIMAL division yields
+#   DECIMAL(38,6) — a Decimal result, not the oracle's float), while
+#   scientific notation is DOUBLE in BOTH dialects;
+# * CAST(year(...) AS BIGINT): both engines have year(); the cast pins
+#   one integer kind so the driver's schema record matches;
+# * the float literals 0.05/0.07 parse to the same IEEE doubles
+#   everywhere (nearest-even).
+TPCH_Q6_PORTABLE_SQL = """
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           floor(SUM(l_extendedprice * l_discount) * 1e2 + 0.5) / 1e2
+               AS revenue2,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    GROUP BY year(l_shipdate)
+"""
+
+
+@query(
+    "sql_tpch_q6",
+    oracle=TPCH_Q6_PORTABLE_SQL,
+    tags=("sql-surface", "relational", "tpch"),
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape through the SQL entry surface: register views, run
+    the IDENTICAL SQL string the DuckDB oracle runs. Scan-only plan —
+    both predicates push down to the parquet scan and the agg is
+    map-side partial, exactly as if written via the DataFrame API."""
+    sql_catalog(spark, sf_dir, include_logs=False)
+    return spark.sql(TPCH_Q6_PORTABLE_SQL)
+
+
+LOGS_REPORT_SQL = """
+    SELECT bucket_name, operation,
+           COUNT(*) AS n_requests,
+           SUM(bytessent) AS total_bytes,
+           MAX(totaltime) AS max_totaltime,
+           COUNT(DISTINCT remoteip) AS n_ips
+    FROM logs
+    WHERE is_user
+    GROUP BY bucket_name, operation
+"""
+
+
+@query(
+    "sql_logs_report",
+    oracle="""
+    SELECT 'bucket' || (user_id % 3) AS bucket_name,
+           'REST.' || upper(event_type) || '.OBJECT' AS operation,
+           COUNT(*) AS n_requests,
+           SUM(CASE WHEN event_id % 5 = 0 THEN 0
+                    ELSE event_id % 10000 END)::BIGINT AS total_bytes,
+           MAX(event_id % 500)::BIGINT AS max_totaltime,
+           COUNT(DISTINCT '10.' || (user_id % 256) || '.' || (event_id % 256)
+                 || '.' || ((event_id * 7) % 256)) AS n_ips
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY 1, 2
+    """,
+    tags=("sql-surface", "etl", "agg"),
+)
+def sql_logs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Athena use case as pure SQL over the registered
+    ``logs`` view: per bucket x operation traffic for IAM-user requests
+    (requests, bytes, worst latency, distinct client IPs). The oracle
+    recomputes every figure straight from the ``events`` source columns
+    (the ``log_line_parse`` pattern), so the whole synthesize -> parse
+    -> view -> SQL chain is value-checked, not self-checked."""
+    sql_catalog(spark, sf_dir)
+    return spark.sql(LOGS_REPORT_SQL)

@@ -1,0 +1,142 @@
+"""Absolute ANN quality floors (VERDICT r6 item 2).
+
+On the driver's near-random embeddings every quantizer sits near its
+worst case, so recall@10 there is only a relative signal. The seeded
+clustered corpus (sources/synthetic.py) has its true top-k intra-blob
+by construction, so these floors are ABSOLUTE: the whole chain
+(generator, quantizer, probe) is deterministic for a fixed seed, which
+makes the asserted values stable, not flaky.
+
+Measured on the default corpus (n=4000, 32 blobs, sigma=0.05, seed=7):
+IVF@nprobe4 = 1.0, LSH@multiprobe1 = 0.8, PQ-ADC = 0.15,
+PQ-refine = 0.4125 — the PQ figures are the honest state of the
+16-code LSH-bucket codebook, tracked in bench.py's
+``recall_at_10_clustered`` block.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    from s3_access_logs_spark.sources.synthetic import clustered_embeddings
+
+    emb = clustered_embeddings(spark).persist()
+    emb.count()
+    yield emb
+    emb.unpersist()
+
+
+def _recall(exact: dict[int, set[int]], df) -> float:
+    got: dict[int, set[int]] = {}
+    for r in df.select("query_id", "neighbor_id").collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    per_q = [
+        len(got.get(q, set()) & hits) / len(hits)
+        for q, hits in exact.items()
+    ]
+    return sum(per_q) / len(per_q)
+
+
+@pytest.fixture(scope="module")
+def exact_top10(clustered):
+    from s3_access_logs_spark.operators.similarity import brute_force_topk
+
+    queries = clustered.filter(F.col("vec_id") < 8)
+    out: dict[int, set[int]] = {}
+    for r in brute_force_topk(clustered, queries, k=10).collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(out) == 8 and all(len(v) == 10 for v in out.values())
+    return out
+
+
+class TestClusteredRecall:
+    def test_generator_contract(self, clustered):
+        from s3_access_logs_spark.operators.similarity import (
+            VEC_ABS_MAX,
+            well_formed_vector,
+        )
+
+        assert clustered.count() == 4000
+        assert clustered.filter(
+            ~well_formed_vector("embedding", 64)
+        ).count() == 0
+        mx = clustered.select(
+            F.max(F.aggregate(
+                "embedding", F.lit(0.0),
+                lambda a, x: F.greatest(a, F.abs(x)),
+            )).alias("m")
+        ).first()["m"]
+        assert mx < VEC_ABS_MAX
+
+    def test_true_neighbors_are_intra_blob(self, clustered, exact_top10):
+        """The premise the floors rest on: the exact top-10 of each query
+        shares the query's blob almost always."""
+        lab = {
+            r["vec_id"]: r["label"]
+            for r in clustered.select("vec_id", "label").collect()
+        }
+        hits = [
+            lab[n] == lab[q] for q, ns in exact_top10.items() for n in ns
+        ]
+        assert sum(hits) / len(hits) >= 0.95
+
+    def test_ivf_nprobe4_clears_absolute_floor(self, clustered, exact_top10):
+        from s3_access_logs_spark.operators.similarity import (
+            ivf_topk,
+            label_centroids,
+        )
+
+        cents = label_centroids(clustered, "label", dims=64)
+        queries = clustered.filter(F.col("vec_id") < 8)
+        r = _recall(
+            exact_top10,
+            ivf_topk(clustered, queries, k=10, nprobe=4, centroids=cents),
+        )
+        assert r >= 0.8, f"IVF recall@10 {r} under the absolute floor"
+
+    def test_lsh_multiprobe_floor(self, clustered, exact_top10):
+        from s3_access_logs_spark.operators.similarity import (
+            lsh_bucketed_topk,
+        )
+
+        queries = clustered.filter(F.col("vec_id") < 8)
+        r = _recall(
+            exact_top10,
+            lsh_bucketed_topk(clustered, queries, k=10, multiprobe=1),
+        )
+        assert r >= 0.5, f"LSH recall@10 {r} under the clustered floor"
+
+    def test_pq_refine_improves_on_adc(
+        self, spark, clustered, exact_top10, tmp_path
+    ):
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivfpq_index,
+            label_centroids,
+            probe_ivfpq_index,
+        )
+
+        cents = label_centroids(clustered, "label", dims=64)
+        queries = clustered.filter(F.col("vec_id") < 8)
+        idx = str(tmp_path / "ivfpq")
+        cb_cents, codebook = build_ivfpq_index(
+            clustered, idx, centroids=cents
+        )
+        adc = _recall(
+            exact_top10,
+            probe_ivfpq_index(
+                spark, idx, queries, cb_cents, codebook, k=10, nprobe=4
+            ),
+        )
+        refined = _recall(
+            exact_top10,
+            probe_ivfpq_index(
+                spark, idx, queries, cb_cents, codebook,
+                k=10, nprobe=4, refine_corpus=clustered,
+            ),
+        )
+        assert refined >= adc, (adc, refined)
+        assert refined >= 0.3, f"PQ refine recall@10 {refined} collapsed"
