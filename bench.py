@@ -51,7 +51,13 @@ def _curate_flagship(spark, sf_dir: str):
 
 
 def _recall_suite(
-    spark, emb, cents, queries, k: int = 10, nprobe: int = 2
+    spark,
+    emb,
+    cents,
+    queries,
+    k: int = 10,
+    nprobe: int = 2,
+    include_residual: bool = False,
 ) -> dict[str, float]:
     """recall@k vs the exact brute-force top-k for every approximate ANN
     path, over whichever corpus/quantizer the caller hands in."""
@@ -105,6 +111,25 @@ def _recall_suite(
                 refine_corpus=emb,
             )
         )
+        if include_residual:
+            # round-7 residual encoding: codes describe the within-cell
+            # offset, not the cell position raw PQ wastes its budget on
+            ridx = f"{td}/ivfpq_res"
+            r_cents, r_cb = S.build_ivfpq_index(
+                emb, ridx, centroids=cents, residual=True
+            )
+            out["ivfpq_adc_residual"] = recall(
+                S.probe_ivfpq_index(
+                    spark, ridx, queries, r_cents, r_cb,
+                    k=k, nprobe=nprobe, residual=True,
+                )
+            )
+            out["ivfpq_refine_residual"] = recall(
+                S.probe_ivfpq_index(
+                    spark, ridx, queries, r_cents, r_cb,
+                    k=k, nprobe=nprobe, residual=True, refine_corpus=emb,
+                )
+            )
     return out
 
 
@@ -140,12 +165,61 @@ def _recall_clustered(spark, k: int = 10) -> dict[str, float]:
     try:
         queries = emb.filter(F.col("vec_id") < 8)
         cents = label_centroids(emb, "label", dims=64)
-        out = _recall_suite(spark, emb, cents, queries, k=k, nprobe=4)
+        out = _recall_suite(
+            spark, emb, cents, queries, k=k, nprobe=4,
+            include_residual=True,
+        )
     finally:
         emb.unpersist()
     out["floor"] = 0.8
     out["ivf_clears_floor"] = out["embedding_ivf_topk"] >= out["floor"]
     return out
+
+
+def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
+    """Streaming throughput row (VERDICT r6 item 6): drive the full
+    ingest pipeline — quality + PII gates, exact-digest AND MinHash
+    near-dup stores — over the sf documents corpus split into
+    ``batches`` JSONL files at one file per micro-batch, and report
+    docs/s over the whole drain. A regression in any ingest gate is now
+    as loud as a wall-time one; pytest only ever timed 3-row batches."""
+    import shutil
+    import tempfile
+
+    from s3_access_logs_spark.sources.tables import load_table
+    from s3_access_logs_spark.streaming import ingest_documents_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    td = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = f"{td}/in"
+        # setup, not timed: the corpus as `batches` JSONL files so
+        # maxFilesPerTrigger=1 yields exactly that many micro-batches
+        docs.repartition(batches).write.json(src)
+        t0 = time.perf_counter()
+        ingest_documents_stream(
+            spark,
+            src,
+            f"{td}/store",
+            f"{td}/ckpt",
+            min_quality=0.2,
+            scrub_pii=True,
+            band_store=f"{td}/bands",
+            max_files_per_trigger=1,
+        ).awaitTermination()
+        elapsed = time.perf_counter() - t0
+        kept = spark.read.parquet(f"{td}/store").count()
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return {
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "docs": n_docs,
+        "kept": kept,
+        "batches": batches,
+        "sec": round(elapsed, 4),
+        "gates": ["quality", "pii_scrub", "exact_digest", "minhash_bands"],
+    }
 
 
 def main() -> None:
@@ -193,6 +267,10 @@ def main() -> None:
         recall_clustered = _recall_clustered(spark)
     except Exception as e:  # noqa: BLE001 — secondary metric, keep timings
         recall_clustered = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        ingest_rate = _streaming_ingest_rate(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — secondary metric, keep timings
+        ingest_rate = {"error": f"{type(e).__name__}: {e}"}
     print(
         json.dumps(
             {
@@ -202,6 +280,7 @@ def main() -> None:
                 "queries": timings,
                 "recall_at_10": recall,
                 "recall_at_10_clustered": recall_clustered,
+                "streaming_ingest_rate": ingest_rate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -9,8 +9,8 @@ makes the asserted values stable, not flaky.
 
 Measured on the default corpus (n=4000, 32 blobs, sigma=0.05, seed=7):
 IVF@nprobe4 = 1.0, LSH@multiprobe1 = 0.8, PQ-ADC = 0.15,
-PQ-refine = 0.4125 — the PQ figures are the honest state of the
-16-code LSH-bucket codebook, tracked in bench.py's
+PQ-refine = 0.4125 raw; residual encoding (round 7) lifts ADC to
+0.3375 and refine to 0.575 — all tracked in bench.py's
 ``recall_at_10_clustered`` block.
 """
 
@@ -140,3 +140,54 @@ class TestClusteredRecall:
         )
         assert refined >= adc, (adc, refined)
         assert refined >= 0.3, f"PQ refine recall@10 {refined} collapsed"
+
+    def test_residual_encoding_beats_raw(
+        self, spark, clustered, exact_top10, tmp_path
+    ):
+        """Round-7 quality fix for the honest gap the clustered table
+        exposed (commit 2ab28bd): raw PQ spends its whole code budget
+        re-describing the blob's position, so every same-blob member
+        gets one code tuple and ADC loses within-cell ordering to
+        tie-breaks (measured 0.15). Residual encoding spends it on the
+        within-cell offset instead — measured ADC 0.3375 / refine
+        0.575 on this corpus, asserted here with slack under the
+        deterministic-seed contract."""
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivfpq_index,
+            label_centroids,
+            probe_ivfpq_index,
+        )
+
+        cents = label_centroids(clustered, "label", dims=64)
+        queries = clustered.filter(F.col("vec_id") < 8)
+        raw_idx = str(tmp_path / "raw")
+        res_idx = str(tmp_path / "res")
+        raw_cents, raw_cb = build_ivfpq_index(
+            clustered, raw_idx, centroids=cents
+        )
+        res_cents, res_cb = build_ivfpq_index(
+            clustered, res_idx, centroids=cents, residual=True
+        )
+        raw_adc = _recall(
+            exact_top10,
+            probe_ivfpq_index(
+                spark, raw_idx, queries, raw_cents, raw_cb, k=10, nprobe=4
+            ),
+        )
+        res_adc = _recall(
+            exact_top10,
+            probe_ivfpq_index(
+                spark, res_idx, queries, res_cents, res_cb,
+                k=10, nprobe=4, residual=True,
+            ),
+        )
+        res_ref = _recall(
+            exact_top10,
+            probe_ivfpq_index(
+                spark, res_idx, queries, res_cents, res_cb,
+                k=10, nprobe=4, residual=True, refine_corpus=clustered,
+            ),
+        )
+        assert res_adc > raw_adc, (raw_adc, res_adc)
+        assert res_adc >= 0.3, f"residual ADC recall@10 {res_adc}"
+        assert res_ref >= 0.5, f"residual refine recall@10 {res_ref}"
