@@ -1077,16 +1077,28 @@ def winnow_fingerprints(
     )
     m = F.col("_m")  # n_grams, materialized — `text` is renamed away
     # window j (0-based) covers hash indexes [j+1, j+window] (1-based,
-    # slice clamps at the array end); selected = leftmost min's index
+    # slice clamps at the array end); selected = leftmost min's index.
+    # The window slice is BOUND once per window via a single-element
+    # transform (round 7): as two inline slice() calls (one under
+    # array_min, one under array_position) Catalyst evaluates the
+    # O(window) copy twice per window — the copy is the dominant cost
+    # of the whole fingerprint projection (measured at 100×: ~70 s of
+    # an ~85 s projection is this loop; the hash choice moves it by
+    # < 10 s). Binding cuts one of the two copies for identical
+    # selection — array_position's first-match semantics stay the
+    # leftmost-minimum rule.
     selected = F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(0), F.greatest(m - F.lit(window), F.lit(0))
             ),
             lambda j: j
-            + F.array_position(
-                F.slice(F.col("_h"), j + 1, F.lit(window)),
-                F.array_min(F.slice(F.col("_h"), j + 1, F.lit(window))),
+            + F.get(
+                F.transform(
+                    F.array(F.slice(F.col("_h"), j + 1, F.lit(window))),
+                    lambda s: F.array_position(s, F.array_min(s)),
+                ),
+                F.lit(0),
             ),
         )
     )
@@ -1212,6 +1224,37 @@ def duplicate_spans(
     # the end) so the shuffle rows stay 4 longs wide.
 
     w_ord = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    if min_span_len > k:
+        # Lone-match pre-filter (round 7): a (pair, diagonal) group with
+        # ONE match can only ever form a single-gram island, whose
+        # span_len is exactly k — below any min_span_len > k, so it is
+        # guaranteed to be dropped by the final filter. At 100× the
+        # match table is ~292M rows of which virtually all are such
+        # single-shared-gram noise between unrelated documents; counting
+        # over the SAME sort the islands windows need (no extra
+        # exchange) and filtering first keeps the lag/running-sum
+        # windows and the span aggregate off the noise. Groups with >= 2
+        # matches pass through untouched (even if their islands later
+        # split into singletons — the filter is conservative), so the
+        # output is identical by construction. At min_span_len <= k
+        # (the boundary-copy configuration) single-gram islands ARE
+        # output, so the filter must not apply.
+        matches = (
+            matches.withColumn(
+                "_gn",
+                # same partitioning AND ordering as w_ord with an
+                # explicit full frame, so this window rides the one
+                # exchange+sort the islands windows need instead of
+                # introducing a keys-only sort of its own
+                F.count(F.lit(1)).over(
+                    w_ord.rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
+                    )
+                ),
+            )
+            .filter(F.col("_gn") >= 2)
+            .drop("_gn")
+        )
     return (
         matches.withColumn(
             "_new",
