@@ -1839,6 +1839,74 @@ def pq_topk(
     return _exact_rerank(cand, refine_corpus, queries, k, id_col, vec_col, dims)
 
 
+def pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Residual IVF-PQ ADC search without a materialized index — the
+    in-memory twin of ``build_ivfpq_index(residual=True)`` +
+    ``probe_ivfpq_index(residual=True)`` (same assignment, residual,
+    encode and ADC stages, minus the parquet hop), so the residual
+    construction has a catalog entry whose DuckDB oracle replays the
+    whole chain value-exactly. Every per-vector stage is a broadcast +
+    projection (quantizer, centroid vectors, codebook are all
+    broadcast-sized); the corpus shuffles only at the final per-query
+    ranking window, same as ``pq_topk``. ``codebook=None`` trains the
+    residual codebook from the corpus (the production path persists it
+    next to the index instead).
+
+    Output (query_id, neighbor_id, rank, adist) by approximate L2
+    ascending, identical to the probe path's contract."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    assigned = _assign_clusters(c, centroids, "c_vec", 1)
+    cent_vecs = centroids.select(
+        F.col("label").alias("cluster"), F.col("centroid").alias("_cent")
+    )
+    resid = (
+        assigned.join(broadcast(cent_vecs), "cluster")
+        .withColumn("r_vec", _residual_col("c_vec", "_cent", dims))
+        .drop("_cent")
+    )
+    cb = codebook if codebook is not None else train_pq_codebook(
+        resid, "r_vec", dims=dims, m=m
+    )
+    encoded = pq_encode(
+        resid, cb, vec_col="r_vec", dims=dims, m=m,
+        impl=_bulk_encode_impl(corpus),
+    ).select("neighbor_id", "pq_codes", "cluster")
+    queries = queries.filter(well_formed_vector(vec_col, dims))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_probes = _assign_clusters(q, centroids, "q_vec", nprobe)
+    q_res = (
+        q_probes.join(broadcast(cent_vecs), "cluster")
+        .withColumn("q_vec", _residual_col("q_vec", "_cent", dims))
+        .drop("_cent")
+    )
+    ranked = _adc_rank(
+        encoded,
+        q_res.select("query_id", "q_vec", "cluster"),
+        cb,
+        dims,
+        m,
+        join_key="cluster",
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank", "adist"
+    )
+
+
 def pq_reconstruct(
     encoded: DataFrame,
     codebook: DataFrame,

@@ -1463,6 +1463,179 @@ def embedding_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_pq_residual_topk",
+    oracle=None,  # filled below (generated SQL with plane literals)
+    tags=("similarity", "llm", "ann", "pq", "residual"),
+)
+def embedding_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ ADC search (operators/similarity.py:
+    pq_residual_topk — the in-memory twin of build_ivfpq_index/
+    probe_ivfpq_index with residual=True): codes describe
+    v - coarse_centroid(cluster) so the code budget captures the
+    within-cell offset instead of re-describing the cell position, and
+    each query's LUT is built from its residual against EACH probed
+    cell. Every stage is deterministic (6dp label-centroid means, floor
+    cosine assignment keys, LCG plane literals, rounded codebook means
+    and distance keys), so the oracle replays centroids -> assignment ->
+    residual -> bucketing -> codebook -> encode -> per-probe residual
+    LUT -> ADC ranking and checks neighbor/rank/adist value-exactly —
+    the same pedigree as the raw-PQ entries."""
+    from s3_access_logs_spark.operators.similarity import pq_residual_topk
+    from s3_access_logs_spark.plans.vector_queries import (
+        _cached_centroids,
+        well_formed_embeddings,
+    )
+
+    emb = well_formed_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return pq_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 4),
+        centroids=_cached_centroids(spark, sf_dir),
+        k=5,
+        nprobe=2,
+    )
+
+
+def _pq_residual_sql(
+    dims: int = 64,
+    m: int = 8,
+    n_planes: int = 4,
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB replay of the residual IVF-PQ chain. Value-exactness
+    discipline as the raw `_pq_ctes`: plane literals round-trip through
+    repr, centroid means / codebook means / encode dsq / LUT dsq /
+    adist all go through ``sql_round_fixed`` before any comparison, and
+    the assignment keys are the floor-quantized cosines. The corpus
+    residual CTE applies the well-formed magnitude bound to the
+    RESIDUAL (mirroring pq_encode's NULL-code guard on r_vec — a
+    residual component can reach 2x VEC_ABS_MAX from in-contract
+    inputs and such rows vanish from the posting side on both
+    engines); query residuals carry no such bound, exactly like the
+    Spark LUT side."""
+    from s3_access_logs_spark.operators.similarity import _lcg_planes
+    from s3_access_logs_spark.plans.vector_queries import (
+        SQL_COSINE,
+        sql_round_fixed,
+        sql_well_formed,
+    )
+
+    d = dims // m
+    rows = []
+    for j in range(m):
+        for pid, row in enumerate(_lcg_planes(n_planes, d, seed=42 + j)):
+            vals = ", ".join(repr(v) for v in row)
+            rows.append(f"({j}, {pid}, [{vals}]::DOUBLE[])")
+    plane_values = ",\n      ".join(rows)
+    rf = sql_round_fixed
+    cos_ec = SQL_COSINE.format(a="e.v", b="cent.c")
+    cos_qc = SQL_COSINE.format(a="q.qv", b="cent.c")
+    return f"""
+    WITH p(j, pid, pv) AS (VALUES
+      {plane_values}
+    ),
+    subs AS (SELECT j::INT AS j FROM range(0, {m}) t(j)),
+    dims8 AS (SELECT i::INT AS i FROM range(1, {d + 1}) t(i)),
+    dimsF AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i)),
+    e AS (SELECT vec_id, label, (embedding::DOUBLE[])[1:{dims}] AS v
+          FROM embeddings WHERE {sql_well_formed(dims)}),
+    cm AS (SELECT label, i, {rf('AVG(v[i])')} AS mval
+           FROM e CROSS JOIN dimsF dd(i)
+           WHERE label IS NOT NULL GROUP BY label, i),
+    cent AS (SELECT label, list(mval ORDER BY i) AS c FROM cm GROUP BY label),
+    ca AS (
+      SELECT vec_id, v, cl FROM (
+        SELECT e.vec_id, e.v, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY floor(({cos_ec}) * 1e6 + 0.5) DESC,
+                          cent.label) AS rn
+        FROM e CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    -- corpus residuals, bounded like pq_encode's r_vec guard
+    res AS (SELECT * FROM (
+              SELECT ca.vec_id, ca.cl,
+                     list(ca.v[dd.i] - cent.c[dd.i] ORDER BY dd.i) AS rv
+              FROM ca JOIN cent ON ca.cl = cent.label
+              CROSS JOIN dimsF dd
+              GROUP BY ca.vec_id, ca.cl
+            ) WHERE {sql_well_formed(dims, col='rv')}),
+    sub AS (SELECT vec_id, cl, s.j,
+                   rv[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS sv
+            FROM res CROSS JOIN subs s),
+    b AS (SELECT vec_id, cl, j, sv,
+                 SUM(CASE WHEN list_dot_product(sv, pv) >= 0
+                     THEN (1 << pid) ELSE 0 END)::BIGINT AS bucket
+          FROM sub JOIN p USING (j) GROUP BY vec_id, cl, j, sv),
+    cbm AS (SELECT j, bucket, i, {rf('AVG(sv[i])')} AS mval
+            FROM b CROSS JOIN dims8 GROUP BY j, bucket, i),
+    cb AS (SELECT j, bucket, list(mval ORDER BY i) AS c
+           FROM cbm GROUP BY j, bucket),
+    codes AS (SELECT j, bucket,
+                     (ROW_NUMBER() OVER (PARTITION BY j ORDER BY bucket)
+                      - 1)::INT AS code,
+                     c
+              FROM cb),
+    dist AS (SELECT b.vec_id, b.j, codes.code,
+                    {rf(
+                        'SUM((b.sv[dd.i] - codes.c[dd.i])'
+                        ' * (b.sv[dd.i] - codes.c[dd.i]))'
+                    )} AS dsq
+             FROM b JOIN codes USING (j) CROSS JOIN dims8 dd
+             GROUP BY b.vec_id, b.j, codes.code),
+    enc AS (SELECT vec_id, j, code FROM (
+              SELECT vec_id, j, code,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY dsq, code) AS rn
+              FROM dist) WHERE rn = 1),
+    encc AS (SELECT enc.vec_id, res.cl, enc.j, enc.code
+             FROM enc JOIN res ON enc.vec_id = res.vec_id),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4),
+    probes AS (
+      SELECT query_id, qv, cl FROM (
+        SELECT q.query_id, q.qv, cent.label AS cl,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY floor(({cos_qc}) * 1e6 + 0.5) DESC,
+                          cent.label) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {nprobe}
+    ),
+    qres AS (SELECT pr.query_id, pr.cl,
+                    list(pr.qv[dd.i] - cent.c[dd.i] ORDER BY dd.i) AS rqv
+             FROM probes pr JOIN cent ON pr.cl = cent.label
+             CROSS JOIN dimsF dd
+             GROUP BY pr.query_id, pr.cl),
+    qsub AS (SELECT query_id, cl, s.j,
+                    rqv[(s.j * {d} + 1)::INT:(s.j * {d} + {d})::INT] AS qsv
+             FROM qres CROSS JOIN subs s),
+    qdist AS (SELECT qsub.query_id, qsub.cl, qsub.j, codes.code,
+                     {rf(
+                         'SUM((qsub.qsv[dd.i] - codes.c[dd.i])'
+                         ' * (qsub.qsv[dd.i] - codes.c[dd.i]))'
+                     )} AS dsq
+              FROM qsub JOIN codes USING (j) CROSS JOIN dims8 dd
+              GROUP BY qsub.query_id, qsub.cl, qsub.j, codes.code),
+    ad AS (SELECT qd.query_id, n.vec_id AS neighbor_id,
+                  {rf('SUM(qd.dsq)')} AS adist_raw
+           FROM encc n
+           JOIN qdist qd ON qd.cl = n.cl AND qd.j = n.j
+                        AND qd.code = n.code
+           WHERE qd.query_id <> n.vec_id
+           GROUP BY qd.query_id, n.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, adist_raw,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adist_raw, neighbor_id
+                                         ) AS rank
+               FROM ad)
+    SELECT query_id, neighbor_id, rank, adist_raw AS adist
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def _pq_ctes(dims: int = 64, m: int = 8, n_planes: int = 4) -> str:
     """The ONE copy of the PQ oracle's CTE chain (plane literals →
     bucketing → codebook → encode → ADC ranking, ending at ``ranked``
@@ -1812,4 +1985,7 @@ _Q["embedding_pq_refine"] = _dc.replace(
 )
 _Q["embedding_pq_topk"] = _dc.replace(
     _Q["embedding_pq_topk"], oracle=_pq_topk_sql()
+)
+_Q["embedding_pq_residual_topk"] = _dc.replace(
+    _Q["embedding_pq_residual_topk"], oracle=_pq_residual_sql()
 )

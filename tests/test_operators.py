@@ -2419,19 +2419,24 @@ class TestReviewFixes:
         from s3_access_logs_spark.plans.catalog import load_all
 
         rows = [
-            (i, [float((i * 7 + j * 3) % 11) for j in range(64)])
+            # label rides along (ignored by the raw PQ entries; trains
+            # the residual entry's coarse centroids)
+            (i, i % 4, [float((i * 7 + j * 3) % 11) for j in range(64)])
             for i in range(20)
         ]
         rows += [
-            (100, None),
-            (101, [1.0, 2.0]),
-            (102, [0.5] * 70),
-            (103, [1.0] * 30 + [None] + [1.0] * 33),
-            (104, [1.0] * 20 + [float("inf")] + [1.0] * 43),
-            (105, [float("nan")] + [2.0] * 63),
+            (100, 0, None),
+            (101, 1, [1.0, 2.0]),
+            # over-length AND NULL-label: usable on its leading dims,
+            # assigned to a real cluster, trains no centroid (both
+            # engines exclude NULL labels from centroid means)
+            (102, None, [0.5] * 70),
+            (103, 2, [1.0] * 30 + [None] + [1.0] * 33),
+            (104, 3, [1.0] * 20 + [float("inf")] + [1.0] * 43),
+            (105, 0, [float("nan")] + [2.0] * 63),
         ]
         emb = spark.createDataFrame(
-            rows, "vec_id long, embedding array<float>"
+            rows, "vec_id long, label int, embedding array<float>"
         )
         sf_dir = str(tmp_path)
         emb.write.parquet(f"{sf_dir}/embeddings.parquet")
@@ -2441,7 +2446,11 @@ class TestReviewFixes:
             f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
         )
         cat = load_all()
-        for name in ("embedding_pq_topk", "embedding_pq_refine"):
+        for name in (
+            "embedding_pq_topk",
+            "embedding_pq_refine",
+            "embedding_pq_residual_topk",
+        ):
             q = cat[name]
             got = sorted(
                 map(tuple, q.builder(spark, sf_dir).collect())
@@ -2450,6 +2459,69 @@ class TestReviewFixes:
             assert got == want, name
             ids = {r[1] for r in got}
             assert ids and ids.isdisjoint({100, 101, 103, 104, 105}), name
+
+    def test_pq_residual_topk_matches_indexed_probe(self, spark, tmp_path):
+        """The catalog's in-memory residual entry and the production
+        build_ivfpq_index/probe_ivfpq_index residual path must rank
+        identically — same assignment, residual, codebook, encode and
+        ADC stages, the parquet hop being the only difference."""
+        from s3_access_logs_spark.operators.similarity import (
+            build_ivfpq_index,
+            label_centroids,
+            pq_residual_topk,
+            probe_ivfpq_index,
+            train_pq_codebook,
+            _assign_clusters,
+            _residual_col,
+        )
+        from s3_access_logs_spark.plans.vector_queries import (
+            well_formed_embeddings,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = well_formed_embeddings(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        )
+        cents = label_centroids(emb, "label", dims=64)
+        queries = emb.filter(F.col("vec_id") < 4)
+        mem = sorted(
+            map(
+                tuple,
+                pq_residual_topk(
+                    emb, queries, cents, k=5, nprobe=2
+                ).collect(),
+            )
+        )
+        # shared codebook: train once on the residual frame, hand it to
+        # both paths (build_ivfpq_index with codebook=None trains the
+        # same thing; passing it explicitly just avoids the double job)
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        assigned = _assign_clusters(c, cents, "c_vec", 1)
+        cv = cents.select(
+            F.col("label").alias("cluster"),
+            F.col("centroid").alias("_cent"),
+        )
+        resid = assigned.join(F.broadcast(cv), "cluster").withColumn(
+            "r_vec", _residual_col("c_vec", "_cent", 64)
+        )
+        cb = train_pq_codebook(resid, "r_vec", dims=64, m=8)
+        idx = str(tmp_path / "ivfpq_res")
+        b_cents, b_cb = build_ivfpq_index(
+            emb, idx, centroids=cents, codebook=cb, residual=True
+        )
+        probed = sorted(
+            map(
+                tuple,
+                probe_ivfpq_index(
+                    spark, idx, queries, b_cents, b_cb,
+                    k=5, nprobe=2, residual=True,
+                ).collect(),
+            )
+        )
+        assert mem == probed
 
     def test_refine_skips_stale_malformed_corpus_rows(self, spark):
         """Review r6 pass 7: a row can be encoded in the index (vector
