@@ -1312,15 +1312,36 @@ def train_pq_codebook(
     m: int = 8,
     n_planes: int = 4,
     decimals: int = 6,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """(subspace, code, centroid: array<double>) — ks <= 2^n_planes dense
     codes per subspace. One narrow pass over the corpus: every row emits m
     (subspace, bucket, subvector) tuples via a single generator, one
     partial-aggregated groupBy computes the per-dimension means, and a
     window over the tiny (m x ks) result densifies bucket ids into
-    contiguous codes."""
+    contiguous codes.
+
+    ``refine_iters`` runs that many Lloyd iterations per subspace after
+    the hyperplane-bucket init (standard PQ training, Jegou et al.
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    the init buckets are sign-pattern cones whose means approximate
+    direction but average away magnitude; k-means refinement cuts the
+    per-subspace distortion that directly bounds ADC ranking quality).
+    Each iteration is one corpus pass: the m subvectors per row assign
+    to their nearest current centroid via the same broadcast fold shape
+    as ``pq_encode`` (rounded dsq key, smaller-code tie-break — fully
+    deterministic), and one partial-aggregated groupBy recomputes the
+    rounded per-dimension means. Codes whose cell empties vanish and
+    the ids re-densify, so the output contract is identical to the
+    init's. Default 0 keeps the value-pinned oracle entries on the
+    replayed init-only chain."""
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
+    if refine_iters < 0:
+        raise ValueError(
+            f"train_pq_codebook: refine_iters must be >= 0, got "
+            f"{refine_iters}"
+        )
     d = dims // m
     # malformed vectors (NULL / shorter than dims) are excluded from
     # training (review r6): un-filtered, a short vector's padded-NULL dot
@@ -1354,10 +1375,70 @@ def train_pq_codebook(
         ]
     )
     w = Window.partitionBy("subspace").orderBy("bucket")
-    return per.select(
+    cb = per.select(
         "subspace",
         (F.row_number().over(w) - 1).alias("code"),
         F.array(*[F.col(f"_m{i}") for i in range(1, d + 1)]).alias("centroid"),
+    )
+    if not refine_iters:
+        return cb
+    spark = corpus.sparkSession
+    subvecs = exploded.select("subspace", "sv")
+    for _ in range(refine_iters):
+        # materialize the tiny (m x ks) artifact per iteration: the
+        # next assignment pass broadcasts it, and rebuilding from rows
+        # keeps the lineage flat instead of stacking one
+        # crossJoin+aggregate per iteration into the final plan
+        cb = spark.createDataFrame(cb.collect(), cb.schema)
+        cb = _pq_lloyd_step(subvecs, cb, d, decimals)
+    return cb
+
+
+def _pq_lloyd_step(
+    subvecs: DataFrame, codebook: DataFrame, d: int, decimals: int
+) -> DataFrame:
+    """One Lloyd iteration over the exploded (subspace, sv) frame:
+    assign each subvector to its subspace's nearest current centroid
+    (the pq_encode fold — rounded dsq key, smaller-code tie-break) and
+    recompute rounded per-dimension means. Emptied cells vanish and the
+    surviving codes re-densify in old-code order."""
+    code = F.aggregate(
+        F.transform(
+            F.element_at(F.col("_cb"), F.col("subspace") + 1),
+            lambda c: round_fixed(_l2sq(F.col("sv"), c)),
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.lit(-1).alias("i"),
+            F.lit(0).alias("n"),
+        ),
+        lambda acc, dist: F.struct(
+            F.when(dist < acc["d"], dist).otherwise(acc["d"]).alias("d"),
+            F.when(dist < acc["d"], acc["n"]).otherwise(acc["i"]).alias("i"),
+            (acc["n"] + 1).alias("n"),
+        ),
+    )["i"]
+    assigned = (
+        subvecs.crossJoin(broadcast(_codebook_array(codebook)))
+        .withColumn("_code", code)
+        .drop("_cb")
+        .filter(F.col("_code") >= 0)  # never-firing argmin = garbage row
+    )
+    per = assigned.groupBy("subspace", "_code").agg(
+        *[
+            round_fixed(F.avg(F.element_at("sv", i)), decimals).alias(
+                f"_m{i}"
+            )
+            for i in range(1, d + 1)
+        ]
+    )
+    w = Window.partitionBy("subspace").orderBy("_code")
+    return per.select(
+        "subspace",
+        (F.row_number().over(w) - 1).alias("code"),
+        F.array(*[F.col(f"_m{i}") for i in range(1, d + 1)]).alias(
+            "centroid"
+        ),
     )
 
 

@@ -191,3 +191,68 @@ class TestClusteredRecall:
         assert res_adc > raw_adc, (raw_adc, res_adc)
         assert res_adc >= 0.3, f"residual ADC recall@10 {res_adc}"
         assert res_ref >= 0.5, f"residual refine recall@10 {res_ref}"
+
+    def test_lloyd_refined_codebook_lifts_refine_recall(
+        self, spark, clustered, exact_top10, tmp_path
+    ):
+        """train_pq_codebook(refine_iters=N): k-means refinement after
+        the hyperplane-bucket init. Measured on this corpus (all
+        deterministic, so the asserted values are stable): the refined
+        codebook's candidate set is more DIVERSE — the refine-stage
+        recall jumps 0.575 -> 0.70 at 4 iterations — while pure-ADC
+        ordering drops slightly (0.3375 -> 0.2875); the honest summary
+        is that refinement helps the production two-stage path and is
+        not a free win for raw ADC ranking. All 16 codes per subspace
+        survive (no cell death)."""
+        from pyspark.sql.functions import broadcast
+
+        from s3_access_logs_spark.operators.similarity import (
+            _assign_clusters,
+            _residual_col,
+            build_ivfpq_index,
+            label_centroids,
+            probe_ivfpq_index,
+            train_pq_codebook,
+        )
+
+        cents = label_centroids(clustered, "label", dims=64)
+        queries = clustered.filter(F.col("vec_id") < 8)
+        c = clustered.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        assigned = _assign_clusters(c, cents, "c_vec", 1)
+        cv = cents.select(
+            F.col("label").alias("cluster"),
+            F.col("centroid").alias("_cent"),
+        )
+        resid = (
+            assigned.join(broadcast(cv), "cluster")
+            .withColumn("r_vec", _residual_col("c_vec", "_cent", 64))
+            .drop("_cent")
+            .persist()
+        )
+        try:
+            recalls = {}
+            for iters in (0, 4):
+                cb = train_pq_codebook(
+                    resid, "r_vec", dims=64, m=8, refine_iters=iters
+                )
+                assert cb.count() == 8 * 16, "cell death in refinement"
+                idx = str(tmp_path / f"it{iters}")
+                b_cents, b_cb = build_ivfpq_index(
+                    clustered, idx, centroids=cents,
+                    codebook=cb, residual=True,
+                )
+                recalls[iters] = _recall(
+                    exact_top10,
+                    probe_ivfpq_index(
+                        spark, idx, queries, b_cents, b_cb,
+                        k=10, nprobe=4, residual=True,
+                        refine_corpus=clustered,
+                    ),
+                )
+        finally:
+            resid.unpersist()
+        assert recalls[4] >= recalls[0], recalls
+        assert recalls[4] >= 0.65, recalls
