@@ -532,6 +532,16 @@ def ingest_documents_stream(
                 band_store, "id long, band_idx int, band_key string"
             ).select("id", "band_idx", "band_key")
             hits, bands = near_dup_incremental(kept_docs, seen_bands)
+            # TWO consumers of the banding pass (the probe-hits lineage
+            # below and the kept_bands store write), and MinHash
+            # signatures are the expensive part of the gate (k hashes
+            # per shingle) — scoped persist so the batch bands compute
+            # once; Spark's cache manager substitutes the cached
+            # fragment into hits' plan by logical-plan matching
+            # (round 7: measured ~3.2 s/micro-batch on the band gate,
+            # the dominant per-batch cost)
+            bands = bands.persist()
+            _gate_persisted.append(bands)
             near_dup_ids = hits.select(
                 F.col("new_id").alias("doc_id")
             ).distinct()
