@@ -2523,6 +2523,55 @@ class TestReviewFixes:
         )
         assert mem == probed
 
+    def test_append_residual_matches_full_rebuild(self, spark, tmp_path):
+        """append_to_ivfpq_index(residual=True) must leave the index in
+        the same probe-visible state as building it from the full corpus
+        in one shot — appending raw codes into a residual index would
+        poison every probe of the touched cells, so the append path must
+        replay the build path's residual construction exactly."""
+        from s3_access_logs_spark.operators.similarity import (
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            label_centroids,
+            probe_ivfpq_index,
+        )
+        from s3_access_logs_spark.plans.vector_queries import (
+            well_formed_embeddings,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = well_formed_embeddings(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        )
+        cents = label_centroids(emb, "label", dims=64)
+        queries = emb.filter(F.col("vec_id") < 4)
+        full_idx = str(tmp_path / "full")
+        f_cents, f_cb = build_ivfpq_index(
+            emb, full_idx, centroids=cents, residual=True
+        )
+        # incremental: build from the first half, append the rest with
+        # the SAME artifacts (the codebook-compatibility contract)
+        lo = emb.filter(F.col("vec_id") % 2 == 0)
+        hi = emb.filter(F.col("vec_id") % 2 == 1)
+        inc_idx = str(tmp_path / "inc")
+        build_ivfpq_index(
+            lo, inc_idx, centroids=cents, codebook=f_cb, residual=True
+        )
+        stats = append_to_ivfpq_index(
+            spark, hi, inc_idx, f_cents, f_cb, residual=True
+        )
+        assert stats["appended"] == hi.count()
+        probe = lambda idx: sorted(  # noqa: E731
+            map(
+                tuple,
+                probe_ivfpq_index(
+                    spark, idx, queries, f_cents, f_cb,
+                    k=5, nprobe=2, residual=True,
+                ).collect(),
+            )
+        )
+        assert probe(inc_idx) == probe(full_idx)
+
     def test_refine_skips_stale_malformed_corpus_rows(self, spark):
         """Review r6 pass 7: a row can be encoded in the index (vector
         was well-formed at build time) yet NULL/short in TODAY'S
