@@ -866,6 +866,17 @@ def ivf_topk(
     )
 
 
+def _materialize_artifact(df: DataFrame) -> DataFrame:
+    """Collect a trained artifact (centroids / codebook — broadcast-sized
+    by definition) and rebuild it as a local-rows frame. The builders
+    return artifacts through this so a probe handed the build's return
+    value broadcasts DATA, not a lineage: a lazy artifact re-executes its
+    entire training (a full corpus pass for a codebook) inside EVERY
+    probe action — measured as a 986-task stage per probe at 100×
+    (nlist=1000, 200k vectors), 9.7 s vs 7.2 s per probe."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     dst: str,
@@ -880,11 +891,13 @@ def build_ivf_index(
     documents: indexing is a one-time narrow scan (zero-exchange assignment,
     see ``_assign_clusters``) + one shuffle on ``cluster`` for the
     partitioned write; each posting list becomes a contiguous parquet
-    subtree. Returns the centroids (persist them next to the index — a
-    probe needs only these, never the corpus).
-    """
-    cents = centroids if centroids is not None else label_centroids(
-        corpus, label_col, vec_col
+    subtree. Returns the centroids as a MATERIALIZED local-rows frame
+    (persist them next to the index — a probe needs only these, never
+    the corpus)."""
+    cents = _materialize_artifact(
+        centroids if centroids is not None else label_centroids(
+            corpus, label_col, vec_col
+        )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -2048,9 +2061,11 @@ def build_ivfpq_index(
 ) -> tuple[DataFrame, DataFrame]:
     """One pass over the corpus: assign each vector its nearest coarse
     centroid AND its PQ codes, write (neighbor_id, pq_codes) posting lists
-    hive-partitioned by cluster. Returns (centroids, codebook) — persist
+    hive-partitioned by cluster. Returns (centroids, codebook) as
+    MATERIALIZED local-rows frames (``_materialize_artifact``) — persist
     both next to the index; a probe needs only these plus the pruned
-    partitions, never the corpus.
+    partitions, never the corpus, and never re-executes their training
+    lineage per action.
 
     ``residual=True`` encodes ``v - coarse_centroid(cluster)`` instead of
     the raw vector (the standard IVF-PQ residual construction): raw PQ
@@ -2069,8 +2084,10 @@ def build_ivfpq_index(
     components are bounded by 2x``VEC_ABS_MAX``; rows whose residual
     exceeds the well-formed bound NULL-code (skipped by search), the
     same out-of-contract disposition as raw mode."""
-    cents = centroids if centroids is not None else label_centroids(
-        corpus, label_col, vec_col
+    cents = _materialize_artifact(
+        centroids if centroids is not None else label_centroids(
+            corpus, label_col, vec_col
+        )
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -2087,11 +2104,13 @@ def build_ivfpq_index(
             .drop("_cent")
         )
         enc_vec = "r_vec"
-    cb = codebook if codebook is not None else train_pq_codebook(
-        assigned if residual else corpus,
-        enc_vec if residual else vec_col,
-        dims=dims,
-        m=m,
+    cb = _materialize_artifact(
+        codebook if codebook is not None else train_pq_codebook(
+            assigned if residual else corpus,
+            enc_vec if residual else vec_col,
+            dims=dims,
+            m=m,
+        )
     )
     # decide the encode impl on the RAW corpus, not the assignment
     # lineage (review r6 pass 11): pq_encode's impl=None limit-count
