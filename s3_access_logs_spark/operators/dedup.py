@@ -1071,34 +1071,43 @@ def winnow_fingerprints(
         if portable_hash
         else F.xxhash64
     )
+    # Packed (hash, position) keys (round 7): key = (hash mod 2^39) <<
+    # 24 | 0-based gram position. One array_min over a window slice then
+    # returns the minimum hash AND its position in a SINGLE scan —
+    # absolute position is monotone in within-window position, so
+    # min-by-packed-key IS the leftmost-minimum rule (equal truncated
+    # hashes resolve to the smaller position). The selection hash
+    # becomes the 39-bit truncation — winnowing's guarantee holds under
+    # ANY deterministic hash, only the sparse-sample choice moves; the
+    # DuckDB oracle packs identically so both engines select the same
+    # grams. The earlier shape paid a slice copy PLUS an array_min scan
+    # PLUS an array_position rescan per window — the dominant cost of
+    # the whole fingerprint projection (measured at 100×: ~40 s of a
+    # ~58 s projection was this loop; the hash choice moves it < 10 s).
+    # Position packing caps documents at 2^24 grams (~16.7M chars);
+    # past it the position bits carry into the hash bits — both engines
+    # compute the identical arithmetic so parity holds, but the
+    # tie-break degrades (multimodal payloads belong in binary columns,
+    # not 16 MB text rows).
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: gram_hash(t.substr(i, F.lit(k))),
+        lambda i: F.shiftleft(
+            F.pmod(gram_hash(t.substr(i, F.lit(k))), F.lit(1 << 39)), 24
+        )
+        + (i - 1),
     )
     m = F.col("_m")  # n_grams, materialized — `text` is renamed away
     # window j (0-based) covers hash indexes [j+1, j+window] (1-based,
-    # slice clamps at the array end); selected = leftmost min's index.
-    # The window slice is BOUND once per window via a single-element
-    # transform (round 7): as two inline slice() calls (one under
-    # array_min, one under array_position) Catalyst evaluates the
-    # O(window) copy twice per window — the copy is the dominant cost
-    # of the whole fingerprint projection (measured at 100×: ~70 s of
-    # an ~85 s projection is this loop; the hash choice moves it by
-    # < 10 s). Binding cuts one of the two copies for identical
-    # selection — array_position's first-match semantics stay the
-    # leftmost-minimum rule.
+    # slice clamps at the array end); selected = leftmost min's 0-based
+    # gram position, decoded from the packed key's low 24 bits
     selected = F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(0), F.greatest(m - F.lit(window), F.lit(0))
             ),
-            lambda j: j
-            + F.get(
-                F.transform(
-                    F.array(F.slice(F.col("_h"), j + 1, F.lit(window))),
-                    lambda s: F.array_position(s, F.array_min(s)),
-                ),
-                F.lit(0),
+            lambda j: F.pmod(
+                F.array_min(F.slice(F.col("_h"), j + 1, F.lit(window))),
+                F.lit(1 << 24),
             ),
         )
     )
@@ -1113,14 +1122,14 @@ def winnow_fingerprints(
         .select(
             "id",
             "_t",
-            F.explode(selected).alias("_i"),
+            F.explode(selected).alias("_p"),
         )
         .select(
             "id",
-            (F.col("_i") - 1).alias("pos"),
-            F.col("_t").substr(F.col("_i").cast("int"), F.lit(k)).alias(
-                "gram"
-            ),
+            F.col("_p").alias("pos"),
+            F.col("_t")
+            .substr((F.col("_p") + 1).cast("int"), F.lit(k))
+            .alias("gram"),
         )
     )
 

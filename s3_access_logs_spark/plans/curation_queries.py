@@ -783,20 +783,24 @@ def _duplicate_spans_sql(k: int = 8, window: int = 43) -> str:
     ),
     g AS (SELECT doc_id, text, length(text) - {k - 1} AS m
           FROM inp WHERE length(text) >= {k}),
+    -- packed (hash, position) selection keys, the exact Spark-side
+    -- construction (winnow_fingerprints round 7): (md5 mod 2^39) * 2^24
+    -- + 0-based position, so list_min alone returns the leftmost
+    -- minimum and its position in one scan
     h AS (SELECT doc_id, text, m,
           list_transform(range(1, m + 1),
-            i -> ('0x' || substr(md5(substr(text, i::INT, {k})), 1, 15))::BIGINT
+            i -> ((('0x' || substr(md5(substr(text, i::INT, {k})), 1, 15))::BIGINT
+                   % 549755813888) * 16777216) + (i - 1)
           ) AS hs
           FROM g),
     sel AS (SELECT doc_id, text,
             list_distinct(list_transform(
               range(0, greatest(m - {window}, 0) + 1),
-              j -> j + list_position(hs[(j+1)::INT:(j+{window})::INT],
-                                     list_min(hs[(j+1)::INT:(j+{window})::INT]))
-            )) AS idxs
+              j -> list_min(hs[(j+1)::INT:(j+{window})::INT]) % 16777216
+            )) AS poss
             FROM h),
-    fp0 AS (SELECT doc_id, u.i - 1 AS pos, substr(text, u.i::INT, {k}) AS gram
-            FROM sel, unnest(idxs) AS u(i)),
+    fp0 AS (SELECT doc_id, u.p AS pos, substr(text, (u.p + 1)::INT, {k}) AS gram
+            FROM sel, unnest(poss) AS u(p)),
     fp AS (SELECT doc_id, pos, gram FROM fp0
            QUALIFY COUNT(*) OVER (PARTITION BY gram)
                    <= {D.DEFAULT_MAX_GRAM_FREQ}),
