@@ -1052,15 +1052,16 @@ def winnow_fingerprints(
     changes. The catalog's oracle-checked entry uses this; production
     pipelines keep the default.
 
-    The window minimum is
-    ``array_min``/``array_position`` over a ``slice`` (leftmost minimum —
-    any rule that is a pure function of the window's contents preserves
-    the guarantee, and both documents see identical windows inside a
-    shared region): the slice copies cost O(len * window) longs, but the
-    min/position loops are the JVM's vectorized array kernels rather
-    than a per-step Catalyst ``aggregate`` fold — measured 4.1 s -> 1.5 s
-    over 5000 sf0.1 documents for identical output (modulo hash-tie
-    picks). Documents shorter than t emit their single global minimum
+    The window minimum is one ``array_min`` over a ``slice`` of PACKED
+    ``(hash, position)`` keys (leftmost minimum — any rule that is a
+    pure function of the window's contents preserves the guarantee, and
+    both documents see identical windows inside a shared region; see
+    the packing note in the body). The slice copies cost O(len *
+    window) longs, but the min loop is the JVM's vectorized array
+    kernel rather than a per-step Catalyst ``aggregate`` fold (the fold
+    measured 4.1 s where the kernel shape took 1.5 s at sf0.1), and the
+    packing folds the former ``array_position`` rescan into the same
+    scan. Documents shorter than t emit their single global minimum
     (standard edge rule) and empty/NULL texts emit nothing."""
     from s3_access_logs_spark.functions.text import md5_long
 

@@ -1903,6 +1903,50 @@ class TestWinnowing:
         assert {r.id for r in rows} == {4}  # only the k-length doc emits
         assert rows[0].gram == "exactly8" and rows[0].pos == 0
 
+    def test_periodic_text_and_packed_selection_contract(self, spark):
+        """Round-7 packed selection keys: the degenerate inputs the
+        packing's tie-break touches. Periodic text makes EVERY window's
+        hashes equal — leftmost-min must pick each window's first
+        position (selection = every position up to the last window
+        start), and a verbatim copy of a periodic region must still be
+        detected; the emitted grams must match the text at the decoded
+        positions (the low-24-bit decode)."""
+        from s3_access_logs_spark.operators.dedup import (
+            duplicate_spans,
+            winnow_fingerprints,
+        )
+
+        flat = "a" * 400  # every k-gram IS the same gram: all hashes tie
+        df = self._mk(spark, [(1, flat)])
+        flat_fps = winnow_fingerprints(df, k=self.K, window=self.W).collect()
+        # all-equal hashes in every window -> leftmost wins -> the
+        # selected positions are exactly the window starts (0-based)
+        n_grams = len(flat) - self.K + 1
+        assert {r.pos for r in flat_fps} == set(
+            range(0, max(n_grams - self.W, 0) + 1)
+        )
+        period = "ab" * 200  # two alternating gram hashes
+        df = self._mk(spark, [(1, period)])
+        fps = winnow_fingerprints(df, k=self.K, window=self.W).collect()
+        assert fps, "periodic text must still fingerprint"
+        for r in fps:
+            assert period[r.pos : r.pos + self.K] == r.gram
+        # the smaller of the two hashes lives on one parity; each window
+        # selects its leftmost position of that parity
+        parities = {r.pos % 2 for r in fps}
+        assert len(parities) == 1
+        # a copy of the periodic region across documents is detected
+        spans = duplicate_spans(
+            self._mk(spark, [(1, period), (2, "Z" * 60 + period)]),
+            k=self.K,
+            window=self.W,
+        ).collect()
+        assert any(
+            {r.id_a, r.id_b} == {1, 2}
+            and r.span_len >= self.W + self.K - 1
+            for r in spans
+        )
+
     def test_guarantee_property_random_plants(self, spark):
         # property sweep without hypothesis-per-Spark-job overhead: many
         # random plantings checked in ONE job. Any shared substring of
