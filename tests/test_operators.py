@@ -1947,6 +1947,58 @@ class TestWinnowing:
             for r in spans
         )
 
+    def test_unicode_text_matches_oracle(self, spark, tmp_path):
+        """Cross-engine winnowing on multi-script text: the md5 portable
+        selection, substr gram extraction and length arithmetic must
+        agree code-point-for-code-point between Spark (UTF8String) and
+        DuckDB on CJK, Cyrillic, Greek, combining accents and astral
+        emoji — a byte-vs-codepoint slip in either engine's
+        substr/length would shift every position and hash. Verified
+        value-exact, including detection of a 330-char multi-script
+        verbatim region."""
+        import duckdb
+
+        from s3_access_logs_spark.operators.dedup import duplicate_spans
+        from s3_access_logs_spark.plans.curation_queries import (
+            _duplicate_spans_sql,
+        )
+
+        core = (
+            "víctor 中文テキスト🎉 déjà-vu naïve café œuvre 🚀🌟 "
+            "ελληνικά русский ТЕКСТ "
+        )
+        shared = (core * 6)[:330]
+        rows = [
+            (1, "prefix-один язык " + shared + " suffix-eins"),
+            (2, "totally different start 完全に別の内容 " + shared + " end"),
+            (3, "unrelated 内容 τρίτο документ with no shared span here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            map(tuple, duplicate_spans(docs, portable_hash=True).collect())
+        )
+        assert got and all(
+            {r[0], r[1]} == {1, 2} for r in got
+        ), "the multi-script verbatim region must be detected"
+        docs.write.parquet(f"{tmp_path}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+        )
+        # the catalog oracle minus its synthesized-copy input CTE: the
+        # raw table stands in, the whole winnow/pair/island replay stays
+        sql = _duplicate_spans_sql()
+        start = sql.index("WITH inp AS (")
+        end = sql.index("),", start)
+        sql = (
+            sql[:start]
+            + "WITH inp AS (SELECT doc_id, text FROM documents"
+            + sql[end:]
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
+
     def test_guarantee_property_random_plants(self, spark):
         # property sweep without hypothesis-per-Spark-job overhead: many
         # random plantings checked in ONE job. Any shared substring of
