@@ -299,7 +299,14 @@ def _minhash_pairs_sql() -> str:
     WITH t AS (SELECT doc_id, {SQL_WORDS} AS toks FROM documents),
     w AS (SELECT doc_id, {SQL_WORD_HASHES} AS wh FROM t),
     h AS (SELECT doc_id, {SQL_SHINGLE_HASHES} AS sh FROM w),
-    sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h),
+    -- no-shingle docs excluded EXACTLY like minhash_bands' sentinel
+    -- filter (operators/dedup.py): their all-sentinel signature would
+    -- collide in every band — a fabricated quadratic clique of
+    -- unrelated short or non-Latin-script documents. Found by the
+    -- unicode-corpus sweep (round 7): the driver fixture never
+    -- exercises a zero-token doc, so the missing filter was latent.
+    sig AS (SELECT doc_id, [{mins}] AS sig_list FROM h
+            WHERE len(sh) > 0),
     bands AS (
       {band_selects}
     )
