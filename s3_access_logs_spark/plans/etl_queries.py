@@ -23,13 +23,33 @@ from s3_access_logs_spark.operators.parse import parse_logs
 from s3_access_logs_spark.plans.catalog import query
 from s3_access_logs_spark.sources.tables import load_table
 
+#: The oracle twin of _synthetic_log_lines' well-formed filter — every
+#: oracle that recomputes expectations FROM events must apply it.
+SQL_EVENTS_WELL_FORMED = (
+    "event_id IS NOT NULL AND ts IS NOT NULL "
+    "AND user_id IS NOT NULL AND event_type IS NOT NULL"
+)
+
 
 def _synthetic_log_lines(
     spark: SparkSession, sf_dir: str, where: str | None = None
 ) -> DataFrame:
     """events -> one synthetic S3 access-log line per event (all 24 fields,
-    quoted/bracketed groups, '-' sentinels on a deterministic subset)."""
-    ev = load_table(spark, sf_dir, "events")
+    quoted/bracketed groups, '-' sentinels on a deterministic subset).
+
+    Synthesis is defined for WELL-FORMED events only (non-NULL id/ts/
+    user/type — the dirty-events sweep, round 7): a NULL field would
+    make ``concat_ws`` silently drop tokens, producing a short line
+    whose parse shifts every downstream column while the oracles
+    NULL-propagate from the source columns — two different undefined
+    behaviors. The PARSER's malformed-line handling has its own
+    contract and tests (``test_parse``); the synthesis harness does not
+    double as its fixture. Every consumer oracle applies the identical
+    ``WHERE`` (the shared ``SQL_EVENTS_WELL_FORMED`` fragment)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        "event_id IS NOT NULL AND ts IS NOT NULL AND "
+        "user_id IS NOT NULL AND event_type IS NOT NULL"
+    )
     if where:
         ev = ev.filter(where)
     uid, eid = F.col("user_id"), F.col("event_id")
@@ -80,7 +100,7 @@ def _synthetic_log_lines(
 
 @query(
     "log_line_parse",
-    oracle="""
+    oracle=f"""
     SELECT 'REQ' || event_id AS requestid,
            'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
@@ -104,6 +124,7 @@ def _synthetic_log_lines(
            event_id % 3 = 1 AS is_assumed_role,
            event_id % 3 = 0 AS is_user
     FROM events
+    WHERE {SQL_EVENTS_WELL_FORMED}
     """,
     tags=("etl", "parse"),
     bench=True,
@@ -138,7 +159,7 @@ def log_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "logs_hourly_agg",
-    oracle="""
+    oracle=f"""
     SELECT 'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
            hour(ts) AS hour,
@@ -147,6 +168,7 @@ def log_line_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE event_id % 10000 END)::BIGINT AS total_bytes,
            ROUND(AVG(event_id % 500), 4) AS avg_totaltime
     FROM events
+    WHERE {SQL_EVENTS_WELL_FORMED}
     GROUP BY 1, 2, 3
     """,
     tags=("etl", "agg"),
@@ -274,7 +296,7 @@ def binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_export_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT 'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
            hour(ts) AS hour,
@@ -282,7 +304,7 @@ def binary_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN event_id % 5 = 0 THEN 0
                     ELSE event_id % 10000 END)::BIGINT AS total_bytes
     FROM events
-    WHERE month(ts) = 1 AND day(ts) <= 2
+    WHERE month(ts) = 1 AND day(ts) <= 2 AND {SQL_EVENTS_WELL_FORMED}
     GROUP BY 1, 2, 3
     """,
     tags=("streaming", "etl"),
@@ -331,6 +353,7 @@ def _cidr_traffic_oracle() -> str:
              (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
               + (event_id * 7) % 256) AS ipint
       FROM events
+      WHERE {SQL_EVENTS_WELL_FORMED}
     ),
     g AS (
       SELECT bucket_name, operation,

@@ -569,11 +569,19 @@ def events_5min_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_json_extract",
     oracle="""
+    WITH ev AS (
+      -- malformed/NULL props degrade to NULL exactly like Spark's
+      -- get_json_object; DuckDB's json_extract_string ERRORS on
+      -- malformed input un-guarded (dirty-events sweep, round 7)
+      SELECT event_type,
+             CASE WHEN json_valid(props) THEN props END AS props
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
            SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
            ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
-    FROM events
+    FROM ev
     GROUP BY event_type
     """,
     tags=("json", "agg"),
@@ -635,7 +643,11 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
+      -- NULL user/ts are out of contract (dirty-events sweep, round 7):
+      -- a session needs an owner and a clock, and NULL ordering inside
+      -- the window is engine-specific (Spark NULLS FIRST, DuckDB LAST)
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT *, (SUM(new_session) OVER (
@@ -658,7 +670,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + cumulative
     flag sum — the batch twin of streaming session_window. One shuffle on
     user_id serves both window passes and the final group-by."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        "user_id IS NOT NULL AND ts IS NOT NULL"
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
@@ -792,10 +806,16 @@ def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "props_map_explode",
     oracle="""
-    WITH kv AS (
+    WITH ev AS (
+      -- malformed/NULL props -> NULL map -> zero exploded rows, the
+      -- from_json contract (dirty-events sweep, round 7)
+      SELECT CASE WHEN json_valid(props) THEN props END AS props
+      FROM events
+    ),
+    kv AS (
       SELECT unnest(json_keys(props)) AS prop_key,
              props
-      FROM events
+      FROM ev
     )
     SELECT prop_key,
            COUNT(*) AS n,
@@ -990,11 +1010,18 @@ def user_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "running_distinct_users",
     oracle="""
-    WITH fd AS (
-      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
-      FROM events GROUP BY user_id
+    WITH ev AS (
+      -- NULL user/ts out of contract (dirty-events sweep, round 7): a
+      -- NULL day's position in the running-sum ORDER BY is
+      -- engine-specific (Spark NULLS FIRST, DuckDB NULLS LAST)
+      SELECT * FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
-    days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+    fd AS (
+      SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+      FROM ev GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM ev),
     newu AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
     SELECT days.day,
            COALESCE(new_users, 0) AS new_users,
@@ -1013,7 +1040,9 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw rows is a few-hundred-row no-op here."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        "user_id IS NOT NULL AND ts IS NOT NULL"
+    )
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
     first_day = ev.groupBy("user_id").agg(F.min(day).alias("day"))
     days = ev.select(day).distinct()

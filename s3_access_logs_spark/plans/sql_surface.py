@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from s3_access_logs_spark.operators.parse import parse_logs
 from s3_access_logs_spark.plans.catalog import query
-from s3_access_logs_spark.plans.etl_queries import _synthetic_log_lines
+from s3_access_logs_spark.plans.etl_queries import (
+    SQL_EVENTS_WELL_FORMED,
+    _synthetic_log_lines,
+)
 from s3_access_logs_spark.sources.tables import TABLE_NAMES, register_views
 
 #: Everything :func:`sql_catalog` registers: the driver tables plus the
@@ -112,7 +115,7 @@ LOGS_REPORT_SQL = """
 
 @query(
     "sql_logs_report",
-    oracle="""
+    oracle=f"""
     SELECT 'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
            COUNT(*) AS n_requests,
@@ -122,7 +125,7 @@ LOGS_REPORT_SQL = """
            COUNT(DISTINCT '10.' || (user_id % 256) || '.' || (event_id % 256)
                  || '.' || ((event_id * 7) % 256)) AS n_ips
     FROM events
-    WHERE event_id % 3 = 0
+    WHERE event_id % 3 = 0 AND {SQL_EVENTS_WELL_FORMED}
     GROUP BY 1, 2
     """,
     tags=("sql-surface", "etl", "agg"),
