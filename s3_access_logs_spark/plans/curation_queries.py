@@ -547,9 +547,13 @@ _Q["perplexity_scores"] = _dc.replace(
     "kmv_distinct_estimate",
     oracle="""
     WITH h AS (
+      -- NULLs are not a value (kmv_build's documented exclusion); the
+      -- dirty-star sweep (round 7) caught the oracle hashing NULL into
+      -- a NULL unit-hash that the exact-count branch then counted
       SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
              / 1152921504606846976.0 AS u
       FROM lineitem
+      WHERE l_partkey IS NOT NULL
     ),
     b AS (SELECT u FROM h ORDER BY u LIMIT 256),
     est AS (
@@ -574,8 +578,19 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     k = 256
+    # the halves must PARTITION the table or merge-equals-whole breaks:
+    # a NULL l_orderkey fails BOTH parity predicates (NULL % 2 is NULL),
+    # silently dropping its partkey from the merged sketch only
+    # (dirty-star sweep, round 7) — the null-safe first half closes it
     merged = kmv_merge(
-        kmv_build(li.filter(F.col("l_orderkey") % 2 == 0), "l_partkey", k),
+        kmv_build(
+            li.filter(
+                (F.col("l_orderkey") % 2 == 0)
+                | F.col("l_orderkey").isNull()
+            ),
+            "l_partkey",
+            k,
+        ),
         kmv_build(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", k),
     )
     whole = kmv_build(li, "l_partkey", k)
