@@ -1085,11 +1085,17 @@ def winnow_fingerprints(
     # PLUS an array_position rescan per window — the dominant cost of
     # the whole fingerprint projection (measured at 100×: ~40 s of a
     # ~58 s projection was this loop; the hash choice moves it < 10 s).
-    # Position packing caps documents at 2^24 grams (~16.7M chars);
-    # past it the position bits carry into the hash bits — both engines
-    # compute the identical arithmetic so parity holds, but the
-    # tie-break degrades (multimodal payloads belong in binary columns,
-    # not 16 MB text rows).
+    # Position packing caps documents at 2^24 grams (~16.7M chars).
+    # Past it the position bits would carry into the hash bits, and the
+    # two engines DIVERGE rather than degrade together: Spark's long
+    # arithmetic wraps silently (negative packed keys whose low-24-bit
+    # decode is garbage) while DuckDB raises Out of Range on BIGINT
+    # overflow. The cap is therefore an explicit contract — documents
+    # with more than 2^24 grams are filtered out of fingerprinting below
+    # (mirrored in `_duplicate_spans_sql`), never fingerprinted wrongly
+    # (multimodal payloads belong in binary columns, not 16 MB text
+    # rows; a corpus that genuinely needs them fingerprinted should
+    # chunk first — `chunk_documents` — which also bounds skew).
     hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.shiftleft(
@@ -1113,7 +1119,7 @@ def winnow_fingerprints(
         )
     )
     return (
-        df.filter(F.length(t) >= k)
+        df.filter((F.length(t) >= k) & (n_grams <= F.lit(1 << 24)))
         .select(
             F.col(id_col).alias("id"),
             t.alias("_t"),

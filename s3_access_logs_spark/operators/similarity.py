@@ -2047,6 +2047,41 @@ def _residual_col(vec_col: str, cent_col: str, dims: int) -> Column:
     return F.when(well_formed_vector(vec_col, dims), diff)
 
 
+#: Store-root sidecar carrying the IVF-PQ encode contract. A probe (or
+#: append) whose residual/dims/m flags disagree with the build would
+#: silently return garbage distances — the sidecar turns that footgun
+#: into a loud ValueError at call time.
+IVFPQ_META_SIDECAR = "_ivfpq_meta.json"
+
+
+def _ivfpq_meta(dims: int, m: int, residual: bool) -> dict:
+    return {"dims": int(dims), "m": int(m), "residual": bool(residual)}
+
+
+def _check_ivfpq_meta(
+    spark, index_path: str, dims: int, m: int, residual: bool, op: str
+) -> dict | None:
+    """Validate caller flags against the index's persisted encode
+    contract; raise on mismatch. Returns the sidecar dict, or ``None``
+    for a legacy index that predates the sidecar scheme (nothing to
+    validate against — the caller's flags are trusted, as before)."""
+    from s3_access_logs_spark.sources.fsutil import read_json_sidecar
+
+    meta = read_json_sidecar(spark, index_path, IVFPQ_META_SIDECAR)
+    if meta is None:
+        return None
+    expected = _ivfpq_meta(dims, m, residual)
+    if meta != expected:
+        raise ValueError(
+            f"{op}: flags {expected} do not match the index's persisted "
+            f"encode contract {meta} at {index_path!r} — a mismatched "
+            "residual/dims/m would score stored codes with the wrong "
+            "LUT and return garbage distances; pass the build-time "
+            "flags or rebuild the index"
+        )
+    return meta
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     dst: str,
@@ -2078,8 +2113,10 @@ def build_ivfpq_index(
     lifting clustered ADC recall to the IVF ceiling. A probe must then
     build its LUT from the query's residual per probed cell
     (``probe_ivfpq_index(residual=True)``); a mismatched flag between
-    build and probe returns garbage distances, so persist the flag with
-    the artifacts. The per-cell centroid join is a broadcast of the
+    build and probe returns garbage distances, so the encode contract
+    (residual/dims/m) is PERSISTED with the index as a store-root
+    sidecar (``IVFPQ_META_SIDECAR``) and validated by every probe and
+    append — a mismatch fails loudly instead of returning garbage. The per-cell centroid join is a broadcast of the
     nlist-row quantizer — the corpus still never shuffles. Residual
     components are bounded by 2x``VEC_ABS_MAX``; rows whose residual
     exceeds the well-formed bound NULL-code (skipped by search), the
@@ -2131,6 +2168,14 @@ def build_ivfpq_index(
         .partitionBy("cluster")
         .parquet(dst)
     )
+    # stamp the encode contract AFTER the data write (overwrite mode
+    # clears dst first); probes/appends validate against it
+    from s3_access_logs_spark.sources.fsutil import write_json_sidecar
+
+    write_json_sidecar(
+        corpus.sparkSession, dst, IVFPQ_META_SIDECAR,
+        _ivfpq_meta(dims, m, residual),
+    )
     return cents, cb
 
 
@@ -2167,6 +2212,17 @@ def append_to_ivfpq_index(
             f"append_to_ivfpq_index: no committed index at {index_path!r}"
             " — run build_ivfpq_index first (appending into a void would "
             "create an index that silently lacks the rest of the corpus)"
+        )
+    if _check_ivfpq_meta(
+        spark, index_path, dims, m, residual, "append_to_ivfpq_index"
+    ) is None:
+        # legacy index (pre-sidecar): adopt the caller's flags as the
+        # persisted contract so every LATER call is validated
+        from s3_access_logs_spark.sources.fsutil import write_json_sidecar
+
+        write_json_sidecar(
+            spark, index_path, IVFPQ_META_SIDECAR,
+            _ivfpq_meta(dims, m, residual),
         )
     if new_vectors.isEmpty():
         return {"appended": 0, "skipped_existing": 0}
@@ -2276,7 +2332,8 @@ def probe_ivfpq_index(
     already exist (the probe fan-out), and the centroid join is a
     broadcast of the nlist-row quantizer. The flag MUST match the
     build-side flag — raw codes scored by a residual LUT (or vice
-    versa) are garbage distances.
+    versa) are garbage distances — and is validated against the index's
+    persisted sidecar contract (ValueError on mismatch).
 
     ``refine_corpus`` enables the standard two-stage refine (VERDICT r4
     item 6): ADC distances are approximate (the corpus side is its
@@ -2288,6 +2345,9 @@ def probe_ivfpq_index(
     L2. Output becomes (query_id, neighbor_id, rank, dist) with the
     EXACT distance; cost adds one pruned read of
     |queries| x k x refine_factor vectors, nothing corpus-scale."""
+    _check_ivfpq_meta(
+        spark, index_path, dims, m, residual, "probe_ivfpq_index"
+    )
     # malformed query vectors excluded, same contract as pq_topk
     queries = queries.filter(well_formed_vector(vec_col, dims))
     q = queries.select(

@@ -580,18 +580,17 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 256
     # the halves must PARTITION the table or merge-equals-whole breaks:
     # a NULL l_orderkey fails BOTH parity predicates (NULL % 2 is NULL),
-    # silently dropping its partkey from the merged sketch only
-    # (dirty-star sweep, round 7) — the null-safe first half closes it
+    # and Spark's `%` keeps the dividend's sign so a NEGATIVE key
+    # (-3 % 2 = -1) matches neither `== 0` nor `== 1` (dirty-star sweep
+    # round 7 caught the NULL route; round 8 closes the sign route).
+    # The second half is therefore the exact COMPLEMENT of the first —
+    # `~first` is never NULL because the isNull disjunct absorbs the
+    # only NULL-producing input — so the two predicates partition the
+    # table for ANY key value by construction.
+    first_half = (F.col("l_orderkey") % 2 == 0) | F.col("l_orderkey").isNull()
     merged = kmv_merge(
-        kmv_build(
-            li.filter(
-                (F.col("l_orderkey") % 2 == 0)
-                | F.col("l_orderkey").isNull()
-            ),
-            "l_partkey",
-            k,
-        ),
-        kmv_build(li.filter(F.col("l_orderkey") % 2 == 1), "l_partkey", k),
+        kmv_build(li.filter(first_half), "l_partkey", k),
+        kmv_build(li.filter(~first_half), "l_partkey", k),
     )
     whole = kmv_build(li, "l_partkey", k)
 
@@ -796,8 +795,12 @@ def _duplicate_spans_sql(k: int = 8, window: int = 43) -> str:
                        || ' <copied' AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
+    -- the 2^24-gram cap mirrors winnow_fingerprints' explicit contract
+    -- (position packing would overflow BIGINT past it)
     g AS (SELECT doc_id, text, length(text) - {k - 1} AS m
-          FROM inp WHERE length(text) >= {k}),
+          FROM inp
+          WHERE length(text) >= {k}
+            AND length(text) - {k - 1} <= 16777216),
     -- packed (hash, position) selection keys, the exact Spark-side
     -- construction (winnow_fingerprints round 7): (md5 mod 2^39) * 2^24
     -- + 0-based position, so list_min alone returns the leftmost

@@ -46,10 +46,7 @@ def _synthetic_log_lines(
     contract and tests (``test_parse``); the synthesis harness does not
     double as its fixture. Every consumer oracle applies the identical
     ``WHERE`` (the shared ``SQL_EVENTS_WELL_FORMED`` fragment)."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        "event_id IS NOT NULL AND ts IS NOT NULL AND "
-        "user_id IS NOT NULL AND event_type IS NOT NULL"
-    )
+    ev = load_table(spark, sf_dir, "events").filter(SQL_EVENTS_WELL_FORMED)
     if where:
         ev = ev.filter(where)
     uid, eid = F.col("user_id"), F.col("event_id")

@@ -104,6 +104,52 @@ def list_partition_markers(
     return out
 
 
+def write_json_sidecar(
+    spark: SparkSession, dir_path: str, name: str, obj: dict
+) -> None:
+    """Write a small ``_``-prefixed JSON sidecar at a store root —
+    invisible to every parquet reader (same family as the ownership
+    markers), durable across partition appends, resolved through the
+    same FileSystem abstraction as the data so it works on any
+    Hadoop-supported scheme. Overwrites an existing sidecar of the same
+    name. Used for index metadata (e.g. the IVF-PQ residual/dims/m
+    contract) that MUST travel with the artifact rather than rely on
+    every caller re-passing the build-time flags correctly."""
+    import json
+
+    fs, _ = hadoop_fs(spark, dir_path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path.rstrip('/')}/{name}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(
+    spark: SparkSession, dir_path: str, name: str
+) -> dict | None:
+    """Parse a sidecar written by :func:`write_json_sidecar`; ``None``
+    if absent (e.g. an index built before the sidecar scheme existed)."""
+    import json
+
+    fs, _ = hadoop_fs(spark, dir_path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path.rstrip('/')}/{name}")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Hadoop; a py4j bytearray argument would
+        # be copied INTO the JVM (readFully's mutation would be lost),
+        # so read through a JVM-side helper that RETURNS the bytes
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return json.loads(bytes(data).decode("utf-8"))
+
+
 def has_data_files(spark: SparkSession, path_str: str) -> bool:
     """True iff the directory holds at least one COMMITTED data file
     (recursively; underscore/dot-prefixed names — _SUCCESS, _temporary,

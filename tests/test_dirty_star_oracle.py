@@ -15,6 +15,10 @@ entry's parity split dropped NULL-``l_orderkey`` rows from BOTH halves
 (NULL % 2 is NULL), so the merged sketch silently missed their
 partkeys while the whole-table sketch kept them — merge-equals-whole,
 the property the entry exists to prove, broke exactly on dirty data.
+Round 8 salts a NEGATIVE ``l_orderkey`` too: Spark's ``%`` keeps the
+dividend's sign, so an ``== 0`` / ``== 1`` parity split drops negative
+keys from both halves — the same break by another route, closed by
+making the second half the exact complement of the first.
 """
 
 from __future__ import annotations
@@ -94,6 +98,15 @@ def dirty_star_sf(spark, tmp_path_factory):
              l_quantity=None, l_extendedprice=300.0, l_discount=None,
              l_tax=None, l_returnflag="A", l_linestatus=None,
              l_shipdate=TS(2024, 3, 5)),
+        # NEGATIVE key (round 8): Spark's % keeps the dividend's sign
+        # (-3 % 2 = -1), so a parity split written as `== 0` / `== 1`
+        # drops this row from BOTH halves — the sign-route twin of the
+        # NULL break above; kmv_distinct_estimate's complement split
+        # must keep its (unique) partkey in the merged sketch
+        dict(l_orderkey=-3, l_partkey=999999, l_suppkey=3, l_linenumber=5,
+             l_quantity=1.0, l_extendedprice=50.0, l_discount=0.01,
+             l_tax=0.01, l_returnflag="N", l_linestatus="O",
+             l_shipdate=TS(2024, 4, 5)),
     ])
     append("orders", [
         dict(o_orderkey=None, o_custkey=5, o_orderstatus="O",

@@ -1903,6 +1903,22 @@ class TestWinnowing:
         assert {r.id for r in rows} == {4}  # only the k-length doc emits
         assert rows[0].gram == "exactly8" and rows[0].pos == 0
 
+    def test_gram_count_cap_is_an_explicit_filter(self, spark):
+        """Position packing caps documents at 2^24 grams; past it the
+        packed-key arithmetic overflows BIGINT — Spark would wrap
+        silently while DuckDB raises, so the cap is an explicit
+        contract: over-cap documents are filtered OUT of
+        fingerprinting, never fingerprinted wrongly (ADVICE r7). The
+        filter sits before the hash projection, so the oversized text
+        is never hashed."""
+        from s3_access_logs_spark.operators.dedup import winnow_fingerprints
+
+        k = self.K
+        over = "a" * ((1 << 24) + k)  # (1<<24) + 1 grams: past the cap
+        df = self._mk(spark, [(1, "exactly8"), (2, over)])
+        fps = winnow_fingerprints(df, k=k, window=self.W)
+        assert {r.id for r in fps.collect()} == {1}
+
     def test_periodic_text_and_packed_selection_contract(self, spark):
         """Round-7 packed selection keys: the degenerate inputs the
         packing's tie-break touches. Periodic text makes EVERY window's
@@ -2366,6 +2382,86 @@ class TestIvfPq:
         }
         approx = {(r.query_id, r.neighbor_id) for r in rows}
         assert len(exact & approx) / len(exact) >= 0.15
+
+    def test_meta_sidecar_rejects_mismatched_flags(self, spark, tmp_path):
+        """The index's encode contract (residual/dims/m) is persisted as
+        a store-root sidecar at build time; a probe or append whose
+        flags disagree must fail loudly instead of returning garbage
+        distances (ADVICE r7)."""
+        from s3_access_logs_spark.operators.similarity import (
+            IVFPQ_META_SIDECAR,
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+            probe_ivfpq_index,
+        )
+        from s3_access_logs_spark.sources.fsutil import read_json_sidecar
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 2)
+        dst = str(tmp_path / "ivfpq_res")
+        cents, cb = build_ivfpq_index(emb, dst, residual=True)
+        assert read_json_sidecar(spark, dst, IVFPQ_META_SIDECAR) == {
+            "dims": 64, "m": 8, "residual": True,
+        }
+        # matching flags: works
+        ok = probe_ivfpq_index(
+            spark, dst, queries, cents, cb, k=3, nprobe=2, residual=True
+        )
+        assert ok.count() > 0
+        # mismatched residual flag: loud failure, not garbage
+        with pytest.raises(ValueError, match="encode contract"):
+            probe_ivfpq_index(
+                spark, dst, queries, cents, cb, k=3, nprobe=2,
+                residual=False,
+            )
+        with pytest.raises(ValueError, match="encode contract"):
+            append_to_ivfpq_index(
+                spark, queries, dst, cents, cb, residual=False
+            )
+        # mismatched dims/m: also rejected
+        with pytest.raises(ValueError, match="encode contract"):
+            probe_ivfpq_index(
+                spark, dst, queries, cents, cb, k=3, nprobe=2,
+                dims=32, m=4, residual=True,
+            )
+
+    def test_meta_sidecar_adopted_on_legacy_append(self, spark, tmp_path):
+        """An index that predates the sidecar scheme is validated
+        against nothing on the first append (caller's flags trusted, as
+        before) — but that append STAMPS the contract so later calls
+        are validated."""
+        from s3_access_logs_spark.operators.similarity import (
+            IVFPQ_META_SIDECAR,
+            append_to_ivfpq_index,
+            build_ivfpq_index,
+        )
+        from s3_access_logs_spark.sources.fsutil import (
+            hadoop_fs,
+            read_json_sidecar,
+        )
+        from s3_access_logs_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        dst = str(tmp_path / "ivfpq_legacy")
+        cents, cb = build_ivfpq_index(
+            emb.filter(F.col("vec_id") >= 10), dst
+        )
+        # simulate a pre-sidecar index
+        fs, _ = hadoop_fs(spark, dst)
+        fs.delete(
+            spark._jvm.org.apache.hadoop.fs.Path(
+                f"{dst}/{IVFPQ_META_SIDECAR}"
+            ),
+            False,
+        )
+        assert read_json_sidecar(spark, dst, IVFPQ_META_SIDECAR) is None
+        append_to_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") < 10), dst, cents, cb
+        )
+        assert read_json_sidecar(spark, dst, IVFPQ_META_SIDECAR) == {
+            "dims": 64, "m": 8, "residual": False,
+        }
 
 
 class TestReviewFixes:
