@@ -173,6 +173,17 @@ def _recall_clustered(spark, k: int = 10) -> dict[str, float]:
         emb.unpersist()
     out["floor"] = 0.8
     out["ivf_clears_floor"] = out["embedding_ivf_topk"] >= out["floor"]
+    # PQ family floors (VERDICT r7 item 1): the residual construction is
+    # the production config (refine-when-residual codebook default,
+    # measured ADC 0.2875 / refine 0.70 on this deterministic corpus) —
+    # asserted so a PQ quality regression FAILS instead of printing a
+    # smaller number; also pinned in tests/test_recall_clustered.py.
+    out["pq_floor_adc_residual"] = 0.25
+    out["pq_floor_refine_residual"] = 0.5
+    out["pq_clears_floor"] = (
+        out["ivfpq_adc_residual"] >= out["pq_floor_adc_residual"]
+        and out["ivfpq_refine_residual"] >= out["pq_floor_refine_residual"]
+    )
     return out
 
 
