@@ -189,47 +189,93 @@ def _recall_clustered(spark, k: int = 10) -> dict[str, float]:
 
 def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
     """Streaming throughput row (VERDICT r6 item 6): drive the full
-    ingest pipeline — quality + PII gates, exact-digest AND MinHash
-    near-dup stores — over the sf documents corpus split into
-    ``batches`` JSONL files at one file per micro-batch, and report
-    docs/s over the whole drain. A regression in any ingest gate is now
-    as loud as a wall-time one; pytest only ever timed 3-row batches."""
+    ingest pipeline — quality + PII gates, exact-digest, MinHash
+    near-dup AND semantic-IVF stores — over the sf documents corpus
+    split into JSONL files at one file per micro-batch, and report
+    docs/s over the whole drain.
+
+    TWO regimes (VERDICT r7 item 4): the many-small-batches point
+    (``batches`` micro-batches) is micro-batch-overhead bound (~3.5
+    s/batch floor at sf0.1 — the headline docs/s there mostly measures
+    trigger latency), while the production-batch point (same corpus, 2
+    micro-batches) is compute bound and shows the real per-doc gate
+    cost. Reporting both keeps a gate-cost regression visible against
+    the right floor instead of hiding inside trigger overhead."""
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
+    from s3_access_logs_spark.plans.vector_queries import _cached_centroids
     from s3_access_logs_spark.sources.tables import load_table
     from s3_access_logs_spark.streaming import ingest_documents_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_docs = docs.count()
-    td = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        src = f"{td}/in"
-        # setup, not timed: the corpus as `batches` JSONL files so
-        # maxFilesPerTrigger=1 yields exactly that many micro-batches
-        docs.repartition(batches).write.json(src)
-        t0 = time.perf_counter()
-        ingest_documents_stream(
-            spark,
-            src,
-            f"{td}/store",
-            f"{td}/ckpt",
-            min_quality=0.2,
-            scrub_pii=True,
-            band_store=f"{td}/bands",
-            max_files_per_trigger=1,
-        ).awaitTermination()
-        elapsed = time.perf_counter() - t0
-        kept = spark.read.parquet(f"{td}/store").count()
-    finally:
-        shutil.rmtree(td, ignore_errors=True)
+    # semantic gate inputs: the embeddings table keyed to doc ids (docs
+    # without a vector pass un-probed — the gate's documented rule)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cents = _cached_centroids(spark, sf_dir)
+
+    def drain(n_batches: int, semantic: bool) -> tuple[float, int]:
+        td = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            src = f"{td}/in"
+            # setup, not timed: the corpus as n JSONL files so
+            # maxFilesPerTrigger=1 yields exactly n micro-batches
+            docs.repartition(n_batches).write.json(src)
+            kw = (
+                dict(
+                    semantic_index=f"{td}/ivf",
+                    semantic_centroids=cents,
+                    semantic_embeddings=emb,
+                    semantic_threshold=0.99,
+                )
+                if semantic
+                else {}
+            )
+            t0 = time.perf_counter()
+            ingest_documents_stream(
+                spark,
+                src,
+                f"{td}/store",
+                f"{td}/ckpt",
+                min_quality=0.2,
+                scrub_pii=True,
+                band_store=f"{td}/bands",
+                max_files_per_trigger=1,
+                **kw,
+            ).awaitTermination()
+            elapsed = time.perf_counter() - t0
+            kept = spark.read.parquet(f"{td}/store").count()
+            return elapsed, kept
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+    # headline regime: same 4-gate stack as every prior round, so the
+    # round-over-round docs/s comparison stays apples-to-apples
+    sec, kept = drain(batches, semantic=False)
+    # production regime: compute-bound batch size AND the full 5-gate
+    # stack (semantic-IVF included) — where a per-doc gate-cost
+    # regression actually shows against the right floor
+    prod_sec, prod_kept = drain(2, semantic=True)
     return {
-        "docs_per_sec": round(n_docs / elapsed, 1),
+        "docs_per_sec": round(n_docs / sec, 1),
         "docs": n_docs,
         "kept": kept,
         "batches": batches,
-        "sec": round(elapsed, 4),
+        "sec": round(sec, 4),
         "gates": ["quality", "pii_scrub", "exact_digest", "minhash_bands"],
+        "docs_per_sec_production": round(n_docs / prod_sec, 1),
+        "production_batches": 2,
+        "production_sec": round(prod_sec, 4),
+        "production_kept": prod_kept,
+        "production_gates": [
+            "quality", "pii_scrub", "exact_digest", "minhash_bands",
+            "semantic_ivf",
+        ],
     }
 
 

@@ -254,6 +254,11 @@ def ingest_documents_stream(
     bloom_num_bits: int | None = None,
     bloom_num_hashes: int | None = None,
     max_files_per_trigger: int | None = None,
+    semantic_index: str | None = None,
+    semantic_centroids: DataFrame | None = None,
+    semantic_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_dims: int = 64,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -318,6 +323,39 @@ def ingest_documents_stream(
     once; with it the catch-up proceeds in bounded batches, each with
     its own ``batch_id`` partition and replay safety — identical final
     store state, bounded peak footprint (VERDICT r4 item 8).
+
+    ``semantic_index`` (round 8 — the batch/stream parity close for
+    ``curate_corpus``'s SemDeDup stage) gates SEMANTIC near-dups: a
+    paraphrased re-crawl — different digest, different shingles, same
+    meaning — is caught by neither the digest nor the band gate.
+    Survivors of both probe a persisted IVF index
+    (``operators.similarity.build_ivf_index`` layout) of already-
+    ingested documents' embeddings: each batch document looks up its
+    vector in ``semantic_embeddings`` (a static ``(doc_id, embedding)``
+    side table — embedding inference is an external model, the same
+    contract as ``curate_corpus(embeddings=...)``), assigns to its
+    nearest saved centroid (zero-exchange broadcast argmin), and scans
+    ONLY that cluster's posting-list partition; cosine similarity above
+    ``semantic_threshold`` to ANY indexed vector drops the document as
+    a semantic dup (``semantic_dedup``'s epsilon-ball predicate against
+    history instead of lower ids). Kept documents' vectors are appended
+    to the index AFTER the doc-store commit (``append_to_ivf_index``
+    with ``skip_existing`` — replayed appends are no-ops), the same
+    crash-ordering argument as the band store: a crash between the two
+    writes leaves documents unindexed (missed future semantic dups,
+    healed by the replay) rather than index entries for uncommitted
+    documents. The probe ignores index entries whose id is in the
+    CURRENT batch, so an at-least-once replay that already appended
+    reproduces the first attempt's decisions instead of self-colliding
+    (within-batch semantic dups both pass, the same scope rule as the
+    band gate; the caveat is that a doc_id re-ingested in a later batch
+    is never compared against its own earlier vector). Documents with
+    no (well-formed) embedding in the side table pass un-probed and are
+    not indexed — absence of signal is not rejection, the LM-gate rule.
+    A missing index bootstraps from the first batch's kept vectors, so
+    no separate build step is needed. ``semantic_centroids`` is the
+    saved quantizer and is REQUIRED with the index: retraining per
+    batch would orphan every existing posting list.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -343,6 +381,18 @@ def ingest_documents_stream(
             "passed together — one without the other disables the LM "
             "gate silently"
         )
+    _sem_parts = (semantic_index, semantic_centroids, semantic_embeddings)
+    if any(p is not None for p in _sem_parts) and not all(
+        p is not None for p in _sem_parts
+    ):
+        # same half-specified-gate rule: the index without the quantizer
+        # cannot be probed or appended to; the index without the side
+        # table has nothing to probe WITH
+        raise ValueError(
+            "ingest_documents_stream: semantic_index, semantic_centroids "
+            "and semantic_embeddings must be passed together — a partial "
+            "semantic gate would silently never apply"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -355,6 +405,13 @@ def ingest_documents_stream(
         # the LM several times (meta collect + each downstream action)
         lm_model = spark.createDataFrame(
             lm_model.collect(), lm_model.schema
+        )
+    if semantic_centroids is not None:
+        # same once-outside-the-loop materialization: the quantizer is
+        # nlist rows, but a lazy lineage (label_centroids/kmeans over a
+        # corpus) would re-train per micro-batch AND per consumer
+        semantic_centroids = spark.createDataFrame(
+            semantic_centroids.collect(), semantic_centroids.schema
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -557,6 +614,96 @@ def ingest_documents_stream(
             kept_bands = bands.join(
                 kept_ids.select(F.col("doc_id").alias("id")), "id"
             )
+        sem_kept_vecs = None
+        if semantic_index is not None:
+            from pyspark.sql.functions import broadcast
+
+            from s3_access_logs_spark.operators.similarity import (
+                _assign_clusters,
+                cosine_from_norms,
+                l2_norm,
+                well_formed_vector,
+            )
+            from s3_access_logs_spark.sources.fsutil import has_data_files
+
+            # survivors gains consumers (vector lookup + the final
+            # write, and the anti-join below re-reads it) — scoped
+            # persist; its lineage at this point is the digest shuffle
+            # plus every prior gate's joins
+            survivors = survivors.persist()
+            _gate_persisted.append(survivors)
+            batch_ids = survivors.select(
+                F.col("keep_id").alias("doc_id")
+            ).distinct()
+            # vector lookup: the side table is corpus-scale, the batch
+            # is small — broadcast the batch ids so the embeddings scan
+            # joins without shuffling; malformed vectors are treated as
+            # ABSENT (pass un-probed, never indexed), the same
+            # disposition as every other vector consumer
+            sem_vecs = (
+                semantic_embeddings.join(broadcast(batch_ids), "doc_id")
+                .filter(well_formed_vector("embedding", semantic_dims))
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"),
+                    l2_norm("embedding").alias("q_norm"),
+                )
+            )
+            if has_data_files(sess, semantic_index):
+                # nearest saved centroid per batch vector (broadcast
+                # argmin, zero exchange), then scan ONLY the touched
+                # posting-list partitions — plan-time literal isin, so
+                # partition pruning keeps the rest of the index out of
+                # the read entirely (the probe_ivf_index shape)
+                assigned = _assign_clusters(
+                    sem_vecs, semantic_centroids, "q_vec", 1
+                ).persist()
+                _gate_persisted.append(assigned)
+                touched = sorted(
+                    r["cluster"]
+                    for r in assigned.select("cluster").distinct().collect()
+                )
+                posting = (
+                    sess.read.parquet(semantic_index)
+                    .filter(F.col("cluster").isin(touched))
+                    # ignore entries from the CURRENT batch: a replayed
+                    # batch that already appended must reproduce its
+                    # first attempt's decisions, not self-collide
+                    # (within-batch semantic dups pass by scope rule)
+                    .join(
+                        broadcast(
+                            batch_ids.select(
+                                F.col("doc_id").alias("neighbor_id")
+                            )
+                        ),
+                        "neighbor_id",
+                        "left_anti",
+                    )
+                )
+                sem_hits = (
+                    posting.join(broadcast(assigned), "cluster")
+                    .filter(
+                        cosine_from_norms("q_vec", "c_vec", "q_norm", "c_norm")
+                        > F.lit(semantic_threshold)
+                    )
+                    .select(F.col("query_id").alias("keep_id"))
+                    .distinct()
+                )
+                survivors = survivors.join(sem_hits, "keep_id", "left_anti")
+            # vectors to index post-commit: only documents that actually
+            # land in the store (re-derived from the FINAL survivors so
+            # every later gate's drops are reflected)
+            sem_kept_vecs = sem_vecs.join(
+                broadcast(
+                    survivors.select(
+                        F.col("keep_id").alias("query_id")
+                    ).distinct()
+                ),
+                "query_id",
+            ).select(
+                F.col("query_id").alias("vec_id"),
+                F.col("q_vec").alias("embedding"),
+            )
         try:
             # Write order is the exactness argument: bloom partition
             # FIRST (a crash after it leaves the filter covering digests
@@ -586,6 +733,31 @@ def ingest_documents_stream(
             write_batch_partition(survivors, batch_id, store)
             if band_store is not None:
                 write_batch_partition(kept_bands, batch_id, band_store)
+            if sem_kept_vecs is not None:
+                # AFTER the doc commit (the band-store ordering rule): a
+                # crash here leaves committed docs unindexed — healed by
+                # the replay — never index entries for uncommitted docs.
+                # skip_existing makes the replayed append a no-op.
+                from s3_access_logs_spark.operators.similarity import (
+                    append_to_ivf_index,
+                    build_ivf_index,
+                )
+                from s3_access_logs_spark.sources.fsutil import (
+                    has_data_files,
+                )
+
+                if has_data_files(sess, semantic_index):
+                    append_to_ivf_index(
+                        sess, sem_kept_vecs, semantic_index,
+                        semantic_centroids,
+                    )
+                else:
+                    # first batch bootstraps the index with the SAVED
+                    # quantizer — no separate build step for callers
+                    build_ivf_index(
+                        sem_kept_vecs, semantic_index,
+                        centroids=semantic_centroids,
+                    )
         finally:
             if bloom_store is not None:
                 survivors.unpersist()

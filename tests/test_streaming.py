@@ -644,6 +644,154 @@ class TestIngestNearDup:
         assert band_ids == {1, 11}  # dropped near-dup leaves no bands
 
 
+class TestIngestSemanticGate:
+    """Round 8 (VERDICT r7 item 3): the streaming semantic near-dup
+    gate — batch/stream parity for curate_corpus's SemDeDup stage. A
+    paraphrased re-crawl (different digest, different shingles, same
+    meaning) passes the digest and band gates; only the embedding gate
+    catches it."""
+
+    DIMS = 64
+
+    @classmethod
+    def _vec(cls, axis, noise=0.0):
+        v = [0.0] * cls.DIMS
+        v[axis] = 1.0
+        if noise:
+            v[(axis + 1) % cls.DIMS] = noise
+        return v
+
+    @classmethod
+    def _cents(cls, spark):
+        return spark.createDataFrame(
+            [(0, cls._vec(0)), (1, cls._vec(1))],
+            "label int, centroid array<double>",
+        )
+
+    def test_semantic_dup_caught_across_batches(self, spark, tmp_path):
+        import json
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        idx = str(tmp_path / "ivf")
+        cents = self._cents(spark)
+        emb = spark.createDataFrame(
+            [
+                (1, self._vec(0, 0.01)),
+                (20, self._vec(0, 0.02)),  # cosine ~0.9996 to doc 1
+                (21, self._vec(1)),        # orthogonal: genuinely new
+                # doc 22 intentionally ABSENT: no embedding -> passes
+                # un-probed, never indexed
+            ],
+            "doc_id long, embedding array<double>",
+        )
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": "the original essay about "
+                        "climate change impacts on coastal cities"}) + "\n"
+        )
+        kw = dict(
+            semantic_index=idx,
+            semantic_centroids=cents,
+            semantic_embeddings=emb,
+            semantic_threshold=0.9,
+        )
+        ckpt = str(tmp_path / "ckpt")
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, **kw
+        ).awaitTermination(120)
+        assert {r.keep_id for r in spark.read.parquet(store).collect()} == {1}
+        stored = spark.read.parquet(idx)
+        assert {r.neighbor_id for r in stored.collect()} == {1}
+
+        # batch 2: 20 is a PARAPHRASE of 1 (no shared text, same
+        # meaning = near-identical embedding), 21 is new, 22 has no
+        # embedding at all
+        (src / "b2.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 20, "text": "a fully reworded piece on how "
+                     "rising seas threaten shoreline metropolises"},
+                    {"doc_id": 21, "text": "unrelated fresh content about "
+                     "cooking pasta with garlic and olive oil"},
+                    {"doc_id": 22, "text": "doc with no embedding row in "
+                     "the side table at all"},
+                ]
+            )
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), store, ckpt, **kw
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1, 21, 22}  # 20 caught ONLY by the semantic gate
+        idx_ids = {r.neighbor_id for r in spark.read.parquet(idx).collect()}
+        assert idx_ids == {1, 21}  # dropped dup and no-embedding doc absent
+
+    def test_replay_after_index_append_does_not_self_collide(
+        self, spark, tmp_path
+    ):
+        """Crash window: the first attempt of batch 0 committed its doc
+        partition AND appended to the IVF index, but the checkpoint
+        never committed. The replay probes an index that already holds
+        the batch's own vectors — without the current-batch id
+        exclusion every document would vanish (and dynamic partition
+        overwrite would then EMPTY the committed partition)."""
+        import json
+
+        from s3_access_logs_spark.operators.dedup import normalized_digest
+        from s3_access_logs_spark.operators.similarity import build_ivf_index
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        store = str(tmp_path / "store")
+        idx = str(tmp_path / "ivf")
+        cents = self._cents(spark)
+        text = "a one of a kind document that must survive the replay"
+        emb = spark.createDataFrame(
+            [(1, self._vec(0, 0.01))], "doc_id long, embedding array<double>"
+        )
+        (src / "b1.jsonl").write_text(
+            json.dumps({"doc_id": 1, "text": text}) + "\n"
+        )
+        # fabricate the crashed attempt: doc partition + index entry
+        doc_df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        doc_df.select(
+            normalized_digest(F.col("text")).alias("digest"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("text"),
+            F.lit(0).alias("batch_id"),
+        ).write.partitionBy("batch_id").parquet(store)
+        build_ivf_index(
+            emb.withColumnRenamed("doc_id", "vec_id"), idx, centroids=cents
+        )
+        # fresh checkpoint -> this run IS batch 0, the replay
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            semantic_index=idx, semantic_centroids=cents,
+            semantic_embeddings=emb, semantic_threshold=0.9,
+        ).awaitTermination(120)
+        kept = {r.keep_id for r in spark.read.parquet(store).collect()}
+        assert kept == {1}  # survived its own crashed attempt's vector
+        # skip_existing: the replayed append added nothing
+        assert spark.read.parquet(idx).count() == 1
+
+    def test_partial_semantic_gate_fails_loud(self, spark, tmp_path):
+        import pytest
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        with pytest.raises(ValueError, match="passed together"):
+            ingest_documents_stream(
+                spark, str(tmp_path / "in"), str(tmp_path / "s"),
+                str(tmp_path / "c"), semantic_index=str(tmp_path / "ivf"),
+            )
+
+
 class TestIngestStoreMaintenance:
     def test_compact_folds_history_and_near_dup_gate_still_fires(
         self, spark, tmp_path
