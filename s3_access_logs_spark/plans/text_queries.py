@@ -164,6 +164,63 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_exact_sql() -> str:
+    """Oracle for ``bpe_exact_tokens`` — the wrapped-symbol encode
+    replayed in DuckDB from the SAME merges table (functions/bpe.py
+    generates both sides, so a merges change moves both engines
+    together)."""
+    from s3_access_logs_spark.functions import bpe as B
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, text, {B.bpe_wrapped_sql("text")} AS w FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               ' ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))::BIGINT
+             AS n_pretokens,
+           (length(w) - length(replace(w, '{B.CLOSE}', '')))::BIGINT
+             AS n_bpe,
+           -- Spark's array_join([]) is '' while DuckDB's
+           -- array_to_string([]) is NULL: coalesce the non-NULL-text arm
+           (CASE WHEN w IS NULL THEN NULL ELSE coalesce(
+              array_to_string(
+                regexp_extract_all(w,
+                  '{B.OPEN}([^{B.CLOSE}]+){B.CLOSE}', 1)[1:20], '|'),
+              '') END) AS head20
+    FROM s
+    """
+
+
+@query(
+    "bpe_exact_tokens",
+    oracle=_bpe_exact_sql(),
+    tags=("text", "llm", "bpe", "tokenize"),
+)
+def bpe_exact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact merges-table BPE tokenization (functions/bpe.py, VERDICT r7
+    item 5): per document the pre-tokenizer count (the old budgeting
+    approximation, kept for comparison), the EXACT token count under the
+    built-in demo vocabulary, and the first 20 tokens joined by '|' —
+    the head pin makes the oracle check token IDENTITY, not just
+    arithmetic. The encode is a fold of builtin ``replace`` calls over a
+    wrapped-symbol string (rank-order merge application, exact by the
+    Sennrich ordering argument) — a pure projection, zero shuffle, no
+    UDF; the oracle replays the identical fold from the same merges
+    table."""
+    from s3_access_logs_spark.functions import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count("text").cast("long").alias("n_pretokens"),
+        B.bpe_token_count_exact("text").alias("n_bpe"),
+        F.array_join(
+            F.slice(B.bpe_tokens_exact("text"), 1, 20), "|"
+        ).alias("head20"),
+    )
+
+
 # Chunking constants: 16-token context windows advancing 12 tokens per step
 # (4-token overlap) — the fixed-window + overlap shape every packing/tokenize
 # stage needs. Tail chunks shorter than the window are kept.
@@ -748,19 +805,36 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("llm", "pipeline", "packing", "window"),
 )
-def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing_bins(
+    spark: SparkSession, sf_dir: str, tokenizer: str = "words"
+) -> DataFrame:
     """Greedy sequence packing: assign documents (ordered by id within
     source) to consecutive ~256-token context bins by cumulative token
     count, then report per-bin occupancy. The running sum is a
     source-partitioned window — each partition packs independently, so the
     operator scales horizontally with the number of sources/shards rather
-    than serializing the corpus."""
+    than serializing the corpus.
+
+    ``tokenizer`` picks the budget unit: ``"words"`` (the pinned oracle
+    default) or ``"bpe_exact"`` — exact merges-table BPE counts
+    (functions/bpe.py), so bins budget in REAL tokenizer terms instead
+    of word-count approximation (VERDICT r7 item 5); the bpe variant is
+    oracle-pinned in ``tests/test_operators.py::TestBpeExact``."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "source", T.token_count("text").alias("n_tokens")
-    )
+    if tokenizer == "bpe_exact":
+        from s3_access_logs_spark.functions import bpe as B
+
+        n_tokens = B.bpe_token_count_exact("text")
+    elif tokenizer == "words":
+        n_tokens = T.token_count("text")
+    else:
+        raise ValueError(
+            f"sequence_packing_bins: unknown tokenizer {tokenizer!r} "
+            "(expected 'words' or 'bpe_exact')"
+        )
+    t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
