@@ -184,3 +184,18 @@ _fold(
     ("running_revenue_window", "running_distinct_users", "rank_parts_window"),
     ("window", "fold"),
 )
+_fold(
+    # the whole SQL-text entry surface (round 8: 2 -> 6 entries) as one
+    # driver row; shared column names across members (revenue2 DOUBLE,
+    # n_items BIGINT) agree in type family per the fold contract
+    "suite_sql_surface",
+    (
+        "sql_tpch_q6",
+        "sql_logs_report",
+        "sql_window_top_orders",
+        "sql_rollup_linestatus",
+        "sql_semi_anti_segments",
+        "sql_corpus_report",
+    ),
+    ("sql-surface", "fold"),
+)

@@ -155,3 +155,40 @@ class TestSqlSurfaceEntries:
         rows = load_all()["sql_logs_report"].builder(spark, SF_SMOKE).collect()
         assert rows
         assert all(r["n_requests"] >= r["n_ips"] > 0 for r in rows)
+
+    def test_round8_entries_are_portable_strings(self, spark):
+        """The four round-8 entries keep the sql_tpch_q6 discipline: the
+        oracle IS the Spark SQL, byte for byte."""
+        from s3_access_logs_spark.plans import sql_surface as S
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        allq = load_all()
+        for name, const in [
+            ("sql_window_top_orders", S.SQL_WINDOW_TOP_ORDERS),
+            ("sql_rollup_linestatus", S.SQL_ROLLUP_LINESTATUS),
+            ("sql_semi_anti_segments", S.SQL_SEMI_ANTI_SEGMENTS),
+            ("sql_corpus_report", S.SQL_CORPUS_REPORT),
+        ]:
+            assert allq[name].oracle == const, name
+
+    def test_sql_semi_anti_compiles_to_semi_and_anti_joins(self, spark):
+        """EXISTS/NOT EXISTS through the SQL surface must land on the
+        same physical join shapes the DataFrame catalog pins."""
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        df = load_all()["sql_semi_anti_segments"].builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        df.collect()
+
+    def test_sql_window_single_exchange(self, spark):
+        """Rank and running total share one PARTITION BY/ORDER BY, so the
+        plan must carry ONE shuffle and one Window node evaluating both
+        functions — not a shuffle per function."""
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        df = load_all()["sql_window_top_orders"].builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        rows = df.collect()
+        assert rows and max(r["rnk"] for r in rows) <= 3
