@@ -1944,6 +1944,7 @@ def pq_residual_topk(
     vec_col: str = "embedding",
     dims: int = 64,
     m: int = 8,
+    codebook_refine_iters: int = 0,
 ) -> DataFrame:
     """Residual IVF-PQ ADC search without a materialized index — the
     in-memory twin of ``build_ivfpq_index(residual=True)`` +
@@ -1956,6 +1957,14 @@ def pq_residual_topk(
     ranking window, same as ``pq_topk``. ``codebook=None`` trains the
     residual codebook from the corpus (the production path persists it
     next to the index instead).
+
+    DEFAULT DIVERGENCE from the materialized path (round 8, documented
+    not accidental): ``build_ivfpq_index(residual=True)`` defaults to a
+    4-iter Lloyd-REFINED codebook (the measured production policy),
+    while this twin defaults to ``codebook_refine_iters=0`` because its
+    purpose is the value-exact DuckDB oracle, which replays the
+    init-only trainer. To mirror a default-built index exactly, pass
+    ``codebook_refine_iters=4`` (or the index's own returned codebook).
 
     Output (query_id, neighbor_id, rank, adist) by approximate L2
     ascending, identical to the probe path's contract."""
@@ -1972,7 +1981,7 @@ def pq_residual_topk(
         .drop("_cent")
     )
     cb = codebook if codebook is not None else train_pq_codebook(
-        resid, "r_vec", dims=dims, m=m
+        resid, "r_vec", dims=dims, m=m, refine_iters=codebook_refine_iters
     )
     encoded = pq_encode(
         resid, cb, vec_col="r_vec", dims=dims, m=m,
@@ -2058,18 +2067,44 @@ def _ivfpq_meta(dims: int, m: int, residual: bool) -> dict:
     return {"dims": int(dims), "m": int(m), "residual": bool(residual)}
 
 
+def stamp_ivfpq_meta(
+    spark, index_path: str, dims: int, m: int, residual: bool
+) -> None:
+    """EXPLICITLY stamp an index's encode contract — the recovery path
+    for an index missing its sidecar (built before the sidecar scheme,
+    or a build that crashed between the data write and the stamp). A
+    deliberate, named act by an operator who KNOWS the build-time
+    flags; probe/append never adopt caller flags implicitly, because a
+    wrong adoption would persistently self-certify garbage distances."""
+    from s3_access_logs_spark.sources.fsutil import write_json_sidecar
+
+    write_json_sidecar(
+        spark, index_path, IVFPQ_META_SIDECAR, _ivfpq_meta(dims, m, residual)
+    )
+
+
 def _check_ivfpq_meta(
     spark, index_path: str, dims: int, m: int, residual: bool, op: str
-) -> dict | None:
+) -> dict:
     """Validate caller flags against the index's persisted encode
-    contract; raise on mismatch. Returns the sidecar dict, or ``None``
-    for a legacy index that predates the sidecar scheme (nothing to
-    validate against — the caller's flags are trusted, as before)."""
+    contract; raise on mismatch AND on a missing sidecar. Missing must
+    be loud (review r8): silently trusting the caller's flags is
+    exactly the garbage-distance footgun the sidecar closes, and a
+    build that crashed between its data write and its stamp would
+    otherwise degrade to that forever. Recovery is one explicit
+    :func:`stamp_ivfpq_meta` call (or a rebuild)."""
     from s3_access_logs_spark.sources.fsutil import read_json_sidecar
 
     meta = read_json_sidecar(spark, index_path, IVFPQ_META_SIDECAR)
     if meta is None:
-        return None
+        raise ValueError(
+            f"{op}: no {IVFPQ_META_SIDECAR} sidecar at {index_path!r} — "
+            "the index predates the sidecar scheme or its build crashed "
+            "before the stamp. Probing with unvalidated flags risks "
+            "garbage distances; if the build-time residual/dims/m are "
+            "known, stamp them once with stamp_ivfpq_meta(), else "
+            "rebuild with build_ivfpq_index()"
+        )
     expected = _ivfpq_meta(dims, m, residual)
     if meta != expected:
         raise ValueError(
@@ -2229,17 +2264,9 @@ def append_to_ivfpq_index(
             " — run build_ivfpq_index first (appending into a void would "
             "create an index that silently lacks the rest of the corpus)"
         )
-    if _check_ivfpq_meta(
+    _check_ivfpq_meta(
         spark, index_path, dims, m, residual, "append_to_ivfpq_index"
-    ) is None:
-        # legacy index (pre-sidecar): adopt the caller's flags as the
-        # persisted contract so every LATER call is validated
-        from s3_access_logs_spark.sources.fsutil import write_json_sidecar
-
-        write_json_sidecar(
-            spark, index_path, IVFPQ_META_SIDECAR,
-            _ivfpq_meta(dims, m, residual),
-        )
+    )
     if new_vectors.isEmpty():
         return {"appended": 0, "skipped_existing": 0}
     c = new_vectors.select(

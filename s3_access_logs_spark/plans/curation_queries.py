@@ -646,13 +646,17 @@ def quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "_len", F.length("text")
     )
+    # exact-complement halves (the kmv_distinct_estimate rule, review
+    # r8): `== 0` / `== 1` parity would drop NULL doc_ids (NULL % 2 is
+    # NULL) and negative odd ids (-3 % 2 = -1 under Spark's
+    # sign-keeping %) from BOTH halves — merge-equals-whole would break
+    # on dirty data by the exact route the r7 sweep closed for kmv
+    first_half = (F.col("doc_id") % 2 == 0) | F.col("doc_id").isNull()
     ska = grouped_quantile_sketch_build(
-        docs.filter(F.col("doc_id") % 2 == 0), "_len", "doc_id", ["source"],
-        k=512,
+        docs.filter(first_half), "_len", "doc_id", ["source"], k=512
     )
     skb = grouped_quantile_sketch_build(
-        docs.filter(F.col("doc_id") % 2 == 1), "_len", "doc_id", ["source"],
-        k=512,
+        docs.filter(~first_half), "_len", "doc_id", ["source"], k=512
     )
     merged = grouped_quantile_sketch_merge(ska, skb)
     out = grouped_quantile_values(merged, [0.25, 0.5, 0.9])
@@ -687,9 +691,13 @@ def cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "doc_id", F.explode(words("text")).alias("token")
     )
+    # exact-complement halves (see quantile_profile / kmv_distinct_
+    # estimate): parity `== 0`/`== 1` drops NULL and negative-odd ids
+    # from both halves, silently undercounting the merged sketch
+    first_half = (F.col("doc_id") % 2 == 0) | F.col("doc_id").isNull()
     sk = cms_merge(
-        cms_build(tokens.filter(F.col("doc_id") % 2 == 0), "token"),
-        cms_build(tokens.filter(F.col("doc_id") % 2 == 1), "token"),
+        cms_build(tokens.filter(first_half), "token"),
+        cms_build(tokens.filter(~first_half), "token"),
     )
     probe = tokens.select("token").distinct()
     return cms_estimate(probe, "token", sk).select("token", "est_count")
@@ -727,14 +735,21 @@ def bloom_digest_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     digests = docs.select("doc_id", F.md5("text").alias("digest"))
+    # membership predicate `% 2 == 0` is SHARED with the oracle, so
+    # NULL/negative ids resolve identically on both engines; the
+    # quarter split below must still be an exact complement (review
+    # r8): `% 4 == 0` / `% 4 == 2` would drop a NEGATIVE even member
+    # (-2 % 4 = -2 under Spark's sign-keeping %) from both quarters —
+    # a false negative, the one thing a Bloom filter must never produce
     members = digests.filter(F.col("doc_id") % 2 == 0)
+    first_quarter = F.col("doc_id") % 4 == 0
     bl = bloom_merge(
         bloom_build(
-            members.filter(F.col("doc_id") % 4 == 0).select("digest"),
+            members.filter(first_quarter).select("digest"),
             "digest", num_bits=1 << 20,
         ),
         bloom_build(
-            members.filter(F.col("doc_id") % 4 == 2).select("digest"),
+            members.filter(~first_quarter).select("digest"),
             "digest", num_bits=1 << 20,
         ),
     )

@@ -47,21 +47,27 @@ SQL_VIEW_NAMES: tuple[str, ...] = TABLE_NAMES + ("logs",)
 
 
 def sql_catalog(
-    spark: SparkSession, sf_dir: str, include_logs: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    include_logs: bool = True,
+    tables: tuple[str, ...] | None = None,
 ) -> tuple[str, ...]:
     """Register the warehouse for arbitrary ``spark.sql`` — the
     Athena-replacement entry point. Returns the registered view names.
 
     ``include_logs=False`` skips synthesizing + parsing the log lines
     (the one non-trivial view) for callers that only need the star
-    schema."""
-    register_views(spark, sf_dir)
+    schema. ``tables`` restricts registration to a subset — a query
+    that touches one table shouldn't require the whole warehouse to
+    exist (the adversarial sweeps run single-table corpora)."""
+    names = TABLE_NAMES if tables is None else tuple(tables)
+    register_views(spark, sf_dir, names)
     if not include_logs:
-        return TABLE_NAMES
+        return names
     parse_logs(_synthetic_log_lines(spark, sf_dir)).createOrReplaceTempView(
         "logs"
     )
-    return SQL_VIEW_NAMES
+    return names + ("logs",)
 
 
 # One string, two engines. Portability constraints, and why each holds:
@@ -269,5 +275,5 @@ def sql_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHARACTERS in both engines (the unicode sweep pins that parity);
     AVG divides an exact integer sum by the count, so the double is
     identical cross-engine without ordered summation."""
-    sql_catalog(spark, sf_dir, include_logs=False)
+    sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
     return spark.sql(SQL_CORPUS_REPORT)

@@ -257,8 +257,8 @@ def ingest_documents_stream(
     semantic_index: str | None = None,
     semantic_centroids: DataFrame | None = None,
     semantic_embeddings: DataFrame | None = None,
-    semantic_threshold: float = 0.9,
-    semantic_dims: int = 64,
+    semantic_threshold: float | None = None,
+    semantic_dims: int | None = None,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -381,18 +381,26 @@ def ingest_documents_stream(
             "passed together — one without the other disables the LM "
             "gate silently"
         )
-    _sem_parts = (semantic_index, semantic_centroids, semantic_embeddings)
-    if any(p is not None for p in _sem_parts) and not all(
-        p is not None for p in _sem_parts
-    ):
+    _sem_core = (semantic_index, semantic_centroids, semantic_embeddings)
+    _sem_any = any(p is not None for p in _sem_core) or any(
+        p is not None for p in (semantic_threshold, semantic_dims)
+    )
+    if _sem_any and not all(p is not None for p in _sem_core):
         # same half-specified-gate rule: the index without the quantizer
         # cannot be probed or appended to; the index without the side
-        # table has nothing to probe WITH
+        # table has nothing to probe WITH — and a lone threshold/dims
+        # (review r8) is a caller who BELIEVES the gate is on while it
+        # silently never applies
         raise ValueError(
             "ingest_documents_stream: semantic_index, semantic_centroids "
-            "and semantic_embeddings must be passed together — a partial "
-            "semantic gate would silently never apply"
+            "and semantic_embeddings must be passed together (threshold/"
+            "dims only tune them) — a partial semantic gate would "
+            "silently never apply"
         )
+    if semantic_threshold is None:
+        semantic_threshold = 0.9  # curate_corpus's semantic default
+    if semantic_dims is None:
+        semantic_dims = 64
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -689,10 +697,20 @@ def ingest_documents_stream(
                     .select(F.col("query_id").alias("keep_id"))
                     .distinct()
                 )
-                survivors = survivors.join(sem_hits, "keep_id", "left_anti")
+                survivors = survivors.join(
+                    sem_hits, "keep_id", "left_anti"
+                ).persist()
+                # the FINAL survivors now has 2+ consumers (the store
+                # write plus every action the index append runs over
+                # sem_kept_vecs below) and its lineage re-reads the
+                # probed posting lists — scoped persist
+                _gate_persisted.append(survivors)
             # vectors to index post-commit: only documents that actually
             # land in the store (re-derived from the FINAL survivors so
-            # every later gate's drops are reflected)
+            # every later gate's drops are reflected). Persisted because
+            # append_to_ivf_index runs several actions over it
+            # (isEmpty, touched-cluster collect, anti-join stats, write)
+            # and its lineage re-scans the embeddings side table.
             sem_kept_vecs = sem_vecs.join(
                 broadcast(
                     survivors.select(
@@ -703,7 +721,8 @@ def ingest_documents_stream(
             ).select(
                 F.col("query_id").alias("vec_id"),
                 F.col("q_vec").alias("embedding"),
-            )
+            ).persist()
+            _gate_persisted.append(sem_kept_vecs)
         try:
             # Write order is the exactness argument: bloom partition
             # FIRST (a crash after it leaves the filter covering digests

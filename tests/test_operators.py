@@ -2426,15 +2426,22 @@ class TestIvfPq:
                 dims=32, m=4, residual=True,
             )
 
-    def test_meta_sidecar_adopted_on_legacy_append(self, spark, tmp_path):
-        """An index that predates the sidecar scheme is validated
-        against nothing on the first append (caller's flags trusted, as
-        before) — but that append STAMPS the contract so later calls
-        are validated."""
+    def test_missing_sidecar_fails_loud_until_explicit_stamp(
+        self, spark, tmp_path
+    ):
+        """An index with no sidecar (pre-sidecar build, or a build that
+        crashed between its data write and the stamp) must FAIL LOUDLY
+        on probe and append — silently trusting caller flags is the
+        garbage-distance footgun the sidecar closes, and an implicit
+        adoption would let one wrong caller permanently self-certify
+        the wrong contract (review r8). Recovery is one explicit
+        stamp_ivfpq_meta call with the known build-time flags."""
         from s3_access_logs_spark.operators.similarity import (
             IVFPQ_META_SIDECAR,
             append_to_ivfpq_index,
             build_ivfpq_index,
+            probe_ivfpq_index,
+            stamp_ivfpq_meta,
         )
         from s3_access_logs_spark.sources.fsutil import (
             hadoop_fs,
@@ -2443,11 +2450,12 @@ class TestIvfPq:
         from s3_access_logs_spark.sources.tables import load_table
 
         emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 2)
         dst = str(tmp_path / "ivfpq_legacy")
         cents, cb = build_ivfpq_index(
             emb.filter(F.col("vec_id") >= 10), dst
         )
-        # simulate a pre-sidecar index
+        # simulate the crash window / pre-sidecar index
         fs, _ = hadoop_fs(spark, dst)
         fs.delete(
             spark._jvm.org.apache.hadoop.fs.Path(
@@ -2456,12 +2464,25 @@ class TestIvfPq:
             False,
         )
         assert read_json_sidecar(spark, dst, IVFPQ_META_SIDECAR) is None
+        with pytest.raises(ValueError, match="stamp_ivfpq_meta"):
+            probe_ivfpq_index(spark, dst, queries, cents, cb, k=3)
+        with pytest.raises(ValueError, match="stamp_ivfpq_meta"):
+            append_to_ivfpq_index(
+                spark, emb.filter(F.col("vec_id") < 10), dst, cents, cb
+            )
+        # an empty append must not dodge the check either (it would
+        # have been the implicit-adoption hole)
+        with pytest.raises(ValueError, match="stamp_ivfpq_meta"):
+            append_to_ivfpq_index(
+                spark, emb.filter(F.col("vec_id") < 0), dst, cents, cb
+            )
+        stamp_ivfpq_meta(spark, dst, dims=64, m=8, residual=False)
         append_to_ivfpq_index(
             spark, emb.filter(F.col("vec_id") < 10), dst, cents, cb
         )
-        assert read_json_sidecar(spark, dst, IVFPQ_META_SIDECAR) == {
-            "dims": 64, "m": 8, "residual": False,
-        }
+        assert probe_ivfpq_index(
+            spark, dst, queries, cents, cb, k=3
+        ).count() > 0
 
 
 class TestReviewFixes:
@@ -2685,8 +2706,11 @@ class TestReviewFixes:
             )
         )
         # shared codebook: train once on the residual frame, hand it to
-        # both paths (build_ivfpq_index with codebook=None trains the
-        # same thing; passing it explicitly just avoids the double job)
+        # both paths. NOTE (round 8): with codebook=None the two paths'
+        # DEFAULTS now diverge deliberately — build_ivfpq_index trains
+        # refine_iters=4 (production policy) while pq_residual_topk
+        # stays init-only (its oracle replays that trainer); the
+        # default-vs-default case is pinned below.
         c = emb.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_vec"),
@@ -2714,6 +2738,32 @@ class TestReviewFixes:
             )
         )
         assert mem == probed
+        # default-vs-default: a DEFAULT-built index (refined codebook)
+        # is mirrored by the twin at codebook_refine_iters=4 — the
+        # documented way to validate a default build in memory
+        idx2 = str(tmp_path / "ivfpq_res_default")
+        d_cents, d_cb = build_ivfpq_index(
+            emb, idx2, centroids=cents, residual=True
+        )
+        probed_default = sorted(
+            map(
+                tuple,
+                probe_ivfpq_index(
+                    spark, idx2, queries, d_cents, d_cb,
+                    k=5, nprobe=2, residual=True,
+                ).collect(),
+            )
+        )
+        mem_refined = sorted(
+            map(
+                tuple,
+                pq_residual_topk(
+                    emb, queries, cents, k=5, nprobe=2,
+                    codebook_refine_iters=4,
+                ).collect(),
+            )
+        )
+        assert mem_refined == probed_default
 
     def test_append_residual_matches_full_rebuild(self, spark, tmp_path):
         """append_to_ivfpq_index(residual=True) must leave the index in
