@@ -210,6 +210,12 @@ def synthesize_assets(
         for pdf in batches:
             ids, mods, payloads = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if doc_id is None or pd.isna(doc_id):
+                    # identity-less rows are DROPPED (dirty-docs sweep,
+                    # round 8): asset_id is non-nullable by schema and
+                    # every synthesis parameter derives from the id —
+                    # same disposition as decode's NULL-asset_id rule
+                    continue
                 doc_id = int(doc_id)
                 body = str(text).encode("utf-8")
                 m = doc_id % 3
@@ -231,8 +237,17 @@ def synthesize_assets(
                     mods.append("video")
                     payloads.append(_mvid_bytes(nf, w, h))
                 ids.append(doc_id)
+            # explicit dtypes (dirty-docs sweep, round 8): an EMPTY
+            # batch's dict-of-lists defaults every column to float64,
+            # and Arrow cannot convert a float64 ndarray to the
+            # large_binary the schema demands — partitions left empty
+            # by upstream filters crashed instead of yielding 0 rows
             yield pd.DataFrame(
-                {"asset_id": ids, "modality": mods, "payload": payloads}
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "modality": pd.Series(mods, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=ASSET_TYPE)
@@ -611,13 +626,15 @@ def decode_pixels(assets: DataFrame) -> DataFrame:
                     ws.append(arr.shape[1])
                     chs.append(arr.shape[2])
                     pix.append(arr.tobytes())
+            # explicit dtypes: see synthesize_assets — empty batches
+            # must not default the binary column to float64
             yield pd.DataFrame(
                 {
-                    "asset_id": ids,
+                    "asset_id": pd.array(ids, dtype="int64"),
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "channels": pd.array(chs, dtype="Int32"),
-                    "pixels": pix,
+                    "pixels": pd.Series(pix, dtype=object),
                 }
             )
 
@@ -933,8 +950,14 @@ def sample_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
                     ids.append(int(asset_id))
                     idxs.append(i)
                     frames.append(p[start : start + fs])
+            # explicit dtypes: see synthesize_assets — empty batches
+            # must not default the binary column to float64
             yield pd.DataFrame(
-                {"asset_id": ids, "frame_idx": idxs, "frame_payload": frames}
+                {
+                    "asset_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int64"),
+                    "frame_payload": pd.Series(frames, dtype=object),
+                }
             )
 
     return assets.mapInPandas(sample, schema=FRAME_TYPE)

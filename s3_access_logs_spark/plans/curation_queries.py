@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from s3_access_logs_spark.operators import dedup as D
 from s3_access_logs_spark.plans.catalog import query
+from s3_access_logs_spark.plans.etl_queries import SQL_ASSET_DOCS
 from s3_access_logs_spark.sources.tables import load_table
 
 NL = "chr(10)"
@@ -205,9 +206,19 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.doc_id, l.pos, l.line FROM lines l
       LEFT JOIN boiler b ON trim(l.line) = b.key
       WHERE b.key IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, {NL} ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id, string_agg(line, {NL} ORDER BY pos) AS cleaned
-    FROM kept GROUP BY doc_id
+    -- row-preserving join-back (dirty-docs sweep, round 8): a NULL
+    -- text (or NULL doc_id, whose synthesized text concats to NULL)
+    -- yields no lines, so the unnest path LOSES the document entirely
+    -- while Spark keeps the row with cleaned NULL; null-safe so the
+    -- NULL-id doc re-attaches to its own (absent) group
+    SELECT d.doc_id, a.cleaned
+    FROM documents d
+    LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id
     """,
     tags=("dedup", "llm", "text", "boilerplate"),
 )
@@ -266,7 +277,12 @@ _SHOUT = "upper(substr(text, 1, 40))"
     SELECT doc_id,
            ROUND(len(kept)::DOUBLE / greatest(len(str_split(text, {NL})), 1)::DOUBLE,
                  6) AS kept_ratio6,
-           array_to_string(kept, {NL}) AS cleaned,
+           -- all-lines-dropped must clean to '' like Spark's
+           -- array_join([]), not DuckDB's array_to_string([]) = NULL;
+           -- NULL text stays NULL (dirty-docs sweep, round 8)
+           (CASE WHEN text IS NULL THEN NULL
+                 ELSE coalesce(array_to_string(kept, {NL}), '') END)
+             AS cleaned,
            ROUND(len(regexp_extract_all(text, '\\p{{Han}}'))::DOUBLE
                  / greatest(len(regexp_extract_all(text, '\\p{{L}}')), 1)::DOUBLE,
                  6) AS han6
@@ -318,10 +334,15 @@ _HOSTS = [
     "cdn.badsite.net", "shop.goodsite.io", "evil.co.uk",
 ]
 _BLOCKLIST = ["example.com", "badsite.net", "evil.co.uk", "HTTPS://Nope.ORG"]
+# pmod form (round 8, dirty-docs sweep): Spark's % keeps the dividend's
+# sign, so `doc_id % 6 + 1` for a NEGATIVE id indexes from the ARRAY END
+# in element_at/list_extract — sign-safe pmod pins one host per id on
+# both engines for any key value
+_PMOD6 = "(((doc_id % 6) + 6) % 6)"
 _HOST_SQL = (
     "list_extract(["
     + ", ".join(f"'{h}'" for h in _HOSTS)
-    + "], (doc_id % 6)::INT + 1)"
+    + f"], {_PMOD6}::INT + 1)"
 )
 _RDOM = {
     "example.com": "example.com",
@@ -334,7 +355,7 @@ _RDOM = {
 _RDOM_SQL = (
     "list_extract(["
     + ", ".join(f"'{_RDOM[h]}'" for h in _HOSTS)
-    + "], (doc_id % 6)::INT + 1)"
+    + f"], {_PMOD6}::INT + 1)"
 )
 
 
@@ -346,7 +367,10 @@ _RDOM_SQL = (
       FROM documents
     )
     SELECT doc_id, rdomain FROM u
-    WHERE doc_id % 6 NOT IN (0, 3, 5)
+    -- a NULL doc_id synthesizes a NULL url: the blocklist keeps it
+    -- un-filtered (absence of signal is not rejection, the repo-wide
+    -- rule) with a NULL rdomain — dirty-docs sweep, round 8
+    WHERE doc_id IS NULL OR {_PMOD6} NOT IN (0, 3, 5)
     """,
     tags=("llm", "url", "blocklist"),
 )
@@ -366,9 +390,12 @@ def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # pmod, not % (round 8): a negative id's sign-kept remainder would
+    # index element_at from the array END — a different host than the
+    # oracle's formula, and an accidental one
     host = F.element_at(
         F.array(*[F.lit(h) for h in _HOSTS]),
-        (F.col("doc_id") % 6).cast("int") + 1,
+        F.pmod(F.col("doc_id"), 6).cast("int") + 1,
     )
     sub = F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
     url = F.concat(
@@ -460,7 +487,11 @@ def _perplexity_sql(lam: float = 0.7) -> str:
     SELECT d.doc_id,
            COALESCE(a.n_bigrams, 0) AS n_bigrams,
            ROUND(a.xent, 6) AS xent6
-    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    FROM documents d
+    -- null-SAFE join-back (dirty-docs sweep, round 8): a NULL doc_id
+    -- never equality-matches its own agg group, which silently zeroed
+    -- the NULL-id doc's score while Spark's groupBy scored it
+    LEFT JOIN agg a ON d.doc_id IS NOT DISTINCT FROM a.doc_id
     """
 
 
@@ -478,7 +509,11 @@ def _perplexity_sql(lam: float = 0.7) -> str:
       FROM c CROSS JOIN t
     ),
     kept AS (
-      SELECT d.source, r.rate FROM documents d JOIN r USING (source)
+      -- null-SAFE source join (dirty-docs sweep, round 8): a NULL
+      -- source is its own mixture group on the Spark side (groupBy
+      -- keeps NULL), so the equality join must not drop its docs
+      SELECT d.source, r.rate FROM documents d
+      JOIN r ON d.source IS NOT DISTINCT FROM r.source
       WHERE (('0x' || substr(md5('temp0:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
              / 4294967296.0) < r.rate
     )
@@ -507,6 +542,7 @@ def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample_quota",
     oracle="""
     SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IS NOT NULL
     QUALIFY ROW_NUMBER() OVER (
       PARTITION BY lang
       ORDER BY md5('sample0:' || doc_id::VARCHAR), doc_id) <= 20
@@ -516,10 +552,16 @@ def temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 20 docs per language, chosen by salted-md5 rank within
     each stratum (operators/sampling.py:19) — the deterministic eval-set
-    drawer: same salt, same sample, every rerun."""
+    drawer: same salt, same sample, every rerun. Sampling KEYS on
+    doc_id, so NULL-id rows are out of contract and excluded on both
+    sides (dirty-docs sweep, round 8): a NULL rank key sorts
+    engine-specifically, and an identity-less draw could never be
+    deduplicated or reproduced downstream anyway."""
     from s3_access_logs_spark.operators.sampling import stratified_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     return stratified_sample(docs, "lang", 20, "doc_id").select(
         "doc_id", "lang", "source"
     )
@@ -715,7 +757,14 @@ _CMS_ORACLE = """
 @query(
     "bloom_digest_membership",
     oracle="""
-    SELECT doc_id, (doc_id % 2 = 0) AS maybe_seen FROM documents
+    -- NULL text digests to NULL and probes NULL (membership of nothing
+    -- is unknowable); a NULL doc_id's parity is NULL but its digest is
+    -- real and definitely NOT in the even-id filter -> FALSE
+    -- (dirty-docs sweep, round 8)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(doc_id % 2 = 0, FALSE) END AS maybe_seen
+    FROM documents
     """,
     tags=("sketch", "membership", "llm"),
 )
@@ -953,8 +1002,12 @@ def _dhash_fp_sql() -> str:
     )
     return f"""
     img AS (
+      -- synthesis domain (SQL_ASSET_DOCS, dirty-docs sweep r8): the
+      -- closed-form parameters replay Python's floor-mod only for
+      -- non-negative ids, and synthesis needs a real text body
       SELECT doc_id, 16 + doc_id % 240 AS w, 16 + (doc_id * 7) % 240 AS h
-      FROM documents WHERE doc_id % 3 = 0
+      FROM documents
+      WHERE doc_id >= 0 AND text IS NOT NULL AND doc_id % 3 = 0
     ),
     grid AS (
       SELECT doc_id,
@@ -990,7 +1043,7 @@ def image_dhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample grid and bit packing all value-checked."""
     from s3_access_logs_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(SQL_ASSET_DOCS)
     assets = MM.synthesize_assets(docs, pixels=True).filter(
         F.col("modality") == "image"
     )
@@ -1010,7 +1063,7 @@ def image_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, so the oracle's brute-force pair scan is the same row set)."""
     from s3_access_logs_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(SQL_ASSET_DOCS)
     assets = MM.synthesize_assets(docs, pixels=True).filter(
         F.col("modality") == "image"
     )
@@ -1253,7 +1306,10 @@ def _classifier_scores_sql(nf: int = _CLS_NF) -> str:
                  CASE WHEN dw.ws IS NULL THEN 0.0
                       ELSE list_reduce(list_prepend(0.0, dw.ws),
                                        (a, b) -> a + b) END AS logit
-          FROM q LEFT JOIN dw ON dw.doc_id = q.doc_id)
+          -- null-SAFE join-back (dirty-docs sweep, round 8): Spark
+          -- scores each row from its own text, so a NULL-id doc gets a
+          -- real logit; the equality join dropped it to the 0.0 arm
+          FROM q LEFT JOIN dw ON dw.doc_id IS NOT DISTINCT FROM q.doc_id)
     SELECT doc_id, n_feats,
            {sql_round_fixed('logit')} AS logit6,
            {sql_round_fixed('logit')} > 0.0 AS keep
@@ -1823,8 +1879,10 @@ def _audio_fp_sql() -> str:
     bit = "CASE WHEN en[i+2] > en[i+1] THEN 1::BIGINT ELSE 0::BIGINT END"
     return f"""
     WITH aud AS (
+      -- synthesis domain (SQL_ASSET_DOCS, dirty-docs sweep r8)
       SELECT doc_id, text, (length(text) // 2)::BIGINT AS n FROM documents
-      WHERE doc_id % 3 = 1 AND length(text) // 2 >= 65
+      WHERE doc_id >= 0 AND text IS NOT NULL
+            AND doc_id % 3 = 1 AND length(text) // 2 >= 65
     ),
     s AS (SELECT doc_id, n,
                  list_transform(range(0, n), j -> {smp}) AS smp
@@ -1859,7 +1917,7 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked. Sub-65-sample payloads drop (both sides)."""
     from s3_access_logs_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(SQL_ASSET_DOCS)
     assets = MM.synthesize_assets(docs).filter(F.col("modality") == "audio")
     return MM.audio_fingerprint(assets)
 
@@ -1879,8 +1937,10 @@ def _video_fp_sql() -> str:
     )
     return f"""
     WITH vid AS (
+      -- synthesis domain (SQL_ASSET_DOCS, dirty-docs sweep r8)
       SELECT doc_id, (1 + doc_id % 120)::BIGINT AS nf FROM documents
-      WHERE doc_id % 3 = 2 AND 1 + doc_id % 120 >= 2
+      WHERE doc_id >= 0 AND text IS NOT NULL
+            AND doc_id % 3 = 2 AND 1 + doc_id % 120 >= 2
     ),
     m AS (SELECT doc_id, nf,
                  list_transform(range(0, nf), i -> {fsum}) AS sums
@@ -1913,7 +1973,7 @@ def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is exact."""
     from s3_access_logs_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(SQL_ASSET_DOCS)
     assets = MM.synthesize_assets(docs).filter(F.col("modality") == "video")
     return MM.video_fingerprint(assets)
 

@@ -30,6 +30,15 @@ SQL_EVENTS_WELL_FORMED = (
     "AND user_id IS NOT NULL AND event_type IS NOT NULL"
 )
 
+#: Domain of the multimodal SYNTHESIS harness (synthesize_assets-based
+#: catalog entries), the _synthetic_log_lines precedent (dirty-docs
+#: sweep, round 8): every synthesis parameter is a closed-form function
+#: of doc_id that the oracles replay with SQL `%` — a NEGATIVE id's
+#: sign-kept SQL remainder diverges from Python's floor-mod, and a NULL
+#: text would synthesize the 4-byte literal 'None'. Valid Spark filter
+#: AND valid SQL WHERE fragment (doc_id >= 0 is NULL-excluding in both).
+SQL_ASSET_DOCS = "doc_id >= 0 AND text IS NOT NULL"
+
 
 def _synthetic_log_lines(
     spark: SparkSession, sf_dir: str, where: str | None = None
@@ -203,6 +212,7 @@ def logs_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + doc_id % 120 AS nf,
              32 + doc_id % 64 AS vid_w
       FROM documents
+      WHERE doc_id >= 0 AND text IS NOT NULL
     )
     SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
              AS modality,
@@ -234,7 +244,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas, so a decode bug on either path mismatches."""
     from s3_access_logs_spark.operators import multimodal as MM
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(SQL_ASSET_DOCS)
     assets = MM.synthesize_assets(docs)
     decoded_agg = MM.decode_metadata(assets).groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),

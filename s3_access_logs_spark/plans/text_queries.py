@@ -119,13 +119,17 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.3 * (len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1)::DOUBLE)
              + 0.3 * least(({_lang_hits_sql('en')})::DOUBLE
                            / greatest(len(toks), 1)::DOUBLE * 4.0, 1.0) AS score,
-             list_reduce(
+             -- NULL text -> NULL fingerprint (Spark's fold over a NULL
+             -- token array is NULL; DuckDB's list_prepend(0, NULL)
+             -- reduces to 0 — dirty-docs sweep, round 8)
+             (CASE WHEN text IS NULL THEN NULL ELSE list_reduce(
                list_prepend(0::BIGINT,
                  list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')} % {P})),
-               (a, b) -> (a * 131 + b) % {P}) AS fingerprint,
+               (a, b) -> (a * 131 + b) % {P}) END) AS fingerprint,
              (len(toks) - len(list_distinct(toks)))::DOUBLE
                / greatest(len(toks), 1)::DOUBLE AS rep_ratio,
-             (CASE WHEN len(bg) = 0 THEN 0
+             (CASE WHEN text IS NULL THEN NULL
+                   WHEN len(bg) = 0 THEN 0
                    ELSE list_max(list_transform(list_distinct(bg),
                           d -> len(list_filter(bg, x -> x = d))))
               END)::DOUBLE / greatest(len(bg), 1)::DOUBLE AS topbg,
@@ -462,7 +466,12 @@ def _simhash_near_pairs_sql(
     assert bits == 64 and chunks == 4, "oracle is written for the default"
     width = bits // chunks  # 16-bit band keys
     return f"""
-    WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks FROM documents),
+    -- token-less docs (NULL/empty/punctuation-only text) are EXCLUDED,
+    -- mirroring simhash_fingerprint_words' sentinel: un-excluded they
+    -- all fold to fingerprint 0 and fabricate a hamming-0 clique of
+    -- unrelated pages (dirty-docs sweep, round 8)
+    WITH t AS (SELECT doc_id, list_distinct({SQL_WORDS}) AS toks
+               FROM documents WHERE len({SQL_WORDS}) > 0),
     h AS (SELECT doc_id,
                  list_transform(toks, t -> {SQL_MD5_LONG.format(x='t')}) AS hs0,
                  list_transform(toks,
@@ -791,7 +800,12 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     packed AS (
       SELECT source, n_tokens,
-             ((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             -- NULLS FIRST pins the packing order cross-engine: Spark's
+             -- ASC default is nulls-first, DuckDB's is nulls-last, so a
+             -- NULL doc_id would shift every cumulative sum in its
+             -- source (dirty-docs sweep, round 8)
+             ((SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY doc_id NULLS FIRST
                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
               // 256)::BIGINT AS bin
       FROM t

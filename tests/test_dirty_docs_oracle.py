@@ -66,9 +66,12 @@ def dirty_docs_sf(spark, tmp_path_factory):
             # NULL metadata columns
             (990003, "doc with null lang column", None, "src2", 25),
             (990004, "doc with null source column", "en", None, 27),
-            # duplicate id with different text (crawl id reuse)
-            (0, "duplicate id zero with completely different text body",
-             "de", "src3", 53),
+            # NO duplicate-id salt: doc_id uniqueness is a SCHEMA
+            # contract of the corpus (every dedup/pair/cluster entry
+            # keys on it; the streaming ingest handles genuine crawl
+            # id-reuse via (id, digest) keys instead). Violating the
+            # primary key makes per-id semantics engine-defined — an
+            # upstream data bug, not a parity surface.
         ],
         base.schema,
     )
