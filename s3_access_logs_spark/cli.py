@@ -136,6 +136,55 @@ def run_query(argv: list[str]) -> int:
     return 0
 
 
+def run_sql(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark sql "<statement>" [sf_dir]
+    [--out PATH] [--no-logs]` — arbitrary ANSI SQL over the registered
+    warehouse views (plans/sql_surface.py:sql_catalog), the
+    Athena-replacement entry point from the command line: what a
+    reference user typed into the Athena console runs here verbatim.
+    ``--no-logs`` skips synthesizing + parsing the ``logs`` view (the
+    one non-trivial registration) for star-schema-only statements."""
+    from s3_access_logs_spark.plans.sql_surface import sql_catalog
+
+    usage = 'usage: sql "<statement>" [sf_dir] [--out PATH] [--no-logs]'
+    positional = [a for a in argv if not a.startswith("--")]
+    out = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            log.error("--out needs a path; %s", usage)
+            return 2
+        out = argv[i + 1]
+        # the out path is positional-looking: drop it by VALUE-at-index
+        positional = [
+            a
+            for j, a in enumerate(argv)
+            if j not in (i, i + 1) and not a.startswith("--")
+        ]
+    if not positional:
+        log.error(usage)
+        return 2
+    statement = positional[0]
+    import os
+
+    sf_dir = positional[1] if len(positional) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("s3-access-logs-sql")
+    sql_catalog(spark, sf_dir, include_logs="--no-logs" not in argv)
+    try:
+        df = spark.sql(statement)
+    except Exception as e:  # noqa: BLE001 — a typo'd statement is exit 2
+        log.error("SQL failed to parse/analyze: %s", e)
+        return 2
+    if out:
+        df.write.mode("overwrite").parquet(out)
+        log.info("sql -> %s", out)
+    else:
+        df.show(50, truncate=False)
+    return 0
+
+
 def run_compact(argv: list[str]) -> int:
     """`python -m s3_access_logs_spark compact <table_root> [--target-mb N]
     [--dry-run]` — the maintenance half of the incremental write paths:
@@ -223,6 +272,8 @@ def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
         return run_query(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "sql":
+        return run_sql(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "compact":
         return run_compact(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "fold-store":

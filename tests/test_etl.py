@@ -398,6 +398,45 @@ class TestQueryCli:
         assert run_query(["no_such_query"]) == 2
 
 
+class TestSqlCli:
+    """`sql` subcommand — the Athena-replacement entry point from the
+    command line (round 8): arbitrary ANSI SQL over the registered
+    warehouse views."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_statement_runs_and_writes(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_sql
+
+        out = str(tmp_path / "res")
+        rc = run_sql([
+            "SELECT r_name, COUNT(*) AS n FROM region "
+            "JOIN nation ON n_regionkey = r_regionkey GROUP BY r_name",
+            self.SF, "--no-logs", "--out", out,
+        ])
+        assert rc == 0
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 5 and all(r["n"] > 0 for r in rows)
+
+    def test_logs_view_reachable_without_no_logs(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_sql
+
+        out = str(tmp_path / "logs_res")
+        rc = run_sql([
+            "SELECT COUNT(*) AS n FROM logs WHERE is_user",
+            self.SF, "--out", out,
+        ])
+        assert rc == 0
+        assert spark.read.parquet(out).first()["n"] > 0
+
+    def test_bad_sql_and_missing_statement_exit_2(self, spark):
+        from s3_access_logs_spark.cli import run_sql
+
+        assert run_sql(["SELEKT 1", self.SF, "--no-logs"]) == 2
+        assert run_sql(["--no-logs"]) == 2
+        assert run_sql(["SELECT 1", self.SF, "--out"]) == 2
+
+
 class TestTimestampLoading:
     def test_naive_micros_load_as_instant_timestamp(self, spark, tmp_path):
         """Tz-naive timestamp[us] parquet (what the driver's generator
