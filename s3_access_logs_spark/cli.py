@@ -87,6 +87,49 @@ def preflight(spark: SparkSession, cfg: JobConfig) -> int:
     return 0
 
 
+def _parse_tail(
+    argv: list[str], usage: str, flags: tuple[str, ...] = ()
+) -> "tuple[list[str], str | None, set[str]] | None":
+    """Shared tail-argument parse for the query/sql subcommands (ONE
+    copy — the two had started to drift, review r8): ``argv`` is
+    everything AFTER the leading positional (name/statement), which the
+    caller has already taken verbatim. Returns (positionals, out_path,
+    seen_flags) or ``None`` after logging (caller exits 2). Unknown
+    ``--`` tokens are REJECTED, not silently ignored — a misspelled
+    ``--out-file`` that prints instead of writing is the
+    fold-store-subcommand lesson."""
+    out = None
+    consumed: set[int] = set()
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            log.error("--out needs a path; %s", usage)
+            return None
+        out = argv[i + 1]
+        # consume by INDEX — an sf_dir equal to the out path (or an out
+        # path that looks like a flag) must not be matched by value
+        consumed = {i, i + 1}
+    seen: set[str] = set()
+    positionals: list[str] = []
+    for j, a in enumerate(argv):
+        if j in consumed:
+            continue
+        if a.startswith("--"):
+            if a in flags:
+                seen.add(a)
+                continue
+            log.error("unknown flag %r; %s", a, usage)
+            return None
+        positionals.append(a)
+    return positionals, out, seen
+
+
+def _default_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
 def run_query(argv: list[str]) -> int:
     """`python -m s3_access_logs_spark query <name> [sf_dir] [--out PATH]`
     — run one catalog query against the table directory and print (or
@@ -106,26 +149,13 @@ def run_query(argv: list[str]) -> int:
             "unknown query %r — `query list` prints the catalog", name
         )
         return 2
-    out = None
-    consumed: set[int] = set()
-    if "--out" in argv:
-        i = argv.index("--out")
-        if i + 1 >= len(argv):
-            log.error("--out needs a path: query <name> [sf_dir] --out PATH")
-            return 2
-        out = argv[i + 1]
-        consumed = {i, i + 1}  # by INDEX — an sf_dir equal to the out
-        # path must not be swallowed with it
-    rest = [
-        a
-        for i, a in enumerate(argv)
-        if i != 0 and i not in consumed and not a.startswith("--")
-    ]
-    import os
-
-    sf_dir = rest[0] if rest else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    parsed = _parse_tail(
+        argv[1:], "usage: query <name> [sf_dir] [--out PATH]"
     )
+    if parsed is None:
+        return 2
+    rest, out, _ = parsed
+    sf_dir = rest[0] if rest else _default_sf_dir()
     spark = get_spark("s3-access-logs-query")
     df = queries[name].builder(spark, sf_dir)
     if out:
@@ -142,36 +172,25 @@ def run_sql(argv: list[str]) -> int:
     warehouse views (plans/sql_surface.py:sql_catalog), the
     Athena-replacement entry point from the command line: what a
     reference user typed into the Athena console runs here verbatim.
-    ``--no-logs`` skips synthesizing + parsing the ``logs`` view (the
-    one non-trivial registration) for star-schema-only statements."""
+    The statement is ALWAYS the first argument, taken verbatim — SQL
+    legitimately starts with `--` line comments, so it must never be
+    mistaken for a flag. ``--no-logs`` skips synthesizing + parsing the
+    ``logs`` view (the one non-trivial registration) for
+    star-schema-only statements."""
     from s3_access_logs_spark.plans.sql_surface import sql_catalog
 
     usage = 'usage: sql "<statement>" [sf_dir] [--out PATH] [--no-logs]'
-    positional = [a for a in argv if not a.startswith("--")]
-    out = None
-    if "--out" in argv:
-        i = argv.index("--out")
-        if i + 1 >= len(argv):
-            log.error("--out needs a path; %s", usage)
-            return 2
-        out = argv[i + 1]
-        # the out path is positional-looking: drop it by VALUE-at-index
-        positional = [
-            a
-            for j, a in enumerate(argv)
-            if j not in (i, i + 1) and not a.startswith("--")
-        ]
-    if not positional:
+    if not argv:
         log.error(usage)
         return 2
-    statement = positional[0]
-    import os
-
-    sf_dir = positional[1] if len(positional) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    statement = argv[0]
+    parsed = _parse_tail(argv[1:], usage, flags=("--no-logs",))
+    if parsed is None:
+        return 2
+    rest, out, seen = parsed
+    sf_dir = rest[0] if rest else _default_sf_dir()
     spark = get_spark("s3-access-logs-sql")
-    sql_catalog(spark, sf_dir, include_logs="--no-logs" not in argv)
+    sql_catalog(spark, sf_dir, include_logs="--no-logs" not in seen)
     try:
         df = spark.sql(statement)
     except Exception as e:  # noqa: BLE001 — a typo'd statement is exit 2

@@ -211,10 +211,9 @@ def synthesize_assets(
             ids, mods, payloads = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if doc_id is None or pd.isna(doc_id):
-                    # identity-less rows are DROPPED (dirty-docs sweep,
-                    # round 8): asset_id is non-nullable by schema and
-                    # every synthesis parameter derives from the id —
-                    # same disposition as decode's NULL-asset_id rule
+                    # defensive only — the plan-level isNotNull filter
+                    # below keeps NULLs out of every batch (see there
+                    # for why that placement matters)
                     continue
                 doc_id = int(doc_id)
                 body = str(text).encode("utf-8")
@@ -250,7 +249,18 @@ def synthesize_assets(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=ASSET_TYPE)
+    # Identity-less rows are dropped IN THE PLAN, not just in the
+    # generator (dirty-docs sweep + review r8): asset_id is non-nullable
+    # by schema and every synthesis parameter derives from the id — and
+    # the placement matters beyond semantics, because a batch CONTAINING
+    # a NULL arrives in pandas as a float64 column (pandas int64 cannot
+    # hold NaN), silently corrupting ids above 2^53 in the same batch.
+    # Filtered upstream, Arrow delivers exact int64 for every batch.
+    return (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(id_col, text_col)
+        .mapInPandas(gen, schema=ASSET_TYPE)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1007,7 +1007,7 @@ def _dhash_fp_sql() -> str:
       -- non-negative ids, and synthesis needs a real text body
       SELECT doc_id, 16 + doc_id % 240 AS w, 16 + (doc_id * 7) % 240 AS h
       FROM documents
-      WHERE doc_id >= 0 AND text IS NOT NULL AND doc_id % 3 = 0
+      WHERE {SQL_ASSET_DOCS} AND doc_id % 3 = 0
     ),
     grid AS (
       SELECT doc_id,
@@ -1881,7 +1881,7 @@ def _audio_fp_sql() -> str:
     WITH aud AS (
       -- synthesis domain (SQL_ASSET_DOCS, dirty-docs sweep r8)
       SELECT doc_id, text, (length(text) // 2)::BIGINT AS n FROM documents
-      WHERE doc_id >= 0 AND text IS NOT NULL
+      WHERE {SQL_ASSET_DOCS}
             AND doc_id % 3 = 1 AND length(text) // 2 >= 65
     ),
     s AS (SELECT doc_id, n,
@@ -1939,7 +1939,7 @@ def _video_fp_sql() -> str:
     WITH vid AS (
       -- synthesis domain (SQL_ASSET_DOCS, dirty-docs sweep r8)
       SELECT doc_id, (1 + doc_id % 120)::BIGINT AS nf FROM documents
-      WHERE doc_id >= 0 AND text IS NOT NULL
+      WHERE {SQL_ASSET_DOCS}
             AND doc_id % 3 = 2 AND 1 + doc_id % 120 >= 2
     ),
     m AS (SELECT doc_id, nf,

@@ -201,7 +201,7 @@ def logs_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_meta",
-    oracle="""
+    oracle=f"""
     WITH a AS (
       SELECT doc_id,
              doc_id % 3 AS m,
@@ -212,7 +212,7 @@ def logs_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              1 + doc_id % 120 AS nf,
              32 + doc_id % 64 AS vid_w
       FROM documents
-      WHERE doc_id >= 0 AND text IS NOT NULL
+      WHERE {SQL_ASSET_DOCS}
     )
     SELECT CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
              AS modality,

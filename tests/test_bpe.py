@@ -108,6 +108,45 @@ class TestEngineParity:
         assert "Exchange" not in plan and "Join" not in plan
 
 
+class TestRandomizedParity:
+    def test_random_corpus_three_way_parity(self, spark, merges):
+        """Seeded random strings (ASCII letters/digits/punct/spaces,
+        lengths 0-200) through all three implementations in ONE batch
+        per engine — the property-test complement to the hand-picked
+        fixtures. The alphabet stays in the regime where the Python
+        pre-tokenizer twin is exact (no exotic numerics/marks)."""
+        import random
+        import string
+
+        rng = random.Random(80801)
+        alphabet = string.ascii_letters + string.digits + "  .,!?-_'\"():;"
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(201)))
+            for _ in range(60)
+        ]
+        refs = [B.bpe_encode_py(t, merges) for t in texts]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        rows = df.select(
+            "i", B.bpe_tokens_exact("text").alias("toks")
+        ).orderBy("i").collect()
+        for r, ref in zip(rows, refs):
+            assert list(r["toks"]) == ref
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+            for i, t in enumerate(texts):
+                con.execute("INSERT INTO t VALUES (?, ?)", [i, t])
+            drows = con.execute(
+                f"SELECT i, {B.bpe_tokens_sql('text')} FROM t ORDER BY i"
+            ).fetchall()
+        finally:
+            con.close()
+        for (_, toks), ref in zip(drows, refs):
+            assert (toks or []) == ref
+
+
 class TestPackingBpeVariant:
     def test_bpe_packing_matches_duckdb(self, spark):
         """sequence_packing_bins(tokenizer='bpe_exact') against a DuckDB

@@ -11,8 +11,9 @@ would have broken on dirty data by the exact route the r7 dirty-star
 sweep closed for kmv, but stayed latent because no sweep salted
 doc_id. This sweep makes that class of bug impossible to reintroduce:
 every documents-only catalog entry runs against its DuckDB oracle on a
-corpus salted with NULL/negative/duplicate ids, NULL/empty text, and
-NULL source/lang.
+corpus salted with NULL and NEGATIVE ids, NULL/empty text, and NULL
+source/lang. (Duplicate ids are deliberately NOT salted — doc_id
+uniqueness is a schema contract; see the fixture note.)
 """
 
 from __future__ import annotations
