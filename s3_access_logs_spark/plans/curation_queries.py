@@ -1396,9 +1396,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     well_formed = well_formed_embeddings(
         load_table(spark, sf_dir, "embeddings")
     ).select("vec_id", "embedding")
+    # NULLS LAST pins the seed order cross-engine (dirty-id sweep,
+    # round 8): Spark's ASC default is nulls-first, DuckDB's
+    # nulls-last, so a NULL-id well-formed vector would become seed #1
+    # on one engine only and reshuffle every cluster label
     seeds = [
         r["embedding"]
-        for r in well_formed.orderBy("vec_id").limit(8).collect()
+        for r in well_formed.orderBy(
+            F.col("vec_id").asc_nulls_last()
+        ).limit(8).collect()
     ]
     if not seeds:
         # no seedable vector: zero assignments, exactly like the
@@ -1442,8 +1448,10 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
            WHERE {sql_well_formed(dims)})""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (
-      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS label, v AS c
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id NULLS LAST) - 1)::INT
+               AS label, v AS c
+      FROM (SELECT vec_id, v FROM e
+            ORDER BY vec_id NULLS LAST LIMIT {k}))""",
     ]
     # assignment key = floor(cos*1e6 + 0.5), the _assign_clusters
     # contract (review r6 passes 10/12: summation-order-independent AND

@@ -6,7 +6,9 @@ corpora with bespoke tests (kmeans, PQ, refine). This sweep makes the
 coverage systematic: EVERY embeddings-only catalog entry runs against
 its DuckDB oracle on a corpus salted with the full malformed-vector
 taxonomy — NULL, short, over-length, interior-NULL, inf, NaN,
-huge-but-finite (past ``VEC_ABS_MAX``), zero-norm, and a NULL label.
+huge-but-finite (past ``VEC_ABS_MAX``), zero-norm, a NULL label, and
+(round 8) NULL/negative vec_ids with well-formed vectors, which caught
+the kmeans seed order depending on each engine's NULL sort default.
 All 11 entries pass as-is (including the round-7 residual IVF-PQ
 entry), evidence that the shared ``well_formed_vector`` /
 ``sql_well_formed`` contract holds across the whole vector surface,
@@ -57,6 +59,13 @@ def dirty_emb_sf(spark, tmp_path_factory):
         (105, 0, [float("nan")] + [2.0] * 63),
         (106, 1, [2e4] * 64),                            # huge-but-finite
         (107, 2, [0.0] * 64),                            # zero-norm
+        # round 8: ID salting (the dirty-docs sweep's lesson applied to
+        # vec_id) — a NEGATIVE id must sort/pair normally, and a NULL id
+        # with a WELL-FORMED vector probes every id-ordered contract
+        # (kmeans seeding was the catch: Spark's nulls-first ASC made it
+        # seed #1 on one engine only)
+        (-7, 1, [float((3 + j * 5) % 11) / 10.0 for j in range(64)]),
+        (None, 2, [float((5 + j * 2) % 11) / 10.0 for j in range(64)]),
     ]
     emb = spark.createDataFrame(
         rows, "vec_id long, label int, embedding array<float>"
