@@ -60,8 +60,13 @@ def _synthetic_log_lines(
         ev = ev.filter(where)
     uid, eid = F.col("user_id"), F.col("event_id")
     dt = F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss")
+    # pmod octets (dirty-id sweep, round 8): a negative id's sign-kept
+    # remainder would synthesize an invalid IP ('10.-3...') whose parse
+    # NULLs remoteip_int while the oracles' arithmetic stays numeric —
+    # pmod keeps the synthesized address a valid dotted quad for ANY id
     ip = F.concat(
-        F.lit("10."), uid % 256, F.lit("."), eid % 256, F.lit("."), (eid * 7) % 256
+        F.lit("10."), F.pmod(uid, 256), F.lit("."), F.pmod(eid, 256),
+        F.lit("."), F.pmod(eid * 7, 256),
     )
     requester = (
         F.when(eid % 3 == 0, F.concat(F.lit("arn:aws:iam::123456789012:user/u"), uid))
@@ -110,8 +115,9 @@ def _synthetic_log_lines(
     SELECT 'REQ' || event_id AS requestid,
            'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
-           '10.' || (user_id % 256) || '.' || (event_id % 256) || '.'
-               || ((event_id * 7) % 256) AS remoteip,
+           '10.' || (((user_id % 256) + 256) % 256) || '.'
+               || (((event_id % 256) + 256) % 256) || '.'
+               || ((((event_id * 7) % 256) + 256) % 256) AS remoteip,
            'GET /bucket/key' || event_id || ' HTTP/1.1' AS request_uri,
            'agent/' || user_id || ' (Linux)' AS useragent,
            CASE WHEN event_id % 5 = 0 THEN 0
@@ -125,8 +131,8 @@ def _synthetic_log_lines(
            minute(ts) AS minute,
            second(ts)::INTEGER AS second,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS datetime,
-           (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
-            + (event_id * 7) % 256)::BIGINT AS remoteip_int,
+           (10 * 16777216 + (((user_id % 256) + 256) % 256) * 65536 + (((event_id % 256) + 256) % 256) * 256
+            + ((((event_id * 7) % 256) + 256) % 256))::BIGINT AS remoteip_int,
            event_id % 3 = 1 AS is_assumed_role,
            event_id % 3 = 0 AS is_user
     FROM events
@@ -357,8 +363,8 @@ def _cidr_traffic_oracle() -> str:
              'REST.' || upper(event_type) || '.OBJECT' AS operation,
              CASE WHEN event_id % 5 = 0 THEN 0
                   ELSE event_id % 10000 END AS bytes,
-             (10 * 16777216 + (user_id % 256) * 65536 + (event_id % 256) * 256
-              + (event_id * 7) % 256) AS ipint
+             (10 * 16777216 + (((user_id % 256) + 256) % 256) * 65536 + (((event_id % 256) + 256) % 256) * 256
+              + ((((event_id * 7) % 256) + 256) % 256)) AS ipint
       FROM events
       WHERE {SQL_EVENTS_WELL_FORMED}
     ),
@@ -422,7 +428,15 @@ _Q["cidr_traffic"] = _dc.replace(_Q["cidr_traffic"], oracle=_cidr_traffic_oracle
 def _zorder_oracle() -> str:
     from s3_access_logs_spark.operators.layout import zvalue_sql
 
-    z = zvalue_sql("(user_id % 65536)", "(event_id % 65536)", bits=16)
+    # pmod coordinates (dirty-id sweep, round 8): the z-interleave is
+    # defined over UNSIGNED coordinate space — a sign-kept negative
+    # remainder sign-extends through the shift/mask terms differently
+    # per engine
+    z = zvalue_sql(
+        "(((user_id % 65536) + 65536) % 65536)",
+        "(((event_id % 65536) + 65536) % 65536)",
+        bits=16,
+    )
     return f"""
     WITH z AS (SELECT event_id, ({z}) AS zv FROM events)
     SELECT zv >> 20 AS z_bucket,
@@ -447,7 +461,13 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3_access_logs_spark.operators.layout import zvalue
 
     ev = load_table(spark, sf_dir, "events")
-    z = zvalue(F.col("user_id") % 65536, F.col("event_id") % 65536, bits=16)
+    # pmod, not % — see the oracle note: negative sign-kept remainders
+    # sign-extend through the interleave engine-specifically
+    z = zvalue(
+        F.pmod(F.col("user_id"), 65536),
+        F.pmod(F.col("event_id"), 65536),
+        bits=16,
+    )
     return (
         ev.select("event_id", z.alias("zv"))
         .groupBy(F.shiftright("zv", 20).alias("z_bucket"))

@@ -128,8 +128,8 @@ LOGS_REPORT_SQL = """
            SUM(CASE WHEN event_id % 5 = 0 THEN 0
                     ELSE event_id % 10000 END)::BIGINT AS total_bytes,
            MAX(event_id % 500)::BIGINT AS max_totaltime,
-           COUNT(DISTINCT '10.' || (user_id % 256) || '.' || (event_id % 256)
-                 || '.' || ((event_id * 7) % 256)) AS n_ips
+           COUNT(DISTINCT '10.' || (((user_id % 256) + 256) % 256) || '.' || (((event_id % 256) + 256) % 256)
+                 || '.' || ((((event_id * 7) % 256) + 256) % 256)) AS n_ips
     FROM events
     WHERE event_id % 3 = 0 AND {SQL_EVENTS_WELL_FORMED}
     GROUP BY 1, 2

@@ -79,6 +79,18 @@ def dirty_events_sf(spark, tmp_path_factory):
         (1004, base, 6, "click", 4.0, None),           # NULL props
         (1005, base, 7, "view", 5.0, "not-json"),      # malformed props
         (1006, base, 8, "purchase", 6.0, '{"other": 1}'),  # key missing
+        # round 8: ID salting (the dirty-docs/embeddings lesson) — a
+        # NULL event_id is excluded from log synthesis by
+        # SQL_EVENTS_WELL_FORMED but must flow through every other
+        # events entry; NEGATIVE ids caught two sign-kept-% bugs: the
+        # synthesized IP octets parsed to NULL remoteip_int while the
+        # oracles' arithmetic stayed numeric (now pmod on both sides),
+        # and the z-interleave sign-extended engine-specifically (the
+        # z-order coordinates are now pmod'd — unsigned space)
+        (None, base + dt.timedelta(minutes=1), 9, "click", 7.0,
+         '{"k": 9}'),
+        (-5, base + dt.timedelta(minutes=2), -3, "view", 8.0,
+         '{"k": 4}'),
     ]
     events = spark.createDataFrame(
         rows,
