@@ -59,8 +59,19 @@ def zorder_write(
     """Write parquet clustered on the z-curve of (a, b): repartition by the
     z-value range (keeps each output task's key span tight), sort within
     partitions by z, drop the helper column. Filters on either dimension
-    then skip row groups via min/max stats."""
-    z = df.withColumn("__z", zvalue(F.col(a) % (1 << bits), F.col(b) % (1 << bits), bits))
+    then skip row groups via min/max stats.
+
+    Range reduction is pmod, not ``%`` (dirty-id sweep, round 8): a
+    negative key's sign-kept remainder violates zvalue's non-negative
+    precondition — the interleave's per-bit ``% 2`` terms go negative
+    and such rows land in an arbitrary range band where neither
+    dimension's min/max pruning works."""
+    z = df.withColumn(
+        "__z",
+        zvalue(
+            F.pmod(F.col(a), 1 << bits), F.pmod(F.col(b), 1 << bits), bits
+        ),
+    )
     w = z.repartitionByRange("__z").sortWithinPartitions("__z").drop("__z")
     writer = w.write.mode("overwrite").option("compression", "snappy")
     if partition_cols:

@@ -1393,18 +1393,18 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims into the training means; and an over-length vector passes the
     # size filter but trips kmeans_fit's ragged check un-sliced (the PQ
     # entries slice and proceed on the same row — same posture here)
+    # KEYED on vec_id (review r8): NULL-id rows are out of contract —
+    # the oracle's per-row argmax partitions by vec_id, so identity-less
+    # rows would collapse there while Spark assigned each one (and
+    # Spark's nulls-FIRST ASC would additionally make a NULL-id vector
+    # seed #1 on one engine only). Same disposition as the stratified
+    # sampler; vec_id uniqueness stays the schema contract.
     well_formed = well_formed_embeddings(
         load_table(spark, sf_dir, "embeddings")
-    ).select("vec_id", "embedding")
-    # NULLS LAST pins the seed order cross-engine (dirty-id sweep,
-    # round 8): Spark's ASC default is nulls-first, DuckDB's
-    # nulls-last, so a NULL-id well-formed vector would become seed #1
-    # on one engine only and reshuffle every cluster label
+    ).filter(F.col("vec_id").isNotNull()).select("vec_id", "embedding")
     seeds = [
         r["embedding"]
-        for r in well_formed.orderBy(
-            F.col("vec_id").asc_nulls_last()
-        ).limit(8).collect()
+        for r in well_formed.orderBy("vec_id").limit(8).collect()
     ]
     if not seeds:
         # no seedable vector: zero assignments, exactly like the
@@ -1443,15 +1443,21 @@ def _kmeans_sql(k: int = 8, iters: int = 5, dims: int = 64) -> str:
         # ranks NaN FIRST under DESC, Spark's struct sort last), so
         # malformed and non-finite rows are out of contract;
         # over-length rows participate on their leading dims
+        # well-formed vectors with NON-NULL ids: the entry is KEYED on
+        # vec_id (review r8) — the per-row argmax below is expressed as
+        # ROW_NUMBER PARTITION BY vec_id, which would collapse two
+        # NULL-id (or duplicate-id) rows into one while Spark assigns
+        # every row; like the stratified sampler, identity-less rows
+        # are out of contract on both sides (uniqueness stays the
+        # schema contract)
         f"""e AS (SELECT vec_id, (embedding::DOUBLE[])[1:{dims}] AS v
            FROM embeddings
-           WHERE {sql_well_formed(dims)})""",
+           WHERE vec_id IS NOT NULL AND {sql_well_formed(dims)})""",
         f"dims AS (SELECT i::INT AS i FROM range(1, {dims + 1}) t(i))",
         f"""cent0 AS (
-      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id NULLS LAST) - 1)::INT
+      SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT
                AS label, v AS c
-      FROM (SELECT vec_id, v FROM e
-            ORDER BY vec_id NULLS LAST LIMIT {k}))""",
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
     ]
     # assignment key = floor(cos*1e6 + 0.5), the _assign_clusters
     # contract (review r6 passes 10/12: summation-order-independent AND

@@ -40,6 +40,14 @@ SQL_EVENTS_WELL_FORMED = (
 SQL_ASSET_DOCS = "doc_id >= 0 AND text IS NOT NULL"
 
 
+def sql_pmod(expr: str, m: int) -> str:
+    """The ONE copy of the SQL pmod idiom (review r8 — it had been
+    hand-expanded at every octet/coordinate site): ``F.pmod``'s
+    non-negative remainder, expressed over both engines' sign-kept
+    ``%``. Matches Spark's pmod for every BIGINT input."""
+    return f"((({expr} % {m}) + {m}) % {m})"
+
+
 def _synthetic_log_lines(
     spark: SparkSession, sf_dir: str, where: str | None = None
 ) -> DataFrame:
@@ -115,9 +123,9 @@ def _synthetic_log_lines(
     SELECT 'REQ' || event_id AS requestid,
            'bucket' || (user_id % 3) AS bucket_name,
            'REST.' || upper(event_type) || '.OBJECT' AS operation,
-           '10.' || (((user_id % 256) + 256) % 256) || '.'
-               || (((event_id % 256) + 256) % 256) || '.'
-               || ((((event_id * 7) % 256) + 256) % 256) AS remoteip,
+           '10.' || {sql_pmod('user_id', 256)} || '.'
+               || {sql_pmod('event_id', 256)} || '.'
+               || {sql_pmod('event_id * 7', 256)} AS remoteip,
            'GET /bucket/key' || event_id || ' HTTP/1.1' AS request_uri,
            'agent/' || user_id || ' (Linux)' AS useragent,
            CASE WHEN event_id % 5 = 0 THEN 0
@@ -131,8 +139,8 @@ def _synthetic_log_lines(
            minute(ts) AS minute,
            second(ts)::INTEGER AS second,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS datetime,
-           (10 * 16777216 + (((user_id % 256) + 256) % 256) * 65536 + (((event_id % 256) + 256) % 256) * 256
-            + ((((event_id * 7) % 256) + 256) % 256))::BIGINT AS remoteip_int,
+           (10 * 16777216 + {sql_pmod('user_id', 256)} * 65536 + {sql_pmod('event_id', 256)} * 256
+            + {sql_pmod('event_id * 7', 256)})::BIGINT AS remoteip_int,
            event_id % 3 = 1 AS is_assumed_role,
            event_id % 3 = 0 AS is_user
     FROM events
@@ -363,8 +371,8 @@ def _cidr_traffic_oracle() -> str:
              'REST.' || upper(event_type) || '.OBJECT' AS operation,
              CASE WHEN event_id % 5 = 0 THEN 0
                   ELSE event_id % 10000 END AS bytes,
-             (10 * 16777216 + (((user_id % 256) + 256) % 256) * 65536 + (((event_id % 256) + 256) % 256) * 256
-              + ((((event_id * 7) % 256) + 256) % 256)) AS ipint
+             (10 * 16777216 + {sql_pmod('user_id', 256)} * 65536 + {sql_pmod('event_id', 256)} * 256
+              + {sql_pmod('event_id * 7', 256)}) AS ipint
       FROM events
       WHERE {SQL_EVENTS_WELL_FORMED}
     ),
@@ -433,9 +441,7 @@ def _zorder_oracle() -> str:
     # remainder sign-extends through the shift/mask terms differently
     # per engine
     z = zvalue_sql(
-        "(((user_id % 65536) + 65536) % 65536)",
-        "(((event_id % 65536) + 65536) % 65536)",
-        bits=16,
+        sql_pmod("user_id", 65536), sql_pmod("event_id", 65536), bits=16
     )
     return f"""
     WITH z AS (SELECT event_id, ({z}) AS zv FROM events)

@@ -38,6 +38,7 @@ from s3_access_logs_spark.plans.catalog import query
 from s3_access_logs_spark.plans.etl_queries import (
     SQL_EVENTS_WELL_FORMED,
     _synthetic_log_lines,
+    sql_pmod,
 )
 from s3_access_logs_spark.sources.tables import TABLE_NAMES, register_views
 
@@ -128,8 +129,9 @@ LOGS_REPORT_SQL = """
            SUM(CASE WHEN event_id % 5 = 0 THEN 0
                     ELSE event_id % 10000 END)::BIGINT AS total_bytes,
            MAX(event_id % 500)::BIGINT AS max_totaltime,
-           COUNT(DISTINCT '10.' || (((user_id % 256) + 256) % 256) || '.' || (((event_id % 256) + 256) % 256)
-                 || '.' || ((((event_id * 7) % 256) + 256) % 256)) AS n_ips
+           COUNT(DISTINCT '10.' || {sql_pmod('user_id', 256)} || '.'
+                 || {sql_pmod('event_id', 256)} || '.'
+                 || {sql_pmod('event_id * 7', 256)}) AS n_ips
     FROM events
     WHERE event_id % 3 = 0 AND {SQL_EVENTS_WELL_FORMED}
     GROUP BY 1, 2

@@ -8,7 +8,11 @@ its DuckDB oracle on a corpus salted with the full malformed-vector
 taxonomy — NULL, short, over-length, interior-NULL, inf, NaN,
 huge-but-finite (past ``VEC_ABS_MAX``), zero-norm, a NULL label, and
 (round 8) NULL/negative vec_ids with well-formed vectors, which caught
-the kmeans seed order depending on each engine's NULL sort default.
+``kmeans_assignments`` mishandling identity-less rows (Spark's
+nulls-first seed order vs DuckDB's nulls-last, and the oracle's
+per-row argmax collapsing same-id rows) — that entry is now KEYED on
+vec_id: NULL ids excluded on both sides, uniqueness stays the schema
+contract.
 All 11 entries pass as-is (including the round-7 residual IVF-PQ
 entry), evidence that the shared ``well_formed_vector`` /
 ``sql_well_formed`` contract holds across the whole vector surface,
@@ -62,8 +66,8 @@ def dirty_emb_sf(spark, tmp_path_factory):
         # round 8: ID salting (the dirty-docs sweep's lesson applied to
         # vec_id) — a NEGATIVE id must sort/pair normally, and a NULL id
         # with a WELL-FORMED vector probes every id-ordered contract
-        # (kmeans seeding was the catch: Spark's nulls-first ASC made it
-        # seed #1 on one engine only)
+        # (kmeans was the catch; it now excludes NULL ids as a KEYED
+        # entry, see its builder note)
         (-7, 1, [float((3 + j * 5) % 11) / 10.0 for j in range(64)]),
         (None, 2, [float((5 + j * 2) % 11) / 10.0 for j in range(64)]),
     ]
