@@ -196,11 +196,18 @@ def run_sql(argv: list[str]) -> int:
     except Exception as e:  # noqa: BLE001 — a typo'd statement is exit 2
         log.error("SQL failed to parse/analyze: %s", e)
         return 2
-    if out:
-        df.write.mode("overwrite").parquet(out)
-        log.info("sql -> %s", out)
-    else:
-        df.show(50, truncate=False)
+    # execution-time failures (runtime cast errors, unreadable sf_dir,
+    # bad --out path) only surface at the ACTION below — same exit-2
+    # contract as parse failures, not an unhandled traceback (review r8)
+    try:
+        if out:
+            df.write.mode("overwrite").parquet(out)
+            log.info("sql -> %s", out)
+        else:
+            df.show(50, truncate=False)
+    except Exception as e:  # noqa: BLE001 — ad-hoc entry point
+        log.error("SQL failed during execution: %s", e)
+        return 2
     return 0
 
 

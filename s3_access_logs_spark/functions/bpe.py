@@ -223,8 +223,11 @@ def bpe_token_count_exact(
 # DuckDB twins (oracle SQL generators)
 # ---------------------------------------------------------------------------
 
-#: DuckDB spelling of text.BPE_ISH_REGEX (double braces are for callers
-#: that f-string-format the surrounding query, matching SQL_* convention).
+#: DuckDB spelling of text.BPE_ISH_REGEX. Single braces on purpose: the
+#: generator functions below return fully-evaluated SQL strings that
+#: callers interpolate as-is — nothing ``.format()``s the result, so the
+#: ``\p{L}`` braces are safe (they would need doubling only if a caller
+#: templated the RETURNED string, which none does).
 _SQL_PRETOK = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 

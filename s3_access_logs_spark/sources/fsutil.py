@@ -119,12 +119,26 @@ def write_json_sidecar(
 
     fs, _ = hadoop_fs(spark, dir_path)
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{dir_path.rstrip('/')}/{name}")
-    out = fs.create(p, True)
+    root = dir_path.rstrip("/")
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/{name}")
+    # write-to-temp + rename (review r8): fs.create(p, true) truncates
+    # in place, so a crash mid-write — or a concurrent reader racing the
+    # stamp — would surface as an opaque JSONDecodeError on every later
+    # probe instead of the recoverable missing-sidecar path. The rename
+    # is atomic on HDFS/local; on S3A it is copy+delete, but the copy
+    # only becomes visible complete, which keeps readers safe there too.
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/.{name}.tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj, sort_keys=True).encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(
+            f"write_json_sidecar: rename {tmp} -> {p} failed"
+        )
 
 
 def read_json_sidecar(
@@ -147,7 +161,18 @@ def read_json_sidecar(
         data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
     finally:
         stream.close()
-    return json.loads(bytes(data).decode("utf-8"))
+    try:
+        return json.loads(bytes(data).decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        # a truncated/corrupt sidecar (pre-rename-era writer crash, or
+        # out-of-band damage) should surface as the documented
+        # recoverable contract, not an opaque JSONDecodeError
+        raise ValueError(
+            f"corrupt JSON sidecar {dir_path.rstrip('/')}/{name} "
+            f"({e}); delete it and re-stamp (e.g. "
+            "operators.similarity.stamp_ivfpq_meta for IVF-PQ stores) "
+            "to recover"
+        ) from e
 
 
 def has_data_files(spark: SparkSession, path_str: str) -> bool:

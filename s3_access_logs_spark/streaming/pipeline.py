@@ -399,8 +399,6 @@ def ingest_documents_stream(
         )
     if semantic_threshold is None:
         semantic_threshold = 0.9  # curate_corpus's semantic default
-    if semantic_dims is None:
-        semantic_dims = 64
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -418,9 +416,40 @@ def ingest_documents_stream(
         # same once-outside-the-loop materialization: the quantizer is
         # nlist rows, but a lazy lineage (label_centroids/kmeans over a
         # corpus) would re-train per micro-batch AND per consumer
+        _cent_rows = semantic_centroids.collect()
         semantic_centroids = spark.createDataFrame(
-            semantic_centroids.collect(), semantic_centroids.schema
+            _cent_rows, semantic_centroids.schema
         )
+        # dims contract (review r8): well_formed_vector(embedding,
+        # semantic_dims) below filters EVERY embedding out on a dims
+        # mismatch, so every doc would pass un-probed and never be
+        # indexed — the caller believes the gate is on while it
+        # silently never applies. The centroids are already
+        # materialized, so derive dims from them when unspecified and
+        # fail loudly when the caller's dims disagree.
+        _cent_dims = {
+            len(r["centroid"])
+            for r in _cent_rows
+            if r["centroid"] is not None
+        }
+        if len(_cent_dims) > 1:
+            raise ValueError(
+                "ingest_documents_stream: semantic_centroids carries "
+                f"mixed vector lengths {sorted(_cent_dims)} — not a "
+                "usable quantizer"
+            )
+        if semantic_dims is None:
+            semantic_dims = _cent_dims.pop() if _cent_dims else 64
+        elif _cent_dims and _cent_dims != {semantic_dims}:
+            raise ValueError(
+                f"ingest_documents_stream: semantic_dims={semantic_dims} "
+                f"but the centroid vectors have length "
+                f"{_cent_dims.pop()} — the gate would silently filter "
+                "every embedding and never apply; pass matching dims or "
+                "omit semantic_dims to derive it from the centroids"
+            )
+    if semantic_dims is None:
+        semantic_dims = 64
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
