@@ -180,9 +180,19 @@ def _recall_clustered(spark, k: int = 10) -> dict[str, float]:
     # smaller number; also pinned in tests/test_recall_clustered.py.
     out["pq_floor_adc_residual"] = 0.25
     out["pq_floor_refine_residual"] = 0.5
+    # raw (non-residual) floors (VERDICT r8 item 4): the raw path is
+    # legitimately weaker on this corpus (codes re-describe the blob
+    # position — measured ADC 0.15 / refine 0.4125), but "weaker" must
+    # not become "silently collapsing"; margins sit under the measured
+    # values the same way the residual floors do. Also pinned in
+    # tests/test_recall_clustered.py.
+    out["pq_floor_adc_raw"] = 0.1
+    out["pq_floor_refine_raw"] = 0.3
     out["pq_clears_floor"] = (
         out["ivfpq_adc_residual"] >= out["pq_floor_adc_residual"]
         and out["ivfpq_refine_residual"] >= out["pq_floor_refine_residual"]
+        and out["ivfpq_adc"] >= out["pq_floor_adc_raw"]
+        and out["ivfpq_refine"] >= out["pq_floor_refine_raw"]
     )
     return out
 

@@ -41,10 +41,13 @@ merges file; every function takes it as an argument.
 
 from __future__ import annotations
 
+import random
 import re
 from functools import lru_cache
 
-from pyspark.sql import Column
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from s3_access_logs_spark.functions.text import BPE_ISH_REGEX
@@ -178,6 +181,24 @@ def _wrap(sym: str) -> str:
     return OPEN + sym + CLOSE
 
 
+def _check_sentinel_free(merges: list[tuple[str, str]]) -> None:
+    """The fold encoding brackets every symbol in OPEN/CLOSE and joins
+    pre-tokens with SEP — a merge SYMBOL containing one of those three
+    characters would corrupt the wrapped string silently. Input TEXT is
+    already stripped; this guards the table itself (e.g. a merges.txt
+    for a corpus that legitimately tokenizes ⟨ ⟩ ¦)."""
+    for a, b in merges:
+        for part in (a, b):
+            if OPEN in part or CLOSE in part or SEP in part:
+                raise ValueError(
+                    f"bpe: merge symbol {part!r} contains a sentinel "
+                    f"character ({OPEN} {CLOSE} {SEP}) — the replace-fold "
+                    "encoding cannot represent it; use the arrow "
+                    "implementation (impl='arrow'), which is "
+                    "sentinel-free"
+                )
+
+
 def bpe_wrapped(
     col: Column | str, merges: list[tuple[str, str]] | None = None
 ) -> Column:
@@ -187,6 +208,7 @@ def bpe_wrapped(
     ``replace`` calls apply the merges in rank order."""
     c = F.col(col) if isinstance(col, str) else col
     ms = list(merges) if merges is not None else list(default_merges())
+    _check_sentinel_free(ms)
     toks = F.regexp_extract_all(
         F.regexp_replace(c, _STRIP_CLASS, ""), F.lit(BPE_ISH_REGEX), 0
     )
@@ -239,8 +261,20 @@ def bpe_wrapped_sql(
     expr: str, merges: list[tuple[str, str]] | None = None
 ) -> str:
     """DuckDB expression producing the identical wrapped-symbol string
-    as :func:`bpe_wrapped` over the SQL expression ``expr``."""
+    as :func:`bpe_wrapped` over the SQL expression ``expr``.
+
+    Oracle-side depth note: DuckDB's binder rejects expressions deeper
+    than ~128 nested calls — the oracle analogue of the Spark fold's
+    stack cliff, and in DuckDB 1.0.0 it is effectively HARD (the
+    ``max_expression_depth`` setting exists but does not lift this
+    binder recursion check). Tables past ~120 merges are therefore not
+    oracle-replayable at all; the arrow path carries them, pinned by
+    pytest equality against ``bpe_encode_py`` instead of a DuckDB twin.
+    The demo vocabulary (~91) fits comfortably, which is what keeps the
+    ``bpe_exact_tokens`` catalog oracle runnable by the driver's
+    unconfigured DuckDB."""
     ms = list(merges) if merges is not None else list(default_merges())
+    _check_sentinel_free(ms)
     # the CASE keeps NULL text NULL while an EMPTY token list (DuckDB's
     # array_to_string([]) is NULL, Spark's array_join([]) is '') becomes
     # '' — matching Spark's null-in/empty-in contract exactly
@@ -278,3 +312,288 @@ def bpe_tokens_sql(
     """DuckDB expression for the exact BPE token list of ``expr``."""
     s = bpe_wrapped_sql(expr, merges)
     return f"regexp_extract_all({s}, '{OPEN}([^{CLOSE}]+){CLOSE}', 1)"
+
+
+# ---------------------------------------------------------------------------
+# Production vocabularies (VERDICT r8 items 1 + 3)
+#
+# The replace-fold above nests ONE Catalyst expression per merge: exact
+# and whole-stage-codegen-fast at demo scale, but expression-tree depth
+# grows with the merge count, and a real tokenizer ships ~50k merges.
+# Measured on this tree (tools/bpe_scale.py, table in BASELINE.md): the
+# fold's per-row cost is fine, but Catalyst ANALYSIS of the nested tree
+# goes superlinear past ~1-2k merges and the 50k tree is unusable. The
+# arrow path below is the same algorithm — rank-order Sennrich sweep —
+# run batch-at-a-time in Python over Arrow, bit-identical to
+# ``bpe_encode_py`` for ANY merges table (pruning skips only provably
+# no-op sweeps), with per-worker memoization of unique pre-tokens
+# (Zipf makes the hit rate high). ``bpe_tokens``/``bpe_token_count``
+# auto-switch at ``ARROW_SWITCH_MERGES``.
+# ---------------------------------------------------------------------------
+
+#: Fold→arrow auto-switch point, set from the measured cliff
+#: (tools/bpe_scale.py; BASELINE.md r9): on this tree the fold hits a
+#: hard JVM ``StackOverflowError`` in the column-node → Catalyst
+#: expression conversion at 320+ nested replaces (default driver stack
+#: — the cliff moves with -Xss, so don't trust headroom you haven't
+#: measured), and even below the cliff its per-row cost grows linearly
+#: in the merge count (O(R · doc_len) character scans) while the arrow
+#: path is flat (0.3-0.5 s for 500 docs at 91 → 50k merges). 256 is the
+#: highest measured-good fold point; the demo/oracle vocabulary (~91)
+#: sits well under it.
+ARROW_SWITCH_MERGES = 256
+
+
+def load_merges(
+    path: str, space_marker: str | None = "Ġ"
+) -> list[tuple[str, str]]:
+    """Load a ranked merges table from a GPT-2-format ``merges.txt``:
+    one merge per line as ``<a> <b>`` (rank = line order), ``#``-prefixed
+    header/comment lines and blank lines skipped. GPT-2's byte-level
+    files spell a leading space as ``Ġ`` (U+0120); ``space_marker``
+    translates it back to a real space so the symbols line up with this
+    module's pre-tokens (`` ?\\p{L}+``... keeps the leading space ON the
+    pre-token). Pass ``space_marker=None`` to keep symbols verbatim.
+
+    Note the scope contract: this engine pre-tokenizes with
+    ``BPE_ISH_REGEX`` over unicode TEXT, not GPT-2's byte-level
+    pre-tokenizer — a loaded GPT-2 table produces exact merges-table BPE
+    over THIS pre-tokenization, which is the engine's documented
+    semantics, not a byte-identical replica of the GPT-2 tokenizer."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"load_merges: {path}:{lineno}: expected "
+                    f"'<symbol> <symbol>', got {line!r}"
+                )
+            a, b = parts
+            if space_marker is not None:
+                a = a.replace(space_marker, " ")
+                b = b.replace(space_marker, " ")
+            merges.append((a, b))
+    return merges
+
+
+def save_merges(
+    path: str,
+    merges: list[tuple[str, str]],
+    space_marker: str | None = "Ġ",
+) -> None:
+    """Write a merges table in the same GPT-2 format ``load_merges``
+    reads (spaces inside symbols re-spelled as ``Ġ`` so the
+    space-delimited line format stays parseable)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            if space_marker is not None:
+                a = a.replace(" ", space_marker)
+                b = b.replace(" ", space_marker)
+            f.write(f"{a} {b}\n")
+
+
+def synthetic_merges(
+    n: int, seed: int = 80901, alphabet: str = "abcdefghijklmnopqrstuvwxyz"
+) -> list[tuple[str, str]]:
+    """Structurally-valid ranked merge table of size ``n`` for scale
+    measurement and forced-impl equality tests: every multi-character
+    symbol is the output of an earlier merge before any later merge
+    consumes it — the invariant Sennrich training guarantees and the
+    rank-order encoder relies on. Deterministic in ``(n, seed)``. NOT a
+    trained vocabulary: it measures encode cost vs merge count; it says
+    nothing about compression quality."""
+    rng = random.Random(seed)
+    syms: list[str] = [" "] + list(alphabet)
+    seen = set(syms)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n:
+        a = rng.choice(syms)
+        b = rng.choice(syms)
+        ab = a + b
+        if ab in seen or len(ab) > 12:
+            continue
+        merges.append((a, b))
+        seen.add(ab)
+        syms.append(ab)
+    return merges
+
+
+def _encoder_factory(merges: list[tuple[str, str]]):
+    """Memoized pre-token encoder for one merges table — the arrow
+    path's worker-side core. Bit-identical to the ``bpe_encode_py``
+    loop for ANY table: the only sweeps skipped are ones where a merge
+    symbol is absent from a SUPERSET of the word's current symbols
+    (the set only ever grows), i.e. provably no-op passes. The cache
+    maps unique pre-token → token tuple and lives for the life of the
+    Python worker, so repeated words across rows and batches encode
+    once."""
+    ms = [(a, b, a + b) for a, b in merges]
+    cache: dict[str, tuple[str, ...]] = {}
+
+    def encode(tok: str) -> tuple[str, ...]:
+        got = cache.get(tok)
+        if got is not None:
+            return got
+        word = tuple(tok)
+        if len(word) > 1:
+            syms = set(word)
+            for a, b, ab in ms:
+                if len(word) == 1:
+                    break
+                if a in syms and b in syms:
+                    merged = _merge_word(word, (a, b))
+                    if len(merged) != len(word):
+                        word = merged
+                        syms.add(ab)
+        cache[tok] = word
+        return word
+
+    return encode
+
+
+def bpe_encode_fast_py(
+    text: str,
+    merges: list[tuple[str, str]] | None = None,
+    _encode=None,
+) -> list[str]:
+    """Driver-side convenience: same result as ``bpe_encode_py`` via
+    the pruned/memoized encoder (useful when the table is large)."""
+    enc = _encode or _encoder_factory(
+        list(merges) if merges is not None else list(default_merges())
+    )
+    out: list[str] = []
+    for tok in pretokens_py(text):
+        out.extend(enc(tok))
+    return out
+
+
+def _arrow_udf(merges: list[tuple[str, str]], want_tokens: bool):
+    encode = _encoder_factory(merges)
+
+    if want_tokens:
+
+        @F.pandas_udf("array<string>")
+        def _enc(s: pd.Series) -> pd.Series:
+            out = []
+            for t in s:
+                if t is None:
+                    out.append(None)
+                else:
+                    toks: list[str] = []
+                    for tok in pretokens_py(t):
+                        toks.extend(encode(tok))
+                    out.append(toks)
+            return pd.Series(out, dtype=object)
+
+        return _enc
+
+    @F.pandas_udf("long")
+    def _cnt(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+            else:
+                out.append(
+                    sum(len(encode(tok)) for tok in pretokens_py(t))
+                )
+        return pd.Series(out, dtype="Int64")
+
+    return _cnt
+
+
+def bpe_tokens_arrow(
+    col: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """array<string> of exact BPE tokens via an Arrow-batched pandas
+    UDF — the production-vocabulary path (50k merges is a normal input
+    here; the replace-fold would build a 50k-deep expression tree).
+    Bit-identical to ``bpe_encode_py``/``bpe_tokens_exact``; NULL text
+    stays NULL, empty text gives []."""
+    c = F.col(col) if isinstance(col, str) else col
+    ms = list(merges) if merges is not None else list(default_merges())
+    return _arrow_udf(ms, want_tokens=True)(c)
+
+
+def bpe_token_count_arrow(
+    col: Column | str, merges: list[tuple[str, str]] | None = None
+) -> Column:
+    """Exact BPE token count via the Arrow path (counts without
+    materializing the token arrays through the plan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    ms = list(merges) if merges is not None else list(default_merges())
+    return _arrow_udf(ms, want_tokens=False)(c)
+
+
+def _pick_impl(impl: str, n_merges: int) -> str:
+    if impl == "auto":
+        return "fold" if n_merges <= ARROW_SWITCH_MERGES else "arrow"
+    if impl in ("fold", "arrow"):
+        return impl
+    raise ValueError(
+        f"bpe: unknown impl {impl!r} (expected 'auto', 'fold' or 'arrow')"
+    )
+
+
+def bpe_tokens(
+    col: Column | str,
+    merges: list[tuple[str, str]] | None = None,
+    impl: str = "auto",
+) -> Column:
+    """Exact BPE tokens with implementation auto-switch: the
+    whole-stage-codegen replace fold below ``ARROW_SWITCH_MERGES``
+    merges (zero Python, DuckDB-oracle-replayable), the Arrow-batched
+    encoder above it (flat in merge count). Both are bit-identical to
+    ``bpe_encode_py``; ``impl='fold'``/``'arrow'`` forces a path."""
+    ms = list(merges) if merges is not None else list(default_merges())
+    if _pick_impl(impl, len(ms)) == "fold":
+        return bpe_tokens_exact(col, ms)
+    return bpe_tokens_arrow(col, ms)
+
+
+def bpe_token_count(
+    col: Column | str,
+    merges: list[tuple[str, str]] | None = None,
+    impl: str = "auto",
+) -> Column:
+    """Exact BPE token count with the same auto-switch as
+    ``bpe_tokens``."""
+    ms = list(merges) if merges is not None else list(default_merges())
+    if _pick_impl(impl, len(ms)) == "fold":
+        return bpe_token_count_exact(col, ms)
+    return bpe_token_count_arrow(col, ms)
+
+
+def train_bpe_from_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    sample_n: int = 1024,
+    num_merges: int = DEFAULT_NUM_MERGES,
+    min_freq: int = 2,
+    salt: int = 0,
+) -> list[tuple[str, str]]:
+    """Train a merges table from a Spark corpus: deterministic
+    salted-hash sample (the PQ-codebook pattern —
+    operators/similarity.py's kmeans seed sampling), bounded collect of
+    ``sample_n`` texts, then the existing driver-side Sennrich trainer.
+    Order is ``xxhash64(salt, text)`` with the text itself as
+    tie-break, so the sample — and therefore the learned table — is
+    identical across runs, partitionings and cluster sizes. The
+    trainer stays a bounded-artifact computation; the DISTRIBUTED
+    piece is the encode, which is where the 100 TB cost lives."""
+    c = F.col(text_col)
+    rows = (
+        df.select(c.alias("_t"))
+        .where(c.isNotNull() & (F.length(c) > 0))
+        .orderBy(F.xxhash64(F.lit(salt), F.col("_t")), F.col("_t"))
+        .limit(int(sample_n))
+        .collect()
+    )
+    return train_bpe_merges(
+        [r["_t"] for r in rows], num_merges=num_merges, min_freq=min_freq
+    )

@@ -145,6 +145,7 @@ def curate_corpus(
     digest_store: str | None = None,
     band_store: str | None = None,
     store_batch_id: int | None = None,
+    verify_unique_ids: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -176,6 +177,13 @@ def curate_corpus(
     ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact
     dedup always runs — a curation pass that can emit byte-duplicates
     is not curation.
+
+    ``verify_unique_ids`` (default True) enforces the ``id_col``
+    uniqueness contract at entry with one column-pruned aggregation —
+    a duplicate-id corpus raises instead of silently corrupting
+    join-backs and waterfall counts; NULL ids are exempt (their
+    handling is the documented per-consumer contract). Pass False on
+    perf-critical reruns where the key is enforced upstream.
 
     TRANSFORM options rewrite the text before any gate (same order as
     the streaming ingest): ``html`` (strip_html), ``normalize``
@@ -224,6 +232,32 @@ def curate_corpus(
     no session-lifetime cache leak; consuming ``survivors`` afterwards
     re-derives the cheap column flags while the expensive sub-results
     (connected components) are lineage-truncated internally."""
+    # id-uniqueness gate FIRST (VERDICT r8 item 6): doc_id uniqueness
+    # was a documented schema contract but unchecked — a duplicate-id
+    # corpus silently corrupts every join-back and waterfall count
+    # (per-id semantics become engine-defined). One column-pruned
+    # agg + limit(1) over the id column, fail-loud with an example id;
+    # NULL ids stay exempt (their handling is the per-consumer contract
+    # the dirty sweeps pin). ``verify_unique_ids=False`` skips the scan
+    # for perf-critical callers who enforce the key upstream.
+    if verify_unique_ids:
+        dup = (
+            docs.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"curate_corpus: duplicate {id_col} "
+                f"{dup[0][id_col]!r} (x{dup[0]['_n']}) — doc ids must "
+                "be unique (join-backs and waterfall counts key on "
+                "them); fix the corpus, or pass "
+                "verify_unique_ids=False if the key is enforced "
+                "upstream"
+            )
     # TRANSFORM stages first (same order as the streaming ingest:
     # markup off, then byte canonicalization, then line furniture) —
     # every gate below, the stored digest included, sees the cleaned

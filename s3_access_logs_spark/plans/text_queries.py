@@ -830,23 +830,37 @@ def sequence_packing_bins(
     than serializing the corpus.
 
     ``tokenizer`` picks the budget unit: ``"words"`` (the pinned oracle
-    default) or ``"bpe_exact"`` — exact merges-table BPE counts
-    (functions/bpe.py), so bins budget in REAL tokenizer terms instead
-    of word-count approximation (VERDICT r7 item 5); the bpe variant is
-    oracle-pinned in ``tests/test_operators.py::TestBpeExact``."""
+    default), ``"bpe_exact"`` — exact merges-table BPE counts
+    (functions/bpe.py) with the built-in demo vocabulary, so bins
+    budget in REAL tokenizer terms instead of word-count approximation
+    (VERDICT r7 item 5) — or ``"bpe_corpus"`` (VERDICT r8 item 3): a
+    vocabulary trained from THIS corpus via the deterministic
+    salted-hash sampler (``bpe.train_bpe_from_corpus``), the
+    self-bootstrapping shape a real pipeline uses. Both bpe variants
+    are oracle-pinned in ``tests/test_bpe.py`` (DuckDB replays built
+    from the same merges table)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    if tokenizer == "bpe_exact":
+    if tokenizer in ("bpe_exact", "bpe_corpus"):
         from s3_access_logs_spark.functions import bpe as B
 
-        n_tokens = B.bpe_token_count_exact("text")
+        merges = None
+        if tokenizer == "bpe_corpus":
+            # 96 merges: a real corpus-trained head that stays under
+            # BOTH replay ceilings — the Spark fold's ~320-deep stack
+            # cliff and DuckDB's hard ~128 binder depth (bpe.py notes)
+            # — so the variant remains oracle-replayable end to end
+            merges = B.train_bpe_from_corpus(
+                docs, "text", sample_n=256, num_merges=96
+            )
+        n_tokens = B.bpe_token_count("text", merges)
     elif tokenizer == "words":
         n_tokens = T.token_count("text")
     else:
         raise ValueError(
             f"sequence_packing_bins: unknown tokenizer {tokenizer!r} "
-            "(expected 'words' or 'bpe_exact')"
+            "(expected 'words', 'bpe_exact' or 'bpe_corpus')"
         )
     t = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
     w = (

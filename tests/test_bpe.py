@@ -206,3 +206,244 @@ class TestPackingBpeVariant:
             sequence_packing_bins(
                 spark, "/root/testdata/sf0.001", tokenizer="nope"
             )
+
+
+class TestProductionVocab:
+    """Round 9 (VERDICT r8 item 1): exact BPE at production merge
+    counts. The replace fold keeps the oracle path below
+    ARROW_SWITCH_MERGES; the Arrow-batched encoder — the SAME
+    rank-order sweep, memoized per unique pre-token — carries 50k-merge
+    tables, and both must stay bit-identical to ``bpe_encode_py``."""
+
+    def _rand_texts(self, n, seed, alphabet=None):
+        import random
+        import string
+
+        rng = random.Random(seed)
+        alphabet = alphabet or (string.ascii_lowercase + "  ")
+        return [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(150)))
+            for _ in range(n)
+        ]
+
+    def test_arrow_matches_fold_and_reference_demo_vocab(self, spark):
+        merges = list(B.default_merges())
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(FIXTURES)], "i int, text string"
+        )
+        rows = df.select(
+            "i",
+            B.bpe_tokens("text", impl="fold").alias("f"),
+            B.bpe_tokens("text", impl="arrow").alias("a"),
+            B.bpe_token_count("text", impl="arrow").alias("na"),
+        ).orderBy("i").collect()
+        for r, text in zip(rows, FIXTURES):
+            if text is None:
+                assert r["f"] is None and r["a"] is None and r["na"] is None
+                continue
+            ref = B.bpe_encode_py(text, merges)
+            assert list(r["f"]) == ref and list(r["a"]) == ref, text
+            assert r["na"] == len(ref)
+
+    def test_arrow_matches_reference_at_50k_merges(self, spark):
+        """Forced-impl equality at a production-scale table: a 50k-merge
+        structurally-valid vocabulary through the Arrow path vs the
+        unpruned pure-Python reference, token for token. (Texts are kept
+        short because ``bpe_encode_py`` is O(R·len) per pre-token — the
+        REFERENCE is the slow part at 50k merges, which is the point of
+        the Arrow path.)"""
+        big = B.synthetic_merges(50_000)
+        texts = self._rand_texts(4, seed=909) + [
+            "", "the quick brown fox", "aa bb aabb ab ba"
+        ]
+        refs = [B.bpe_encode_py(t, big) for t in texts]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        rows = df.select(
+            "i",
+            B.bpe_tokens("text", big).alias("toks"),  # auto -> arrow
+            B.bpe_token_count("text", big).alias("n"),
+        ).orderBy("i").collect()
+        for r, ref in zip(rows, refs):
+            assert list(r["toks"]) == ref
+            assert r["n"] == len(ref)
+
+    def test_fast_py_twin_equals_reference(self):
+        """The pruned/memoized driver-side encoder (the Arrow workers'
+        core) is bit-identical to the unpruned sweep on a randomized
+        corpus at a mid-size table."""
+        ms = B.synthetic_merges(5_000)
+        for t in self._rand_texts(40, seed=112, alphabet=None):
+            assert B.bpe_encode_fast_py(t, ms) == B.bpe_encode_py(t, ms)
+
+    def test_auto_switch_plan_shapes(self, spark):
+        df = spark.createDataFrame([(1, "hello world")], "i int, text string")
+        small = df.select(B.bpe_token_count("text").alias("n"))
+        plan_small = small._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan_small  # demo vocab: codegen fold
+        big = df.select(
+            B.bpe_token_count(
+                "text", B.synthetic_merges(B.ARROW_SWITCH_MERGES + 1)
+            ).alias("n")
+        )
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan_big  # above the cliff: arrow
+        with pytest.raises(ValueError, match="unknown impl"):
+            B.bpe_tokens("text", impl="nope")
+
+    def test_synthetic_merges_hold_the_rank_invariant(self):
+        ms = B.synthetic_merges(2_000)
+        assert len(ms) == 2_000 and len(set(ms)) == 2_000
+        seen = set()
+        for a, b in ms:
+            for part in (a, b):
+                if len(part) > 1:
+                    assert part in seen, (a, b)
+            seen.add(a + b)
+
+    def test_sentinel_symbol_rejected_in_fold_ok_in_arrow(self, spark):
+        bad = [("⟨", "a")]
+        with pytest.raises(ValueError, match="sentinel"):
+            B.bpe_tokens_exact("text", bad)
+        with pytest.raises(ValueError, match="sentinel"):
+            B.bpe_tokens_sql("text", bad)
+        # the arrow path has no sentinels — but sentinel chars are
+        # STRIPPED from input text (the module contract), so such a
+        # merge simply never fires
+        df = spark.createDataFrame([(1, "a⟨b")], "i int, text string")
+        r = df.select(B.bpe_tokens_arrow("text", bad).alias("t")).first()
+        assert list(r["t"]) == ["a", "b"]  # stripped input: merge no-ops
+
+    def test_merges_txt_loader_roundtrip(self, tmp_path):
+        """GPT-2-format file (#version header, Ġ space marker) loads
+        back to the identical table, and a hand-written file with Ġ
+        markers maps to leading-space symbols."""
+        ms = list(B.default_merges())
+        p = str(tmp_path / "merges.txt")
+        B.save_merges(p, ms)
+        assert B.load_merges(p) == ms
+        hand = tmp_path / "hand.txt"
+        hand.write_text(
+            "#version: 0.2\nĠt he\nĠth e\n\nt h\n", encoding="utf-8"
+        )
+        assert B.load_merges(str(hand)) == [
+            (" t", "he"), (" th", "e"), ("t", "h")
+        ]
+        assert B.load_merges(str(hand), space_marker=None) == [
+            ("Ġt", "he"), ("Ġth", "e"), ("t", "h")
+        ]
+
+    def test_loader_rejects_malformed_lines(self, tmp_path):
+        bad = tmp_path / "bad.txt"
+        bad.write_text("a b c\n", encoding="utf-8")
+        with pytest.raises(ValueError, match="bad.txt:1"):
+            B.load_merges(str(bad))
+        bad.write_text("a \n", encoding="utf-8")
+        with pytest.raises(ValueError, match="expected"):
+            B.load_merges(str(bad))
+
+    def test_loaded_table_encodes_through_both_paths(self, spark, tmp_path):
+        """End-to-end: train → save merges.txt → load → encode via fold
+        AND arrow, equal to the reference under the loaded table."""
+        ms = B.train_bpe_merges(B.SEED_CORPUS, num_merges=60)
+        p = str(tmp_path / "m.txt")
+        B.save_merges(p, ms)
+        loaded = B.load_merges(p)
+        assert loaded == ms
+        text = B.SEED_CORPUS[2]
+        ref = B.bpe_encode_py(text, loaded)
+        df = spark.createDataFrame([(1, text)], "i int, text string")
+        r = df.select(
+            B.bpe_tokens("text", loaded, impl="fold").alias("f"),
+            B.bpe_tokens("text", loaded, impl="arrow").alias("a"),
+        ).first()
+        assert list(r["f"]) == ref and list(r["a"]) == ref
+
+
+class TestCorpusTrainer:
+    """Round 9 (VERDICT r8 item 3): Spark-side deterministic sampling
+    feeding the Sennrich trainer — the PQ-codebook pattern."""
+
+    def test_deterministic_across_partitionings(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        m1 = B.train_bpe_from_corpus(docs, "text", sample_n=64, num_merges=40)
+        m2 = B.train_bpe_from_corpus(
+            docs.repartition(13), "text", sample_n=64, num_merges=40
+        )
+        m3 = B.train_bpe_from_corpus(
+            docs.coalesce(1), "text", sample_n=64, num_merges=40
+        )
+        assert m1 == m2 == m3
+        assert len(m1) > 10
+
+    def test_salt_changes_sample(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        m0 = B.train_bpe_from_corpus(docs, "text", sample_n=16, num_merges=30)
+        m9 = B.train_bpe_from_corpus(
+            docs, "text", sample_n=16, num_merges=30, salt=9
+        )
+        assert m0 != m9  # different sample -> different learned head
+
+    def test_null_and_empty_text_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "real text here"),
+             (4, "more real text")],
+            "i int, text string",
+        )
+        ms = B.train_bpe_from_corpus(df, "text", sample_n=10, num_merges=20)
+        again = B.train_bpe_merges(
+            ["real text here", "more real text"], num_merges=20
+        )
+        assert ms == again
+
+    def test_packing_bpe_corpus_matches_duckdb(self, spark):
+        """sequence_packing_bins(tokenizer='bpe_corpus') — a vocabulary
+        trained FROM the corpus via the deterministic sampler — against
+        a DuckDB replay built from the same trained table. Determinism
+        of the sampler is what makes the replay possible."""
+        import duckdb
+
+        from s3_access_logs_spark.plans.text_queries import (
+            sequence_packing_bins,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        ms = B.train_bpe_from_corpus(docs, "text", sample_n=256, num_merges=96)
+        sdf = sequence_packing_bins(spark, sf, tokenizer="bpe_corpus")
+        srows = sorted(
+            (r["source"], r["bin"], r["n_docs"], r["bin_tokens"], r["fill"])
+            for r in sdf.collect()
+        )
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')"
+            )
+            drows = sorted(
+                tuple(r)
+                for r in con.execute(f"""
+                    WITH t AS (
+                      SELECT doc_id, source,
+                             {B.bpe_count_sql('text', ms)} AS n_tokens
+                      FROM documents
+                    ),
+                    packed AS (
+                      SELECT source, n_tokens,
+                             ((SUM(n_tokens) OVER (
+                                 PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              // 256)::BIGINT AS bin
+                      FROM t
+                    )
+                    SELECT source, bin, COUNT(*) AS n_docs,
+                           SUM(n_tokens)::BIGINT AS bin_tokens,
+                           ROUND(SUM(n_tokens)::DOUBLE / 256.0, 6) AS fill
+                    FROM packed GROUP BY source, bin
+                """).fetchall()
+            )
+        finally:
+            con.close()
+        assert srows == drows

@@ -436,6 +436,21 @@ class TestSqlCli:
         assert run_sql(["--no-logs"]) == 2
         assert run_sql(["SELECT 1", self.SF, "--out"]) == 2
 
+    def test_execution_time_failure_exits_2(self, spark, tmp_path):
+        """ADVICE r8: a statement that parses and analyzes but fails at
+        EXECUTION (here: raise_error fires when the action runs) must
+        hit the same exit-2 contract as a parse failure, not escape as
+        an unhandled traceback."""
+        from s3_access_logs_spark.cli import run_sql
+
+        assert run_sql(
+            ["SELECT raise_error('boom') AS x", self.SF, "--no-logs"]
+        ) == 2
+        assert run_sql(
+            ["SELECT raise_error('boom') AS x", self.SF, "--no-logs",
+             "--out", str(tmp_path / "never")]
+        ) == 2
+
 
 class TestTimestampLoading:
     def test_naive_micros_load_as_instant_timestamp(self, spark, tmp_path):

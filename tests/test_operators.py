@@ -2484,6 +2484,27 @@ class TestIvfPq:
             spark, dst, queries, cents, cb, k=3
         ).count() > 0
 
+    def test_corrupt_sidecar_raises_recoverable_error(self, spark, tmp_path):
+        """ADVICE r8: a truncated/garbage sidecar (pre-rename-era crash
+        or out-of-band damage) must surface as the documented
+        recoverable ValueError naming stamp_ivfpq_meta — not an opaque
+        JSONDecodeError — and the writer now goes through temp+rename
+        so a fresh stamp heals it."""
+        from s3_access_logs_spark.sources.fsutil import (
+            read_json_sidecar,
+            write_json_sidecar,
+        )
+
+        dst = str(tmp_path / "store")
+        (tmp_path / "store").mkdir()
+        (tmp_path / "store" / "_meta.json").write_text('{"dims": 64, "m"')
+        with pytest.raises(ValueError, match="stamp_ivfpq_meta"):
+            read_json_sidecar(spark, dst, "_meta.json")
+        # re-stamping over the corrupt file recovers (temp+rename write)
+        write_json_sidecar(spark, dst, "_meta.json", {"dims": 64})
+        assert read_json_sidecar(spark, dst, "_meta.json") == {"dims": 64}
+        assert not (tmp_path / "store" / "._meta.json.tmp").exists()
+
 
 class TestReviewFixes:
     def test_pq_null_vector_skipped_not_crashing(self, spark):
@@ -4241,6 +4262,43 @@ class TestCurateCorpus:
         assert dropped.get("exact_dup") == 1
         assert dropped.get("quality", 0) >= 1
         assert {r["doc_id"] for r in survivors.collect()} == {1}
+
+    def test_duplicate_ids_fail_loud(self, spark):
+        """VERDICT r8 item 6: doc_id uniqueness was a documented-but-
+        unchecked schema contract — a duplicate-id corpus silently
+        corrupted join-backs and waterfall counts. Now it raises at
+        entry; NULL ids stay exempt (their handling is the documented
+        per-consumer contract the dirty sweeps pin); and the flag opts
+        perf-critical callers out."""
+        from s3_access_logs_spark.operators.curate import curate_corpus
+
+        dup = spark.createDataFrame(
+            [
+                (1, "first body of text here", "en", "a", 23),
+                (1, "a DIFFERENT body under the same id", "en", "a", 34),
+                (2, "an honest unique document", "en", "a", 25),
+            ],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        with pytest.raises(ValueError, match="duplicate doc_id"):
+            curate_corpus(dup, min_quality=0.5)
+        # opt-out still runs (key enforced upstream is the caller's call)
+        survivors, _ = curate_corpus(
+            dup, min_quality=0.5, verify_unique_ids=False
+        )
+        assert survivors.count() > 0
+        # multiple NULL ids are NOT a uniqueness violation
+        nulls = spark.createDataFrame(
+            [
+                (None, "null id doc one with words", "en", "a", 26),
+                (None, "null id doc two with words", "en", "a", 26),
+                (7, "a unique one", "en", "a", 12),
+            ],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+        survivors, _ = curate_corpus(nulls)
+        assert survivors.count() == 3
 
     def test_optional_stages_compose(self, spark):
         from s3_access_logs_spark.functions.lm import train_bigram_lm

@@ -320,6 +320,45 @@ class TestIngestStream:
         digests = [r.digest for r in rows]
         assert len(digests) == len(set(digests))  # store stays unique
 
+    def test_duplicate_ids_within_batch_fail_stream(self, spark, tmp_path):
+        """VERDICT r8 item 6, streaming twin: within-batch duplicate
+        doc_ids fail the stream loudly (across-batch reuse stays
+        legitimate — the (id, digest) keys handle re-crawls, pinned by
+        test_incremental_dedup_across_batches); the flag opts out."""
+        import json
+
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "b1.jsonl").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": "alpha beta"},
+                    {"doc_id": 1, "text": "a DIFFERENT text, same id"},
+                ]
+            )
+            + "\n"
+        )
+        with pytest.raises(StreamingQueryException, match="duplicate doc_id"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store"),
+                str(tmp_path / "ckpt"),
+            ).awaitTermination(120)
+        # opt-out drains (fresh checkpoint: the failed run's offsets
+        # would otherwise replay the same batch)
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store2"),
+            str(tmp_path / "ckpt2"), verify_unique_ids=False,
+        ).awaitTermination(120)
+        kept = spark.read.parquet(str(tmp_path / "store2"))
+        assert kept.count() == 2
+
     def test_ingest_with_quality_filter_and_pii_scrub(self, spark, tmp_path):
         import json
 
@@ -667,6 +706,40 @@ class TestIngestSemanticGate:
             [(0, cls._vec(0)), (1, cls._vec(1))],
             "label int, centroid array<double>",
         )
+
+    def test_dims_mismatch_fails_loud_not_silent_noop(self, spark, tmp_path):
+        """ADVICE r8 (medium): semantic_dims that disagrees with the
+        centroid vectors would make well_formed_vector filter EVERY
+        embedding out — every doc passes un-probed and is never indexed
+        while the caller believes the gate is on. The gate now derives
+        dims from the materialized centroids and raises on an explicit
+        mismatch, and on a mixed-length centroid table."""
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        kw = dict(
+            semantic_index=str(tmp_path / "ivf"),
+            semantic_centroids=self._cents(spark),
+            semantic_embeddings=spark.createDataFrame(
+                [(1, self._vec(0))], "doc_id long, embedding array<double>"
+            ),
+        )
+        with pytest.raises(ValueError, match="silently filter"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store"),
+                str(tmp_path / "ckpt"), semantic_dims=32, **kw
+            )
+        mixed = spark.createDataFrame(
+            [(0, self._vec(0)), (1, [1.0, 0.0])],
+            "label int, centroid array<double>",
+        )
+        kw["semantic_centroids"] = mixed
+        with pytest.raises(ValueError, match="mixed vector lengths"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store2"),
+                str(tmp_path / "ckpt2"), **kw
+            )
 
     def test_semantic_dup_caught_across_batches(self, spark, tmp_path):
         import json
