@@ -210,7 +210,14 @@ def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
     trigger latency), while the production-batch point (same corpus, 2
     micro-batches) is compute bound and shows the real per-doc gate
     cost. Reporting both keeps a gate-cost regression visible against
-    the right floor instead of hiding inside trigger overhead."""
+    the right floor instead of hiding inside trigger overhead.
+
+    WARM-FENCED (VERDICT r8 item 8): the first streaming drain of a
+    session pays one-off costs — Python-worker pool spin-up, Arrow
+    serializer init, stream-machinery classloading — that made the r8
+    1× asset row read 8× slower than its 10× twin. An UNTIMED 200-doc
+    warm drain runs first so every reported row measures the pipeline,
+    not the session's cold start."""
     import shutil
     import tempfile
 
@@ -229,13 +236,17 @@ def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
     )
     cents = _cached_centroids(spark, sf_dir)
 
-    def drain(n_batches: int, semantic: bool) -> tuple[float, int]:
+    def drain(
+        n_batches: int, semantic: bool, corpus=None
+    ) -> tuple[float, int]:
         td = tempfile.mkdtemp(prefix="bench_stream_")
         try:
             src = f"{td}/in"
             # setup, not timed: the corpus as n JSONL files so
             # maxFilesPerTrigger=1 yields exactly n micro-batches
-            docs.repartition(n_batches).write.json(src)
+            (corpus if corpus is not None else docs).repartition(
+                n_batches
+            ).write.json(src)
             kw = (
                 dict(
                     semantic_index=f"{td}/ivf",
@@ -264,6 +275,9 @@ def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
         finally:
             shutil.rmtree(td, ignore_errors=True)
 
+    # untimed warm fence: one tiny drain through the full 5-gate stack
+    # absorbs the session's one-off streaming costs (see docstring)
+    drain(1, semantic=True, corpus=docs.limit(200))
     # headline regime: same 4-gate stack as every prior round, so the
     # round-over-round docs/s comparison stays apples-to-apples
     sec, kept = drain(batches, semantic=False)
@@ -272,6 +286,7 @@ def _streaming_ingest_rate(spark, sf_dir: str, batches: int = 8) -> dict:
     # regression actually shows against the right floor
     prod_sec, prod_kept = drain(2, semantic=True)
     return {
+        "warm_fenced": True,
         "docs_per_sec": round(n_docs / sec, 1),
         "docs": n_docs,
         "kept": kept,

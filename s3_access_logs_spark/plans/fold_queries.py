@@ -185,9 +185,10 @@ _fold(
     ("window", "fold"),
 )
 _fold(
-    # the whole SQL-text entry surface (round 8: 2 -> 6 entries) as one
-    # driver row; shared column names across members (revenue2 DOUBLE,
-    # n_items BIGINT) agree in type family per the fold contract
+    # the whole SQL-text entry surface (round 8: 2 -> 6 entries;
+    # round 9: + the two curation-artifact views) as one driver row;
+    # shared column names across members (revenue2 DOUBLE, n_items
+    # BIGINT) agree in type family per the fold contract
     "suite_sql_surface",
     (
         "sql_tpch_q6",
@@ -196,6 +197,8 @@ _fold(
         "sql_rollup_linestatus",
         "sql_semi_anti_segments",
         "sql_corpus_report",
+        "sql_cluster_sizes",
+        "sql_waterfall_report",
     ),
     ("sql-surface", "fold"),
 )

@@ -279,3 +279,124 @@ def sql_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine without ordered summation."""
     sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
     return spark.sql(SQL_CORPUS_REPORT)
+
+
+# ---------------------------------------------------------------------------
+# Round 9 (VERDICT r8 item 7): the CURATION ARTIFACTS join the SQL
+# surface. The six entries above cover relational shapes and raw-corpus
+# reports; a real Athena replacement must also let an analyst type SQL
+# against what the pipeline PRODUCES — dedup clusters, the waterfall.
+# Pattern: the Spark side registers the operator output as a temp view
+# (at 100 TB these are the persisted parquet artifacts `curate_corpus
+# (dst=...)` / the ingest stores already write — a temp view over the
+# operator output is the local[32] analogue, same scan shape) and runs
+# ONE portable SQL string; the oracle wraps the artifact's EXISTING
+# generated oracle in a `WITH <view> AS (...)` prefix and runs the SAME
+# string, so the artifact computation stays value-checked end to end,
+# not re-derived loosely.
+# ---------------------------------------------------------------------------
+
+SQL_CLUSTER_SIZES = """
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_dup_clusters,
+           CAST(SUM(CASE WHEN s.cluster_size > 1
+                              AND c.doc_id <> c.cluster_id
+                         THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_redundant,
+           CAST(MAX(s.cluster_size) AS BIGINT) AS max_cluster_size
+    FROM dedup_clusters c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM dedup_clusters GROUP BY cluster_id) s
+         ON c.cluster_id = s.cluster_id
+    JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY d.source
+"""
+
+
+@query(
+    "sql_cluster_sizes",
+    oracle=None,  # filled below: WITH dedup_clusters AS (<generated>) ...
+    tags=("sql-surface", "llm", "dedup", "curation"),
+)
+def sql_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup clustering ARTIFACT through the SQL surface: per
+    source, how many documents sit in multi-member clusters, how many
+    are redundant (non-keeper members — what dedup would delete), and
+    the worst cluster size. The ``dedup_clusters`` view is the same
+    operator output the ``dedup_clusters`` catalog entry value-checks
+    (operators/dedup.py connected components, k=16/bands=4/shingle=3);
+    the oracle recomputes it with the recursive-CTE closure inside a
+    ``WITH`` prefix and then runs the identical report SQL — artifact
+    and report are both value-exact, not self-checked."""
+    from s3_access_logs_spark.operators import dedup as D
+    from s3_access_logs_spark.sources.tables import load_table
+
+    sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    D.dedup_clusters(docs, k=16, bands=4, shingle_n=3).createOrReplaceTempView(
+        "dedup_clusters"
+    )
+    return spark.sql(SQL_CLUSTER_SIZES)
+
+
+SQL_WATERFALL_REPORT = """
+    SELECT stage,
+           CAST(dropped AS BIGINT) AS dropped,
+           floor(CAST(dropped AS DOUBLE) * 1e4
+                 / NULLIF(t.total_dropped, 0) + 0.5) / 1e4 AS drop_share4
+    FROM curation_waterfall
+    CROSS JOIN (SELECT SUM(dropped) AS total_dropped
+                FROM curation_waterfall) t
+"""
+
+
+@query(
+    "sql_waterfall_report",
+    oracle=None,  # filled below: WITH curation_waterfall AS (<generated>) ...
+    tags=("sql-surface", "llm", "pipeline", "curation"),
+)
+def sql_waterfall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation WATERFALL artifact through the SQL surface: each
+    stage's drop count and its share of all drops (4dp floor-rounding;
+    NULLIF keeps a nothing-dropped corpus NULL on both engines instead
+    of diverging on x/0). The ``curation_waterfall`` view is the same
+    ``curate_corpus(min_quality=0.5, langs=('en',))`` report the
+    ``curate_waterfall`` catalog entry value-checks; its generated
+    DuckDB replay becomes the oracle's ``WITH`` prefix."""
+    from s3_access_logs_spark.operators.curate import curate_corpus
+    from s3_access_logs_spark.sources.tables import load_table
+
+    sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
+    docs = load_table(spark, sf_dir, "documents")
+    _, report = curate_corpus(docs, min_quality=0.5, langs=("en",))
+    report.createOrReplaceTempView("curation_waterfall")
+    return spark.sql(SQL_WATERFALL_REPORT)
+
+
+def _fill_curation_sql_oracles() -> None:
+    """Late-bind the two artifact-view oracles (the generated artifact
+    SQL lives in other modules; importing it at decoration time would
+    cycle)."""
+    import dataclasses
+
+    from s3_access_logs_spark.plans.catalog import QUERIES
+    from s3_access_logs_spark.plans.curation_queries import (
+        _curate_waterfall_sql,
+    )
+    from s3_access_logs_spark.plans.text_queries import _dedup_clusters_sql
+
+    QUERIES["sql_cluster_sizes"] = dataclasses.replace(
+        QUERIES["sql_cluster_sizes"],
+        oracle=f"WITH dedup_clusters AS ({_dedup_clusters_sql()})\n"
+        f"{SQL_CLUSTER_SIZES}",
+    )
+    QUERIES["sql_waterfall_report"] = dataclasses.replace(
+        QUERIES["sql_waterfall_report"],
+        oracle=f"WITH curation_waterfall AS ({_curate_waterfall_sql()})\n"
+        f"{SQL_WATERFALL_REPORT}",
+    )
+
+
+_fill_curation_sql_oracles()

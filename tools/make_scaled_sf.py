@@ -53,40 +53,61 @@ def _offset(df, key: str) -> int:
     return int(10 ** (len(str(int(mx)))))  # next power of 10 past max
 
 
-def scale(src: str, dst: str, factor: int) -> None:
+def scale(
+    src: str, dst: str, factor: int, tables: tuple[str, ...] | None = None
+) -> None:
+    """``tables`` (round 9) restricts the build to a subset — the
+    streaming decade measurements need only documents + embeddings, and
+    skipping a 60M-row lineitem replication saves minutes and GBs."""
     spark = get_spark("make_scaled_sf")
     spark.sparkContext.setLogLevel("ERROR")
     out = Path(dst)
     out.mkdir(parents=True, exist_ok=True)
 
+    def want(name: str) -> bool:
+        return tables is None or name in tables
+
     def write(df, name):
         df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
 
     for t in DIMS:
-        write(load_table(spark, src, t), t)
+        if want(t):
+            write(load_table(spark, src, t), t)
 
-    orders = load_table(spark, src, "orders")
-    lineitem = load_table(spark, src, "lineitem")
-    okey_off = max(_offset(orders, "o_orderkey"), _offset(lineitem, "l_orderkey"))
-    write(
-        _replicate(orders, factor, {"o_orderkey": okey_off}), "orders"
-    )
-    write(
-        _replicate(lineitem, factor, {"l_orderkey": okey_off}), "lineitem"
-    )
+    if want("orders") or want("lineitem"):
+        orders = load_table(spark, src, "orders")
+        lineitem = load_table(spark, src, "lineitem")
+        okey_off = max(
+            _offset(orders, "o_orderkey"), _offset(lineitem, "l_orderkey")
+        )
+        if want("orders"):
+            write(
+                _replicate(orders, factor, {"o_orderkey": okey_off}),
+                "orders",
+            )
+        if want("lineitem"):
+            write(
+                _replicate(lineitem, factor, {"l_orderkey": okey_off}),
+                "lineitem",
+            )
 
-    events = load_table(spark, src, "events")
-    write(
-        _replicate(
-            events,
-            factor,
-            {
-                "event_id": _offset(events, "event_id"),
-                "user_id": _offset(events, "user_id"),
-            },
-        ),
-        "events",
-    )
+    if want("events"):
+        events = load_table(spark, src, "events")
+        write(
+            _replicate(
+                events,
+                factor,
+                {
+                    "event_id": _offset(events, "event_id"),
+                    "user_id": _offset(events, "user_id"),
+                },
+            ),
+            "events",
+        )
+
+    if not want("documents") and not want("embeddings"):
+        spark.stop()
+        return
 
     docs = load_table(spark, src, "documents")
     doc_off = _offset(docs, "doc_id")
@@ -109,7 +130,8 @@ def scale(src: str, dst: str, factor: int) -> None:
         doc_copies.append(c)
     from functools import reduce
 
-    write(reduce(lambda a, b: a.unionByName(b), doc_copies), "documents")
+    if want("documents"):
+        write(reduce(lambda a, b: a.unionByName(b), doc_copies), "documents")
 
     emb = load_table(spark, src, "embeddings")
     vec_off = _offset(emb, "vec_id")
@@ -128,7 +150,8 @@ def scale(src: str, dst: str, factor: int) -> None:
                 ),
             ).withColumn("label", F.col("label") + F.lit(i * lab_off))
         emb_copies.append(c)
-    write(reduce(lambda a, b: a.unionByName(b), emb_copies), "embeddings")
+    if want("embeddings"):
+        write(reduce(lambda a, b: a.unionByName(b), emb_copies), "embeddings")
     spark.stop()
 
 
@@ -146,5 +169,7 @@ def _replicate(df, factor: int, shifts: dict[str, int]):
 
 if __name__ == "__main__":
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    scale(src, dst, factor)
-    print(f"scaled {src} x{factor} -> {dst}")
+    only = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    scale(src, dst, factor, tables=only)
+    print(f"scaled {src} x{factor} -> {dst}"
+          + (f" (tables: {','.join(only)})" if only else ""))

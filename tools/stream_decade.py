@@ -1,0 +1,142 @@
+"""Streaming ingest vs store depth: the decade measurement (VERDICT r8
+item 5 closes the third decade).
+
+Protocol (identical to the round-8 10x measurement, BASELINE.md):
+`local[32]`, one session, `maxFilesPerTrigger=1`, 4 input files per
+drain, FULL 5-gate stack (quality + pii + exact-digest + MinHash bands
++ semantic-IVF). The scaled corpus is split into two DISJOINT halves
+(copy parity, so each half is a self-consistent sub-corpus) drained
+SEQUENTIALLY into the same stores: drain 1 probes stores already
+holding drain 0's full digest/band/IVF mass — store growth measured
+the way a production stream experiences it. An untimed warm drain runs
+first (VERDICT r8 item 8) so drain 0 is not charged the session's
+Arrow/worker spin-up.
+
+Usage:
+    python tools/make_scaled_sf.py /root/testdata/sf0.1 /tmp/sf100_scaled \
+        100 documents,embeddings
+    python tools/stream_decade.py /tmp/sf100_scaled [copies=100]
+
+Prints one JSON line per drain:
+  {"drain": 0, "docs": N, "sec": S, "docs_per_sec": R,
+   "store_docs_before": D, "store_vecs_before": V}
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from s3_access_logs_spark.operators.similarity import (  # noqa: E402
+    label_centroids,
+)
+from s3_access_logs_spark.session import get_spark  # noqa: E402
+from s3_access_logs_spark.sources.tables import load_table  # noqa: E402
+from s3_access_logs_spark.streaming import (  # noqa: E402
+    ingest_documents_stream,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    spark = get_spark("stream_decade")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label"
+    )
+    # copy parity split: make_scaled_sf shifts ids by copy*10^k, so
+    # (doc_id // off) is the copy index — even copies = half A, odd =
+    # half B. Disjoint, equal-size, and each half is corpus-shaped
+    # (every copy is a full mutated sf0.1).
+    doc_off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0] // copies))
+    vec_off = 10 ** len(str(emb.agg(F.max("doc_id")).first()[0] // copies))
+    halves = [
+        docs.filter((F.col("doc_id") / doc_off).cast("long") % 2 == i)
+        for i in (0, 1)
+    ]
+    emb_halves = [
+        emb.filter((F.col("doc_id") / vec_off).cast("long") % 2 == i)
+        for i in (0, 1)
+    ]
+    cents = label_centroids(emb, "label", dims=64)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+
+    td = tempfile.mkdtemp(prefix="stream_decade_")
+    try:
+        # untimed warm drain: absorbs worker-pool/Arrow spin-up so the
+        # first measured row is like-for-like with the second
+        warm_src = f"{td}/warm_in"
+        halves[0].limit(200).coalesce(1).write.json(warm_src)
+        ingest_documents_stream(
+            spark, warm_src, f"{td}/warm_store", f"{td}/warm_ckpt",
+            min_quality=0.2, scrub_pii=True, band_store=f"{td}/warm_bands",
+            semantic_index=f"{td}/warm_ivf", semantic_centroids=cents,
+            semantic_embeddings=emb_halves[0].limit(200),
+            semantic_threshold=0.99, max_files_per_trigger=1,
+        ).awaitTermination()
+
+        store, bands, ivf, ckpt = (
+            f"{td}/store", f"{td}/bands", f"{td}/ivf", f"{td}/ckpt"
+        )
+        # ONE source dir + ONE checkpoint across both drains (the file
+        # source pins its root path in the checkpoint, so per-drain
+        # dirs would fail on drain 1): each half's part files are
+        # staged in under half-tagged names, and drain i processes
+        # exactly the 4 files that are new since drain i-1.
+        import glob
+        import os
+
+        src = f"{td}/in"
+        os.makedirs(src, exist_ok=True)
+        for i in (0, 1):
+            stage = f"{td}/stage{i}"
+            halves[i].repartition(4).write.json(stage)  # setup, untimed
+            for j, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+                shutil.move(p, f"{src}/h{i}_{j}.json")
+            n = halves[i].count()
+            before_docs = 0
+            before_vecs = 0
+            if i:
+                before_docs = spark.read.parquet(store).count()
+                before_vecs = spark.read.parquet(ivf).count()
+            t0 = time.perf_counter()
+            ingest_documents_stream(
+                spark, src, store, ckpt,
+                min_quality=0.2, scrub_pii=True, band_store=bands,
+                semantic_index=ivf, semantic_centroids=cents,
+                semantic_embeddings=emb_halves[i],
+                semantic_threshold=0.99, max_files_per_trigger=1,
+            ).awaitTermination()
+            sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "drain": i,
+                        "docs": n,
+                        "batches": 4,
+                        "sec": round(sec, 1),
+                        "docs_per_sec": round(n / sec, 1),
+                        "store_docs_before": before_docs,
+                        "store_vecs_before": before_vecs,
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
