@@ -259,7 +259,7 @@ def ingest_documents_stream(
     semantic_embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None,
     semantic_dims: int | None = None,
-    verify_unique_ids: bool = True,
+    verify_unique_ids: bool = False,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -317,12 +317,16 @@ def ingest_documents_stream(
     the watermark-vs-state-size tradeoff never arises and the stores
     double as the batch pipeline's inputs.
 
-    ``verify_unique_ids`` (default True) fails the stream loudly on a
-    micro-batch carrying duplicate non-null ``doc_id``s — within-batch
-    id collisions would corrupt the gate join-backs and the stores'
-    ``keep_id`` semantics, while ACROSS-batch id reuse (re-crawls)
-    stays legitimate via the ``(id, digest)`` store keys. One
-    batch-sized aggregation; pass False if the feed enforces the key.
+    ``verify_unique_ids`` (default False — OPT-IN here, unlike
+    ``curate_corpus``'s default-on gate) fails the stream loudly on a
+    micro-batch carrying duplicate non-null ``doc_id``s. The stream
+    itself is duplicate-id SAFE by design — every store and gate keys
+    on ``(id, digest)``, so id reuse within or across batches is
+    well-defined (pinned by the per-(id, digest) LM-scoring and
+    band-store tests) — which is why the gate is off by default; turn
+    it on for feeds whose ids are SUPPOSED to be unique, where a
+    collision signals an upstream producer bug worth stopping on. One
+    batch-sized aggregation when enabled.
 
     ``max_files_per_trigger`` bounds each micro-batch to that many input
     files. Without it, ``availableNow`` drains a BACKLOGGED directory
@@ -464,13 +468,11 @@ def ingest_documents_stream(
             return
         sess = batch_df.sparkSession
         if verify_unique_ids:
-            # id-uniqueness gate (VERDICT r8 item 6), the streaming twin
-            # of curate_corpus's: WITHIN-batch duplicate non-null
-            # doc_ids fail the stream loudly instead of corrupting the
-            # batch's gate join-backs and the stores' keep_id semantics.
-            # ACROSS batches id reuse is legitimate (re-crawls) and
-            # handled by the (id, digest) store keys. One batch-sized
-            # agg; verify_unique_ids=False skips it.
+            # OPT-IN id-uniqueness gate (VERDICT r8 item 6): the
+            # pipeline itself handles id reuse via (id, digest) keys,
+            # so this exists to catch upstream producer bugs in feeds
+            # that promise unique ids — see the docstring for why the
+            # default differs from curate_corpus's.
             dup = (
                 batch_df.filter(F.col("doc_id").isNotNull())
                 .groupBy("doc_id")

@@ -320,11 +320,16 @@ class TestIngestStream:
         digests = [r.digest for r in rows]
         assert len(digests) == len(set(digests))  # store stays unique
 
-    def test_duplicate_ids_within_batch_fail_stream(self, spark, tmp_path):
-        """VERDICT r8 item 6, streaming twin: within-batch duplicate
-        doc_ids fail the stream loudly (across-batch reuse stays
-        legitimate — the (id, digest) keys handle re-crawls, pinned by
-        test_incremental_dedup_across_batches); the flag opts out."""
+    def test_duplicate_ids_fail_stream_when_gate_opted_in(
+        self, spark, tmp_path
+    ):
+        """VERDICT r8 item 6, streaming twin: the id-uniqueness gate is
+        OPT-IN here — the pipeline's own (id, digest) keys make id
+        reuse well-defined (pinned by the per-(id, digest) LM-scoring
+        and band-store tests), so the gate exists for feeds that
+        PROMISE unique ids, where a collision is an upstream producer
+        bug. Default-off drains the duplicate-id batch; opted-in fails
+        the stream loudly."""
         import json
 
         from pyspark.errors.exceptions.captured import (
@@ -348,13 +353,13 @@ class TestIngestStream:
         with pytest.raises(StreamingQueryException, match="duplicate doc_id"):
             ingest_documents_stream(
                 spark, str(src), str(tmp_path / "store"),
-                str(tmp_path / "ckpt"),
+                str(tmp_path / "ckpt"), verify_unique_ids=True,
             ).awaitTermination(120)
-        # opt-out drains (fresh checkpoint: the failed run's offsets
-        # would otherwise replay the same batch)
+        # default: duplicate-id-safe drain (fresh checkpoint: the
+        # failed run's offsets would otherwise replay the same batch)
         ingest_documents_stream(
             spark, str(src), str(tmp_path / "store2"),
-            str(tmp_path / "ckpt2"), verify_unique_ids=False,
+            str(tmp_path / "ckpt2"),
         ).awaitTermination(120)
         kept = spark.read.parquet(str(tmp_path / "store2"))
         assert kept.count() == 2
