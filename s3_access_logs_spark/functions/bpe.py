@@ -569,6 +569,71 @@ def bpe_token_count(
     return bpe_token_count_arrow(col, ms)
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str]] | None = None,
+    alphabet: str | None = None,
+) -> list[str]:
+    """Token-id table for a merges list: id = list index. Base symbols
+    first (the sorted distinct characters appearing in the merge
+    symbols, plus any explicitly passed ``alphabet`` characters), then
+    one merged symbol per merge in rank order — the constructive id
+    order byte-pair encoders use when no explicit vocab file exists.
+    Deterministic in (merges, alphabet), so trainer + vocab + encoder
+    reproduce identical id streams on every run and engine."""
+    ms = list(merges) if merges is not None else list(default_merges())
+    chars = set(alphabet or "")
+    for a, b in ms:
+        chars.update(a)
+        chars.update(b)
+    vocab = sorted(chars)
+    seen = set(vocab)
+    for a, b in ms:
+        ab = a + b
+        if ab not in seen:
+            vocab.append(ab)
+            seen.add(ab)
+    return vocab
+
+
+def bpe_token_ids(
+    col: Column | str,
+    merges: list[tuple[str, str]] | None = None,
+    vocab: list[str] | None = None,
+    unk_id: int = -1,
+) -> Column:
+    """array<int> of exact BPE token IDS — what a training pipeline
+    actually materializes (packing, shuffling and sharding operate on
+    id streams, not strings). Arrow path only: the id lookup is one
+    dict probe per token inside the same batch loop the encoder
+    already runs, so it costs nothing extra at any merge count, while
+    an engine-side map literal would re-hit the fold's expression-size
+    cliff at production vocabularies. Tokens outside the vocabulary
+    (characters never seen in the merge symbols/alphabet) map to
+    ``unk_id``; NULL text stays NULL, empty text gives []."""
+    c = F.col(col) if isinstance(col, str) else col
+    ms = list(merges) if merges is not None else list(default_merges())
+    vs = vocab if vocab is not None else bpe_vocab(ms)
+    ids = {s: i for i, s in enumerate(vs)}
+    encode = _encoder_factory(ms)
+
+    @F.pandas_udf("array<int>")
+    def _enc_ids(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+            else:
+                row: list[int] = []
+                for tok in pretokens_py(t):
+                    row.extend(
+                        ids.get(sym, unk_id) for sym in encode(tok)
+                    )
+                out.append(row)
+        return pd.Series(out, dtype=object)
+
+    return _enc_ids(c)
+
+
 def train_bpe_from_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -15,11 +15,16 @@ Arrow/worker spin-up.
 Usage:
     python tools/make_scaled_sf.py /root/testdata/sf0.1 /tmp/sf100_scaled \
         100 documents,embeddings
-    python tools/stream_decade.py /tmp/sf100_scaled [copies=100]
+    python tools/stream_decade.py /tmp/sf100_scaled [copies=100] [mode=text]
 
 Prints one JSON line per drain:
   {"drain": 0, "docs": N, "sec": S, "docs_per_sec": R,
    "store_docs_before": D, "store_vecs_before": V}
+
+``mode=assets`` runs the multimodal twin instead: the image slice of
+the scaled corpus (doc_id % 3 == 0) through ``synthesize_assets
+(pixels=True)`` and ``ingest_assets_stream`` with digest + perceptual
+dHash gates — the same halves-into-grown-stores protocol.
 """
 
 from __future__ import annotations
@@ -45,11 +50,79 @@ from s3_access_logs_spark.streaming import (  # noqa: E402
 )
 
 
+def assets_main(spark, sf_dir: str, copies: int) -> None:
+    import glob
+    import os
+
+    from s3_access_logs_spark.operators.multimodal import synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = docs.filter(F.col("doc_id") % 3 == 0)
+    doc_off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0] // copies))
+    halves = [
+        synthesize_assets(
+            imgs.filter(F.floor(F.col("doc_id") / doc_off) % 2 == i),
+            pixels=True,
+        ).select(F.col("asset_id"), F.col("payload"))
+        for i in (0, 1)
+    ]
+    td = tempfile.mkdtemp(prefix="asset_decade_")
+    try:
+        from s3_access_logs_spark.streaming import ingest_assets_stream
+
+        # untimed warm drain (VERDICT r8 item 8: the r8 1x row was 8x
+        # off purely from Arrow-UDF/worker warm-up)
+        warm_src = f"{td}/warm_in"
+        halves[0].limit(200).coalesce(1).write.parquet(warm_src)
+        ingest_assets_stream(
+            spark, warm_src, f"{td}/warm_store", f"{td}/warm_ckpt",
+            fingerprint_store=f"{td}/warm_fps", max_files_per_trigger=1,
+        ).awaitTermination()
+
+        src = f"{td}/in"
+        os.makedirs(src, exist_ok=True)
+        store, fps, ckpt = f"{td}/store", f"{td}/fps", f"{td}/ckpt"
+        for i in (0, 1):
+            stage = f"{td}/stage{i}"
+            halves[i].repartition(4).write.parquet(stage)
+            for j, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+                shutil.move(p, f"{src}/h{i}_{j}.parquet")
+            n = halves[i].count()
+            before = spark.read.parquet(store).count() if i else 0
+            t0 = time.perf_counter()
+            ingest_assets_stream(
+                spark, src, store, ckpt,
+                fingerprint_store=fps, max_files_per_trigger=1,
+            ).awaitTermination()
+            sec = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "mode": "assets",
+                        "drain": i,
+                        "assets": n,
+                        "batches": 4,
+                        "sec": round(sec, 1),
+                        "assets_per_sec": round(n / sec, 1),
+                        "store_assets_before": before,
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    mode = sys.argv[3] if len(sys.argv) > 3 else "text"
     spark = get_spark("stream_decade")
     spark.sparkContext.setLogLevel("ERROR")
+    if mode == "assets":
+        assets_main(spark, sf_dir, copies)
+        spark.stop()
+        return
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings").select(
