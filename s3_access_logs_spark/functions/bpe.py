@@ -193,9 +193,11 @@ def _check_sentinel_free(merges: list[tuple[str, str]]) -> None:
                 raise ValueError(
                     f"bpe: merge symbol {part!r} contains a sentinel "
                     f"character ({OPEN} {CLOSE} {SEP}) — the replace-fold "
-                    "encoding cannot represent it; use the arrow "
-                    "implementation (impl='arrow'), which is "
-                    "sentinel-free"
+                    "encoding cannot represent it. Note the module-wide "
+                    "text contract strips these three characters from "
+                    "INPUT on every path (fold and arrow alike), so such "
+                    "a merge could never fire anyway; a corpus where "
+                    "they carry content needs different sentinels"
                 )
 
 
@@ -321,14 +323,18 @@ def bpe_tokens_sql(
 # and whole-stage-codegen-fast at demo scale, but expression-tree depth
 # grows with the merge count, and a real tokenizer ships ~50k merges.
 # Measured on this tree (tools/bpe_scale.py, table in BASELINE.md): the
-# fold's per-row cost is fine, but Catalyst ANALYSIS of the nested tree
-# goes superlinear past ~1-2k merges and the 50k tree is unusable. The
-# arrow path below is the same algorithm — rank-order Sennrich sweep —
-# run batch-at-a-time in Python over Arrow, bit-identical to
-# ``bpe_encode_py`` for ANY merges table (pruning skips only provably
-# no-op sweeps), with per-worker memoization of unique pre-tokens
-# (Zipf makes the hit rate high). ``bpe_tokens``/``bpe_token_count``
-# auto-switch at ``ARROW_SWITCH_MERGES``.
+# fold dies outright — a JVM StackOverflowError in the column-node →
+# Catalyst expression conversion at ~320 nested replaces — so a 50k
+# tree is unusable. The arrow path below is the same algorithm —
+# rank-order Sennrich sweep — run batch-at-a-time in Python over Arrow,
+# bit-identical to ``bpe_encode_py`` for ANY merges table (pruning
+# skips only provably no-op sweeps), with per-worker memoization of
+# unique pre-tokens bounded at ``_ENCODER_CACHE_MAX`` entries (Zipf
+# makes the hit rate high for prose; numeric/identifier-heavy corpora
+# have unbounded pre-token cardinality, and an uncapped dict would grow
+# until the Python worker OOMs on exactly the long-running jobs this
+# path exists for). ``bpe_tokens``/``bpe_token_count`` auto-switch at
+# ``ARROW_SWITCH_MERGES``.
 # ---------------------------------------------------------------------------
 
 #: Fold→arrow auto-switch point, set from the measured cliff
@@ -363,8 +369,15 @@ def load_merges(
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
         for lineno, raw in enumerate(f, 1):
-            line = raw.rstrip("\n")
-            if not line or line.startswith("#"):
+            # rstrip CR too: a CRLF merges.txt would otherwise leave a
+            # trailing \r on every second symbol — merges that can
+            # never fire, silently degenerating to char-level encoding
+            line = raw.rstrip("\r\n")
+            # GPT-2 files carry exactly ONE header line ("#version:
+            # ..."); treating every '#'-initial line as a comment would
+            # silently drop real merges whose first symbol starts with
+            # '#' (markdown-heavy vocabularies learn those)
+            if not line or line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
@@ -423,15 +436,25 @@ def synthetic_merges(
     return merges
 
 
+#: Memo-cache bound for the arrow encoder: ~500k entries of short
+#: tuples is low hundreds of MB worst-case — ample for prose vocabulary
+#: (the whole point of the memo) while keeping identifier/numeric-heavy
+#: corpora (unbounded unique pre-tokens) from growing the dict until
+#: the Python worker OOMs. Past the cap, new pre-tokens encode without
+#: being remembered — correctness unchanged, hit rate degrades only on
+#: the long tail that was never going to repeat anyway.
+_ENCODER_CACHE_MAX = 500_000
+
+
 def _encoder_factory(merges: list[tuple[str, str]]):
     """Memoized pre-token encoder for one merges table — the arrow
     path's worker-side core. Bit-identical to the ``bpe_encode_py``
     loop for ANY table: the only sweeps skipped are ones where a merge
     symbol is absent from a SUPERSET of the word's current symbols
     (the set only ever grows), i.e. provably no-op passes. The cache
-    maps unique pre-token → token tuple and lives for the life of the
-    Python worker, so repeated words across rows and batches encode
-    once."""
+    maps unique pre-token → token tuple, lives for the life of the
+    Python worker (repeated words across rows and batches encode once)
+    and is bounded at ``_ENCODER_CACHE_MAX`` entries."""
     ms = [(a, b, a + b) for a, b in merges]
     cache: dict[str, tuple[str, ...]] = {}
 
@@ -450,7 +473,8 @@ def _encoder_factory(merges: list[tuple[str, str]]):
                     if len(merged) != len(word):
                         word = merged
                         syms.add(ab)
-        cache[tok] = word
+        if len(cache) < _ENCODER_CACHE_MAX:
+            cache[tok] = word
         return word
 
     return encode
@@ -547,9 +571,11 @@ def bpe_tokens(
 ) -> Column:
     """Exact BPE tokens with implementation auto-switch: the
     whole-stage-codegen replace fold below ``ARROW_SWITCH_MERGES``
-    merges (zero Python, DuckDB-oracle-replayable), the Arrow-batched
-    encoder above it (flat in merge count). Both are bit-identical to
-    ``bpe_encode_py``; ``impl='fold'``/``'arrow'`` forces a path."""
+    merges (zero Python; DuckDB-oracle-replayable up to DuckDB's own
+    ~120-merge binder ceiling — see ``bpe_wrapped_sql``'s depth note),
+    the Arrow-batched encoder above it (flat in merge count). Both are
+    bit-identical to ``bpe_encode_py``; ``impl='fold'``/``'arrow'``
+    forces a path."""
     ms = list(merges) if merges is not None else list(default_merges())
     if _pick_impl(impl, len(ms)) == "fold":
         return bpe_tokens_exact(col, ms)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from s3_access_logs_spark.functions.text import lang_id, quality_score
 from s3_access_logs_spark.operators.dedup import (
     dedup_clusters,
+    first_duplicate_id,
     ngram_overlap,
     normalized_digest,
 )
@@ -241,18 +242,11 @@ def curate_corpus(
     # the dirty sweeps pin). ``verify_unique_ids=False`` skips the scan
     # for perf-critical callers who enforce the key upstream.
     if verify_unique_ids:
-        dup = (
-            docs.filter(F.col(id_col).isNotNull())
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+        dup = first_duplicate_id(docs, id_col)
+        if dup is not None:
             raise ValueError(
                 f"curate_corpus: duplicate {id_col} "
-                f"{dup[0][id_col]!r} (x{dup[0]['_n']}) — doc ids must "
+                f"{dup[id_col]!r} (x{dup['_n']}) — doc ids must "
                 "be unique (join-backs and waterfall counts key on "
                 "them); fix the corpus, or pass "
                 "verify_unique_ids=False if the key is enforced "

@@ -50,6 +50,24 @@ def normalized_digest(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def first_duplicate_id(df: DataFrame, id_col: str):
+    """One example duplicated non-null id as a ``(id, _n)`` Row, or
+    None — the shared core of the id-uniqueness gates (VERDICT r8
+    item 6; ``curate_corpus`` default-on, ``ingest_documents_stream``
+    opt-in). One column-pruned aggregation + ``limit(1)``; NULL ids are
+    exempt by design (their handling is the documented per-consumer
+    contract the dirty sweeps pin)."""
+    dup = (
+        df.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    return dup[0] if dup else None
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

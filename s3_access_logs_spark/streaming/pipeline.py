@@ -473,22 +473,20 @@ def ingest_documents_stream(
             # so this exists to catch upstream producer bugs in feeds
             # that promise unique ids — see the docstring for why the
             # default differs from curate_corpus's.
-            dup = (
-                batch_df.filter(F.col("doc_id").isNotNull())
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") > 1)
-                .limit(1)
-                .collect()
+            from s3_access_logs_spark.operators.dedup import (
+                first_duplicate_id,
             )
-            if dup:
+
+            dup = first_duplicate_id(batch_df, "doc_id")
+            if dup is not None:
                 raise ValueError(
                     f"ingest_documents_stream: micro-batch {batch_id} "
-                    f"carries duplicate doc_id {dup[0]['doc_id']} "
-                    f"(x{dup[0]['_n']}) — ids must be unique within a "
-                    "batch; fix the feed, or pass "
-                    "verify_unique_ids=False if the key is enforced "
-                    "upstream"
+                    f"carries duplicate doc_id {dup['doc_id']} "
+                    f"(x{dup['_n']}) — this gate was enabled because "
+                    "the feed promises unique ids, so a collision is "
+                    "an upstream producer bug: fix the producer (the "
+                    "pipeline's own (id, digest) keys stay safe either "
+                    "way)"
                 )
         cleaned = batch_df
         _gate_persisted: list[DataFrame] = []

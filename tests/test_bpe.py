@@ -334,6 +334,20 @@ class TestProductionVocab:
             ("Ġt", "he"), ("Ġth", "e"), ("t", "h")
         ]
 
+    def test_loader_keeps_hash_merges_and_handles_crlf(self, tmp_path):
+        """Review r9: only the '#version' header is a comment — a real
+        merge whose first symbol starts with '#' (markdown-heavy
+        vocabularies learn those) must survive a save/load roundtrip;
+        and a CRLF file must not leave \\r on every second symbol
+        (which would make every merge a silent no-op)."""
+        ms = [("#", "#"), ("##", "#"), ("t", "h")]
+        p = str(tmp_path / "hash.txt")
+        B.save_merges(p, ms)
+        assert B.load_merges(p) == ms
+        crlf = tmp_path / "crlf.txt"
+        crlf.write_bytes(b"#version: 0.2\r\nt h\r\nth e\r\n")
+        assert B.load_merges(str(crlf)) == [("t", "h"), ("th", "e")]
+
     def test_loader_rejects_malformed_lines(self, tmp_path):
         bad = tmp_path / "bad.txt"
         bad.write_text("a b c\n", encoding="utf-8")

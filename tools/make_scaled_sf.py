@@ -58,7 +58,11 @@ def scale(
 ) -> None:
     """``tables`` (round 9) restricts the build to a subset — the
     streaming decade measurements need only documents + embeddings, and
-    skipping a 60M-row lineitem replication saves minutes and GBs."""
+    skipping a 60M-row lineitem replication saves minutes and GBs.
+    Coupled pairs load together even under a subset, because their key
+    shift must be SHARED: orders+lineitem (the orderkey FK) and
+    documents+embeddings (vec_id is a doc id in every consumer — the
+    max-of-both offset keeps copy i docs attached to their vectors)."""
     spark = get_spark("make_scaled_sf")
     spark.sparkContext.setLogLevel("ERROR")
     out = Path(dst)
@@ -109,8 +113,15 @@ def scale(
         spark.stop()
         return
 
+    # SHARED offset for documents + embeddings (round 9, review): the
+    # embeddings table is keyed to documents (vec_id IS a doc id in
+    # every consumer — the semantic gates join on it), so the two
+    # tables must shift by the SAME amount or copy i>0 docs lose their
+    # vectors. Independently-derived offsets only agreed on the shipped
+    # testdata by digit-count coincidence (4999 vs 1999).
     docs = load_table(spark, src, "documents")
-    doc_off = _offset(docs, "doc_id")
+    emb = load_table(spark, src, "embeddings")
+    doc_off = max(_offset(docs, "doc_id"), _offset(emb, "vec_id"))
     doc_copies = []
     for i in range(factor):
         c = docs.withColumn(
@@ -133,8 +144,7 @@ def scale(
     if want("documents"):
         write(reduce(lambda a, b: a.unionByName(b), doc_copies), "documents")
 
-    emb = load_table(spark, src, "embeddings")
-    vec_off = _offset(emb, "vec_id")
+    vec_off = doc_off  # shared with documents — see the comment above
     lab_off = (emb.agg(F.max("label")).first()[0] or 0) + 1
     emb_copies = []
     for i in range(factor):

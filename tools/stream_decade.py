@@ -58,6 +58,10 @@ def assets_main(spark, sf_dir: str, copies: int) -> None:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     imgs = docs.filter(F.col("doc_id") % 3 == 0)
+    # same offset-recovery arithmetic as the text mode; assets need no
+    # embedding alignment, so the docs-only reconstruction suffices
+    # (the builder's shared offset is >= the docs-derived one, and a
+    # larger-but-wrong off would only skew the halves, never alias ids)
     doc_off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0] // copies))
     halves = [
         synthesize_assets(
@@ -131,15 +135,27 @@ def main() -> None:
     # copy parity split: make_scaled_sf shifts ids by copy*10^k, so
     # (doc_id // off) is the copy index — even copies = half A, odd =
     # half B. Disjoint, equal-size, and each half is corpus-shaped
-    # (every copy is a full mutated sf0.1).
-    doc_off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0] // copies))
-    vec_off = 10 ** len(str(emb.agg(F.max("doc_id")).first()[0] // copies))
+    # (every copy is a full mutated sf0.1). The offset is SHARED
+    # between documents and embeddings by the builder (so copy i docs
+    # keep their vectors); recover it as the max of both tables'
+    # reconstructions — scaled_max // copies always lands in
+    # [off·(c-1)/c, off), the same digit count as off-1, so
+    # 10^len(str(·)) is exactly off for copies >= 2.
+    off = 10 ** len(
+        str(
+            max(
+                docs.agg(F.max("doc_id")).first()[0],
+                emb.agg(F.max("doc_id")).first()[0],
+            )
+            // copies
+        )
+    )
     halves = [
-        docs.filter((F.col("doc_id") / doc_off).cast("long") % 2 == i)
+        docs.filter(F.floor(F.col("doc_id") / off) % 2 == i)
         for i in (0, 1)
     ]
     emb_halves = [
-        emb.filter((F.col("doc_id") / vec_off).cast("long") % 2 == i)
+        emb.filter(F.floor(F.col("doc_id") / off) % 2 == i)
         for i in (0, 1)
     ]
     cents = label_centroids(emb, "label", dims=64)
