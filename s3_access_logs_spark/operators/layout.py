@@ -79,6 +79,85 @@ def zorder_write(
     writer.parquet(path)
 
 
+def _salted_bucket(key_col: str, salt: str, modulus: int) -> Column:
+    """Deterministic bucket in [0, modulus): first 8 hex chars of
+    md5(salt || key) as an integer, mod. The repo-wide reproducible-
+    split primitive (mixture_sample / decontaminate_ngrams pattern) —
+    md5, not xxhash64, so DuckDB oracles replay it exactly."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+    )
+
+
+def training_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shards:",
+    order_salt: str = "order:",
+) -> DataFrame:
+    """The training-export layout step: every row gets a deterministic
+    ``shard`` in [0, n_shards) (salted id-hash — balanced in expectation,
+    and at training-corpus sizes the law of large numbers makes per-shard
+    token mass equal to within a fraction of a percent) and a
+    ``shard_order`` key (independently-salted hash) that defines the
+    within-shard read order — ``shuffle_rows``'s epoch-permutation idea,
+    per shard. Both columns are pure projections: assignment costs ZERO
+    shuffle at any corpus size, reruns are bit-identical, and a new
+    training epoch is a new ``order_salt``.
+
+    Hash assignment — not greedy bin-packing — is the deliberate 100 TB
+    choice: packing needs a serialized pass over global token counts,
+    while hashing is stateless per row; the `training_shard_stats`
+    catalog entry is the evidence the balance actually holds."""
+    if n_shards < 1:
+        raise ValueError(f"training_shards: n_shards must be >= 1, got {n_shards}")
+    return df.withColumn(
+        "shard", _salted_bucket(id_col, salt, n_shards)
+    ).withColumn(
+        "shard_order",
+        F.md5(F.concat(F.lit(order_salt), F.col(id_col).cast("string"))),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    dst: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shards:",
+    order_salt: str = "order:",
+) -> None:
+    """Materialize the training export: hive dirs ``shard=<n>``, rows
+    inside each shard parquet-ordered by the epoch permutation (trainers
+    stream the files in order and get the shuffled corpus without a
+    shuffle buffer). One shuffle total — ``repartition(shard)`` keys
+    writer tasks to shards so each shard is one writer's output (no
+    small-files blowup from every task appending to every shard dir);
+    within-task ``sortWithinPartitions`` orders the rows. The order key
+    is dropped from the data files: it is derivable from the id, and
+    re-deriving is cheaper than storing 32 bytes/row at corpus scale."""
+    out = training_shards(df, n_shards, id_col, salt, order_salt)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_order")
+        .drop("shard_order")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("shard")
+        .parquet(dst)
+    )
+
+
 def shuffle_rows(
     df: DataFrame,
     key_col: str,

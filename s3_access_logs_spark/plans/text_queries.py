@@ -880,6 +880,46 @@ def sequence_packing_bins(
 
 
 @query(
+    "training_shard_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({SQL_WORDS}) AS n_tokens,
+             (('0x' || substr(md5('shards:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % 8) AS shard,
+             md5('order:' || doc_id::VARCHAR) AS ok
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS shard_tokens,
+           arg_min(doc_id, ok) AS first_doc
+    FROM t GROUP BY shard
+    """,
+    tags=("llm", "pipeline", "layout", "shards"),
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export layout (operators/layout.py:training_shards):
+    deterministic salted-hash shard assignment + per-shard epoch
+    permutation, reported as per-shard doc/token mass plus the FIRST
+    document each shard would stream (min doc by the order hash) — the
+    column that value-pins the read ORDER, not just membership. Both the
+    assignment and the permutation are pure projections (zero shuffle at
+    any corpus size); balance is emergent from the hash and this entry
+    is the evidence it holds. ``write_training_shards`` materializes the
+    same layout as hive ``shard=<n>`` dirs with rows parquet-ordered by
+    the permutation (pinned in ``tests/test_operators.py``)."""
+    from s3_access_logs_spark.operators.layout import training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = training_shards(docs.select("doc_id", "text"), n_shards=8)
+    return t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("shard_tokens"),
+        F.min_by("doc_id", "shard_order").alias("first_doc"),
+    )
+
+
+@query(
     "decontaminate_ngrams",
     oracle=f"""
     WITH t AS (

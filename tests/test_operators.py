@@ -1274,6 +1274,103 @@ class TestSemanticDedup:
         assert all(r.keep for r in out)
 
 
+class TestTrainingShards:
+    """Round 9: the training-export layout — deterministic hash shards
+    + per-shard epoch permutation (operators/layout.py)."""
+
+    def _df(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, f"word{i} " * (3 + i % 7)) for i in range(n)],
+            ["doc_id", "text"],
+        )
+
+    def test_assignment_matches_python_md5_and_partitioning_invariant(
+        self, spark
+    ):
+        import hashlib
+
+        from s3_access_logs_spark.operators.layout import training_shards
+
+        df = self._df(spark)
+        got = {
+            r.doc_id: (r.shard, r.shard_order)
+            for r in training_shards(df, 8).collect()
+        }
+        for i in range(200):
+            shard = int(hashlib.md5(f"shards:{i}".encode()).hexdigest()[:8], 16) % 8
+            order = hashlib.md5(f"order:{i}".encode()).hexdigest()
+            assert got[i] == (shard, order), i
+        again = {
+            r.doc_id: (r.shard, r.shard_order)
+            for r in training_shards(df.repartition(13), 8).collect()
+        }
+        assert again == got
+
+    def test_write_layout_and_within_shard_order(self, spark, tmp_path):
+        import hashlib
+        import os
+
+        from s3_access_logs_spark.operators.layout import (
+            write_training_shards,
+        )
+
+        df = self._df(spark, 150)
+        dst = str(tmp_path / "shards")
+        write_training_shards(df, dst, n_shards=4)
+        dirs = sorted(
+            d for d in os.listdir(dst) if d.startswith("shard=")
+        )
+        assert dirs == [f"shard={i}" for i in range(4)]
+        back = spark.read.parquet(dst)
+        assert back.count() == 150
+        assert sorted(r.doc_id for r in back.collect()) == list(range(150))
+        # within-shard FILE order replays the epoch permutation: read
+        # one shard's files in order and compare to the md5 sort
+        ids0 = [
+            r.doc_id
+            for r in spark.read.parquet(f"{dst}/shard=0").collect()
+        ]
+        expect0 = sorted(
+            ids0,
+            key=lambda i: hashlib.md5(f"order:{i}".encode()).hexdigest(),
+        )
+        assert ids0 == expect0 and len(ids0) > 0
+        # a new epoch (order_salt) is a different permutation, same rows
+        write_training_shards(
+            df, dst, n_shards=4, order_salt="epoch1:"
+        )
+        ids0b = [
+            r.doc_id
+            for r in spark.read.parquet(f"{dst}/shard=0").collect()
+        ]
+        assert sorted(ids0b) == sorted(ids0) and ids0b != ids0
+
+    def test_balance_holds_at_small_scale(self, spark):
+        from s3_access_logs_spark.operators.layout import training_shards
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select("doc_id", "text")
+        import pyspark.sql.functions as F
+
+        sizes = [
+            r.n
+            for r in training_shards(docs, 8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 8
+        avg = sum(sizes) / 8
+        assert max(sizes) < 1.5 * avg and min(sizes) > 0.5 * avg
+
+    def test_bad_n_shards_rejected(self, spark):
+        from s3_access_logs_spark.operators.layout import training_shards
+
+        with pytest.raises(ValueError, match="n_shards"):
+            training_shards(self._df(spark, 5), 0)
+
+
 class TestShuffleRows:
     def test_permutation_matches_md5_order_and_is_rerun_stable(self, spark):
         import hashlib
