@@ -176,7 +176,12 @@ _fold(
 )
 _fold(
     "suite_chunk_pack",
-    ("doc_chunk_spans", "sequence_packing_bins", "training_shard_stats"),
+    (
+        "doc_chunk_spans",
+        "sequence_packing_bins",
+        "packed_sequences",
+        "training_shard_stats",
+    ),
     ("llm", "text", "chunking", "packing", "fold"),
 )
 _fold(

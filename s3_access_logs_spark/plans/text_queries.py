@@ -879,6 +879,101 @@ def sequence_packing_bins(
     )
 
 
+def _packed_sequences_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             COALESCE({B.bpe_tokens_sql("text")}, []) AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, toks,
+             -- NULLS FIRST pins the packing order cross-engine (the
+             -- sequence_packing_bins convention): Spark ASC is
+             -- nulls-first, DuckDB's default is nulls-last
+             ((SUM(len(toks)) OVER (
+                 PARTITION BY source ORDER BY doc_id NULLS FIRST
+                 ROWS UNBOUNDED PRECEDING) - len(toks)) // 256)::BIGINT
+               AS bin
+      FROM t
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           SUM(len(toks))::BIGINT AS seq_tokens,
+           -- COALESCE: DuckDB's array_to_string of an EMPTY list is
+           -- NULL where Spark's array_join is '' — a bin whose only
+           -- doc has zero tokens (NULL/empty text) must agree
+           COALESCE(array_to_string(
+             flatten(list(toks ORDER BY doc_id NULLS FIRST)), '|'), '')
+             AS seq_text
+    FROM b GROUP BY source, bin
+    """
+
+
+@query(
+    "packed_sequences",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "packing", "tokenize"),
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED packing step (round 9 — `sequence_packing_bins`
+    reports bin occupancy; this emits the actual packed context
+    windows): documents tokenize with the exact demo-vocab BPE, pack
+    into ~256-token bins by cumulative count in doc-id order per
+    source, and each bin's CONCATENATED token stream comes back as one
+    row — the artifact a trainer's data loader consumes. The token
+    stream is value-hashed (not just counted): `array_sort` over
+    (doc_id, toks) structs pins concatenation order against the
+    oracle's `list(... ORDER BY doc_id)`.
+
+    Scale shape: tokenize is a projection, the bin assignment is the
+    same source-partitioned window as `sequence_packing_bins`, and the
+    concatenation is one partial-aggregatable groupBy — no extra
+    exchange beyond packing's own. NULL text packs as zero tokens
+    (COALESCE to empty on both engines)."""
+    from pyspark.sql import Window
+
+    from s3_access_logs_spark.functions import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.coalesce(B.bpe_tokens_exact("text"), F.array()).alias("toks"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = t.withColumn(
+        "bin",
+        (
+            (F.sum(F.size("toks")).over(w) - F.size("toks")) / 256
+        ).cast("bigint"),
+    )
+    return b.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("seq_tokens"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "toks"))),
+                    lambda s: s["toks"],
+                )
+            ),
+            "|",
+        ).alias("seq_text"),
+    )
+
+
+_Q["packed_sequences"] = _dc.replace(
+    _Q["packed_sequences"], oracle=_packed_sequences_sql()
+)
+
+
 @query(
     "training_shard_stats",
     oracle=f"""

@@ -394,7 +394,7 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        assert "q1_pricing_summary" in names and len(names) == 104
+        assert "q1_pricing_summary" in names and len(names) == 105
         assert run_query(["no_such_query"]) == 2
 
 
