@@ -354,12 +354,17 @@ def load_merges(
     path: str, space_marker: str | None = "Ġ"
 ) -> list[tuple[str, str]]:
     """Load a ranked merges table from a GPT-2-format ``merges.txt``:
-    one merge per line as ``<a> <b>`` (rank = line order), ``#``-prefixed
-    header/comment lines and blank lines skipped. GPT-2's byte-level
-    files spell a leading space as ``Ġ`` (U+0120); ``space_marker``
-    translates it back to a real space so the symbols line up with this
-    module's pre-tokens (`` ?\\p{L}+``... keeps the leading space ON the
-    pre-token). Pass ``space_marker=None`` to keep symbols verbatim.
+    one merge per line as ``<a> <b>`` (rank = line order), blank lines
+    and the single ``#version`` header line skipped. The format has NO
+    general comment syntax — a ``#``-initial line that is not the
+    version header is DATA (trained tables legitimately contain
+    ``#``-symbol merges), so ``# stopwords``-style annotations would
+    load as phantom merges; keep notes out of the file. GPT-2's
+    byte-level files spell a leading space as ``Ġ`` (U+0120);
+    ``space_marker`` translates it back to a real space so the symbols
+    line up with this module's pre-tokens (`` ?\\p{L}+``... keeps the
+    leading space ON the pre-token). Pass ``space_marker=None`` to keep
+    symbols verbatim.
 
     Note the scope contract: this engine pre-tokenizes with
     ``BPE_ISH_REGEX`` over unicode TEXT, not GPT-2's byte-level

@@ -80,20 +80,14 @@ def zorder_write(
 
 
 def _salted_bucket(key_col: str, salt: str, modulus: int) -> Column:
-    """Deterministic bucket in [0, modulus): first 8 hex chars of
-    md5(salt || key) as an integer, mod. The repo-wide reproducible-
-    split primitive (mixture_sample / decontaminate_ngrams pattern) —
-    md5, not xxhash64, so DuckDB oracles replay it exactly."""
+    """Deterministic bucket in [0, modulus): ``md5_long`` (the repo-wide
+    cross-engine hash primitive, functions/text.py) of salt || key, mod.
+    md5, not xxhash64, so DuckDB oracles replay it exactly
+    (``SQL_MD5_LONG`` is the oracle-side twin)."""
+    from s3_access_logs_spark.functions.text import md5_long
+
     return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")))
         % modulus
     )
 

@@ -892,9 +892,14 @@ def _packed_sequences_sql() -> str:
       SELECT doc_id, source, toks,
              -- NULLS FIRST pins the packing order cross-engine (the
              -- sequence_packing_bins convention): Spark ASC is
-             -- nulls-first, DuckDB's default is nulls-last
+             -- nulls-first, DuckDB's default is nulls-last. toks as
+             -- the SECOND key pins doc_id ties (duplicate or multiple
+             -- NULL ids, which the uniqueness gate exempts) — both
+             -- engines compare lists lexicographically, and without it
+             -- tie order is each engine's input order
              ((SUM(len(toks)) OVER (
-                 PARTITION BY source ORDER BY doc_id NULLS FIRST
+                 PARTITION BY source
+                 ORDER BY doc_id NULLS FIRST, toks
                  ROWS UNBOUNDED PRECEDING) - len(toks)) // 256)::BIGINT
                AS bin
       FROM t
@@ -906,7 +911,8 @@ def _packed_sequences_sql() -> str:
            -- NULL where Spark's array_join is '' — a bin whose only
            -- doc has zero tokens (NULL/empty text) must agree
            COALESCE(array_to_string(
-             flatten(list(toks ORDER BY doc_id NULLS FIRST)), '|'), '')
+             flatten(list(toks ORDER BY doc_id NULLS FIRST, toks)),
+             '|'), '')
              AS seq_text
     FROM b GROUP BY source, bin
     """
@@ -943,9 +949,11 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.coalesce(B.bpe_tokens_exact("text"), F.array()).alias("toks"),
     )
+    # doc_id NULLS FIRST (Spark's ASC default) + toks as tie-break —
+    # mirrors the oracle's window exactly; see the oracle comment
     w = (
         Window.partitionBy("source")
-        .orderBy("doc_id")
+        .orderBy(F.col("doc_id").asc_nulls_first(), "toks")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     b = t.withColumn(
@@ -979,7 +987,7 @@ _Q["packed_sequences"] = _dc.replace(
     oracle=f"""
     WITH t AS (
       SELECT doc_id, len({SQL_WORDS}) AS n_tokens,
-             (('0x' || substr(md5('shards:' || doc_id::VARCHAR), 1, 8))::BIGINT
+             ({SQL_MD5_LONG.format(x="'shards:' || doc_id::VARCHAR")}
               % 8) AS shard,
              md5('order:' || doc_id::VARCHAR) AS ok
       FROM documents

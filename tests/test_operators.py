@@ -1274,6 +1274,49 @@ class TestSemanticDedup:
         assert all(r.keep for r in out)
 
 
+class TestPackedSequencesTies:
+    def test_duplicate_and_null_id_tie_order_matches_oracle(
+        self, spark, tmp_path
+    ):
+        """Review r9: the packed stream's concatenation order must be
+        engine-identical even on doc_id TIES — duplicate ids (the
+        uniqueness gate is opt-out-able) and multiple NULL ids (always
+        exempt). Both engines order by (doc_id NULLS FIRST, toks), so
+        the tie-break is the lexicographic list compare, not each
+        engine's input order."""
+        import duckdb
+
+        from s3_access_logs_spark.plans.catalog import load_all
+
+        rows = [
+            (None, "zebra words here", "srcA", 16),
+            (None, "alpha words here", "srcA", 16),  # NULL-id tie
+            (7, "m m m m", "srcA", 7),
+            (7, "a a a a", "srcA", 7),               # duplicate-id tie
+            (8, "tail doc", "srcA", 8),
+        ]
+        sf = str(tmp_path)
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars bigint"
+        ).write.parquet(f"{sf}/documents.parquet")
+        q = load_all()["packed_sequences"]
+        srows = sorted(
+            (r["source"], r["bin"], r["n_docs"], r["seq_tokens"],
+             r["seq_text"])
+            for r in q.builder(spark, sf).collect()
+        )
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet/*.parquet')"
+            )
+            drows = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        finally:
+            con.close()
+        assert srows == drows
+
+
 class TestTrainingShards:
     """Round 9: the training-export layout — deterministic hash shards
     + per-shard epoch permutation (operators/layout.py)."""
@@ -1347,9 +1390,10 @@ class TestTrainingShards:
 
     def test_balance_holds_at_small_scale(self, spark):
         from s3_access_logs_spark.operators.layout import training_shards
+        from tests.conftest import SF_CORRECT
 
         docs = spark.read.parquet(
-            "/root/testdata/sf0.01/documents.parquet"
+            f"{SF_CORRECT}/documents.parquet"
         ).select("doc_id", "text")
         import pyspark.sql.functions as F
 

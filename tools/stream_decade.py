@@ -29,7 +29,9 @@ dHash gates — the same halves-into-grown-stores protocol.
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -46,23 +48,77 @@ from s3_access_logs_spark.operators.similarity import (  # noqa: E402
 from s3_access_logs_spark.session import get_spark  # noqa: E402
 from s3_access_logs_spark.sources.tables import load_table  # noqa: E402
 from s3_access_logs_spark.streaming import (  # noqa: E402
+    ingest_assets_stream,
     ingest_documents_stream,
 )
 
 
-def assets_main(spark, sf_dir: str, copies: int) -> None:
-    import glob
-    import os
+def _recover_offset(scaled_max: int, copies: int) -> int:
+    """Invert make_scaled_sf's shift from a SCALED table's max id:
+    scaled_max // copies always lands in [off*(c-1)/c, off) — the same
+    digit count as off-1 — so 10^len(str(.)) is exactly the builder's
+    offset for copies >= 2."""
+    return 10 ** len(str(scaled_max // copies))
 
+
+def _run_drains(
+    spark,
+    td: str,
+    halves,
+    fmt: str,
+    start_stream,
+    unit: str,
+    store_depth,
+    extra: dict | None = None,
+) -> None:
+    """The halves-into-grown-stores protocol, encoded ONCE for every
+    mode: ONE source dir + ONE checkpoint across both drains (the file
+    source pins its root path in the checkpoint, so per-drain dirs
+    would fail on drain 1); each half's part files are staged in under
+    half-tagged names, so drain i processes exactly the files that are
+    new since drain i-1. Staging is untimed; the drain (stream start →
+    awaitTermination) is what the JSON row reports.
+
+    ``start_stream(src)`` starts the mode's ingest against the shared
+    source dir; ``store_depth(i)`` returns the store-size fields for
+    drain i's row (queried BEFORE the drain); ``unit`` names the rate
+    fields (docs/assets)."""
+    src = f"{td}/in"
+    os.makedirs(src, exist_ok=True)
+    for i in (0, 1):
+        stage = f"{td}/stage{i}"
+        w = halves[i].repartition(4).write
+        (w.json(stage) if fmt == "json" else w.parquet(stage))
+        files = sorted(glob.glob(f"{stage}/part-*"))
+        for j, p in enumerate(files):
+            shutil.move(p, f"{src}/h{i}_{j}.{fmt}")
+        n = halves[i].count()
+        depth = store_depth(i)
+        t0 = time.perf_counter()
+        start_stream(src).awaitTermination()
+        sec = time.perf_counter() - t0
+        row = {
+            **(extra or {}),
+            "drain": i,
+            unit: n,
+            "batches": len(files),
+            "sec": round(sec, 1),
+            f"{unit}_per_sec": round(n / sec, 1),
+            **depth,
+        }
+        print(json.dumps(row), flush=True)
+
+
+def assets_main(spark, sf_dir: str, copies: int) -> None:
     from s3_access_logs_spark.operators.multimodal import synthesize_assets
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     imgs = docs.filter(F.col("doc_id") % 3 == 0)
-    # same offset-recovery arithmetic as the text mode; assets need no
-    # embedding alignment, so the docs-only reconstruction suffices
-    # (the builder's shared offset is >= the docs-derived one, and a
-    # larger-but-wrong off would only skew the halves, never alias ids)
-    doc_off = 10 ** len(str(docs.agg(F.max("doc_id")).first()[0] // copies))
+    # assets need no embedding alignment, so the docs-only offset
+    # reconstruction suffices (the builder's shared offset is >= the
+    # docs-derived one, and a larger-but-wrong off would only skew the
+    # halves, never alias ids)
+    doc_off = _recover_offset(docs.agg(F.max("doc_id")).first()[0], copies)
     halves = [
         synthesize_assets(
             imgs.filter(F.floor(F.col("doc_id") / doc_off) % 2 == i),
@@ -72,8 +128,6 @@ def assets_main(spark, sf_dir: str, copies: int) -> None:
     ]
     td = tempfile.mkdtemp(prefix="asset_decade_")
     try:
-        from s3_access_logs_spark.streaming import ingest_assets_stream
-
         # untimed warm drain (VERDICT r8 item 8: the r8 1x row was 8x
         # off purely from Arrow-UDF/worker warm-up)
         warm_src = f"{td}/warm_in"
@@ -83,36 +137,24 @@ def assets_main(spark, sf_dir: str, copies: int) -> None:
             fingerprint_store=f"{td}/warm_fps", max_files_per_trigger=1,
         ).awaitTermination()
 
-        src = f"{td}/in"
-        os.makedirs(src, exist_ok=True)
         store, fps, ckpt = f"{td}/store", f"{td}/fps", f"{td}/ckpt"
-        for i in (0, 1):
-            stage = f"{td}/stage{i}"
-            halves[i].repartition(4).write.parquet(stage)
-            for j, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
-                shutil.move(p, f"{src}/h{i}_{j}.parquet")
-            n = halves[i].count()
-            before = spark.read.parquet(store).count() if i else 0
-            t0 = time.perf_counter()
-            ingest_assets_stream(
+        _run_drains(
+            spark,
+            td,
+            halves,
+            fmt="parquet",
+            start_stream=lambda src: ingest_assets_stream(
                 spark, src, store, ckpt,
                 fingerprint_store=fps, max_files_per_trigger=1,
-            ).awaitTermination()
-            sec = time.perf_counter() - t0
-            print(
-                json.dumps(
-                    {
-                        "mode": "assets",
-                        "drain": i,
-                        "assets": n,
-                        "batches": 4,
-                        "sec": round(sec, 1),
-                        "assets_per_sec": round(n / sec, 1),
-                        "store_assets_before": before,
-                    }
-                ),
-                flush=True,
-            )
+            ),
+            unit="assets",
+            store_depth=lambda i: {
+                "store_assets_before": (
+                    spark.read.parquet(store).count() if i else 0
+                )
+            },
+            extra={"mode": "assets"},
+        )
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
@@ -137,18 +179,13 @@ def main() -> None:
     # half B. Disjoint, equal-size, and each half is corpus-shaped
     # (every copy is a full mutated sf0.1). The offset is SHARED
     # between documents and embeddings by the builder (so copy i docs
-    # keep their vectors); recover it as the max of both tables'
-    # reconstructions — scaled_max // copies always lands in
-    # [off·(c-1)/c, off), the same digit count as off-1, so
-    # 10^len(str(·)) is exactly off for copies >= 2.
-    off = 10 ** len(
-        str(
-            max(
-                docs.agg(F.max("doc_id")).first()[0],
-                emb.agg(F.max("doc_id")).first()[0],
-            )
-            // copies
-        )
+    # keep their vectors); recover it from the max over both tables.
+    off = _recover_offset(
+        max(
+            docs.agg(F.max("doc_id")).first()[0],
+            emb.agg(F.max("doc_id")).first()[0],
+        ),
+        copies,
     )
     halves = [
         docs.filter(F.floor(F.col("doc_id") / off) % 2 == i)
@@ -178,50 +215,35 @@ def main() -> None:
         store, bands, ivf, ckpt = (
             f"{td}/store", f"{td}/bands", f"{td}/ivf", f"{td}/ckpt"
         )
-        # ONE source dir + ONE checkpoint across both drains (the file
-        # source pins its root path in the checkpoint, so per-drain
-        # dirs would fail on drain 1): each half's part files are
-        # staged in under half-tagged names, and drain i processes
-        # exactly the 4 files that are new since drain i-1.
-        import glob
-        import os
+        drained = {"i": 0}
 
-        src = f"{td}/in"
-        os.makedirs(src, exist_ok=True)
-        for i in (0, 1):
-            stage = f"{td}/stage{i}"
-            halves[i].repartition(4).write.json(stage)  # setup, untimed
-            for j, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
-                shutil.move(p, f"{src}/h{i}_{j}.json")
-            n = halves[i].count()
-            before_docs = 0
-            before_vecs = 0
-            if i:
-                before_docs = spark.read.parquet(store).count()
-                before_vecs = spark.read.parquet(ivf).count()
-            t0 = time.perf_counter()
-            ingest_documents_stream(
+        def start(src):
+            q = ingest_documents_stream(
                 spark, src, store, ckpt,
                 min_quality=0.2, scrub_pii=True, band_store=bands,
                 semantic_index=ivf, semantic_centroids=cents,
-                semantic_embeddings=emb_halves[i],
+                semantic_embeddings=emb_halves[drained["i"]],
                 semantic_threshold=0.99, max_files_per_trigger=1,
-            ).awaitTermination()
-            sec = time.perf_counter() - t0
-            print(
-                json.dumps(
-                    {
-                        "drain": i,
-                        "docs": n,
-                        "batches": 4,
-                        "sec": round(sec, 1),
-                        "docs_per_sec": round(n / sec, 1),
-                        "store_docs_before": before_docs,
-                        "store_vecs_before": before_vecs,
-                    }
-                ),
-                flush=True,
             )
+            drained["i"] += 1
+            return q
+
+        _run_drains(
+            spark,
+            td,
+            halves,
+            fmt="json",
+            start_stream=start,
+            unit="docs",
+            store_depth=lambda i: {
+                "store_docs_before": (
+                    spark.read.parquet(store).count() if i else 0
+                ),
+                "store_vecs_before": (
+                    spark.read.parquet(ivf).count() if i else 0
+                ),
+            },
+        )
     finally:
         shutil.rmtree(td, ignore_errors=True)
     spark.stop()
