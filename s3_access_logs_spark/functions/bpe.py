@@ -51,6 +51,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from s3_access_logs_spark.functions.text import BPE_ISH_REGEX
+from s3_access_logs_spark.functions.unicode_classes import (
+    L_CLASS as _UC_L,
+)
+from s3_access_logs_spark.functions.unicode_classes import (
+    N_CLASS as _UC_N,
+)
 
 #: Symbol wrappers and pre-token separator. Stripped from input text
 #: before tokenization so they can never collide with content.
@@ -81,12 +87,19 @@ SEED_CORPUS = (
 )
 
 # Python twin of text.BPE_ISH_REGEX (" ?\\p{L}+| ?\\p{N}+|
-# " ?[^\\s\\p{L}\\p{N}]+"): letters = [^\W\d_], digits = \d, punct =
-# everything else non-space INCLUDING underscore. Exact for text without
-# exotic numerics (Nl/No) or combining marks — the trainer's seed corpus
-# and the parity fixtures stay inside that subset; the ENGINE pair
-# (Spark/DuckDB \p{L}) has its own established parity.
-_PRETOK_RE = re.compile(r" ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+")
+# " ?[^\\s\\p{L}\\p{N}]+"), EXACT (review r9): Python re has no \p{...},
+# and the previous \w-based approximation diverged from the engine on
+# No/Nl numerics ('x²': engine splits x|², \w kept x² together) and on
+# combining marks / non-ASCII whitespace — which would have made the
+# fold and arrow implementations disagree on such text, since the arrow
+# path pre-tokenizes in Python. The vendored L_CLASS/N_CLASS range
+# tables ARE \p{L}/\p{N} (general categories L*/N*), and Java's \s is
+# spelled out literally (ASCII-only — Python's \s is unicode-aware, so
+# e.g. NBSP must stay in the PUNCT class exactly as the engine has it).
+_JAVA_WS = " \t\n\x0b\f\r"
+_PRETOK_RE = re.compile(
+    f" ?[{_UC_L}]+| ?[{_UC_N}]+| ?[^{_JAVA_WS}{_UC_L}{_UC_N}]+"
+)
 
 
 def _strip_sentinels_py(text: str) -> str:
@@ -379,10 +392,12 @@ def load_merges(
             # never fire, silently degenerating to char-level encoding
             line = raw.rstrip("\r\n")
             # GPT-2 files carry exactly ONE header line ("#version:
-            # ..."); treating every '#'-initial line as a comment would
-            # silently drop real merges whose first symbol starts with
-            # '#' (markdown-heavy vocabularies learn those)
-            if not line or line.startswith("#version"):
+            # ...") and it is the FIRST line; treating any '#'-initial
+            # line as a comment would silently drop real merges whose
+            # first symbol starts with '#' (markdown-heavy vocabularies
+            # learn those), and even a '#version'-prefixed SYMBOL is
+            # legal data past line 1 (review r9)
+            if not line or (lineno == 1 and line.startswith("#version")):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
@@ -405,7 +420,21 @@ def save_merges(
 ) -> None:
     """Write a merges table in the same GPT-2 format ``load_merges``
     reads (spaces inside symbols re-spelled as ``Ġ`` so the
-    space-delimited line format stays parseable)."""
+    space-delimited line format stays parseable). A symbol that ALREADY
+    contains the marker character fails loud (review r9): writing it
+    verbatim would make ``load_merges`` translate it to a space on the
+    way back — a silently different table after a save/load cycle."""
+    if space_marker is not None:
+        for a, b in merges:
+            for part in (a, b):
+                if space_marker in part:
+                    raise ValueError(
+                        f"save_merges: symbol {part!r} contains the "
+                        f"space marker {space_marker!r} — the file "
+                        "format cannot distinguish it from an encoded "
+                        "space; pass a different space_marker (or "
+                        "None, if no symbol contains a real space)"
+                    )
     with open(path, "w", encoding="utf-8") as f:
         f.write("#version: 0.2\n")
         for a, b in merges:

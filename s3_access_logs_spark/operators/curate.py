@@ -233,39 +233,9 @@ def curate_corpus(
     no session-lifetime cache leak; consuming ``survivors`` afterwards
     re-derives the cheap column flags while the expensive sub-results
     (connected components) are lineage-truncated internally."""
-    # id-uniqueness gate FIRST (VERDICT r8 item 6): doc_id uniqueness
-    # was a documented schema contract but unchecked — a duplicate-id
-    # corpus silently corrupts every join-back and waterfall count
-    # (per-id semantics become engine-defined). One column-pruned
-    # agg + limit(1) over the id column, fail-loud with an example id;
-    # NULL ids stay exempt (their handling is the per-consumer contract
-    # the dirty sweeps pin). ``verify_unique_ids=False`` skips the scan
-    # for perf-critical callers who enforce the key upstream.
-    if verify_unique_ids:
-        dup = first_duplicate_id(docs, id_col)
-        if dup is not None:
-            raise ValueError(
-                f"curate_corpus: duplicate {id_col} "
-                f"{dup[id_col]!r} (x{dup['_n']}) — doc ids must "
-                "be unique (join-backs and waterfall counts key on "
-                "them); fix the corpus, or pass "
-                "verify_unique_ids=False if the key is enforced "
-                "upstream"
-            )
-    # TRANSFORM stages first (same order as the streaming ingest:
-    # markup off, then byte canonicalization, then line furniture) —
-    # every gate below, the stored digest included, sees the cleaned
-    # text, and survivors carry it. ``min_line_ratio`` turns
-    # line-cleaning loss into a drop gate: a page that was mostly
-    # furniture is not made good by deleting its furniture.
-    if html:
-        from s3_access_logs_spark.functions.text import strip_html
-
-        docs = docs.withColumn(text_col, strip_html(text_col))
-    if normalize:
-        from s3_access_logs_spark.functions.text import normalize_unicode
-
-        docs = normalize_unicode(docs, text_col=text_col)
+    # cheap (driver-only / metadata-only) argument validation FIRST
+    # (review r9): an invalid-argument call must not pay the
+    # id-uniqueness corpus scan below before it fails
     if min_line_ratio is not None and not line_clean:
         raise ValueError(
             "curate_corpus: min_line_ratio needs line_clean=True — the "
@@ -297,6 +267,39 @@ def curate_corpus(
                 _assert_owns_partition(
                     docs.sparkSession, _store, store_batch_id
                 )
+    # id-uniqueness gate (VERDICT r8 item 6): doc_id uniqueness was a
+    # documented schema contract but unchecked — a duplicate-id corpus
+    # silently corrupts every join-back and waterfall count (per-id
+    # semantics become engine-defined). One column-pruned agg +
+    # limit(1) over the id column, fail-loud with an example id; NULL
+    # ids stay exempt (their handling is the per-consumer contract the
+    # dirty sweeps pin). ``verify_unique_ids=False`` skips the scan for
+    # perf-critical callers who enforce the key upstream.
+    if verify_unique_ids:
+        dup = first_duplicate_id(docs, id_col)
+        if dup is not None:
+            raise ValueError(
+                f"curate_corpus: duplicate {id_col} "
+                f"{dup[id_col]!r} (x{dup['_n']}) — doc ids must "
+                "be unique (join-backs and waterfall counts key on "
+                "them); fix the corpus, or pass "
+                "verify_unique_ids=False if the key is enforced "
+                "upstream"
+            )
+    # TRANSFORM stages (same order as the streaming ingest: markup off,
+    # then byte canonicalization, then line furniture) — every gate
+    # below, the stored digest included, sees the cleaned text, and
+    # survivors carry it. ``min_line_ratio`` turns line-cleaning loss
+    # into a drop gate: a page that was mostly furniture is not made
+    # good by deleting its furniture.
+    if html:
+        from s3_access_logs_spark.functions.text import strip_html
+
+        docs = docs.withColumn(text_col, strip_html(text_col))
+    if normalize:
+        from s3_access_logs_spark.functions.text import normalize_unicode
+
+        docs = normalize_unicode(docs, text_col=text_col)
     _line_ratio = None
     if line_clean:
         from s3_access_logs_spark.functions.text import (

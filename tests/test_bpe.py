@@ -113,8 +113,9 @@ class TestRandomizedParity:
         """Seeded random strings (ASCII letters/digits/punct/spaces,
         lengths 0-200) through all three implementations in ONE batch
         per engine — the property-test complement to the hand-picked
-        fixtures. The alphabet stays in the regime where the Python
-        pre-tokenizer twin is exact (no exotic numerics/marks)."""
+        fixtures. (Since round 9 the Python twin is exact on ALL text —
+        vendored \\p{L}/\\p{N} classes; the exotic regime is pinned by
+        test_exotic_unicode_pretok_parity_all_paths.)"""
         import random
         import string
 
@@ -314,6 +315,50 @@ class TestProductionVocab:
         df = spark.createDataFrame([(1, "a⟨b")], "i int, text string")
         r = df.select(B.bpe_tokens_arrow("text", bad).alias("t")).first()
         assert list(r["t"]) == ["a", "b"]  # stripped input: merge no-ops
+
+    def test_exotic_unicode_pretok_parity_all_paths(self, spark):
+        """Review r9: the arrow path pre-tokenizes in PYTHON, so the
+        Python twin must match the engine's \\p{L}/\\p{N} exactly or
+        fold and arrow silently disagree past the auto-switch. The old
+        \\w-approximation split 'x²' differently (² is No: engine
+        number-run, \\w letter-run). Now the twin uses vendored
+        category-range classes: fold == arrow == python == DuckDB on
+        No/Nl numerics, combining marks, NBSP, and vertical-tab-free
+        exotic whitespace."""
+        import duckdb
+
+        merges = list(B.default_merges())
+        texts = [
+            "x² + y³ = z¹⁰",        # No superscripts: number runs
+            "Ⅻ chapters, ① start",  # Nl Roman numeral, No circled digit
+            "e\u0301clair cafe\u0301",  # combining acute: mark -> punct
+            "a\u00a0b",           # NBSP: not engine-\s, punct class
+            "ひらがな 123 ＡＢＣ",    # fullwidth letters are L
+        ]
+        refs = [B.bpe_encode_py(t, merges) for t in texts]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        rows = df.select(
+            "i",
+            B.bpe_tokens("text", impl="fold").alias("f"),
+            B.bpe_tokens("text", impl="arrow").alias("a"),
+        ).orderBy("i").collect()
+        for r, ref, t in zip(rows, refs, texts):
+            assert list(r["f"]) == ref, ("fold", t, list(r["f"]), ref)
+            assert list(r["a"]) == ref, ("arrow", t, list(r["a"]), ref)
+        con = duckdb.connect()
+        try:
+            con.execute("CREATE TABLE t(i INT, text VARCHAR)")
+            for i, t in enumerate(texts):
+                con.execute("INSERT INTO t VALUES (?, ?)", [i, t])
+            drows = con.execute(
+                f"SELECT i, {B.bpe_tokens_sql('text')} FROM t ORDER BY i"
+            ).fetchall()
+        finally:
+            con.close()
+        for (_, toks), ref, t in zip(drows, refs, texts):
+            assert (toks or []) == ref, ("duckdb", t)
 
     def test_merges_txt_loader_roundtrip(self, tmp_path):
         """GPT-2-format file (#version header, Ġ space marker) loads

@@ -144,23 +144,27 @@ def scale(
     if want("documents"):
         write(reduce(lambda a, b: a.unionByName(b), doc_copies), "documents")
 
-    vec_off = doc_off  # shared with documents — see the comment above
-    lab_off = (emb.agg(F.max("label")).first()[0] or 0) + 1
-    emb_copies = []
-    for i in range(factor):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off))
-        if i:
-            c = c.withColumn(
-                "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, j: (
-                        x + ((j + 1) % 7) * F.lit(i * 0.003)
-                    ).cast("float"),
-                ),
-            ).withColumn("label", F.col("label") + F.lit(i * lab_off))
-        emb_copies.append(c)
     if want("embeddings"):
+        vec_off = doc_off  # shared with documents — see the comment above
+        # inside the guard (review r9): max(label) is a Spark action;
+        # a documents-only build must not scan the embeddings table
+        lab_off = (emb.agg(F.max("label")).first()[0] or 0) + 1
+        emb_copies = []
+        for i in range(factor):
+            c = emb.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * vec_off)
+            )
+            if i:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (
+                            x + ((j + 1) % 7) * F.lit(i * 0.003)
+                        ).cast("float"),
+                    ),
+                ).withColumn("label", F.col("label") + F.lit(i * lab_off))
+            emb_copies.append(c)
         write(reduce(lambda a, b: a.unionByName(b), emb_copies), "embeddings")
     spark.stop()
 

@@ -57,7 +57,16 @@ def _recover_offset(scaled_max: int, copies: int) -> int:
     """Invert make_scaled_sf's shift from a SCALED table's max id:
     scaled_max // copies always lands in [off*(c-1)/c, off) — the same
     digit count as off-1 — so 10^len(str(.)) is exactly the builder's
-    offset for copies >= 2."""
+    offset for copies >= 2. copies < 2 is rejected loud (review r9):
+    an unscaled corpus has no copy parity, so the halves split would
+    silently put EVERY row in half A and report a meaningless
+    trigger-only drain-1 rate."""
+    if copies < 2:
+        raise ValueError(
+            f"stream_decade: copies={copies} — the halves protocol "
+            "needs a scaled corpus (copies >= 2); build one with "
+            "make_scaled_sf.py first"
+        )
     return 10 ** len(str(scaled_max // copies))
 
 
