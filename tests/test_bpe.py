@@ -360,6 +360,70 @@ class TestProductionVocab:
         for (_, toks), ref, t in zip(drows, refs, texts):
             assert (toks or []) == ref, ("duckdb", t)
 
+    def test_unicode_version_skew_codepoints_parity(self, spark):
+        """ADVICE r9: the first vendored tables came from CPython 3.11
+        (Unicode 14.0) while the engine fold runs Java 17 regex
+        (Unicode 13.0) — on letters ADDED in Unicode 14 (U+0870,
+        U+10780, U+1E290) and Unicode-14 digits (U+16AC0) the Python
+        twin said "letter/number" where the JVM said "other", so fold
+        and arrow silently pre-tokenized such text differently across
+        the ARROW_SWITCH_MERGES boundary. The tables are now generated
+        by PROBING the JVM itself; this test drives exactly those
+        version-skew codepoints through the REAL Spark regex vs the
+        Python twin, so any future JVM/UCD drift fails loud here
+        instead of re-opening the silent divergence."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from s3_access_logs_spark.functions.text import BPE_ISH_REGEX
+
+        merges = list(B.default_merges())
+        texts = [
+            "aࡰb",          # U+0870: letter in 14.0, not in 13.0
+            "x\U00010780y",      # modifier letter, Unicode 14
+            "m\U0001E290n",      # Toto letter, Unicode 14
+            "1\U00016AC0 2",     # Tangsa digit, Unicode 14
+            "ok ࡰࡰ mixed \U00016AC07",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        # raw pre-tokenizer parity first (the sharpest signal: failure
+        # here means the vendored tables no longer match this JVM —
+        # regenerate with tools/gen_unicode_classes.py)
+        pre_rows = df.select(
+            "i",
+            F.regexp_extract_all(
+                "text", F.lit(BPE_ISH_REGEX), 0
+            ).alias("p"),
+        ).orderBy("i").collect()
+        for r, t in zip(pre_rows, texts):
+            assert list(r["p"]) == B.pretokens_py(t), (
+                "JVM-vs-twin pre-tokenizer divergence on "
+                f"{t!r}: {list(r['p'])} != {B.pretokens_py(t)} — the "
+                "vendored unicode_classes tables do not match this "
+                "JVM's UCD; rerun tools/gen_unicode_classes.py"
+            )
+        # and full encode parity across fold / arrow / reference
+        refs = [B.bpe_encode_py(t, merges) for t in texts]
+        rows = df.select(
+            "i",
+            B.bpe_tokens("text", impl="fold").alias("f"),
+            B.bpe_tokens("text", impl="arrow").alias("a"),
+        ).orderBy("i").collect()
+        for r, ref, t in zip(rows, refs, texts):
+            assert list(r["f"]) == ref, ("fold", t, list(r["f"]), ref)
+            assert list(r["a"]) == ref, ("arrow", t, list(r["a"]), ref)
+        # the guard that makes a silent re-skew impossible: the probed
+        # codepoints must still classify exactly as the vendored tables
+        # say (letters NOT in the 13.0 tables, since this JVM rejects
+        # them) — if the running JVM ever accepts them, the pre-token
+        # assertion above already failed with the regen instruction
+        lcls = _re.compile(f"[{B._UC_L}]")
+        assert not lcls.match("ࡰ")
+        assert not lcls.match("\U00010780")
+
     def test_merges_txt_loader_roundtrip(self, tmp_path):
         """GPT-2-format file (#version header, Ġ space marker) loads
         back to the identical table, and a hand-written file with Ġ
