@@ -548,6 +548,74 @@ class TestTokenIds:
         assert [vocab[i] for i in r["ids"]] == ref
 
 
+class TestVocabInterop:
+    """Round 10 (VERDICT r9 item 3): GPT-2 ``vocab.json`` interop — id
+    streams must match a SHIPPED tokenizer's file, not just the
+    constructive order, and a mismatched vocab/merges pair must fail
+    loud instead of silently encoding to unk."""
+
+    def test_vocab_json_roundtrip_and_id_parity(self, spark, tmp_path):
+        """save merges + vocab → load both → encode: the ids in the
+        stream are the FILE's mapping, verified against the raw JSON
+        (not against the in-memory list that wrote it)."""
+        import json
+
+        ms = B.train_bpe_merges(B.SEED_CORPUS, num_merges=60)
+        vocab = B.bpe_vocab(ms)
+        vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+        B.save_vocab(vp, vocab)
+        B.save_merges(mp, ms)
+        lv, lm = B.load_vocab(vp), B.load_merges(mp)
+        assert lv == vocab and lm == ms
+        with open(vp, encoding="utf-8") as f:
+            file_map = {
+                t.replace("Ġ", " "): i for t, i in json.load(f).items()
+            }
+        text = "the training tokenizer keeps the learned merges"
+        df = spark.createDataFrame([(1, text)], "i int, text string")
+        got = list(
+            df.select(
+                B.bpe_token_ids("text", lm, vocab=lv).alias("ids")
+            ).first()["ids"]
+        )
+        # .get(-1): 'z' (in "tokenizer") never appears in a merge
+        # symbol at 60 merges, so it is legitimately out-of-vocab and
+        # must map to unk — the same contract the encoder applies
+        want = [file_map.get(t, -1) for t in B.bpe_encode_py(text, lm)]
+        assert got == want and -1 in got
+
+    def test_mismatched_vocab_merges_fail_loud(self, tmp_path):
+        ms = B.train_bpe_merges(B.SEED_CORPUS, num_merges=40)
+        other = B.synthetic_merges(30)
+        vocab = B.bpe_vocab(ms)
+        with pytest.raises(ValueError, match="different tokenizers"):
+            B.bpe_token_ids("text", other, vocab=vocab)
+        # explicit check API names the offending merge
+        with pytest.raises(ValueError, match="merge 0"):
+            B.check_vocab_merges(["a", "b"], [("a", "c")])
+        # validate=False is the documented escape for pre-checked pairs
+        B.bpe_token_ids("text", ms, vocab=vocab)  # consistent: no raise
+
+    def test_loader_rejects_bad_id_spaces(self, tmp_path):
+        import json
+
+        p = tmp_path / "v.json"
+        p.write_text(json.dumps({"a": 0, "b": 2}), encoding="utf-8")
+        with pytest.raises(ValueError, match="0..1"):
+            B.load_vocab(str(p))
+        p.write_text(json.dumps({"a": 0, "b": 0}), encoding="utf-8")
+        with pytest.raises(ValueError, match="id 0 assigned"):
+            B.load_vocab(str(p))
+        p.write_text(json.dumps({"Ġt": 0, " t": 1}), encoding="utf-8")
+        with pytest.raises(ValueError, match="collide"):
+            B.load_vocab(str(p))
+        # and the saver's marker rules mirror save_merges'
+        with pytest.raises(ValueError, match="space marker"):
+            B.save_vocab(str(p), ["Ġx"])
+        with pytest.raises(ValueError, match="duplicate"):
+            B.save_vocab(str(p), ["x", "x"])
+
+
 class TestCorpusTrainer:
     """Round 9 (VERDICT r8 item 3): Spark-side deterministic sampling
     feeding the Sennrich trainer — the PQ-codebook pattern."""
