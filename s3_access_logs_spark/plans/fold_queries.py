@@ -180,6 +180,7 @@ _fold(
         "doc_chunk_spans",
         "sequence_packing_bins",
         "packed_sequences",
+        "packed_token_windows",
         "training_shard_stats",
     ),
     ("llm", "text", "chunking", "packing", "fold"),

@@ -982,6 +982,158 @@ _Q["packed_sequences"] = _dc.replace(
 )
 
 
+#: Fixed-length context-window size for ``packed_token_windows`` — the
+#: trainer artifact's window length. Small enough that sf0.001 docs
+#: split across several windows (the behavior under test); production
+#: callers use 2k-8k with the same plan shape.
+WINDOW_IDS = 64
+
+
+def _packed_token_windows_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+
+    vocab = B.bpe_vocab()
+    eos = len(vocab)
+    vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_append(
+               COALESCE(
+                 list_transform(
+                   {B.bpe_tokens_sql("text")},
+                   tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
+                 ), []),
+               {eos}) AS ids
+      FROM documents
+    ),
+    -- NULLS FIRST + ids tie-break: the packed_sequences order
+    -- convention (Spark ASC is nulls-first, DuckDB defaults nulls-last)
+    s AS (
+      SELECT source,
+             flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
+               AS stream
+      FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             unnest(range(0, (len(stream) + {WINDOW_IDS} - 1)
+                             // {WINDOW_IDS})) AS win,
+             stream
+      FROM s
+    )
+    SELECT source,
+           win::BIGINT AS window_idx,
+           len(stream[win * {WINDOW_IDS} + 1 :
+                      least((win + 1) * {WINDOW_IDS}, len(stream))]
+               )::BIGINT AS n_ids,
+           array_to_string(
+             stream[win * {WINDOW_IDS} + 1 :
+                    least((win + 1) * {WINDOW_IDS}, len(stream))],
+             '-') AS ids_str
+    FROM w
+    """
+
+
+@query(
+    "packed_token_windows",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "packing", "tokenize", "windows"),
+)
+def packed_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-length context windows over the token-ID stream —
+    the artifact a trainer actually loads (round 10, VERDICT r9 item
+    1): `packed_sequences` bins whole documents and overflows its
+    budget on long docs; here every document's exact-BPE id stream
+    (demo vocab, EOS id appended as the boundary marker) concatenates
+    per source in (doc_id NULLS FIRST, ids) order and is cut into
+    windows of exactly ``WINDOW_IDS`` ids — documents SPLIT across
+    window boundaries; only the last window per source may be short
+    (invariant pinned in tests/test_queries_oracle.py).
+
+    Scale shape: tokenize+EOS is a projection; the cumulative offset
+    is the same source-partitioned window as packing; each document
+    then emits only the (window, slice) pairs it overlaps — a
+    transform+explode over ~(doc_len/W) segments, NOT a per-token
+    explode — and one partial-aggregatable groupBy per (source,
+    window) assembles the stream. No extra exchange beyond packing's
+    own; offsets are exact to 2^53 stream positions (double-floor on
+    the window index, same contract as `packed_sequences`)."""
+    from pyspark.sql import Window
+
+    from s3_access_logs_spark.functions import bpe as B
+
+    W = WINDOW_IDS
+    eos = len(B.bpe_vocab())
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids("text"), F.array().cast("array<int>")
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc_nulls_first(), "ids")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = (
+        t.withColumn("n", F.size("ids").cast("long"))
+        .withColumn("end", F.sum("n").over(w))
+        .withColumn("start", F.col("end") - F.col("n"))
+    )
+    segs = F.transform(
+        F.sequence(
+            (F.col("start") / W).cast("bigint"),
+            ((F.col("end") - 1) / W).cast("bigint"),
+        ),
+        lambda k: F.struct(
+            k.alias("window_idx"),
+            F.slice(
+                F.col("ids"),
+                (
+                    F.greatest(k * W, F.col("start"))
+                    - F.col("start")
+                    + 1
+                ).cast("int"),
+                (
+                    F.least(F.col("end"), (k + 1) * W)
+                    - F.greatest(k * W, F.col("start"))
+                ).cast("int"),
+            ).alias("seg"),
+        ),
+    )
+    e = b.select(
+        "source", "start", F.explode(segs).alias("s")
+    ).select(
+        "source",
+        F.col("s.window_idx").alias("window_idx"),
+        F.col("s.seg").alias("seg"),
+        "start",
+    )
+    flat = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("start", "seg"))),
+            lambda s: s["seg"],
+        )
+    )
+    return e.groupBy("source", "window_idx").agg(
+        F.size(flat).cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(flat, lambda x: x.cast("string")), "-"
+        ).alias("ids_str"),
+    )
+
+
+_Q["packed_token_windows"] = _dc.replace(
+    _Q["packed_token_windows"], oracle=_packed_token_windows_sql()
+)
+
+
 @query(
     "training_shard_stats",
     oracle=f"""
