@@ -50,6 +50,65 @@ def _curate_flagship(spark, sf_dir: str):
     return report
 
 
+def _export_flagship(spark, sf_dir: str):
+    """The one-call corpus→shards export at production window size
+    (round 10, VERDICT r9 item 2): quality+language curate, exact
+    demo-vocab token ids with EOS boundaries, 256-id windows, 8
+    hash shards written to a scratch dir. The returned report frame is
+    tiny; the timed work is the composed curate → tokenize → pack →
+    shard-write pipeline."""
+    import shutil
+    import tempfile
+
+    from s3_access_logs_spark.operators.export import export_training_set
+    from s3_access_logs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = tempfile.mkdtemp(prefix="bench_export_")
+    try:
+        _, report = export_training_set(
+            docs,
+            f"{td}/shards",
+            n_shards=8,
+            window_ids=256,
+            curate={"min_quality": 0.5, "langs": ("en",)},
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return report
+
+
+def _bpe_arrow_50k(spark, sf_dir: str):
+    """The PRODUCTION BPE path as a driver-bench row (VERDICT r9 item
+    4): exact token counts over the corpus under a 50k-merge synthetic
+    table — the merge count real vocabularies ship, far past the fold's
+    Catalyst cliff, so this exercises the Arrow encoder and its memo
+    cache. Previously only BASELINE.md history covered it; a regression
+    there would not have moved any BENCH_rN number."""
+    from s3_access_logs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _bpe_token_count_50k("text").alias("n_bpe"),
+    )
+
+
+_SYNTH_50K = None
+
+
+def _bpe_token_count_50k(col):
+    """Build the 50k synthetic table once per process (7 s of driver
+    rejection sampling — without the cache the bench row times table
+    GENERATION, not the encoder it exists to guard)."""
+    global _SYNTH_50K
+    from s3_access_logs_spark.functions import bpe as B
+
+    if _SYNTH_50K is None:
+        _SYNTH_50K = B.synthetic_merges(50_000)
+    return B.bpe_token_count(col, _SYNTH_50K)
+
+
 def _recall_suite(
     spark,
     emb,
@@ -320,6 +379,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     builders = {name: q.builder for name, q in queries.items()}
     builders["curate_corpus"] = _curate_flagship  # flagship pipeline row
+    builders["export_training_set"] = _export_flagship  # corpus→shards
+    builders["bpe_arrow_50k"] = _bpe_arrow_50k  # production-vocab path
     runs_of = {
         name: (3 if "iterative" in q.tags else 2)
         for name, q in queries.items()

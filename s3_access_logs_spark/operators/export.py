@@ -1,0 +1,151 @@
+"""One-call training-set export: corpus → curated survivors → exact
+token-id context windows → hash-sharded parquet layout, with a single
+waterfall report covering the whole path (round 10, VERDICT r9 item 2).
+
+The reference pipeline's terminal artifact is partitioned parquet for a
+query engine (/root/reference/cmd/export.py:27-397 writes hive
+partition dirs and stops); an LLM data pipeline's terminal artifact is
+the training shard — fixed-length token-id windows a data loader
+streams in order. Round 9 built every stage (curate_corpus, bpe token
+ids, training_shards); this module composes them so "export the
+training set" is one call with one report, the same way curate_corpus
+made the gate stack one call.
+
+Composition order and why it is the only correct one:
+
+* curate FIRST — tokenizing dropped documents is wasted compute, and a
+  near-dup keeper election must see original text, not id streams;
+* shard assignment BEFORE window packing — windows must not span shard
+  files (a trainer reads shards independently), so the stream is
+  concatenated per shard, in the shard's own deterministic read order
+  (``shard_order``), then cut;
+* windows pack the ID stream with an EOS id after every document —
+  document boundaries survive sharding, the packing convention
+  ``plans/text_queries.packed_token_windows`` pins against DuckDB.
+
+Scale shape: curate's cost dominates by design (see its docstring);
+everything this module adds is a projection (token ids — Arrow-batched,
+the one place Python is forced — shard hash, EOS append), ONE window
+function per shard stream, one segment explode, one groupBy that reuses
+the shard partitioning, and one repartition(n_shards) keying a single
+writer per shard dir. No stage is quadratic, no collect touches corpus
+data; the report rows are the only driver-side values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def export_training_set(
+    docs: DataFrame,
+    dst: str,
+    n_shards: int = 8,
+    window_ids: int = 256,
+    merges: list[tuple[str, str]] | None = None,
+    vocab: list[str] | None = None,
+    unk_id: int = -1,
+    eos_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    curate: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Curate ``docs`` (``curate`` kwargs forward to
+    :func:`operators.curate.curate_corpus`), encode survivors to exact
+    BPE token-id streams (``merges``/``vocab`` — defaults to the demo
+    vocabulary; ``eos_id`` defaults to one past the vocab), pack them
+    into EXACT ``window_ids``-length windows per shard (documents split
+    across windows, EOS ids mark boundaries, only each shard's last
+    window may be short), and write hive ``shard=<n>`` dirs at ``dst``
+    with windows parquet-ordered by ``window_idx``.
+
+    Returns ``(windows, report)``: the written windows re-read from
+    ``dst`` (columns ``window_idx, ids, shard``) and the curation
+    waterfall EXTENDED by three metric rows in the same
+    ``(stage, dropped)`` schema — ``tokens_kept`` (token ids written,
+    EOS excluded), ``windows_emitted`` and ``shards_written`` (the
+    count column carries the metric; keeping one schema lets the
+    report union/fold with every other waterfall consumer).
+
+    Determinism: shard assignment and read order are the salted-hash
+    projections of :func:`operators.layout.training_shards` — reruns
+    are bit-identical, a new epoch is a new ``order_salt`` via
+    ``curate``-independent re-export. Order within a shard stream is
+    ``(shard_order, id, ids)`` — the id breaks md5-prefix ties and the
+    ids array breaks NULL-id ties (curate's uniqueness gate exempts
+    NULL ids, the corpus-wide convention)."""
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.curate import curate_corpus
+    from s3_access_logs_spark.operators.layout import (
+        pack_id_windows,
+        training_shards,
+    )
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    ms = list(merges) if merges is not None else list(B.default_merges())
+    vs = vocab if vocab is not None else B.bpe_vocab(ms)
+    eos = int(eos_id) if eos_id is not None else len(vs)
+    survivors, report = curate_corpus(
+        docs, id_col=id_col, text_col=text_col, **(curate or {})
+    )
+    t = survivors.select(
+        F.col(id_col).alias("id"),
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids(text_col, ms, vocab=vocab, unk_id=unk_id),
+                F.array().cast("array<int>"),
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    sharded = training_shards(t, n_shards, id_col="id")
+    windows = pack_id_windows(
+        sharded,
+        window_ids,
+        ["shard"],
+        [F.col("shard_order"), F.col("id").asc_nulls_first(), F.col("ids")],
+    )
+    # metrics are aggregated over the windows FRAME under one scoped
+    # persist (write + three aggregates in a single pass over the
+    # cached artifact), not re-derived from the written files — and
+    # the tokenize/pack lineage executes once
+    windows = windows.persist()
+    try:
+        (
+            windows.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "window_idx")
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("shard")
+            .parquet(dst)
+        )
+        m = windows.agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
+            F.coalesce(
+                F.sum(F.size(F.filter("ids", lambda x: x == eos))),
+                F.lit(0),
+            ).alias("neos"),
+            F.count_distinct("shard").alias("ns"),
+        ).first()
+    finally:
+        windows.unpersist()
+    sess = docs.sparkSession
+    extra = sess.createDataFrame(
+        [
+            ("tokens_kept", int(m["total"] - m["neos"])),
+            ("windows_emitted", int(m["nw"])),
+            ("shards_written", int(m["ns"])),
+        ],
+        "stage string, dropped bigint",
+    )
+    out_report = report.unionByName(extra)
+    if has_data_files(sess, dst):
+        out = sess.read.parquet(dst)
+    else:
+        # zero survivors: the write left only a _SUCCESS marker, which
+        # parquet cannot infer a schema from — hand back the (empty)
+        # in-memory frame with the same columns instead of crashing
+        out = windows.select("window_idx", "ids", "shard").limit(0)
+    return out, out_report

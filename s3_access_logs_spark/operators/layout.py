@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def zvalue(a: Column | str, b: Column | str, bits: int = 16) -> Column:
@@ -149,6 +150,91 @@ def write_training_shards(
         .option("compression", "snappy")
         .partitionBy("shard")
         .parquet(dst)
+    )
+
+
+def pack_id_windows(
+    df: DataFrame,
+    window_ids: int,
+    part_cols: list[str],
+    order_cols: list[Column],
+    ids_col: str = "ids",
+) -> DataFrame:
+    """Cut each partition's concatenated id stream into EXACT
+    fixed-length windows of ``window_ids`` ids (only the last window
+    per partition may be short) — the shared core of
+    ``plans/text_queries.packed_token_windows`` and
+    ``operators/export.export_training_set``. Rows of ``df`` carry an
+    ``ids_col`` array; per ``part_cols`` group, rows concatenate in
+    ``order_cols`` order and documents SPLIT across window boundaries.
+
+    Scale shape: the cumulative offset is one partition-keyed window
+    function; each row then emits only the (window, slice) segments it
+    overlaps — a transform+explode over ~(len/W) segments, never a
+    per-token explode — and the (part, window) groupBy reuses the
+    window's hash partitioning (one exchange total, verified in the
+    catalog entry's plan). Offsets are exact to 2^53 stream positions
+    (double-floor window index — ~25T tokens per 100 TB corpus sits
+    4 orders under the cliff).
+
+    Returns ``(*part_cols, window_idx bigint, ids_col array)``.
+    Callers must ensure ``order_cols`` is a total order within each
+    partition (ties would make segment order engine-defined) and that
+    ``ids_col`` is never NULL (``F.coalesce(..., F.array())`` upstream
+    — ``size(NULL)`` is -1 and would corrupt the cumulative offsets);
+    zero-length arrays contribute nothing and emit no segments."""
+    W = int(window_ids)
+    if W < 1:
+        raise ValueError(
+            f"pack_id_windows: window_ids must be >= 1, got {window_ids}"
+        )
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = (
+        df.withColumn("_n", F.size(ids_col).cast("long"))
+        .withColumn("_end", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    segs = F.transform(
+        F.sequence(
+            (F.col("_start") / W).cast("bigint"),
+            ((F.col("_end") - 1) / W).cast("bigint"),
+        ),
+        lambda k: F.struct(
+            k.alias("window_idx"),
+            F.slice(
+                F.col(ids_col),
+                (
+                    F.greatest(k * W, F.col("_start"))
+                    - F.col("_start")
+                    + 1
+                ).cast("int"),
+                (
+                    F.least(F.col("_end"), (k + 1) * W)
+                    - F.greatest(k * W, F.col("_start"))
+                ).cast("int"),
+            ).alias("seg"),
+        ),
+    )
+    e = b.select(
+        *part_cols, "_start", F.explode(segs).alias("_s")
+    ).select(
+        *part_cols,
+        F.col("_s.window_idx").alias("window_idx"),
+        F.col("_s.seg").alias("_seg"),
+        "_start",
+    )
+    return e.groupBy(*part_cols, "window_idx").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_start", "_seg"))),
+                lambda s: s["_seg"],
+            )
+        ).alias(ids_col)
     )
 
 

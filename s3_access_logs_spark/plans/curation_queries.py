@@ -1113,7 +1113,12 @@ def curate_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
-def _curate_waterfall_sql() -> str:
+def _waterfall_ctes() -> str:
+    """The quality+language curate_corpus waterfall as a reusable CTE
+    stack ending in ``v(doc_id, text, stage)`` — shared by the
+    ``curate_waterfall`` oracle and the ``export_training_report``
+    oracle (which continues past the waterfall into the export
+    metrics)."""
     from s3_access_logs_spark.plans.text_queries import (
         SQL_WORDS,
         _lang_hits_sql,
@@ -1151,13 +1156,19 @@ def _curate_waterfall_sql() -> str:
       FROM f
     ),
     v AS (
-      SELECT CASE WHEN f_empty THEN 'empty'
+      SELECT doc_id, text,
+             CASE WHEN f_empty THEN 'empty'
                   WHEN f_exact THEN 'exact_dup'
                   WHEN f_quality THEN 'quality'
                   WHEN f_language THEN 'language'
                   ELSE 'kept' END AS stage
       FROM e
-    )
+    )"""
+
+
+def _curate_waterfall_sql() -> str:
+    return f"""
+    {_waterfall_ctes()}
     SELECT stage, COUNT(*) AS dropped FROM v
     WHERE stage <> 'kept' GROUP BY stage
     """
@@ -1165,6 +1176,96 @@ def _curate_waterfall_sql() -> str:
 
 _Q["curate_waterfall"] = _dc.replace(
     _Q["curate_waterfall"], oracle=_curate_waterfall_sql()
+)
+
+
+#: export_training_report's layout parameters — small enough that the
+#: sf0.01 corpus exercises multi-window shards and every shard.
+_EXPORT_SHARDS = 8
+_EXPORT_WINDOW = 64
+
+
+def _export_training_report_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.plans.text_queries import SQL_MD5_LONG
+
+    shard = (
+        SQL_MD5_LONG.format(x="'shards:' || doc_id::VARCHAR")
+        + f" % {_EXPORT_SHARDS}"
+    )
+    return f"""
+    {_waterfall_ctes()},
+    wf AS (
+      SELECT stage, COUNT(*)::BIGINT AS dropped FROM v
+      WHERE stage <> 'kept' GROUP BY stage
+    ),
+    tok AS (
+      SELECT ({shard}) AS shard,
+             COALESCE({B.bpe_count_sql("text")}, 0) AS n_tok
+      FROM v WHERE stage = 'kept'
+    ),
+    per_shard AS (
+      SELECT shard, SUM(n_tok + 1) AS stream_len FROM tok GROUP BY shard
+    ),
+    metrics AS (
+      SELECT 'tokens_kept' AS stage,
+             COALESCE(SUM(n_tok), 0)::BIGINT AS dropped FROM tok
+      UNION ALL
+      SELECT 'windows_emitted',
+             COALESCE(SUM((stream_len + {_EXPORT_WINDOW - 1})
+                          // {_EXPORT_WINDOW}), 0)::BIGINT
+      FROM per_shard
+      UNION ALL
+      SELECT 'shards_written', COUNT(DISTINCT shard)::BIGINT FROM tok
+    )
+    SELECT stage, dropped FROM wf
+    UNION ALL
+    SELECT stage, dropped FROM metrics
+    """
+
+
+@query(
+    "export_training_report",
+    oracle=None,  # filled below (waterfall CTEs + export metrics)
+    tags=("llm", "pipeline", "curation", "export", "shards"),
+)
+def export_training_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call corpus→shards flagship's report
+    (operators/export.py:export_training_set — round 10, VERDICT r9
+    item 2): curate (quality + language, the `curate_waterfall`
+    config) → exact demo-vocab token-id streams with EOS boundaries →
+    fixed 64-id windows per salted-hash shard → hive ``shard=<n>``
+    parquet, all in one call whose waterfall gains ``tokens_kept`` /
+    ``windows_emitted`` / ``shards_written`` rows. The oracle replays
+    the ENTIRE composition — waterfall verdicts, per-kept-doc exact
+    BPE counts, shard hash, per-shard window arithmetic — so a drift
+    anywhere in the curate→tokenize→shard→pack chain hash-fails here.
+    The written windows themselves are value-pinned by
+    `packed_token_windows` (same packer) and
+    `tests/test_operators.py`'s export invariants; this entry
+    value-checks the composed accounting."""
+    import shutil
+    import tempfile
+
+    from s3_access_logs_spark.operators.export import export_training_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = tempfile.mkdtemp(prefix="export_train_")
+    try:
+        _, report = export_training_set(
+            docs,
+            f"{td}/shards",
+            n_shards=_EXPORT_SHARDS,
+            window_ids=_EXPORT_WINDOW,
+            curate={"min_quality": 0.5, "langs": ("en",)},
+        )
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return report
+
+
+_Q["export_training_report"] = _dc.replace(
+    _Q["export_training_report"], oracle=_export_training_report_sql()
 )
 
 

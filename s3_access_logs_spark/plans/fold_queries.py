@@ -115,7 +115,7 @@ _fold(
 )
 _fold(
     "suite_curate_stages",
-    ("curate_waterfall", "curate_semantic"),
+    ("curate_waterfall", "curate_semantic", "export_training_report"),
     ("llm", "pipeline", "curation", "fold"),
 )
 _fold(

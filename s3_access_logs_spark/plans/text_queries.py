@@ -1059,11 +1059,9 @@ def packed_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window) assembles the stream. No extra exchange beyond packing's
     own; offsets are exact to 2^53 stream positions (double-floor on
     the window index, same contract as `packed_sequences`)."""
-    from pyspark.sql import Window
-
     from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.layout import pack_id_windows
 
-    W = WINDOW_IDS
     eos = len(B.bpe_vocab())
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
@@ -1076,55 +1074,18 @@ def packed_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit(eos)),
         ).alias("ids"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("doc_id").asc_nulls_first(), "ids")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    wins = pack_id_windows(
+        t,
+        WINDOW_IDS,
+        ["source"],
+        [F.col("doc_id").asc_nulls_first(), F.col("ids")],
     )
-    b = (
-        t.withColumn("n", F.size("ids").cast("long"))
-        .withColumn("end", F.sum("n").over(w))
-        .withColumn("start", F.col("end") - F.col("n"))
-    )
-    segs = F.transform(
-        F.sequence(
-            (F.col("start") / W).cast("bigint"),
-            ((F.col("end") - 1) / W).cast("bigint"),
-        ),
-        lambda k: F.struct(
-            k.alias("window_idx"),
-            F.slice(
-                F.col("ids"),
-                (
-                    F.greatest(k * W, F.col("start"))
-                    - F.col("start")
-                    + 1
-                ).cast("int"),
-                (
-                    F.least(F.col("end"), (k + 1) * W)
-                    - F.greatest(k * W, F.col("start"))
-                ).cast("int"),
-            ).alias("seg"),
-        ),
-    )
-    e = b.select(
-        "source", "start", F.explode(segs).alias("s")
-    ).select(
+    return wins.select(
         "source",
-        F.col("s.window_idx").alias("window_idx"),
-        F.col("s.seg").alias("seg"),
-        "start",
-    )
-    flat = F.flatten(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("start", "seg"))),
-            lambda s: s["seg"],
-        )
-    )
-    return e.groupBy("source", "window_idx").agg(
-        F.size(flat).cast("long").alias("n_ids"),
+        "window_idx",
+        F.size("ids").cast("long").alias("n_ids"),
         F.array_join(
-            F.transform(flat, lambda x: x.cast("string")), "-"
+            F.transform("ids", lambda x: x.cast("string")), "-"
         ).alias("ids_str"),
     )
 

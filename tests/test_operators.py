@@ -1415,6 +1415,136 @@ class TestTrainingShards:
             training_shards(self._df(spark, 5), 0)
 
 
+class TestExportTrainingSet:
+    """Round 10 (VERDICT r9 item 2): the one-call corpus→shards
+    flagship — curate → token ids → EOS-marked fixed windows →
+    hash-sharded hive layout, one extended waterfall."""
+
+    def _docs(self, spark, n=120):
+        # unique text per doc (curate's always-on exact dedup would
+        # otherwise collapse repeated bodies to one keeper)
+        rows = [
+            (i, f"document number {i} the quick brown fox jumps over "
+                "the lazy dog " * (1 + i % 5))
+            for i in range(n)
+        ]
+        rows += [(n, ""), (n + 1, None)]  # dropped as empty
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_windows_reconstruct_the_exact_id_streams(
+        self, spark, tmp_path
+    ):
+        """Read the written shards back and verify BOTH layout
+        invariants and content: every window is exactly W ids except
+        each shard's last; concatenating a shard's windows in index
+        order reproduces precisely the per-shard stream built
+        independently in Python (shard hash, order hash, reference
+        encoder, EOS) — documents split across windows, nothing
+        reordered, dropped or padded."""
+        import hashlib
+
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        W = 32
+        docs = self._docs(spark)
+        dst = str(tmp_path / "shards")
+        wins, report = export_training_set(
+            docs, dst, n_shards=4, window_ids=W
+        )
+        ms = list(B.default_merges())
+        vocab = B.bpe_vocab(ms)
+        ids = {t: i for i, t in enumerate(vocab)}
+        eos = len(vocab)
+        expected: dict = {}
+        for r in docs.filter("text is not null and trim(text) <> ''") \
+                     .collect():
+            shard = (
+                int(
+                    hashlib.md5(f"shards:{r.doc_id}".encode())
+                    .hexdigest()[:8],
+                    16,
+                )
+                % 4
+            )
+            order = hashlib.md5(f"order:{r.doc_id}".encode()).hexdigest()
+            stream = [
+                ids.get(t, -1) for t in B.bpe_encode_py(r.text, ms)
+            ] + [eos]
+            expected.setdefault(shard, []).append((order, r.doc_id, stream))
+        ref_streams = {
+            s: [x for _, _, st in sorted(v) for x in st]
+            for s, v in expected.items()
+        }
+        got = wins.collect()
+        by_shard: dict = {}
+        for r in got:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) == set(ref_streams)
+        for s, rows in by_shard.items():
+            rows.sort(key=lambda r: r.window_idx)
+            assert [r.window_idx for r in rows] == list(range(len(rows)))
+            for r in rows[:-1]:
+                assert len(r.ids) == W
+            flat = [x for r in rows for x in r.ids]
+            assert flat == ref_streams[s], f"shard {s}"
+        rep = {r.stage: r.dropped for r in report.collect()}
+        n_kept = sum(len(v) for v in expected.values())
+        assert rep["empty"] == 2
+        assert rep["shards_written"] == len(ref_streams)
+        assert rep["windows_emitted"] == sum(
+            len(v) for v in by_shard.values()
+        )
+        assert rep["tokens_kept"] == (
+            sum(len(st) for st in ref_streams.values()) - n_kept
+        )
+
+    def test_rerun_is_bit_identical_and_curate_gates_apply(
+        self, spark, tmp_path
+    ):
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        docs = self._docs(spark, 60)
+        d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+        w1, r1 = export_training_set(
+            docs, d1, n_shards=3, window_ids=16,
+            curate={"min_quality": 0.2},
+        )
+        w2, r2 = export_training_set(
+            docs.repartition(7), d2, n_shards=3, window_ids=16,
+            curate={"min_quality": 0.2},
+        )
+        k = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        assert k(w1) == k(w2)
+        assert sorted(map(tuple, r1.collect())) == sorted(
+            map(tuple, r2.collect())
+        )
+
+    def test_zero_survivors_yields_empty_export(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        wins, report = export_training_set(
+            docs, str(tmp_path / "s"), n_shards=2, window_ids=8
+        )
+        assert wins.count() == 0
+        rep = {r.stage: r.dropped for r in report.collect()}
+        assert rep["tokens_kept"] == 0
+        assert rep["windows_emitted"] == 0
+        assert rep["shards_written"] == 0
+        assert rep["empty"] == 2
+
+
 class TestShuffleRows:
     def test_permutation_matches_md5_order_and_is_rerun_stable(self, spark):
         import hashlib
