@@ -205,6 +205,7 @@ _fold(
         "sql_corpus_report",
         "sql_cluster_sizes",
         "sql_waterfall_report",
+        "sql_shard_balance",
     ),
     ("sql-surface", "fold"),
 )

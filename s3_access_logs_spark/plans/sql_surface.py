@@ -375,6 +375,49 @@ def sql_waterfall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_WATERFALL_REPORT)
 
 
+SQL_SHARD_BALANCE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+           CAST(MAX(shard_tokens) AS BIGINT) AS max_shard_tokens,
+           CAST(MIN(shard_tokens) AS BIGINT) AS min_shard_tokens,
+           floor(CAST(MAX(shard_tokens) AS DOUBLE) * 1e4
+                 / NULLIF(SUM(shard_tokens), 0) + 0.5) / 1e4
+             AS max_token_share4,
+           floor(CAST(MIN(shard_tokens) AS DOUBLE) * 1e4
+                 / NULLIF(SUM(shard_tokens), 0) + 0.5) / 1e4
+             AS min_token_share4,
+           floor(CAST(MAX(shard_tokens) AS DOUBLE) * 1e4
+                 / NULLIF(MIN(shard_tokens), 0) + 0.5) / 1e4
+             AS spread_ratio4
+    FROM training_shards
+"""
+
+
+@query(
+    "sql_shard_balance",
+    oracle=None,  # filled below: WITH training_shards AS (<generated>) ...
+    tags=("sql-surface", "llm", "layout", "shards"),
+)
+def sql_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard LAYOUT artifact through the SQL surface
+    (round 10, VERDICT r9 item 7): one row of balance evidence — shard
+    count, total docs, max/min per-shard token mass, each extreme's
+    share of all tokens and the max/min spread ratio (4dp
+    floor-rounding; NULLIF keeps degenerate corpora NULL on both
+    engines). The ``training_shards`` view is the same per-shard stats
+    the ``training_shard_stats`` catalog entry value-checks
+    (operators/layout.py salted-hash assignment); its generated DuckDB
+    replay becomes the oracle's ``WITH`` prefix — artifact and report
+    both value-exact, the r9 curation-artifact pattern."""
+    from s3_access_logs_spark.plans.catalog import QUERIES
+
+    sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
+    QUERIES["training_shard_stats"].builder(
+        spark, sf_dir
+    ).createOrReplaceTempView("training_shards")
+    return spark.sql(SQL_SHARD_BALANCE)
+
+
 def _fill_curation_sql_oracles() -> None:
     """Late-bind the two artifact-view oracles (the generated artifact
     SQL lives in other modules; importing it at decoration time would
@@ -396,6 +439,14 @@ def _fill_curation_sql_oracles() -> None:
         QUERIES["sql_waterfall_report"],
         oracle=f"WITH curation_waterfall AS ({_curate_waterfall_sql()})\n"
         f"{SQL_WATERFALL_REPORT}",
+    )
+    # the import above registered text_queries' entries, so the
+    # shard-stats oracle is present to prefix
+    QUERIES["sql_shard_balance"] = dataclasses.replace(
+        QUERIES["sql_shard_balance"],
+        oracle="WITH training_shards AS ("
+        f"{QUERIES['training_shard_stats'].oracle})\n"
+        f"{SQL_SHARD_BALANCE}",
     )
 
 
