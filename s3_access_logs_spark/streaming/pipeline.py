@@ -260,6 +260,10 @@ def ingest_documents_stream(
     semantic_threshold: float | None = None,
     semantic_dims: int | None = None,
     verify_unique_ids: bool = False,
+    shard_store: str | None = None,
+    n_shards: int = 8,
+    shard_merges: list[tuple[str, str]] | None = None,
+    shard_vocab: list[str] | None = None,
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -368,6 +372,24 @@ def ingest_documents_stream(
     no separate build step is needed. ``semantic_centroids`` is the
     saved quantizer and is REQUIRED with the index: retraining per
     batch would orphan every existing posting list.
+
+    ``shard_store`` (round 10, VERDICT r9 item 8) lands each batch's
+    survivors in the TRAINING-SHARD layout the batch export writes
+    (operators/export.py): rows ``(doc_id, ids)`` — the exact BPE
+    token-id stream under ``shard_merges``/``shard_vocab`` (default
+    demo vocabulary) with the EOS id appended — under hive
+    ``shard=<s>/batch_id=<b>`` dirs, shard = the same salted-hash
+    projection as ``operators/layout.training_shards`` (zero shuffle),
+    rows file-ordered by the epoch permutation. The streaming ingest
+    story then ends at the same artifact the batch export does: a
+    trainer-side ``pack_id_windows`` over a shard dir is the only step
+    between this store and fixed-length context windows. Written AFTER
+    the doc-store commit (the band-store ordering rule — a crash
+    leaves documents unsharded, healed by the replay, never shard rows
+    for uncommitted documents) with dynamic overwrite on the
+    ``(shard, batch_id)`` leaves, so an at-least-once replay — whose
+    shard assignment is deterministic — rewrites exactly its own files
+    (append-idempotency pinned in tests/test_streaming.py).
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -411,6 +433,16 @@ def ingest_documents_stream(
         )
     if semantic_threshold is None:
         semantic_threshold = 0.9  # curate_corpus's semantic default
+    if shard_store is None and (
+        shard_merges is not None or shard_vocab is not None
+    ):
+        # the half-specified-gate rule, sink flavor: a tokenizer with
+        # no store would silently shard nothing
+        raise ValueError(
+            "ingest_documents_stream: shard_merges/shard_vocab without "
+            "shard_store configure a tokenizer for a sink that is off — "
+            "pass shard_store, or drop them"
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -462,6 +494,22 @@ def ingest_documents_stream(
             )
     if semantic_dims is None:
         semantic_dims = 64
+    _shard_tok = None
+    if shard_store is not None:
+        # resolve the tokenizer ONCE outside the batch loop (the
+        # lm_model pattern): the default table trains lazily per
+        # process, and per-batch resolution would rebuild the vocab
+        from s3_access_logs_spark.functions import bpe as B
+
+        _ms = (
+            list(shard_merges)
+            if shard_merges is not None
+            else list(B.default_merges())
+        )
+        _vs = shard_vocab if shard_vocab is not None else B.bpe_vocab(_ms)
+        if shard_vocab is not None:
+            B.check_vocab_merges(_vs, _ms)
+        _shard_tok = (_ms, _vs, len(_vs))
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -638,6 +686,17 @@ def ingest_documents_stream(
         else:
             deduped = dedup_incremental(cleaned, seen)
         survivors = deduped.join(texts, ["digest", "keep_id"])
+        if (
+            shard_store is not None
+            and band_store is None
+            and semantic_index is None
+        ):
+            # the shard sink adds a second consumer (doc write + the
+            # tokenize/shard write) on the otherwise single-consumer
+            # plain path; the band/semantic paths already persist the
+            # frame the shard block reads
+            survivors = survivors.persist()
+            _gate_persisted.append(survivors)
         if band_store is not None:
             # Bands are computed from the SURVIVING (digest, keep_id,
             # text) rows — the exact texts that land in the store. The
@@ -839,6 +898,55 @@ def ingest_documents_stream(
                         sem_kept_vecs, semantic_index,
                         centroids=semantic_centroids,
                     )
+            if shard_store is not None:
+                # AFTER the doc commit (the derived-artifact ordering
+                # rule): tokenize the batch's final survivors, assign
+                # shards with the stateless hash projection, land under
+                # shard=<s>/batch_id=<b> ordered by the epoch
+                # permutation — see the docstring's shard_store note
+                from s3_access_logs_spark.functions import bpe as B
+                from s3_access_logs_spark.operators.layout import (
+                    training_shards,
+                )
+
+                _sm, _sv, _eos = _shard_tok
+                ids_rows = survivors.select(
+                    F.col("keep_id").alias("doc_id"),
+                    F.concat(
+                        F.coalesce(
+                            B.bpe_token_ids(
+                                F.col("text"),
+                                _sm,
+                                vocab=_sv if shard_vocab is not None
+                                else None,
+                                validate=False,
+                            ),
+                            F.array().cast("array<int>"),
+                        ),
+                        F.array(F.lit(_eos)),
+                    ).alias("ids"),
+                )
+                # unlike write_training_shards, shard_order STAYS a
+                # data column here: the parquet writer's required
+                # (shard, batch_id) ordering means the permutation sort
+                # must include it in-plan (see write_batch_partition's
+                # sort_cols note), and dropping it post-sort would let
+                # the writer re-sort non-stably; consumers re-derive or
+                # ignore it
+                write_batch_partition(
+                    # ONE writer per shard (the write_training_shards
+                    # rule): without the repartition every task would
+                    # append a file to every shard dir — a small-files
+                    # blowup per micro-batch — and the per-file
+                    # permutation order would interleave across files
+                    training_shards(ids_rows, n_shards).repartition(
+                        n_shards, "shard"
+                    ),
+                    batch_id,
+                    shard_store,
+                    extra_partition_cols=("shard",),
+                    sort_cols=("shard_order",),
+                )
         finally:
             if bloom_store is not None:
                 survivors.unpersist()
@@ -1220,7 +1328,12 @@ def check_no_fold_residue(spark: SparkSession, path: str) -> None:
 
 
 def write_batch_partition(
-    df: DataFrame, batch_id: int, path: str, allow_curate: bool = False
+    df: DataFrame,
+    batch_id: int,
+    path: str,
+    allow_curate: bool = False,
+    extra_partition_cols: tuple[str, ...] = (),
+    sort_cols: tuple[str, ...] = (),
 ) -> None:
     """The ONE batch_id-partitioned store append every foreachBatch sink
     (and curate_corpus's incremental appends) uses: the batch_id column
@@ -1258,10 +1371,25 @@ def write_batch_partition(
             f"store-root _curate_owned_{batch_id} marker) before "
             "resuming the stream."
         )
+    # extra_partition_cols nest OUTSIDE batch_id (round 10, the shard
+    # hand-off: shard=<s>/batch_id=<b> — consumers list shard dirs the
+    # way the batch export lays them out, and dynamic overwrite still
+    # rewrites exactly the replay's own (cols..., batch_id) leaves,
+    # which a deterministic replay reproduces bit-for-bit).
+    # sort_cols pin in-FILE row order: the sort must include the
+    # partition columns as its prefix, because the parquet writer
+    # REQUIRES (partition cols) ordering and inserts its own
+    # non-stable sort when the incoming order does not already satisfy
+    # it — a caller-side sort missing that prefix would be silently
+    # destroyed (found by the shard hand-off's permutation test).
+    out = df.withColumn("batch_id", F.lit(batch_id))
+    if sort_cols:
+        out = out.sortWithinPartitions(
+            *extra_partition_cols, "batch_id", *sort_cols
+        )
     (
-        df.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
+        out.write.mode("overwrite")
+        .partitionBy(*extra_partition_cols, "batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path)
     )
