@@ -167,10 +167,31 @@ def _png_encode_pixels(arr: "np.ndarray") -> bytes:
     )
 
 
-def image_pixels(doc_id: int, width: int, height: int) -> "np.ndarray":
+def image_pixels(
+    doc_id: int, width: int, height: int, unique: bool = False
+) -> "np.ndarray":
     """The deterministic pixel pattern ``pixels=True`` synthesis uses —
     exposed so tests can assert decoded pixel values without re-deriving
-    the formula."""
+    the formula.
+
+    ``unique=True`` (round 10, VERDICT r9 item 6) switches to a
+    doc_id-SEEDED pseudo-random image instead of the linear formula:
+    the formula's pixels are periodic in ``doc_id mod 256`` (and the
+    sizes in mod 240), so replication-scaled corpora saturate at ~1.2k
+    distinct images and asset store-depth decades were unmeasurable
+    (BASELINE r9). Seeded noise is still fully deterministic in doc_id
+    but aperiodic over the whole 64-bit id space — distinct images grow
+    with the corpus, which is what a store-depth measurement needs. The
+    DEFAULT stays the formula: the perceptual-dup tests rely on its
+    phase-shift structure."""
+    if unique:
+        # % 2**64 in PYTHON int space: SeedSequence wants a
+        # non-negative seed and numpy's uint64 cast rejects negative
+        # ids (the dirty sweeps carry them)
+        rng = np.random.default_rng(doc_id % (2**64))
+        return rng.integers(
+            0, 256, size=(height, width, 3), dtype=np.uint8
+        )
     y = np.arange(height, dtype=np.int64)[:, None, None]
     x = np.arange(width, dtype=np.int64)[None, :, None]
     c = np.arange(3, dtype=np.int64)[None, None, :]
@@ -194,6 +215,7 @@ def synthesize_assets(
     id_col: str = "doc_id",
     text_col: str = "text",
     pixels: bool = False,
+    unique_pixels: bool = False,
 ) -> DataFrame:
     """Deterministic multimodal asset table from a text corpus: modality
     cycles image/audio/video on ``doc_id % 3``; payloads are real container
@@ -204,7 +226,16 @@ def synthesize_assets(
     :func:`decode_pixels` can decode them; the default header-only form
     keeps payload sizes a closed-form function of doc_id for the DuckDB
     oracle (`multimodal_meta`), where compressed IDAT size could not
-    be."""
+    be. ``unique_pixels=True`` (requires ``pixels``) uses the
+    doc_id-seeded aperiodic pattern instead of the mod-256-periodic
+    formula — see :func:`image_pixels`; it exists for store-depth scale
+    measurements over replication-scaled corpora."""
+    if unique_pixels and not pixels:
+        raise ValueError(
+            "synthesize_assets: unique_pixels=True without pixels=True "
+            "would silently do nothing — header-only payloads carry no "
+            "pixel pattern"
+        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,7 +254,11 @@ def synthesize_assets(
                     mods.append("image")
                     if pixels:
                         payloads.append(
-                            _png_encode_pixels(image_pixels(doc_id, w, h))
+                            _png_encode_pixels(
+                                image_pixels(
+                                    doc_id, w, h, unique=unique_pixels
+                                )
+                            )
                         )
                     else:
                         payloads.append(_png_bytes(w, h, body))
