@@ -50,6 +50,8 @@ def export_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     curate: dict | None = None,
+    salt: str = "shards:",
+    order_salt: str = "order:",
 ) -> tuple[DataFrame, DataFrame]:
     """Curate ``docs`` (``curate`` kwargs forward to
     :func:`operators.curate.curate_corpus`), encode survivors to exact
@@ -69,12 +71,14 @@ def export_training_set(
     report union/fold with every other waterfall consumer).
 
     Determinism: shard assignment and read order are the salted-hash
-    projections of :func:`operators.layout.training_shards` — reruns
-    are bit-identical, a new epoch is a new ``order_salt`` via
-    ``curate``-independent re-export. Order within a shard stream is
-    ``(shard_order, id, ids)`` — the id breaks md5-prefix ties and the
-    ids array breaks NULL-id ties (curate's uniqueness gate exempts
-    NULL ids, the corpus-wide convention)."""
+    projections of :func:`operators.layout.training_shards` under
+    ``salt``/``order_salt`` — reruns are bit-identical, and a NEW
+    TRAINING EPOCH is just a new ``order_salt`` (windows re-cut under
+    a fresh permutation; nothing upstream recomputes differently).
+    Order within a shard stream is ``(shard_order, id, ids)`` — the id
+    breaks md5-prefix ties and the ids array breaks NULL-id ties
+    (curate's uniqueness gate exempts NULL ids, the corpus-wide
+    convention)."""
     from s3_access_logs_spark.functions import bpe as B
     from s3_access_logs_spark.operators.curate import curate_corpus
     from s3_access_logs_spark.operators.layout import (
@@ -99,7 +103,9 @@ def export_training_set(
             F.array(F.lit(eos)),
         ).alias("ids"),
     )
-    sharded = training_shards(t, n_shards, id_col="id")
+    sharded = training_shards(
+        t, n_shards, id_col="id", salt=salt, order_salt=order_salt
+    )
     windows = pack_id_windows(
         sharded,
         window_ids,
@@ -149,3 +155,56 @@ def export_training_set(
         # in-memory frame with the same columns instead of crashing
         out = windows.select("window_idx", "ids", "shard").limit(0)
     return out, out_report
+
+
+def pack_shard_windows(
+    spark,
+    shard_store: str,
+    dst: str,
+    window_ids: int = 256,
+) -> DataFrame:
+    """The streaming ingest's LAST MILE (round 10, closing the
+    ``shard_store`` story): convert the append-only shard store
+    ``ingest_documents_stream(shard_store=...)`` maintains — rows
+    ``(doc_id, ids, shard_order)`` under ``shard=<s>/batch_id=<b>``
+    leaves — into the SAME fixed-window artifact
+    :func:`export_training_set` writes: per shard, id streams
+    concatenate in ``(shard_order, doc_id, ids)`` order (the batch
+    export's exact keys; ``batch_id`` is deliberately NOT an order key
+    — the epoch permutation, not arrival order, defines the read
+    order, so a corpus ingested in any batching packs identically) and
+    cut into exact ``window_ids``-id windows at ``dst``.
+
+    Equivalence is pinned by test: a corpus drained through the stream
+    and packed here yields bit-identical windows to
+    ``export_training_set`` over the same survivors. Cost shape: one
+    scan of the store, the ``pack_id_windows`` plan (one window
+    function + segment explode + exchange-reusing groupBy), one
+    repartition(n_shards) write — rerunnable any time the store has
+    grown, deterministic for a given store state."""
+    from s3_access_logs_spark.operators.layout import pack_id_windows
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    rows = spark.read.parquet(shard_store)
+    windows = pack_id_windows(
+        rows.select("shard", "doc_id", "ids", "shard_order"),
+        window_ids,
+        ["shard"],
+        [
+            F.col("shard_order"),
+            F.col("doc_id").asc_nulls_first(),
+            F.col("ids"),
+        ],
+    )
+    n_shards = rows.select("shard").distinct().count()
+    (
+        windows.repartition(max(int(n_shards), 1), "shard")
+        .sortWithinPartitions("shard", "window_idx")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("shard")
+        .parquet(dst)
+    )
+    if has_data_files(spark, dst):
+        return spark.read.parquet(dst)
+    return windows.select("window_idx", "ids", "shard").limit(0)

@@ -1072,6 +1072,57 @@ class TestIngestShardHandoff:
         )
         assert second == first
 
+    def test_pack_shard_windows_equals_batch_export(self, spark, tmp_path):
+        """The whole point of the hand-off: a corpus drained through
+        the STREAM (two micro-batches, arbitrary batching) and packed
+        with pack_shard_windows yields bit-identical windows to the
+        one-call BATCH export over the same corpus — the epoch
+        permutation, not arrival order, defines the read order."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+            pack_shard_windows,
+        )
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        docs = {
+            i: f"distinct streaming corpus document {i} with words"
+            for i in range(10)
+        }
+        items = list(docs.items())
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": i, "text": t} for i, t in items[:6]
+        ])
+        shards = str(tmp_path / "shards")
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=3,
+            max_files_per_trigger=1,
+        ).awaitTermination(120)
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": i, "text": t} for i, t in items[6:]
+        ])
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=3,
+            max_files_per_trigger=1,
+        ).awaitTermination(120)
+        streamed = pack_shard_windows(
+            spark, shards, str(tmp_path / "wins_stream"), window_ids=32
+        )
+        batch_docs = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        batched, _ = export_training_set(
+            batch_docs, str(tmp_path / "wins_batch"),
+            n_shards=3, window_ids=32,
+        )
+        k = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        assert k(streamed) == k(batched) and len(k(streamed)) > 0
+
     def test_shard_params_without_store_fail_loud(self, spark, tmp_path):
         from s3_access_logs_spark.streaming import ingest_documents_stream
 
