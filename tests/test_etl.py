@@ -394,7 +394,10 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        assert "q1_pricing_summary" in names and len(names) == 105
+        # 108 = 90 granular + 18 folds (round 10 added
+        # packed_token_windows, export_training_report,
+        # sql_shard_balance — all folded, driver surface still 49)
+        assert "q1_pricing_summary" in names and len(names) == 108
         assert run_query(["no_such_query"]) == 2
 
 
