@@ -38,6 +38,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _write_windows(windows: DataFrame, dst: str, n_shards: int) -> None:
+    """The ONE window-artifact writer (review r10: batch and streaming
+    paths must share it, or a compression/ordering change silently
+    diverges two artifacts whose bit-identity is this module's
+    headline claim): one repartition keys all of a shard's rows to one
+    writer task (hash on `shard` — correct for ANY actual shard count,
+    the width only tunes parallelism), windows file-ordered by index
+    inside each hive ``shard=<n>`` dir."""
+    (
+        windows.repartition(max(int(n_shards), 1), "shard")
+        .sortWithinPartitions("shard", "window_idx")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("shard")
+        .parquet(dst)
+    )
+
+
+def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
+    """Read the written artifact back, or — when zero windows were
+    written and the dir holds only a _SUCCESS marker parquet cannot
+    infer a schema from — hand back an empty frame with the artifact's
+    columns."""
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if has_data_files(spark, dst):
+        return spark.read.parquet(dst)
+    return windows.select("window_idx", "ids", "shard").limit(0)
+
+
 def export_training_set(
     docs: DataFrame,
     dst: str,
@@ -85,7 +115,6 @@ def export_training_set(
         pack_id_windows,
         training_shards,
     )
-    from s3_access_logs_spark.sources.fsutil import has_data_files
 
     ms = list(merges) if merges is not None else list(B.default_merges())
     vs = vocab if vocab is not None else B.bpe_vocab(ms)
@@ -118,14 +147,7 @@ def export_training_set(
     # the tokenize/pack lineage executes once
     windows = windows.persist()
     try:
-        (
-            windows.repartition(n_shards, "shard")
-            .sortWithinPartitions("shard", "window_idx")
-            .write.mode("overwrite")
-            .option("compression", "snappy")
-            .partitionBy("shard")
-            .parquet(dst)
-        )
+        _write_windows(windows, dst, n_shards)
         m = windows.agg(
             F.count(F.lit(1)).alias("nw"),
             F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
@@ -147,14 +169,7 @@ def export_training_set(
         "stage string, dropped bigint",
     )
     out_report = report.unionByName(extra)
-    if has_data_files(sess, dst):
-        out = sess.read.parquet(dst)
-    else:
-        # zero survivors: the write left only a _SUCCESS marker, which
-        # parquet cannot infer a schema from — hand back the (empty)
-        # in-memory frame with the same columns instead of crashing
-        out = windows.select("window_idx", "ids", "shard").limit(0)
-    return out, out_report
+    return _read_windows_or_empty(sess, dst, windows), out_report
 
 
 def pack_shard_windows(
@@ -162,6 +177,7 @@ def pack_shard_windows(
     shard_store: str,
     dst: str,
     window_ids: int = 256,
+    n_shards: int = 8,
 ) -> DataFrame:
     """The streaming ingest's LAST MILE (round 10, closing the
     ``shard_store`` story): convert the append-only shard store
@@ -180,11 +196,19 @@ def pack_shard_windows(
     ``export_training_set`` over the same survivors. Cost shape: one
     scan of the store, the ``pack_id_windows`` plan (one window
     function + segment explode + exchange-reusing groupBy), one
-    repartition(n_shards) write — rerunnable any time the store has
-    grown, deterministic for a given store state."""
+    repartition write — rerunnable any time the store has grown,
+    deterministic for a given store state. ``n_shards`` is the stream
+    sink's configured value and only tunes write parallelism (hash
+    partitioning keys every shard's rows to one task at ANY width);
+    an empty or never-created store returns an empty frame (review
+    r10 — the routine state before a stream's first batch commits)."""
     from s3_access_logs_spark.operators.layout import pack_id_windows
     from s3_access_logs_spark.sources.fsutil import has_data_files
 
+    if not has_data_files(spark, shard_store):
+        return spark.createDataFrame(
+            [], "window_idx bigint, ids array<int>, shard int"
+        )
     rows = spark.read.parquet(shard_store)
     windows = pack_id_windows(
         rows.select("shard", "doc_id", "ids", "shard_order"),
@@ -196,15 +220,5 @@ def pack_shard_windows(
             F.col("ids"),
         ],
     )
-    n_shards = rows.select("shard").distinct().count()
-    (
-        windows.repartition(max(int(n_shards), 1), "shard")
-        .sortWithinPartitions("shard", "window_idx")
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .partitionBy("shard")
-        .parquet(dst)
-    )
-    if has_data_files(spark, dst):
-        return spark.read.parquet(dst)
-    return windows.select("window_idx", "ids", "shard").limit(0)
+    _write_windows(windows, dst, n_shards)
+    return _read_windows_or_empty(spark, dst, windows)

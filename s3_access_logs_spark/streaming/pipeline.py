@@ -261,7 +261,7 @@ def ingest_documents_stream(
     semantic_dims: int | None = None,
     verify_unique_ids: bool = False,
     shard_store: str | None = None,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     shard_merges: list[tuple[str, str]] | None = None,
     shard_vocab: list[str] | None = None,
 ) -> StreamingQuery:
@@ -434,15 +434,21 @@ def ingest_documents_stream(
     if semantic_threshold is None:
         semantic_threshold = 0.9  # curate_corpus's semantic default
     if shard_store is None and (
-        shard_merges is not None or shard_vocab is not None
+        shard_merges is not None
+        or shard_vocab is not None
+        or n_shards is not None
     ):
-        # the half-specified-gate rule, sink flavor: a tokenizer with
-        # no store would silently shard nothing
+        # the half-specified-gate rule, sink flavor: a tokenizer or a
+        # shard count with no store would silently shard nothing
+        # (n_shards defaults to None, not 8, exactly so it can join
+        # this check — review r10)
         raise ValueError(
-            "ingest_documents_stream: shard_merges/shard_vocab without "
-            "shard_store configure a tokenizer for a sink that is off — "
-            "pass shard_store, or drop them"
+            "ingest_documents_stream: shard_merges/shard_vocab/"
+            "n_shards without shard_store configure a sink that is "
+            "off — pass shard_store, or drop them"
         )
+    if shard_store is not None and n_shards is None:
+        n_shards = 8
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -496,9 +502,11 @@ def ingest_documents_stream(
         semantic_dims = 64
     _shard_tok = None
     if shard_store is not None:
-        # resolve the tokenizer ONCE outside the batch loop (the
-        # lm_model pattern): the default table trains lazily per
-        # process, and per-batch resolution would rebuild the vocab
+        # build the WHOLE tokenizer once outside the batch loop (the
+        # lm_model pattern; review r10 — resolving merges but
+        # re-deriving the vocab, id dict and UDF per batch would pay
+        # the O(R) construction on every micro-batch): the returned
+        # UDF closure carries vocab + encoder and is reused verbatim
         from s3_access_logs_spark.functions import bpe as B
 
         _ms = (
@@ -509,7 +517,10 @@ def ingest_documents_stream(
         _vs = shard_vocab if shard_vocab is not None else B.bpe_vocab(_ms)
         if shard_vocab is not None:
             B.check_vocab_merges(_vs, _ms)
-        _shard_tok = (_ms, _vs, len(_vs))
+        _shard_tok = (
+            B.bpe_token_ids_udf(_ms, vocab=_vs, validate=False),
+            len(_vs),
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -904,23 +915,16 @@ def ingest_documents_stream(
                 # shards with the stateless hash projection, land under
                 # shard=<s>/batch_id=<b> ordered by the epoch
                 # permutation — see the docstring's shard_store note
-                from s3_access_logs_spark.functions import bpe as B
                 from s3_access_logs_spark.operators.layout import (
                     training_shards,
                 )
 
-                _sm, _sv, _eos = _shard_tok
+                _ids_udf, _eos = _shard_tok
                 ids_rows = survivors.select(
                     F.col("keep_id").alias("doc_id"),
                     F.concat(
                         F.coalesce(
-                            B.bpe_token_ids(
-                                F.col("text"),
-                                _sm,
-                                vocab=_sv if shard_vocab is not None
-                                else None,
-                                validate=False,
-                            ),
+                            _ids_udf(F.col("text")),
                             F.array().cast("array<int>"),
                         ),
                         F.array(F.lit(_eos)),

@@ -377,6 +377,24 @@ class TestProductionVocab:
         from pyspark.sql import functions as F
 
         from s3_access_logs_spark.functions.text import BPE_ISH_REGEX
+        from s3_access_logs_spark.functions.unicode_classes import (
+            PROBED_JAVA,
+        )
+
+        # version guard (review r10: the PROBED_JAVA comment must not
+        # promise a check that nowhere exists): the running JVM's major
+        # must match the one the tables were probed from — a JVM
+        # upgrade fails HERE with the instruction, before the subtler
+        # per-codepoint assertions below
+        running = spark.sparkContext._jvm.java.lang.System.getProperty(
+            "java.version"
+        )
+        assert running.split(".")[0] == PROBED_JAVA.split(".")[0], (
+            f"JVM changed ({PROBED_JAVA} -> {running}): the vendored "
+            "unicode_classes tables were probed from a different JVM "
+            "and its UCD version may differ — rerun "
+            "tools/gen_unicode_classes.py"
+        )
 
         merges = list(B.default_merges())
         texts = [
@@ -423,6 +441,32 @@ class TestProductionVocab:
         lcls = _re.compile(f"[{B._UC_L}]")
         assert not lcls.match("ࡰ")
         assert not lcls.match("\U00010780")
+
+    def test_unordered_table_falls_back_to_exact_sweep(self, spark):
+        """Review r10: the rank-dict fixpoint diverges from the
+        rank-order sweep on tables violating the structural invariant
+        (a merge operand produced by a LATER merge) — e.g.
+        [('a','bc'), ('b','c')] on 'abc': sweep a|bc, fixpoint abc.
+        Real trained tables cannot violate it, but a hand-reordered or
+        corrupted merges.txt must still encode with the documented
+        rank-order semantics bit-for-bit on every path, so the factory
+        detects the violation and falls back to the literal sweep."""
+        bad = [("a", "bc"), ("b", "c")]
+        assert not B.structurally_ordered(bad)
+        assert B.structurally_ordered(list(B.default_merges()))
+        ref = B.bpe_encode_py("abc abcabc", bad)
+        enc = B._encoder_factory(bad)
+        got = []
+        for tok in B.pretokens_py("abc abcabc"):
+            got.extend(enc(tok))
+        assert got == ref
+        # and through the actual arrow column path vs the fold
+        df = spark.createDataFrame([(1, "abc abcabc")], "i int, text string")
+        rows = df.select(
+            B.bpe_tokens("text", bad, impl="arrow").alias("a"),
+            B.bpe_tokens("text", bad, impl="fold").alias("f"),
+        ).first()
+        assert list(rows["a"]) == ref == list(rows["f"])
 
     def test_merges_txt_loader_roundtrip(self, tmp_path):
         """GPT-2-format file (#version header, Ġ space marker) loads
