@@ -65,7 +65,7 @@ def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
 
     if has_data_files(spark, dst):
         return spark.read.parquet(dst)
-    return windows.select("window_idx", "ids", "shard").limit(0)
+    return windows.limit(0)
 
 
 def export_training_set(
@@ -82,6 +82,7 @@ def export_training_set(
     curate: dict | None = None,
     salt: str = "shards:",
     order_salt: str = "order:",
+    emit_spans: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Curate ``docs`` (``curate`` kwargs forward to
     :func:`operators.curate.curate_corpus`), encode survivors to exact
@@ -135,11 +136,15 @@ def export_training_set(
     sharded = training_shards(
         t, n_shards, id_col="id", salt=salt, order_salt=order_salt
     )
+    # emit_spans: windows additionally carry per-document
+    # (start, len) segment offsets for attention/loss masking —
+    # see pack_id_windows
     windows = pack_id_windows(
         sharded,
         window_ids,
         ["shard"],
         [F.col("shard_order"), F.col("id").asc_nulls_first(), F.col("ids")],
+        emit_spans=emit_spans,
     )
     # metrics are aggregated over the windows FRAME under one scoped
     # persist (write + three aggregates in a single pass over the

@@ -159,6 +159,7 @@ def pack_id_windows(
     part_cols: list[str],
     order_cols: list[Column],
     ids_col: str = "ids",
+    emit_spans: bool = False,
 ) -> DataFrame:
     """Cut each partition's concatenated id stream into EXACT
     fixed-length windows of ``window_ids`` ids (only the last window
@@ -177,7 +178,14 @@ def pack_id_windows(
     (double-floor window index — ~25T tokens per 100 TB corpus sits
     4 orders under the cliff).
 
-    Returns ``(*part_cols, window_idx bigint, ids_col array)``.
+    Returns ``(*part_cols, window_idx bigint, ids_col array)``;
+    ``emit_spans=True`` adds ``doc_spans array<struct<start,len>>`` —
+    the contributing documents' segment offsets WITHIN the window, in
+    concatenation order (a doc split across windows contributes one
+    span per window, the continuation starting at 0). Trainers use
+    this for attention/loss masking without re-scanning for boundary
+    markers; it is derived from the same sorted segment list the
+    concatenation uses, so it can never disagree with the ids.
     Callers must ensure ``order_cols`` is a total order within each
     partition (ties would make segment order engine-defined) and that
     ``ids_col`` is never NULL (``F.coalesce(..., F.array())`` upstream
@@ -228,14 +236,42 @@ def pack_id_windows(
         F.col("_s.seg").alias("_seg"),
         "_start",
     )
-    return e.groupBy(*part_cols, "window_idx").agg(
+    sorted_segs = F.array_sort(F.collect_list(F.struct("_start", "_seg")))
+    aggs = [
         F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_start", "_seg"))),
-                lambda s: s["_seg"],
-            )
+            F.transform(sorted_segs, lambda s: s["_seg"])
         ).alias(ids_col)
-    )
+    ]
+    if emit_spans:
+        aggs.append(
+            F.aggregate(
+                sorted_segs,
+                F.struct(
+                    F.lit(0).cast("int").alias("off"),
+                    F.array().cast(
+                        "array<struct<start:int,len:int>>"
+                    ).alias("sp"),
+                ),
+                lambda acc, s: F.struct(
+                    (acc["off"] + F.size(s["_seg"]))
+                    .cast("int")
+                    .alias("off"),
+                    F.concat(
+                        acc["sp"],
+                        F.array(
+                            F.struct(
+                                acc["off"].alias("start"),
+                                F.size(s["_seg"])
+                                .cast("int")
+                                .alias("len"),
+                            )
+                        ),
+                    ).alias("sp"),
+                ),
+                lambda acc: acc["sp"],
+            ).alias("doc_spans")
+        )
+    return e.groupBy(*part_cols, "window_idx").agg(*aggs)
 
 
 def shuffle_rows(

@@ -1526,6 +1526,52 @@ class TestExportTrainingSet:
             map(tuple, r2.collect())
         )
 
+    def test_emit_spans_marks_document_segments(self, spark, tmp_path):
+        """emit_spans: every window carries (start, len) spans that
+        tile it exactly, each span is one document's contiguous
+        segment, and a split document's continuation span starts at 0
+        in the next window — the mask metadata a trainer consumes,
+        derived from the same sorted segment list as the ids so it can
+        never disagree with them."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        docs = self._docs(spark, 40)
+        wins, _ = export_training_set(
+            docs, str(tmp_path / "s"), n_shards=2, window_ids=16,
+            emit_spans=True,
+        )
+        rows = wins.collect()
+        assert rows and "doc_spans" in wins.columns
+        eos_seen = 0
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for s_, srows in by_shard.items():
+            srows.sort(key=lambda r: r.window_idx)
+            for r in srows:
+                spans = [(sp["start"], sp["len"]) for sp in r.doc_spans]
+                # spans tile the window contiguously from 0
+                pos = 0
+                for st, ln in spans:
+                    assert st == pos and ln >= 1, (s_, r.window_idx)
+                    pos += ln
+                assert pos == len(r.ids)
+                # a span ending mid-window must end with EOS (a whole
+                # document ended); the final span may continue into
+                # the next window
+                eos = max(r.ids)  # EOS is one past every vocab id
+                for st, ln in spans[:-1]:
+                    assert r.ids[st + ln - 1] == eos
+                    eos_seen += 1
+            # continuation: any window after one whose last span had
+            # no EOS must begin a span at 0 (always true by tiling) —
+            # and the shard's LAST window ends with EOS
+            last = srows[-1]
+            assert last.ids[-1] == eos
+        assert eos_seen > 0  # multiple docs actually shared windows
+
     def test_zero_survivors_yields_empty_export(self, spark, tmp_path):
         from s3_access_logs_spark.operators.export import (
             export_training_set,
