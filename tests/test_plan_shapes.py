@@ -235,3 +235,29 @@ def test_ivf_centroids_ride_broadcast_not_plan_literals(spark, catalog):
     assert max(
         (len(line) for line in plan.splitlines()), default=0
     ) < 20_000
+
+
+def test_packed_windows_single_exchange_groupby_reuses_partitioning(
+    spark, catalog
+):
+    """pack_id_windows' scale claim (round 10): the cumulative-offset
+    window shuffles ONCE on the partition key, and the (part, window)
+    groupBy must reuse that hash partitioning — grouping keys whose
+    prefix is the existing distribution never re-exchange. A refactor
+    that re-keys the groupBy (or materializes per-token rows) would
+    show up here as a second Exchange / a Generate explosion per id."""
+    plan = plan_of(catalog["packed_token_windows"].builder(spark, SF))
+    # exactly ONE shuffle: the source-keyed window exchange
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.lstrip("+- :*( ").startswith("Exchange")
+        and "Broadcast" not in ln
+    )
+    assert n_exchanges == 1, plan
+    # segments explode via ONE generator (per ~doc_len/W slices), and
+    # the token arrays never row-explode (no posexplode over ids)
+    assert plan.count("Generate") == 1
+    assert "Window" in plan
+    # the id encode is the Arrow path (pandas UDF), never row-at-a-time
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
