@@ -80,6 +80,8 @@ def export_training_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     curate: dict | None = None,
+    mixture: dict | None = None,
+    source_col: str = "source",
     salt: str = "shards:",
     order_salt: str = "order:",
     emit_spans: bool = False,
@@ -100,6 +102,17 @@ def export_training_set(
     EOS excluded), ``windows_emitted`` and ``shards_written`` (the
     count column carries the metric; keeping one schema lets the
     report union/fold with every other waterfall consumer).
+
+    ``mixture`` (kwargs for
+    :func:`operators.sampling.temperature_mixture`, e.g.
+    ``{"alpha": 0.7}``) re-balances sources BETWEEN curation and
+    tokenization — the count^alpha recipe that keeps giant crawls from
+    drowning small high-quality sources, applied to gate survivors so
+    rejected documents never consume mixture budget. Rows it drops are
+    accounted as a ``mixture`` stage in the waterfall (computed from
+    the windows' own EOS count against the curate arithmetic — no
+    extra corpus action), keeping the ``drops + tokens rows``
+    decomposition exact.
 
     Determinism: shard assignment and read order are the salted-hash
     projections of :func:`operators.layout.training_shards` under
@@ -123,6 +136,14 @@ def export_training_set(
     survivors, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col, **(curate or {})
     )
+    if mixture is not None:
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        survivors = temperature_mixture(
+            survivors, source_col, id_col, **mixture
+        ).drop("_keep_rate")
     t = survivors.select(
         F.col(id_col).alias("id"),
         F.concat(
@@ -165,14 +186,23 @@ def export_training_set(
     finally:
         windows.unpersist()
     sess = docs.sparkSession
-    extra = sess.createDataFrame(
-        [
-            ("tokens_kept", int(m["total"] - m["neos"])),
-            ("windows_emitted", int(m["nw"])),
-            ("shards_written", int(m["ns"])),
-        ],
-        "stage string, dropped bigint",
-    )
+    rows = [
+        ("tokens_kept", int(m["total"] - m["neos"])),
+        ("windows_emitted", int(m["nw"])),
+        ("shards_written", int(m["ns"])),
+    ]
+    if mixture is not None:
+        # mixture drops by arithmetic, not an extra corpus action:
+        # input (parquet metadata-count cheap) minus the curate drops
+        # (already local) minus the docs that reached windows (the EOS
+        # count, already aggregated) — exact because every document
+        # that survives curation+mixture contributes exactly one EOS
+        n_input = docs.count()
+        curate_drops = sum(r["dropped"] for r in report.collect())
+        rows.insert(
+            0, ("mixture", int(n_input - curate_drops - m["neos"]))
+        )
+    extra = sess.createDataFrame(rows, "stage string, dropped bigint")
     out_report = report.unionByName(extra)
     return _read_windows_or_empty(sess, dst, windows), out_report
 

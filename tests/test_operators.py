@@ -1572,6 +1572,60 @@ class TestExportTrainingSet:
             assert last.ids[-1] == eos
         assert eos_seen > 0  # multiple docs actually shared windows
 
+    def test_mixture_rebalances_sources_and_waterfall_stays_exact(
+        self, spark, tmp_path
+    ):
+        """mixture: count^alpha re-balancing between curation and
+        tokenize — the skewed source shrinks toward the small one's
+        share, mixture drops land as a waterfall row, and the
+        docs-conservation identity (input == curate drops + mixture
+        drops + EOS count) holds exactly."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        rows = [
+            (i, f"big source document {i} full of words", "web")
+            for i in range(180)
+        ] + [
+            (1000 + i, f"small source document {i} quality text", "books")
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        wins, report = export_training_set(
+            docs, str(tmp_path / "s"), n_shards=2, window_ids=16,
+            mixture={"alpha": 0.5},
+        )
+        rep = {r.stage: r.dropped for r in report.collect()}
+        assert rep["mixture"] > 0
+        # conservation: every input doc is dropped by a gate, dropped
+        # by mixture, or contributes exactly one EOS to the windows
+        from pyspark.sql import functions as F
+
+        n_docs_in_windows = 200 - rep["mixture"] - sum(
+            v for k, v in rep.items()
+            if k not in ("mixture", "tokens_kept", "windows_emitted",
+                         "shards_written")
+        )
+        total_ids = sum(
+            r["t"]
+            for r in wins.agg(
+                F.sum(F.size("ids")).alias("t")
+            ).collect()
+        )
+        assert total_ids == rep["tokens_kept"] + n_docs_in_windows
+        # rerun determinism: same salt -> same kept set
+        wins2, rep2 = export_training_set(
+            docs.repartition(5), str(tmp_path / "s2"), n_shards=2,
+            window_ids=16, mixture={"alpha": 0.5},
+        )
+        k = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        assert k(wins) == k(wins2)
+
     def test_zero_survivors_yields_empty_export(self, spark, tmp_path):
         from s3_access_logs_spark.operators.export import (
             export_training_set,
