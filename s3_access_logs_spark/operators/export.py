@@ -65,7 +65,13 @@ def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
 
     if has_data_files(spark, dst):
         return spark.read.parquet(dst)
-    return windows.limit(0)
+    # column order must match the parquet read-back (data columns in
+    # written order, partition column LAST), not the groupBy's
+    # part-cols-first order — a consumer unioning an empty export with
+    # a non-empty one would otherwise pair window_idx under shard
+    # (review r10, second pass)
+    cols = [c for c in windows.columns if c != "shard"] + ["shard"]
+    return windows.select(*cols).limit(0)
 
 
 def export_training_set(
@@ -133,16 +139,35 @@ def export_training_set(
     ms = list(merges) if merges is not None else list(B.default_merges())
     vs = vocab if vocab is not None else B.bpe_vocab(ms)
     eos = int(eos_id) if eos_id is not None else len(vs)
+    if 0 <= eos < len(vs) or eos == unk_id:
+        # the EOS id must sit OUTSIDE the token id space: the report's
+        # doc accounting counts EOS occurrences in the windows, and a
+        # colliding id would count real tokens as document boundaries
+        # — silently wrong tokens_kept/mixture rows (review r10,
+        # second pass)
+        raise ValueError(
+            f"export_training_set: eos_id={eos} collides with the "
+            f"vocab id space [0, {len(vs)}) or unk_id={unk_id} — "
+            "document boundaries would be indistinguishable from "
+            "content; pass an id outside both"
+        )
     survivors, report = curate_corpus(
         docs, id_col=id_col, text_col=text_col, **(curate or {})
     )
+    _pre_mix = None
     if mixture is not None:
         from s3_access_logs_spark.operators.sampling import (
             temperature_mixture,
         )
 
+        # scoped persist: temperature_mixture's per-source count
+        # collect is an ACTION over the curated-survivors lineage
+        # (curate released its own caches before returning), and the
+        # windows write below re-reads the same frame — without this
+        # the gate stack executes twice (review r10, second pass)
+        _pre_mix = survivors.persist()
         survivors = temperature_mixture(
-            survivors, source_col, id_col, **mixture
+            _pre_mix, source_col, id_col, **mixture
         ).drop("_keep_rate")
     t = survivors.select(
         F.col(id_col).alias("id"),
@@ -174,6 +199,12 @@ def export_training_set(
     windows = windows.persist()
     try:
         _write_windows(windows, dst, n_shards)
+        if _pre_mix is not None:
+            # the windows cache is materialized by the write above, so
+            # the pre-mixture survivors frame has served both its
+            # consumers (the mixture count collect + the tokenize scan)
+            _pre_mix.unpersist()
+            _pre_mix = None
         m = windows.agg(
             F.count(F.lit(1)).alias("nw"),
             F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
@@ -185,6 +216,8 @@ def export_training_set(
         ).first()
     finally:
         windows.unpersist()
+        if _pre_mix is not None:  # failure path: release the cache
+            _pre_mix.unpersist()
     sess = docs.sparkSession
     rows = [
         ("tokens_kept", int(m["total"] - m["neos"])),

@@ -467,6 +467,16 @@ class TestProductionVocab:
             B.bpe_tokens("text", bad, impl="fold").alias("f"),
         ).first()
         assert list(rows["a"]) == ref == list(rows["f"])
+        # review r10 second pass: operand ORDER alone is insufficient —
+        # a later merge RE-CREATING an existing product lets a lower
+        # rank fire late in the fixpoint; the novel-product invariant
+        # must be checked too
+        bad2 = [("b", "c"), ("a", "b"), ("ab", "c"),
+                ("abc", "d"), ("a", "bc")]
+        assert not B.structurally_ordered(bad2)
+        enc2 = B._encoder_factory(bad2)
+        assert list(enc2("abcd")) == B.bpe_encode_py("abcd", bad2) \
+            == ["abc", "d"]
 
     def test_merges_txt_loader_roundtrip(self, tmp_path):
         """GPT-2-format file (#version header, Ġ space marker) loads

@@ -1600,22 +1600,35 @@ class TestExportTrainingSet:
         )
         rep = {r.stage: r.dropped for r in report.collect()}
         assert rep["mixture"] > 0
-        # conservation: every input doc is dropped by a gate, dropped
-        # by mixture, or contributes exactly one EOS to the windows
+        # CROSS-CHECK against the operator's own independent output
+        # (review r10, second pass: the old identity was derivable
+        # from the report itself): the mixture row and the windows'
+        # document mass must equal what temperature_mixture actually
+        # keeps on this corpus, per source
         from pyspark.sql import functions as F
 
-        n_docs_in_windows = 200 - rep["mixture"] - sum(
-            v for k, v in rep.items()
-            if k not in ("mixture", "tokens_kept", "windows_emitted",
-                         "shards_written")
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
         )
-        total_ids = sum(
-            r["t"]
-            for r in wins.agg(
-                F.sum(F.size("ids")).alias("t")
-            ).collect()
-        )
-        assert total_ids == rep["tokens_kept"] + n_docs_in_windows
+
+        kept = temperature_mixture(docs, "source", "doc_id", alpha=0.5)
+        per_src = {
+            r["source"]: r["n"]
+            for r in kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # the small source's rate caps at 1 (kept whole); the big one
+        # genuinely downsamples — the count^alpha headline behavior
+        assert per_src["books"] == 20
+        assert per_src["web"] < 180
+        n_kept = sum(per_src.values())
+        assert rep["mixture"] == 200 - n_kept
+        # every kept doc contributes exactly one EOS to the windows
+        total_ids = wins.agg(
+            F.sum(F.size("ids")).alias("t")
+        ).first()["t"]
+        assert total_ids == rep["tokens_kept"] + n_kept
         # rerun determinism: same salt -> same kept set
         wins2, rep2 = export_training_set(
             docs.repartition(5), str(tmp_path / "s2"), n_shards=2,
@@ -1625,6 +1638,24 @@ class TestExportTrainingSet:
             (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
         )
         assert k(wins) == k(wins2)
+
+    def test_colliding_eos_id_fails_loud(self, spark, tmp_path):
+        """An EOS id inside the vocab id space (or equal to unk) would
+        make real tokens count as document boundaries — the report's
+        accounting silently wrong (review r10, second pass)."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        docs = self._docs(spark, 4)
+        with pytest.raises(ValueError, match="eos_id"):
+            export_training_set(
+                docs, str(tmp_path / "s"), eos_id=5
+            )
+        with pytest.raises(ValueError, match="eos_id"):
+            export_training_set(
+                docs, str(tmp_path / "s"), eos_id=-1
+            )
 
     def test_zero_survivors_yields_empty_export(self, spark, tmp_path):
         from s3_access_logs_spark.operators.export import (
@@ -1638,6 +1669,9 @@ class TestExportTrainingSet:
             docs, str(tmp_path / "s"), n_shards=2, window_ids=8
         )
         assert wins.count() == 0
+        # empty-export columns must match a real read-back's order
+        # (data cols then partition col — review r10, second pass)
+        assert wins.columns == ["window_idx", "ids", "shard"]
         rep = {r.stage: r.dropped for r in report.collect()}
         assert rep["tokens_kept"] == 0
         assert rep["windows_emitted"] == 0
