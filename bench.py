@@ -376,6 +376,11 @@ def main() -> None:
     }
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # eager: the 50k synthetic merges table costs ~7 s of driver-side
+    # rejection sampling — built HERE, before any timing starts, so no
+    # run of the bpe_arrow_50k row (warm-up included) can ever mix table
+    # generation into an encoder measurement (ADVICE r10)
+    _bpe_token_count_50k("text")
     timings: dict[str, float] = {}
     builders = {name: q.builder for name, q in queries.items()}
     builders["curate_corpus"] = _curate_flagship  # flagship pipeline row

@@ -74,6 +74,92 @@ def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
     return windows.select(*cols).limit(0)
 
 
+def _resolve_special_ids(
+    merges: list[tuple[str, str]] | None,
+    vocab: list[str] | None,
+    unk_id: int,
+    eos_id: int | None,
+    pad_id: int | None,
+) -> tuple[list[tuple[str, str]], list[str], int, int | None]:
+    """Resolve (merges, vocab, eos, pad) with the fail-loud id-space
+    checks shared by :func:`export_training_set` and
+    :func:`write_token_store`: EOS defaults to one past the vocab, and
+    neither EOS nor pad may collide with a real token id, the unk id,
+    or each other — a collision silently corrupts the report
+    arithmetic (EOS counts double as document counts) or a trainer's
+    loss mask (pads indistinguishable from content)."""
+    from s3_access_logs_spark.functions import bpe as B
+
+    ms = list(merges) if merges is not None else list(B.default_merges())
+    vs = vocab if vocab is not None else B.bpe_vocab(ms)
+    eos = int(eos_id) if eos_id is not None else len(vs)
+    if 0 <= eos < len(vs) or eos == unk_id:
+        raise ValueError(
+            f"export_training_set: eos_id={eos} collides with the "
+            f"vocab id space [0, {len(vs)}) or unk_id={unk_id} — "
+            "document boundaries would be indistinguishable from "
+            "content; pass an id outside both"
+        )
+    pad = int(pad_id) if pad_id is not None else None
+    if pad is not None and (0 <= pad < len(vs) or pad in (unk_id, eos)):
+        raise ValueError(
+            f"export_training_set: pad_id={pad} collides with the "
+            f"vocab id space [0, {len(vs)}), unk_id={unk_id} or "
+            f"eos_id={eos} — padding would be indistinguishable from "
+            "content or boundaries; pass an id outside all three"
+        )
+    return ms, vs, eos, pad
+
+
+def _curated_id_streams(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str] | None,
+    unk_id: int,
+    eos: int,
+    id_col: str,
+    text_col: str,
+    curate: dict | None,
+    mixture: dict | None,
+    source_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """The shared front half of the batch export paths: curate ``docs``,
+    optionally re-balance sources, and encode survivors to
+    ``(id, ids)`` EOS-terminated token-id streams. Returns
+    ``(streams, curate_report, pre_mix_handle)`` — the caller MUST
+    unpersist ``pre_mix_handle`` (when not None) after its first action
+    over ``streams`` materializes downstream state (the scoped-persist
+    rule: temperature_mixture's count collect plus the caller's own
+    scan would otherwise execute the gate stack twice)."""
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.curate import curate_corpus
+
+    survivors, report = curate_corpus(
+        docs, id_col=id_col, text_col=text_col, **(curate or {})
+    )
+    pre_mix = None
+    if mixture is not None:
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        pre_mix = survivors.persist()
+        survivors = temperature_mixture(
+            pre_mix, source_col, id_col, **mixture
+        ).drop("_keep_rate")
+    streams = survivors.select(
+        F.col(id_col).alias("id"),
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids(text_col, merges, vocab=vocab, unk_id=unk_id),
+                F.array().cast("array<int>"),
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    return streams, report, pre_mix
+
+
 def export_training_set(
     docs: DataFrame,
     dst: str,
@@ -91,6 +177,7 @@ def export_training_set(
     salt: str = "shards:",
     order_salt: str = "order:",
     emit_spans: bool = False,
+    pad_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Curate ``docs`` (``curate`` kwargs forward to
     :func:`operators.curate.curate_corpus`), encode survivors to exact
@@ -124,60 +211,39 @@ def export_training_set(
     projections of :func:`operators.layout.training_shards` under
     ``salt``/``order_salt`` — reruns are bit-identical, and a NEW
     TRAINING EPOCH is just a new ``order_salt`` (windows re-cut under
-    a fresh permutation; nothing upstream recomputes differently).
-    Order within a shard stream is ``(shard_order, id, ids)`` — the id
-    breaks md5-prefix ties and the ids array breaks NULL-id ties
-    (curate's uniqueness gate exempts NULL ids, the corpus-wide
-    convention)."""
-    from s3_access_logs_spark.functions import bpe as B
-    from s3_access_logs_spark.operators.curate import curate_corpus
+    a fresh permutation; nothing upstream recomputes differently — or,
+    cheaper still, :func:`write_token_store` once +
+    :func:`repack_epoch` per epoch, which skips the curate+tokenize
+    half entirely). Order within a shard stream is
+    ``(shard_order, id, ids)`` — the id breaks md5-prefix ties and the
+    ids array breaks NULL-id ties (curate's uniqueness gate exempts
+    NULL ids, the corpus-wide convention).
+
+    ``pad_id`` pads each shard's final short window to exactly
+    ``window_ids`` ids (static tensor shapes); the id is validated
+    outside the vocab/unk/EOS spaces the same way ``eos_id`` is, pads
+    are excluded from ``tokens_kept``, and ``doc_spans`` never covers
+    the pad tail (spans are computed before padding).
+
+    NULL-id rows (ADVICE r10): a NULL ``id_col`` hashes to NULL
+    ``shard`` AND NULL ``shard_order``, so such survivors land in the
+    hive ``__HIVE_DEFAULT_PARTITION__`` leaf, read back with
+    ``shard IS NULL``, are EXCLUDED from ``shards_written``'s
+    count_distinct, and order among themselves by the ids-array
+    tie-break alone. Consistent across reruns, the oracle replica and
+    ``repack_epoch`` — but a trainer enumerating ``shard=<n>`` dirs
+    will not see them; filter NULL ids upstream if that matters."""
     from s3_access_logs_spark.operators.layout import (
         pack_id_windows,
         training_shards,
     )
 
-    ms = list(merges) if merges is not None else list(B.default_merges())
-    vs = vocab if vocab is not None else B.bpe_vocab(ms)
-    eos = int(eos_id) if eos_id is not None else len(vs)
-    if 0 <= eos < len(vs) or eos == unk_id:
-        # the EOS id must sit OUTSIDE the token id space: the report's
-        # doc accounting counts EOS occurrences in the windows, and a
-        # colliding id would count real tokens as document boundaries
-        # — silently wrong tokens_kept/mixture rows (review r10,
-        # second pass)
-        raise ValueError(
-            f"export_training_set: eos_id={eos} collides with the "
-            f"vocab id space [0, {len(vs)}) or unk_id={unk_id} — "
-            "document boundaries would be indistinguishable from "
-            "content; pass an id outside both"
-        )
-    survivors, report = curate_corpus(
-        docs, id_col=id_col, text_col=text_col, **(curate or {})
+    ms, _vs, eos, pad = _resolve_special_ids(
+        merges, vocab, unk_id, eos_id, pad_id
     )
-    _pre_mix = None
-    if mixture is not None:
-        from s3_access_logs_spark.operators.sampling import (
-            temperature_mixture,
-        )
-
-        # scoped persist: temperature_mixture's per-source count
-        # collect is an ACTION over the curated-survivors lineage
-        # (curate released its own caches before returning), and the
-        # windows write below re-reads the same frame — without this
-        # the gate stack executes twice (review r10, second pass)
-        _pre_mix = survivors.persist()
-        survivors = temperature_mixture(
-            _pre_mix, source_col, id_col, **mixture
-        ).drop("_keep_rate")
-    t = survivors.select(
-        F.col(id_col).alias("id"),
-        F.concat(
-            F.coalesce(
-                B.bpe_token_ids(text_col, ms, vocab=vocab, unk_id=unk_id),
-                F.array().cast("array<int>"),
-            ),
-            F.array(F.lit(eos)),
-        ).alias("ids"),
+    t, report, _pre_mix = _curated_id_streams(
+        docs, ms, vocab, unk_id, eos,
+        id_col, text_col, curate, mixture, source_col,
     )
     sharded = training_shards(
         t, n_shards, id_col="id", salt=salt, order_salt=order_salt
@@ -191,6 +257,7 @@ def export_training_set(
         ["shard"],
         [F.col("shard_order"), F.col("id").asc_nulls_first(), F.col("ids")],
         emit_spans=emit_spans,
+        pad_id=pad,
     )
     # metrics are aggregated over the windows FRAME under one scoped
     # persist (write + three aggregates in a single pass over the
@@ -205,7 +272,7 @@ def export_training_set(
             # consumers (the mixture count collect + the tokenize scan)
             _pre_mix.unpersist()
             _pre_mix = None
-        m = windows.agg(
+        aggs = [
             F.count(F.lit(1)).alias("nw"),
             F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
             F.coalesce(
@@ -213,14 +280,26 @@ def export_training_set(
                 F.lit(0),
             ).alias("neos"),
             F.count_distinct("shard").alias("ns"),
-        ).first()
+        ]
+        if pad is not None:
+            # pads are layout, not content: subtracted from tokens_kept
+            # below (pad != eos is guaranteed, so the counts are
+            # disjoint)
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.size(F.filter("ids", lambda x: x == pad))),
+                    F.lit(0),
+                ).alias("npad")
+            )
+        m = windows.agg(*aggs).first()
     finally:
         windows.unpersist()
         if _pre_mix is not None:  # failure path: release the cache
             _pre_mix.unpersist()
+    npad = int(m["npad"]) if pad is not None else 0
     sess = docs.sparkSession
     rows = [
-        ("tokens_kept", int(m["total"] - m["neos"])),
+        ("tokens_kept", int(m["total"] - m["neos"]) - npad),
         ("windows_emitted", int(m["nw"])),
         ("shards_written", int(m["ns"])),
     ]
@@ -240,12 +319,62 @@ def export_training_set(
     return _read_windows_or_empty(sess, dst, windows), out_report
 
 
+def _empty_windows(spark, emit_spans: bool) -> DataFrame:
+    """The written-windows schema for a store that has no data files
+    yet — the routine state before a stream's first batch commits."""
+    schema = "window_idx bigint, ids array<int>"
+    if emit_spans:
+        schema += ", doc_spans array<struct<start:int,len:int>>"
+    return spark.createDataFrame([], schema + ", shard int")
+
+
+def _pack_store(
+    spark,
+    store: str,
+    dst: str,
+    window_ids: int,
+    n_shards: int,
+    order_col,
+    emit_spans: bool,
+    pad_id: int | None,
+) -> DataFrame:
+    """Shared store→windows core of :func:`pack_shard_windows` and
+    :func:`repack_epoch`: read the ``(doc_id, ids)`` rows under
+    ``shard=<s>`` leaves, order each shard's stream by
+    ``(order_col, doc_id, ids)`` — the batch export's exact keys — cut
+    into windows and write via the one artifact writer."""
+    from s3_access_logs_spark.operators.layout import pack_id_windows
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if not has_data_files(spark, store):
+        return _empty_windows(spark, emit_spans)
+    rows = spark.read.parquet(store).select(
+        "shard", "doc_id", "ids", order_col.alias("_order")
+    )
+    windows = pack_id_windows(
+        rows,
+        window_ids,
+        ["shard"],
+        [
+            F.col("_order"),
+            F.col("doc_id").asc_nulls_first(),
+            F.col("ids"),
+        ],
+        emit_spans=emit_spans,
+        pad_id=pad_id,
+    )
+    _write_windows(windows, dst, n_shards)
+    return _read_windows_or_empty(spark, dst, windows)
+
+
 def pack_shard_windows(
     spark,
     shard_store: str,
     dst: str,
     window_ids: int = 256,
     n_shards: int = 8,
+    emit_spans: bool = False,
+    pad_id: int | None = None,
 ) -> DataFrame:
     """The streaming ingest's LAST MILE (round 10, closing the
     ``shard_store`` story): convert the append-only shard store
@@ -269,24 +398,137 @@ def pack_shard_windows(
     sink's configured value and only tunes write parallelism (hash
     partitioning keys every shard's rows to one task at ANY width);
     an empty or never-created store returns an empty frame (review
-    r10 — the routine state before a stream's first batch commits)."""
-    from s3_access_logs_spark.operators.layout import pack_id_windows
-    from s3_access_logs_spark.sources.fsutil import has_data_files
-
-    if not has_data_files(spark, shard_store):
-        return spark.createDataFrame(
-            [], "window_idx bigint, ids array<int>, shard int"
-        )
-    rows = spark.read.parquet(shard_store)
-    windows = pack_id_windows(
-        rows.select("shard", "doc_id", "ids", "shard_order"),
-        window_ids,
-        ["shard"],
-        [
-            F.col("shard_order"),
-            F.col("doc_id").asc_nulls_first(),
-            F.col("ids"),
-        ],
+    r10 — the routine state before a stream's first batch commits).
+    ``emit_spans``/``pad_id`` mirror :func:`export_training_set`
+    (ADVICE r10: the two bit-identical artifact paths must not diverge
+    in capability) — pad-id validation against a vocab is the caller's
+    job here, since the store carries ids, not the vocabulary."""
+    return _pack_store(
+        spark, shard_store, dst, window_ids, n_shards,
+        F.col("shard_order"), emit_spans, pad_id,
     )
-    _write_windows(windows, dst, n_shards)
-    return _read_windows_or_empty(spark, dst, windows)
+
+
+def write_token_store(
+    docs: DataFrame,
+    store: str,
+    n_shards: int = 8,
+    merges: list[tuple[str, str]] | None = None,
+    vocab: list[str] | None = None,
+    unk_id: int = -1,
+    eos_id: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    curate: dict | None = None,
+    mixture: dict | None = None,
+    source_col: str = "source",
+    salt: str = "shards:",
+) -> DataFrame:
+    """Materialize the EXPENSIVE half of :func:`export_training_set`
+    ONCE (round 11, VERDICT r10 item 1): curate → (optional mixture) →
+    exact-BPE token-id streams with EOS boundaries → stateless hash
+    shard assignment, written as ``(doc_id, ids)`` rows under hive
+    ``shard=<s>`` dirs at ``store`` — the batch twin of the streaming
+    ``shard_store`` layout (``streaming/pipeline.py``'s sink, minus the
+    ``batch_id`` leaves and the stored ``shard_order`` its writer
+    ordering forces). A new training epoch then costs only
+    :func:`repack_epoch` — a ``shard_order`` re-projection of
+    ``doc_id`` plus the window pack — instead of re-running
+    curate+tokenize per epoch.
+
+    Returns the curation waterfall EXTENDED by ``docs_stored``,
+    ``tokens_stored`` (EOS excluded) and ``shards_written`` metric rows
+    (same ``(stage, dropped)`` schema as the export report), plus a
+    ``mixture`` row when re-balancing was requested. The store holds no
+    order column: ``shard_order`` is a pure projection of ``doc_id``
+    under the epoch's salt, and re-deriving is cheaper than storing 32
+    bytes/row at corpus scale (the ``write_training_shards`` rule).
+    In-file row order is ``doc_id`` within each shard — deterministic
+    reruns — and NULL-id rows land under the hive default-partition
+    leaf exactly as in :func:`export_training_set` (see its note)."""
+    from s3_access_logs_spark.operators.layout import training_shards
+
+    ms, _vs, eos, _pad = _resolve_special_ids(
+        merges, vocab, unk_id, eos_id, None
+    )
+    t, report, pre_mix = _curated_id_streams(
+        docs, ms, vocab, unk_id, eos,
+        id_col, text_col, curate, mixture, source_col,
+    )
+    rows = training_shards(
+        t, n_shards, id_col="id", salt=salt
+    ).select(F.col("id").alias("doc_id"), "ids", "shard")
+    rows = rows.persist()
+    try:
+        (
+            rows.repartition(max(int(n_shards), 1), "shard")
+            .sortWithinPartitions("shard", "doc_id")
+            .write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy("shard")
+            .parquet(store)
+        )
+        if pre_mix is not None:
+            pre_mix.unpersist()
+            pre_mix = None
+        m = rows.agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
+            F.count_distinct("shard").alias("ns"),
+        ).first()
+    finally:
+        rows.unpersist()
+        if pre_mix is not None:  # failure path: release the cache
+            pre_mix.unpersist()
+    sess = docs.sparkSession
+    out = [
+        # every stored stream ends in exactly one EOS, so the token
+        # count is total minus the row count — no second aggregate
+        ("docs_stored", int(m["nd"])),
+        ("tokens_stored", int(m["total"] - m["nd"])),
+        ("shards_written", int(m["ns"])),
+    ]
+    if mixture is not None:
+        n_input = docs.count()
+        curate_drops = sum(r["dropped"] for r in report.collect())
+        out.insert(0, ("mixture", int(n_input - curate_drops - m["nd"])))
+    extra = sess.createDataFrame(out, "stage string, dropped bigint")
+    return report.unionByName(extra)
+
+
+def repack_epoch(
+    spark,
+    store: str,
+    dst: str,
+    window_ids: int = 256,
+    n_shards: int = 8,
+    order_salt: str = "order:",
+    emit_spans: bool = False,
+    pad_id: int | None = None,
+) -> DataFrame:
+    """The CHEAP epoch: windows for a new training permutation from a
+    materialized token store, without re-running curate or tokenize
+    (round 11, VERDICT r10 item 1 — at 100 TB those are the expensive
+    half, and N epochs through ``export_training_set`` pay it N
+    times). Reads the ``(doc_id, ids)`` rows :func:`write_token_store`
+    (or the streaming ``shard_store``) landed under ``shard=<s>``,
+    re-derives ``shard_order = md5(order_salt || doc_id)`` — the same
+    pure projection ``training_shards`` uses, so
+    ``repack_epoch(store, order_salt=X)`` is bit-identical to
+    ``export_training_set(..., order_salt=X)`` windows (pinned by
+    test) — and packs+writes through the shared artifact writer.
+
+    Cost shape: one store scan (a token-id store is ~4 bytes/token —
+    reading it is ~the written artifact's own size, vs re-tokenizing
+    the full text corpus through the Arrow encoder plus the whole gate
+    stack), one md5 projection, the one-exchange ``pack_id_windows``
+    plan, one repartition write. The store's ``batch_id`` leaves and
+    any stored ``shard_order`` column (streaming stores keep one — its
+    INGEST-time salt) are ignored: the epoch permutation alone defines
+    read order, so a corpus ingested in any batching packs
+    identically."""
+    return _pack_store(
+        spark, store, dst, window_ids, n_shards,
+        F.md5(F.concat(F.lit(order_salt), F.col("doc_id").cast("string"))),
+        emit_spans, pad_id,
+    )

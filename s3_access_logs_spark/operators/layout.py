@@ -160,6 +160,7 @@ def pack_id_windows(
     order_cols: list[Column],
     ids_col: str = "ids",
     emit_spans: bool = False,
+    pad_id: int | None = None,
 ) -> DataFrame:
     """Cut each partition's concatenated id stream into EXACT
     fixed-length windows of ``window_ids`` ids (only the last window
@@ -190,7 +191,18 @@ def pack_id_windows(
     partition (ties would make segment order engine-defined) and that
     ``ids_col`` is never NULL (``F.coalesce(..., F.array())`` upstream
     — ``size(NULL)`` is -1 and would corrupt the cumulative offsets);
-    zero-length arrays contribute nothing and emit no segments."""
+    zero-length arrays contribute nothing and emit no segments.
+
+    ``pad_id`` (round 11, VERDICT r10 item 2): pad each partition's
+    final short window to exactly ``window_ids`` ids with the given id
+    — trainers wanting static tensor shapes read every window at the
+    same length. Padding is appended AFTER the span aggregation, so
+    ``doc_spans`` tiles only the real ids (the pad tail is exactly the
+    positions past the last span's end) and the id mass identity moves
+    from "sum of sizes" to "sum of sizes minus pads". Validation that
+    the pad id sits outside the vocab id space is the CALLER's job
+    (``export_training_set`` enforces it the same way it does
+    ``eos_id``); this operator just appends."""
     W = int(window_ids)
     if W < 1:
         raise ValueError(
@@ -271,7 +283,25 @@ def pack_id_windows(
                 lambda acc: acc["sp"],
             ).alias("doc_spans")
         )
-    return e.groupBy(*part_cols, "window_idx").agg(*aggs)
+    out = e.groupBy(*part_cols, "window_idx").agg(*aggs)
+    if pad_id is not None:
+        # one projection over the assembled windows: concat a repeated
+        # pad tail sized to the shortfall (zero for every full window,
+        # so only each partition's last window actually grows). The pad
+        # literal casts to the ids' own element type so a caller's
+        # array<bigint> stream doesn't silently widen/narrow.
+        elem = df.schema[ids_col].dataType.elementType.simpleString()
+        out = out.withColumn(
+            ids_col,
+            F.concat(
+                F.col(ids_col),
+                F.array_repeat(
+                    F.lit(int(pad_id)).cast(elem),
+                    (F.lit(W) - F.size(ids_col)).cast("int"),
+                ),
+            ),
+        )
+    return out
 
 
 def shuffle_rows(

@@ -171,16 +171,22 @@ _fold(
 )
 _fold(
     "suite_corpus_reports",
-    ("corpus_cleaning_pipeline", "decontaminate_ngrams"),
+    # + vocab_fit_report (round 11): the tokenizer pre-flight gate
+    ("corpus_cleaning_pipeline", "decontaminate_ngrams", "vocab_fit_report"),
     ("llm", "pipeline", "fold"),
 )
 _fold(
     "suite_chunk_pack",
+    # + packed_window_spans / packed_padded_windows (round 11): the
+    # loss-mask span arithmetic and the fixed-shape pad arithmetic,
+    # both replayed in DuckDB
     (
         "doc_chunk_spans",
         "sequence_packing_bins",
         "packed_sequences",
         "packed_token_windows",
+        "packed_window_spans",
+        "packed_padded_windows",
         "training_shard_stats",
     ),
     ("llm", "text", "chunking", "packing", "fold"),

@@ -1095,6 +1095,223 @@ _Q["packed_token_windows"] = _dc.replace(
 )
 
 
+def _ids_cte_sql() -> str:
+    """The shared ids CTE of the window-packing oracles: every
+    document's demo-vocab token-id stream with the EOS id appended —
+    generated from the same merges table the Spark side uses."""
+    from s3_access_logs_spark.functions import bpe as B
+
+    vocab = B.bpe_vocab()
+    eos = len(vocab)
+    vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
+    return f"""
+    SELECT doc_id, source,
+           list_append(
+             COALESCE(
+               list_transform(
+                 {B.bpe_tokens_sql("text")},
+                 tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
+               ), []),
+             {eos}) AS ids
+    FROM documents
+    """
+
+
+def _packed_window_spans_sql() -> str:
+    W = WINDOW_IDS
+    return f"""
+    WITH t AS ({_ids_cte_sql()}),
+    c AS (
+      -- ::BIGINT: DuckDB's windowed SUM of BIGINT is HUGEINT, which
+      -- range() refuses
+      SELECT source,
+             (SUM(len(ids)) OVER (
+               PARTITION BY source
+               ORDER BY doc_id NULLS FIRST, ids
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS e,
+             len(ids) AS n
+      FROM t
+    ),
+    -- one row per (document, window it overlaps): the same
+    -- segment-grain arithmetic pack_id_windows runs — window index by
+    -- floor division of the cumulative offsets, span = the document's
+    -- slice clamped to the window
+    g AS (
+      SELECT source, e, e - n AS s,
+             unnest(range((e - n) // {W}, (e - 1) // {W} + 1)) AS k
+      FROM c WHERE n > 0
+    ),
+    seg AS (
+      SELECT source, k AS win, s,
+             greatest(k * {W}, s) - k * {W} AS st,
+             least(e, (k + 1) * {W}) - greatest(k * {W}, s) AS ln
+      FROM g
+    )
+    SELECT source, win::BIGINT AS window_idx,
+           SUM(ln)::BIGINT AS n_ids,
+           array_to_string(
+             list(st::VARCHAR || ':' || ln::VARCHAR ORDER BY s), '|')
+             AS spans_str
+    FROM seg GROUP BY source, win
+    """
+
+
+@query(
+    "packed_window_spans",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "packing", "windows", "spans"),
+)
+def packed_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loss-mask metadata VALUE-CHECKED (round 11, VERDICT r10 item
+    3): `packed_token_windows` with ``emit_spans`` — each window's
+    per-document (start, len) segment offsets, the metadata a trainer
+    uses for attention/loss masking — serialized as ``start:len``
+    pairs and replayed in DuckDB from the same cumulative-offset
+    arithmetic the packer runs (span start = the document's clamped
+    offset within the window, in concatenation order). Previously
+    pytest-only; this entry puts the span arithmetic inside the oracle
+    net. Plan shape: identical to `packed_token_windows` (the spans
+    aggregate rides the same groupBy)."""
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.layout import pack_id_windows
+
+    eos = len(B.bpe_vocab())
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids("text"), F.array().cast("array<int>")
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    wins = pack_id_windows(
+        t,
+        WINDOW_IDS,
+        ["source"],
+        [F.col("doc_id").asc_nulls_first(), F.col("ids")],
+        emit_spans=True,
+    )
+    return wins.select(
+        "source",
+        "window_idx",
+        F.size("ids").cast("long").alias("n_ids"),
+        F.array_join(
+            F.transform(
+                "doc_spans",
+                lambda sp: F.concat_ws(
+                    ":",
+                    sp["start"].cast("string"),
+                    sp["len"].cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("spans_str"),
+    )
+
+
+_Q["packed_window_spans"] = _dc.replace(
+    _Q["packed_window_spans"], oracle=_packed_window_spans_sql()
+)
+
+
+def _packed_padded_windows_sql() -> str:
+    # pad id = EOS + 1 (EOS itself is one past the vocab) — the
+    # validated-outside-the-vocab pattern export_training_set(pad_id=)
+    # enforces; vocab ids, EOS and pad are three disjoint spaces
+    from s3_access_logs_spark.functions import bpe as B
+
+    W = WINDOW_IDS
+    pad = len(B.bpe_vocab()) + 1
+    return f"""
+    WITH t AS ({_ids_cte_sql()}),
+    s AS (
+      SELECT source,
+             flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
+               AS stream
+      FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             unnest(range(0, (len(stream) + {W} - 1) // {W})) AS win,
+             stream
+      FROM s
+    ),
+    seg AS (
+      SELECT source, win,
+             stream[win * {W} + 1 :
+                    least((win + 1) * {W}, len(stream))] AS ids
+      FROM w
+    )
+    SELECT source, win::BIGINT AS window_idx,
+           len(ids)::BIGINT AS n_real,
+           array_to_string(
+             list_concat(
+               ids,
+               list_transform(range(0, {W} - len(ids)), x -> {pad})),
+             '-') AS ids_str
+    FROM seg
+    """
+
+
+@query(
+    "packed_padded_windows",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "packing", "windows", "padding"),
+)
+def packed_padded_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SHAPE windows (round 11, VERDICT r10 item 2): the
+    `packed_token_windows` artifact with each source's final short
+    window padded to exactly ``WINDOW_IDS`` ids using a
+    validated-outside-the-vocab pad id (EOS + 1 here — vocab ids, EOS
+    and pad are three disjoint spaces) — trainers wanting static
+    tensor shapes read every window at the same length. ``n_real``
+    carries the pre-pad id count, so the oracle replays BOTH the pad
+    arithmetic (ids_str, padded) and the mass accounting (n_real sums
+    to the unpadded stream). Plan shape: one extra projection on the
+    packing plan — the pad is `array_repeat` sized to the shortfall,
+    zero for every interior window."""
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.layout import pack_id_windows
+
+    eos = len(B.bpe_vocab())
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids("text"), F.array().cast("array<int>")
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    wins = pack_id_windows(
+        t,
+        WINDOW_IDS,
+        ["source"],
+        [F.col("doc_id").asc_nulls_first(), F.col("ids")],
+        pad_id=eos + 1,
+    )
+    return wins.select(
+        "source",
+        "window_idx",
+        F.size(
+            F.filter("ids", lambda x: x != F.lit(eos + 1))
+        ).cast("long").alias("n_real"),
+        F.array_join(
+            F.transform("ids", lambda x: x.cast("string")), "-"
+        ).alias("ids_str"),
+    )
+
+
+_Q["packed_padded_windows"] = _dc.replace(
+    _Q["packed_padded_windows"], oracle=_packed_padded_windows_sql()
+)
+
+
 @query(
     "training_shard_stats",
     oracle=f"""
@@ -1223,3 +1440,100 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("avg_overlap", F.lit(0.0)).alias("avg_overlap"),
         F.coalesce("max_overlap", F.lit(0.0)).alias("max_overlap"),
     )
+
+
+def _vocab_fit_report_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+
+    vocab = B.bpe_vocab()
+    vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
+    return f"""
+    WITH t AS (
+      SELECT source,
+             COALESCE(
+               list_transform(
+                 {B.bpe_tokens_sql("text")},
+                 tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
+               ), []) AS ids,
+             COALESCE(len({SQL_WORDS}), 0) AS n_words,
+             COALESCE(strlen(text), 0) AS n_bytes
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(ids))::BIGINT AS total_ids,
+           SUM(len(list_filter(ids, x -> x = -1)))::BIGINT AS unk_ids,
+           ROUND(SUM(len(list_filter(ids, x -> x = -1)))
+                 / NULLIF(SUM(len(ids)), 0), 6) AS unk_rate,
+           ROUND(SUM(len(ids)) / NULLIF(SUM(n_words), 0), 6)
+             AS tokens_per_word,
+           ROUND(SUM(n_bytes) / NULLIF(SUM(len(ids)), 0), 6)
+             AS bytes_per_token
+    FROM t GROUP BY source
+    """
+
+
+@query(
+    "vocab_fit_report",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "tokenize", "vocab", "report"),
+)
+def vocab_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer PRE-FLIGHT (round 11, VERDICT r10 item 5): how a
+    merges+vocab pair FITS a corpus, per source — unk rate (id stream
+    positions outside the vocabulary: the fraction of the corpus a
+    training run would learn as noise), tokens/word (fertility — how
+    hard the tokenizer fragments) and bytes/token (compression) —
+    the standard gate before an expensive `export_training_set` run:
+    an unexpectedly high unk rate on one source means the vocab and
+    the corpus disagree (wrong file, wrong language, wrong
+    pre-tokenizer) and the export would silently train on unk soup.
+    Uses the demo vocabulary here (its base charset is letters only,
+    so digit/punctuation pre-tokens land on unk — a real non-trivial
+    rate); production callers pass ``load_merges``/``load_vocab``
+    output through the same functions.
+
+    Scale shape: one Arrow-batched tokenize projection (the forced
+    Python hop every id-stream consumer pays), then one
+    partial-aggregatable groupBy on source — no joins, no second
+    corpus action; ratios are exact integer sums divided once.
+    ``try_divide`` (Spark) / ``NULLIF`` (DuckDB) keep an empty source
+    NULL instead of raising under ANSI mode."""
+    from s3_access_logs_spark.functions import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = F.coalesce(
+        B.bpe_token_ids("text"), F.array().cast("array<int>")
+    )
+    t = docs.select(
+        "source",
+        F.size(ids).cast("long").alias("n_ids"),
+        F.size(F.filter(ids, lambda x: x == -1)).cast("long").alias(
+            "n_unk"
+        ),
+        F.coalesce(T.token_count("text"), F.lit(0)).cast("long").alias(
+            "n_words"
+        ),
+        F.coalesce(F.octet_length("text"), F.lit(0)).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ids").alias("total_ids"),
+        F.sum("n_unk").alias("unk_ids"),
+        F.round(F.try_divide(F.sum("n_unk"), F.sum("n_ids")), 6).alias(
+            "unk_rate"
+        ),
+        F.round(
+            F.try_divide(F.sum("n_ids"), F.sum("n_words")), 6
+        ).alias("tokens_per_word"),
+        F.round(
+            F.try_divide(F.sum("n_bytes"), F.sum("n_ids")), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+_Q["vocab_fit_report"] = _dc.replace(
+    _Q["vocab_fit_report"], oracle=_vocab_fit_report_sql()
+)

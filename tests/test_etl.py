@@ -394,11 +394,101 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        # 108 = 90 granular + 18 folds (round 10 added
-        # packed_token_windows, export_training_report,
-        # sql_shard_balance — all folded, driver surface still 49)
-        assert "q1_pricing_summary" in names and len(names) == 108
+        # 111 = 93 granular + 18 folds (round 11 added
+        # packed_window_spans, packed_padded_windows, vocab_fit_report
+        # — all folded, driver surface still 49)
+        assert "q1_pricing_summary" in names and len(names) == 111
         assert run_query(["no_such_query"]) == 2
+
+
+class TestExportTrainingCli:
+    """`export-training` subcommand (round 11, VERDICT r10 item 4):
+    the one-call corpus→shards flagship from the command line."""
+
+    def _write_docs(self, spark, path, n=40):
+        rows = [
+            (i, f"cli export document {i} with plenty of words " * 3,
+             f"src{i % 2}")
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).write.parquet(path)
+
+    def test_exports_and_prints_waterfall(self, spark, tmp_path, caplog):
+        import logging
+
+        from s3_access_logs_spark.cli import run_export_training
+
+        caplog.set_level(logging.INFO, logger="s3_access_logs_spark")
+        src = str(tmp_path / "docs.parquet")
+        dst = str(tmp_path / "shards")
+        self._write_docs(spark, src)
+        rc = run_export_training(
+            [src, dst, "--shards", "2", "--window", "32",
+             "--epoch", "epoch1:"]
+        )
+        assert rc == 0
+        got = spark.read.parquet(dst)
+        assert got.count() > 0
+        assert sorted(got.columns) == ["ids", "shard", "window_idx"]
+        # the artifact equals the library call under the same knobs
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        want, _ = export_training_set(
+            spark.read.parquet(src), str(tmp_path / "lib"),
+            n_shards=2, window_ids=32, order_salt="epoch1:",
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        assert key(got) == key(want)
+        assert "windows" in caplog.text  # waterfall + summary printed
+
+    def test_sf_dir_source_and_flags(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_export_training
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        self._write_docs(spark, str(sf / "documents.parquet"), 20)
+        rc = run_export_training(
+            [str(sf), str(tmp_path / "out"), "--min-quality", "0.0",
+             "--mixture-alpha", "0.9", "--pad-id", "200"]
+        )
+        assert rc == 0
+        got = spark.read.parquet(str(tmp_path / "out"))
+        # pad-id: static shapes everywhere (default window 256)
+        assert got.filter("size(ids) <> 256").count() == 0
+
+    def test_usage_errors_exit_2(self, tmp_path):
+        from s3_access_logs_spark.cli import run_export_training
+
+        assert run_export_training([]) == 2
+        assert run_export_training(["one_positional"]) == 2
+        assert run_export_training(["a", "b", "--frobnicate", "1"]) == 2
+        assert run_export_training(["a", "b", "--shards"]) == 2
+        assert run_export_training(["a", "b", "--shards", "x"]) == 2
+
+    def test_colliding_pad_id_exits_2(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_export_training
+
+        src = str(tmp_path / "docs.parquet")
+        self._write_docs(spark, src, 5)
+        assert run_export_training(
+            [src, str(tmp_path / "o"), "--pad-id", "0"]
+        ) == 2
+
+    def test_zero_survivors_exits_3(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_export_training
+
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        ).write.parquet(src)
+        rc = run_export_training([src, str(tmp_path / "out")])
+        assert rc == 3
 
 
 class TestSqlCli:

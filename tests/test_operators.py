@@ -1679,6 +1679,208 @@ class TestExportTrainingSet:
         assert rep["empty"] == 2
 
 
+    def test_pad_id_fixed_shapes_and_accounting(self, spark, tmp_path):
+        """pad_id (round 11, VERDICT r10 item 2): EVERY window is
+        exactly window_ids long; pads appear only as a contiguous tail
+        of each shard's final window; doc_spans never cover the pad
+        tail; tokens_kept excludes pads; stripping the pads reproduces
+        the unpadded export bit-for-bit."""
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        W = 16
+        pad = len(B.bpe_vocab(list(B.default_merges()))) + 1
+        docs = self._docs(spark, 40)
+        wins, report = export_training_set(
+            docs, str(tmp_path / "p"), n_shards=2, window_ids=W,
+            pad_id=pad, emit_spans=True,
+        )
+        plain, rep0 = export_training_set(
+            docs, str(tmp_path / "u"), n_shards=2, window_ids=W,
+        )
+        rows = wins.collect()
+        assert rows
+        by_shard: dict = {}
+        for r in rows:
+            assert len(r.ids) == W, "every padded window is exact-shape"
+            by_shard.setdefault(r.shard, []).append(r)
+        n_pads = 0
+        for s_, srows in by_shard.items():
+            srows.sort(key=lambda r: r.window_idx)
+            for r in srows[:-1]:
+                assert pad not in r.ids, "pads only in the last window"
+            last = srows[-1].ids
+            k = len(last)
+            while k > 0 and last[k - 1] == pad:
+                k -= 1
+            assert pad not in last[:k], "pad tail is contiguous"
+            n_pads += W - k
+            # spans tile exactly the REAL ids, never the pad tail
+            spans = [
+                (sp["start"], sp["len"]) for sp in srows[-1].doc_spans
+            ]
+            assert spans and spans[-1][0] + spans[-1][1] == k
+        # stripping pads == the unpadded export
+        strip = sorted(
+            (r.shard, r.window_idx,
+             tuple(x for x in r.ids if x != pad))
+            for r in rows
+        )
+        assert strip == sorted(
+            (r.shard, r.window_idx, tuple(r.ids))
+            for r in plain.collect()
+        )
+        rep = {r.stage: r.dropped for r in report.collect()}
+        rep_plain = {r.stage: r.dropped for r in rep0.collect()}
+        assert rep["tokens_kept"] == rep_plain["tokens_kept"]
+        assert rep["windows_emitted"] == rep_plain["windows_emitted"]
+        assert n_pads > 0  # the corpus genuinely exercised padding
+
+    def test_colliding_pad_id_fails_loud(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        docs = self._docs(spark, 4)
+        for bad in (5, -1):  # inside the vocab space / the unk id
+            with pytest.raises(ValueError, match="pad_id"):
+                export_training_set(
+                    docs, str(tmp_path / "s"), pad_id=bad
+                )
+        # pad == eos is also a collision even though both sit outside
+        # the vocab — masks could not tell boundaries from padding
+        from s3_access_logs_spark.functions import bpe as B
+
+        eos = len(B.bpe_vocab(list(B.default_merges())))
+        with pytest.raises(ValueError, match="pad_id"):
+            export_training_set(
+                docs, str(tmp_path / "s"), pad_id=eos
+            )
+
+
+class TestTokenStoreEpochs:
+    """write_token_store + repack_epoch (round 11, VERDICT r10 item 1):
+    the expensive half materialized once, epochs as cheap re-packs."""
+
+    def _docs(self, spark, n=80):
+        rows = [
+            (
+                i,
+                f"document number {i} with some shared words and "
+                f"unique token u{i} " * (1 + i % 4),
+                f"src{i % 3}",
+            )
+            for i in range(n)
+        ]
+        rows += [(n, "", "src0"), (n + 1, None, "src1")]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_repack_epoch_bit_identical_to_export(self, spark, tmp_path):
+        """The headline pin: for ANY epoch salt, repack_epoch over the
+        store == export_training_set over the corpus, window for
+        window, id for id — so N epochs cost one tokenize plus N
+        re-packs instead of N full pipelines."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+            repack_epoch,
+            write_token_store,
+        )
+
+        docs = self._docs(spark)
+        store = str(tmp_path / "store")
+        report = write_token_store(docs, store, n_shards=3)
+        rep = {r.stage: r.dropped for r in report.collect()}
+        assert rep["empty"] == 2
+        assert rep["docs_stored"] == 80
+        assert rep["shards_written"] == 3
+        key = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        for i, salt in enumerate(("order:", "epoch17:")):
+            got = repack_epoch(
+                spark, store, str(tmp_path / f"re{i}"),
+                window_ids=16, n_shards=3, order_salt=salt,
+            )
+            want, erep = export_training_set(
+                docs, str(tmp_path / f"ex{i}"), n_shards=3,
+                window_ids=16, order_salt=salt,
+            )
+            assert key(got) == key(want), salt
+            # the store report's token accounting matches the export's
+            er = {r.stage: r.dropped for r in erep.collect()}
+            assert rep["tokens_stored"] == er["tokens_kept"]
+
+    def test_repack_epoch_options_and_empty_store(self, spark, tmp_path):
+        """pad/spans thread through the re-pack (the two artifact paths
+        must not diverge in capability — ADVICE r10), and a
+        never-written store yields the empty artifact frame."""
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            repack_epoch,
+            write_token_store,
+        )
+
+        W = 16
+        pad = len(B.bpe_vocab(list(B.default_merges()))) + 1
+        docs = self._docs(spark, 30)
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=2)
+        wins = repack_epoch(
+            spark, store, str(tmp_path / "w"), window_ids=W,
+            n_shards=2, emit_spans=True, pad_id=pad,
+        )
+        rows = wins.collect()
+        assert rows and "doc_spans" in wins.columns
+        for r in rows:
+            assert len(r.ids) == W
+            pos = 0
+            for sp in r.doc_spans:
+                assert sp["start"] == pos
+                pos += sp["len"]
+            # spans tile the real ids; any remainder is all pad
+            assert all(x == pad for x in r.ids[pos:])
+        empty = repack_epoch(
+            spark, str(tmp_path / "nowhere"), str(tmp_path / "e"),
+            emit_spans=True,
+        )
+        assert empty.count() == 0
+        assert empty.columns == ["window_idx", "ids", "doc_spans", "shard"]
+
+    def test_write_token_store_mixture_accounting(self, spark, tmp_path):
+        """The store path's mixture row keeps the exact conservation
+        identity: input == curate drops + mixture drops + docs_stored."""
+        from s3_access_logs_spark.operators.export import (
+            write_token_store,
+        )
+
+        rows = [
+            (i, f"big source document {i} full of words", "web")
+            for i in range(180)
+        ] + [
+            (1000 + i, f"small source document {i} quality text", "books")
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        report = write_token_store(
+            docs, str(tmp_path / "store"), n_shards=2,
+            mixture={"alpha": 0.5},
+        )
+        rep = {r.stage: r.dropped for r in report.collect()}
+        assert rep["mixture"] > 0
+        curate_drops = sum(
+            v for k, v in rep.items()
+            if k not in ("mixture", "docs_stored", "tokens_stored",
+                         "shards_written")
+        )
+        assert curate_drops + rep["mixture"] + rep["docs_stored"] == 200
+
+
 class TestShuffleRows:
     def test_permutation_matches_md5_order_and_is_rerun_stable(self, spark):
         import hashlib
