@@ -261,3 +261,20 @@ def test_packed_windows_single_exchange_groupby_reuses_partitioning(
     assert "Window" in plan
     # the id encode is the Arrow path (pandas UDF), never row-at-a-time
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_padded_and_span_windows_add_no_exchange(spark, catalog):
+    """Round 11: the pad tail is a projection on the assembled windows
+    and the spans aggregate rides the SAME groupBy — neither variant
+    may add a shuffle or a generator to the packing plan."""
+    for entry in ("packed_padded_windows", "packed_window_spans"):
+        plan = plan_of(catalog[entry].builder(spark, SF))
+        n_exchanges = sum(
+            1
+            for ln in plan.splitlines()
+            if ln.lstrip("+- :*( ").startswith("Exchange")
+            and "Broadcast" not in ln
+        )
+        assert n_exchanges == 1, (entry, plan)
+        assert plan.count("Generate") == 1, entry
+        assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

@@ -25,6 +25,14 @@ Prints one JSON line per drain:
 the scaled corpus (doc_id % 3 == 0) through ``synthesize_assets
 (pixels=True)`` and ``ingest_assets_stream`` with digest + perceptual
 dHash gates — the same halves-into-grown-stores protocol.
+
+``mode=shards`` (round 11, VERDICT r10 item 6) measures the SHARD-SINK
+overhead instead: the r10 interleaved A/B — the half-A corpus drained
+with and without ``shard_store=`` (quality + PII + digest + band
+gates, 4 batches, fresh stores+checkpoint per run, untimed warm drain
+first, A B A B) — at whatever scale the given corpus is; r10 recorded
+the 10× point (BASELINE.md: +0.13-0.18 ms/doc), this mode reproduces
+it at 100× to close the per-doc-flat claim with data.
 """
 
 from __future__ import annotations
@@ -187,6 +195,65 @@ def assets_main(
         shutil.rmtree(td, ignore_errors=True)
 
 
+def shards_main(spark, sf_dir: str, copies: int) -> None:
+    """Interleaved shard-sink A/B (see module docstring). One staged
+    source dir serves every run — each run gets a FRESH checkpoint, so
+    the file source sees all four files as new; only the stores differ
+    per run. ms/doc is the headline column; the overhead claim is
+    with-minus-without per interleaving."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = _recover_offset(docs.agg(F.max("doc_id")).first()[0], copies)
+    half = docs.filter(F.floor(F.col("doc_id") / off) % 2 == 0)
+    n = half.count()
+    td = tempfile.mkdtemp(prefix="shard_sink_ab_")
+    try:
+        src = f"{td}/in"
+        stage = f"{td}/stage"
+        half.repartition(4).write.json(stage)
+        os.makedirs(src, exist_ok=True)
+        for j, p in enumerate(sorted(glob.glob(f"{stage}/part-*"))):
+            shutil.move(p, f"{src}/h0_{j}.json")
+        # untimed warm drain THROUGH the shard sink (its Arrow id-UDF
+        # workers are part of what must be warm)
+        warm_src = f"{td}/warm_in"
+        half.limit(200).coalesce(1).write.json(warm_src)
+        ingest_documents_stream(
+            spark, warm_src, f"{td}/warm_store", f"{td}/warm_ckpt",
+            min_quality=0.2, scrub_pii=True, band_store=f"{td}/warm_bands",
+            shard_store=f"{td}/warm_shards", n_shards=8,
+            max_files_per_trigger=1,
+        ).awaitTermination()
+        run = 0
+        for rep in range(2):
+            for sink in (False, True):
+                run += 1
+                kw = (
+                    {"shard_store": f"{td}/shards{run}", "n_shards": 8}
+                    if sink
+                    else {}
+                )
+                t0 = time.perf_counter()
+                ingest_documents_stream(
+                    spark, src, f"{td}/store{run}", f"{td}/ckpt{run}",
+                    min_quality=0.2, scrub_pii=True,
+                    band_store=f"{td}/bands{run}",
+                    max_files_per_trigger=1, **kw,
+                ).awaitTermination()
+                sec = time.perf_counter() - t0
+                print(json.dumps({
+                    "mode": "shards", "rep": rep,
+                    "shard_sink": sink, "docs": n, "batches": 4,
+                    "sec": round(sec, 1),
+                    "docs_per_sec": round(n / sec, 1),
+                    "ms_per_doc": round(1000 * sec / n, 3),
+                }), flush=True)
+                # free the run's stores before the next interleave leg
+                for d in ("store", "ckpt", "bands", "shards"):
+                    shutil.rmtree(f"{td}/{d}{run}", ignore_errors=True)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1]
     copies = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -197,6 +264,10 @@ def main() -> None:
         assets_main(
             spark, sf_dir, copies, unique_pixels=(mode == "assets_unique")
         )
+        spark.stop()
+        return
+    if mode == "shards":
+        shards_main(spark, sf_dir, copies)
         spark.stop()
         return
 
