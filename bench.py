@@ -78,6 +78,45 @@ def _export_flagship(spark, sf_dir: str):
     return report
 
 
+_TOKEN_STORE: str | None = None
+
+
+def _repack_flagship(spark, sf_dir: str):
+    """The cheap-epoch path as its own bench row (round 11): windows
+    for a fresh epoch salt from a materialized token store. The store
+    itself is built ONCE per process (same curate knobs as the export
+    flagship) during the untimed warm-up pass — the row times exactly
+    what a new epoch costs: store scan → order projection → pack →
+    shard write."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from s3_access_logs_spark.operators.export import (
+        repack_epoch,
+        write_token_store,
+    )
+    from s3_access_logs_spark.sources.tables import load_table
+
+    global _TOKEN_STORE
+    if _TOKEN_STORE is None:
+        td = tempfile.mkdtemp(prefix="bench_token_store_")
+        atexit.register(shutil.rmtree, td, ignore_errors=True)
+        write_token_store(
+            load_table(spark, sf_dir, "documents"),
+            f"{td}/store",
+            n_shards=8,
+            curate={"min_quality": 0.5, "langs": ("en",)},
+        )
+        _TOKEN_STORE = td
+    out = f"{_TOKEN_STORE}/epoch"
+    shutil.rmtree(out, ignore_errors=True)
+    return repack_epoch(
+        spark, f"{_TOKEN_STORE}/store", out,
+        window_ids=256, n_shards=8, order_salt="bench_epoch:",
+    )
+
+
 def _bpe_arrow_50k(spark, sf_dir: str):
     """The PRODUCTION BPE path as a driver-bench row (VERDICT r9 item
     4): exact token counts over the corpus under a 50k-merge synthetic
@@ -385,6 +424,7 @@ def main() -> None:
     builders = {name: q.builder for name, q in queries.items()}
     builders["curate_corpus"] = _curate_flagship  # flagship pipeline row
     builders["export_training_set"] = _export_flagship  # corpus→shards
+    builders["repack_epoch"] = _repack_flagship  # cheap-epoch path
     builders["bpe_arrow_50k"] = _bpe_arrow_50k  # production-vocab path
     runs_of = {
         name: (3 if "iterative" in q.tags else 2)

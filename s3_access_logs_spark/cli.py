@@ -314,61 +314,34 @@ def run_export_training(argv: list[str]) -> int:
         " [--epoch SALT] [--mixture-alpha A] [--min-quality Q]"
         " [--pad-id P]"
     )
-    pos: list[str] = []
-    n_shards, window_ids, epoch = 8, 256, "order:"
-    alpha: float | None = None
-    min_quality: float | None = None
-    pad_id: int | None = None
-    # strict parse (the fold-store rule): a misspelled flag silently
-    # exporting with default sharding would waste the expensive half
-    rest = list(argv)
-    flag_types: dict[str, type] = {
-        "--shards": int, "--window": int, "--epoch": str,
-        "--mixture-alpha": float, "--min-quality": float,
-        "--pad-id": int,
-    }
-    vals: dict[str, object] = {}
-    while rest:
-        a = rest.pop(0)
-        if not a.startswith("--"):
-            pos.append(a)
-            continue
-        if a not in flag_types:
-            log.error("unrecognized argument %r; %s", a, usage)
-            return 2
-        if not rest:
-            log.error("%s needs a value; %s", a, usage)
-            return 2
-        raw = rest.pop(0)
-        try:
-            vals[a] = flag_types[a](raw)
-        except ValueError:
-            log.error("%s: invalid value %r; %s", a, raw, usage)
-            return 2
+    parsed = _parse_flags(
+        argv,
+        {"--shards": int, "--window": int, "--epoch": str,
+         "--mixture-alpha": float, "--min-quality": float,
+         "--pad-id": int},
+        usage,
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
     if len(pos) != 2:
         log.error(usage)
         return 2
     src, dst = pos
-    n_shards = int(vals.get("--shards", n_shards))
-    window_ids = int(vals.get("--window", window_ids))
-    epoch = str(vals.get("--epoch", epoch))
-    if "--mixture-alpha" in vals:
-        alpha = float(vals["--mixture-alpha"])  # type: ignore[arg-type]
-    if "--min-quality" in vals:
-        min_quality = float(vals["--min-quality"])  # type: ignore[arg-type]
-    if "--pad-id" in vals:
-        pad_id = int(vals["--pad-id"])  # type: ignore[arg-type]
+    n_shards = int(vals.get("--shards", 8))
+    window_ids = int(vals.get("--window", 256))
+    epoch = str(vals.get("--epoch", "order:"))
+    pad_id = int(vals["--pad-id"]) if "--pad-id" in vals else None  # type: ignore[arg-type]
     spark = get_spark("s3-access-logs-export-training")
-    from s3_access_logs_spark.sources.fsutil import has_data_files
-
-    if has_data_files(spark, f"{src.rstrip('/')}/documents.parquet"):
-        from s3_access_logs_spark.sources.tables import load_table
-
-        docs = load_table(spark, src, "documents")
-    else:
-        docs = spark.read.parquet(src)
-    curate = {"min_quality": min_quality} if min_quality is not None else None
-    mixture = {"alpha": alpha} if alpha is not None else None
+    docs = _load_docs(spark, src)
+    curate = (
+        {"min_quality": float(vals["--min-quality"])}  # type: ignore[arg-type]
+        if "--min-quality" in vals else None
+    )
+    mixture = (
+        {"alpha": float(vals["--mixture-alpha"])}  # type: ignore[arg-type]
+        if "--mixture-alpha" in vals else None
+    )
     try:
         windows, report = export_training_set(
             docs, dst, n_shards=n_shards, window_ids=window_ids,
@@ -394,6 +367,156 @@ def run_export_training(argv: list[str]) -> int:
     return 0
 
 
+def _parse_flags(
+    argv: list[str], flag_types: dict[str, type], usage: str,
+    bool_flags: tuple[str, ...] = (),
+) -> "tuple[list[str], dict[str, object]] | None":
+    """Strict flag parse shared by the export-family subcommands (the
+    fold-store rule: a misspelled flag must exit 2, never silently run
+    with defaults). Returns (positionals, values) or None after
+    logging."""
+    pos: list[str] = []
+    vals: dict[str, object] = {}
+    rest = list(argv)
+    while rest:
+        a = rest.pop(0)
+        if not a.startswith("--"):
+            pos.append(a)
+            continue
+        if a in bool_flags:
+            vals[a] = True
+            continue
+        if a not in flag_types:
+            log.error("unrecognized argument %r; %s", a, usage)
+            return None
+        if not rest:
+            log.error("%s needs a value; %s", a, usage)
+            return None
+        raw = rest.pop(0)
+        try:
+            vals[a] = flag_types[a](raw)
+        except ValueError:
+            log.error("%s: invalid value %r; %s", a, raw, usage)
+            return None
+    return pos, vals
+
+
+def _load_docs(spark, src: str):
+    """A documents frame from either an sf-style table dir or a bare
+    parquet path — shared by the export-family subcommands."""
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    if has_data_files(spark, f"{src.rstrip('/')}/documents.parquet"):
+        from s3_access_logs_spark.sources.tables import load_table
+
+        return load_table(spark, src, "documents")
+    return spark.read.parquet(src)
+
+
+def run_token_store(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark token-store <src> <store>
+    [--shards N] [--mixture-alpha A] [--min-quality Q]` — materialize
+    the EXPENSIVE half of the training export once (curate → tokenize
+    → sharded id streams); each epoch is then a cheap `repack-epoch`
+    run. Prints the waterfall; exits 3 when zero documents survive
+    (same contract as export-training)."""
+    from s3_access_logs_spark.operators.export import write_token_store
+
+    usage = (
+        "usage: token-store <src> <store> [--shards N]"
+        " [--mixture-alpha A] [--min-quality Q]"
+    )
+    parsed = _parse_flags(
+        argv,
+        {"--shards": int, "--mixture-alpha": float, "--min-quality": float},
+        usage,
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 2:
+        log.error(usage)
+        return 2
+    src, store = pos
+    spark = get_spark("s3-access-logs-token-store")
+    docs = _load_docs(spark, src)
+    curate = (
+        {"min_quality": float(vals["--min-quality"])}  # type: ignore[arg-type]
+        if "--min-quality" in vals else None
+    )
+    mixture = (
+        {"alpha": float(vals["--mixture-alpha"])}  # type: ignore[arg-type]
+        if "--mixture-alpha" in vals else None
+    )
+    report = write_token_store(
+        docs, store, n_shards=int(vals.get("--shards", 8)),
+        curate=curate, mixture=mixture,
+    )
+    rep = {r["stage"]: r["dropped"] for r in report.collect()}
+    for stage, n in rep.items():
+        log.info("  %-16s %d", stage, n)
+    if rep.get("docs_stored", 0) == 0:
+        log.error(
+            "token-store: zero survivors — every document was curated "
+            "away; nothing stored at %s", store,
+        )
+        return 3
+    log.info(
+        "stored %d docs (%d tokens) across %d shards at %s",
+        rep["docs_stored"], rep["tokens_stored"], rep["shards_written"],
+        store,
+    )
+    return 0
+
+
+def run_repack_epoch(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark repack-epoch <store> <dst>
+    [--window N] [--shards N] [--epoch SALT] [--pad-id P] [--spans]` —
+    cut a NEW training epoch's windows from a materialized token store
+    (`token-store`, or a streaming `shard_store`) without re-running
+    curate/tokenize; bit-identical to `export-training` under the same
+    epoch salt. Exits 3 on an empty/never-written store."""
+    from s3_access_logs_spark.operators.export import repack_epoch
+
+    usage = (
+        "usage: repack-epoch <store> <dst> [--window N] [--shards N]"
+        " [--epoch SALT] [--pad-id P] [--spans]"
+    )
+    parsed = _parse_flags(
+        argv,
+        {"--window": int, "--shards": int, "--epoch": str, "--pad-id": int},
+        usage,
+        bool_flags=("--spans",),
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 2:
+        log.error(usage)
+        return 2
+    store, dst = pos
+    spark = get_spark("s3-access-logs-repack-epoch")
+    windows = repack_epoch(
+        spark, store, dst,
+        window_ids=int(vals.get("--window", 256)),
+        n_shards=int(vals.get("--shards", 8)),
+        order_salt=str(vals.get("--epoch", "order:")),
+        emit_spans=bool(vals.get("--spans", False)),
+        pad_id=(
+            int(vals["--pad-id"]) if "--pad-id" in vals else None  # type: ignore[arg-type]
+        ),
+    )
+    n = windows.count()
+    if n == 0:
+        log.error(
+            "repack-epoch: store %s is empty or missing — run "
+            "token-store (or a shard-sink stream) first", store,
+        )
+        return 3
+    log.info("repacked %d windows to %s", n, dst)
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
@@ -406,6 +529,10 @@ def main(env: dict[str, str] | None = None) -> int:
         return run_fold_store(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "export-training":
         return run_export_training(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "token-store":
+        return run_token_store(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "repack-epoch":
+        return run_repack_epoch(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():

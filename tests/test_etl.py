@@ -491,6 +491,90 @@ class TestExportTrainingCli:
         assert rc == 3
 
 
+class TestTokenStoreCli:
+    """`token-store` + `repack-epoch` subcommands (round 11): the
+    multi-epoch story at the operational layer."""
+
+    def test_store_then_two_epochs_match_direct_export(
+        self, spark, tmp_path
+    ):
+        from s3_access_logs_spark.cli import (
+            run_export_training,
+            run_repack_epoch,
+            run_token_store,
+        )
+
+        src = str(tmp_path / "docs.parquet")
+        rows = [
+            (i, f"token store cli document {i} many words here " * 2)
+            for i in range(30)
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(src)
+        store = str(tmp_path / "store")
+        assert run_token_store([src, store, "--shards", "2"]) == 0
+        key = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        for salt in ("e1:", "e2:"):
+            dst = str(tmp_path / f"re_{salt.rstrip(':')}")
+            assert run_repack_epoch(
+                [store, dst, "--window", "32", "--shards", "2",
+                 "--epoch", salt]
+            ) == 0
+            ref = str(tmp_path / f"ex_{salt.rstrip(':')}")
+            assert run_export_training(
+                [src, ref, "--window", "32", "--shards", "2",
+                 "--epoch", salt]
+            ) == 0
+            assert key(spark.read.parquet(dst)) == key(
+                spark.read.parquet(ref)
+            ), salt
+
+    def test_usage_and_empty_store_exits(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import (
+            run_repack_epoch,
+            run_token_store,
+        )
+
+        assert run_token_store(["only_one"]) == 2
+        assert run_token_store(["a", "b", "--bogus", "1"]) == 2
+        assert run_repack_epoch(["a"]) == 2
+        assert run_repack_epoch(["a", "b", "--window"]) == 2
+        # empty/missing store is exit 3 (operational, not usage)
+        assert run_repack_epoch(
+            [str(tmp_path / "nowhere"), str(tmp_path / "out")]
+        ) == 3
+        # zero survivors through the store path is exit 3 too
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        ).write.parquet(src)
+        assert run_token_store([src, str(tmp_path / "s")]) == 3
+
+    def test_spans_and_pad_flags(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import (
+            run_repack_epoch,
+            run_token_store,
+        )
+
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(i, f"pad flag doc {i} words") for i in range(10)],
+            "doc_id long, text string",
+        ).write.parquet(src)
+        store = str(tmp_path / "store")
+        assert run_token_store([src, store]) == 0
+        dst = str(tmp_path / "win")
+        assert run_repack_epoch(
+            [store, dst, "--window", "16", "--pad-id", "500", "--spans"]
+        ) == 0
+        got = spark.read.parquet(dst)
+        assert "doc_spans" in got.columns
+        assert got.filter("size(ids) <> 16").count() == 0
+
+
 class TestSqlCli:
     """`sql` subcommand — the Athena-replacement entry point from the
     command line (round 8): arbitrary ANSI SQL over the registered

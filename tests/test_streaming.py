@@ -1122,6 +1122,21 @@ class TestIngestShardHandoff:
             (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
         )
         assert k(streamed) == k(batched) and len(k(streamed)) > 0
+        # round 11: a NEW EPOCH from the STREAMING store too —
+        # repack_epoch ignores the stored shard_order (the ingest
+        # salt) and re-derives under the new salt, matching the batch
+        # export's fresh-salt windows bit-for-bit
+        from s3_access_logs_spark.operators.export import repack_epoch
+
+        re_wins = repack_epoch(
+            spark, shards, str(tmp_path / "wins_e2"),
+            window_ids=32, n_shards=3, order_salt="epoch2:",
+        )
+        batched2, _ = export_training_set(
+            batch_docs, str(tmp_path / "wins_batch2"),
+            n_shards=3, window_ids=32, order_salt="epoch2:",
+        )
+        assert k(re_wins) == k(batched2) and len(k(re_wins)) > 0
 
     def test_shard_params_without_store_fail_loud(self, spark, tmp_path):
         from s3_access_logs_spark.streaming import ingest_documents_stream
