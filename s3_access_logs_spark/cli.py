@@ -219,18 +219,18 @@ def run_compact(argv: list[str]) -> int:
     from s3_access_logs_spark.operators.etl import compact_partitions
 
     usage = "usage: compact <table_root> [--target-mb N] [--dry-run]"
-    if not argv or argv[0].startswith("--"):
+    parsed = _parse_flags(
+        argv, {"--target-mb": int}, usage, bool_flags=("--dry-run",)
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 1:
         log.error(usage)
         return 2
-    root = argv[0]
-    target_mb = 128
-    if "--target-mb" in argv:
-        try:
-            target_mb = int(argv[argv.index("--target-mb") + 1])
-        except (IndexError, ValueError):
-            log.error("--target-mb needs an integer value; %s", usage)
-            return 2
-    dry = "--dry-run" in argv
+    root = pos[0]
+    target_mb = int(vals.get("--target-mb", 128))
+    dry = bool(vals.get("--dry-run", False))
     spark = get_spark("s3-access-logs-compact")
     victims = compact_partitions(
         spark, root, target_file_bytes=target_mb << 20, dry_run=dry
@@ -255,31 +255,20 @@ def run_fold_store(argv: list[str]) -> int:
     from s3_access_logs_spark.streaming.pipeline import compact_ingest_store
 
     usage = "usage: fold-store <store> [--keep-recent N] [--target-mb N]"
-    if not argv or argv[0].startswith("--"):
+    # strict parse via the shared helper (review r11: this command's
+    # own loop was the policy's namesake, and the helper superseded it)
+    parsed = _parse_flags(
+        argv, {"--keep-recent": int, "--target-mb": int}, usage
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 1:
         log.error(usage)
         return 2
-    store = argv[0]
-    keep_recent, target_mb = 1, 128
-    # strict parse: a misspelled flag silently falling back to defaults
-    # would fold with the wrong retention and the operator none the wiser
-    rest = argv[1:]
-    while rest:
-        flag = rest.pop(0)
-        if flag not in ("--keep-recent", "--target-mb"):
-            log.error("unrecognized argument %r; %s", flag, usage)
-            return 2
-        if not rest:
-            log.error("%s needs an integer value; %s", flag, usage)
-            return 2
-        try:
-            val = int(rest.pop(0))
-        except ValueError:
-            log.error("%s needs an integer value; %s", flag, usage)
-            return 2
-        if flag == "--keep-recent":
-            keep_recent = val
-        else:
-            target_mb = val
+    store = pos[0]
+    keep_recent = int(vals.get("--keep-recent", 1))
+    target_mb = int(vals.get("--target-mb", 128))
     spark = get_spark("s3-access-logs-fold-store")
     res = compact_ingest_store(
         spark,
@@ -496,16 +485,20 @@ def run_repack_epoch(argv: list[str]) -> int:
         return 2
     store, dst = pos
     spark = get_spark("s3-access-logs-repack-epoch")
-    windows = repack_epoch(
-        spark, store, dst,
-        window_ids=int(vals.get("--window", 256)),
-        n_shards=int(vals.get("--shards", 8)),
-        order_salt=str(vals.get("--epoch", "order:")),
-        emit_spans=bool(vals.get("--spans", False)),
-        pad_id=(
-            int(vals["--pad-id"]) if "--pad-id" in vals else None  # type: ignore[arg-type]
-        ),
-    )
+    try:
+        windows = repack_epoch(
+            spark, store, dst,
+            window_ids=int(vals.get("--window", 256)),
+            n_shards=int(vals.get("--shards", 8)),
+            order_salt=str(vals.get("--epoch", "order:")),
+            emit_spans=bool(vals.get("--spans", False)),
+            pad_id=(
+                int(vals["--pad-id"]) if "--pad-id" in vals else None  # type: ignore[arg-type]
+            ),
+        )
+    except ValueError as e:  # bad window/pad — usage-class error, like
+        log.error("repack-epoch: %s", e)  # export-training's contract
+        return 2
     n = windows.count()
     if n == 0:
         log.error(

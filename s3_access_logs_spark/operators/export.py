@@ -74,12 +74,22 @@ def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
     return windows.select(*cols).limit(0)
 
 
+#: Sidecar recording a token store's id-space contract
+#: (vocab_size/unk_id/eos_id) so :func:`repack_epoch` can apply the
+#: same fail-loud pad validation the export applies — the
+#: ``_ivfpq_meta.json`` pattern (review r11: without it, a pad id
+#: inside the store's id space silently corrupted windows on the
+#: repack path while the export path exited loud for the same input).
+TOKEN_STORE_META = "_token_store_meta.json"
+
+
 def _resolve_special_ids(
     merges: list[tuple[str, str]] | None,
     vocab: list[str] | None,
     unk_id: int,
     eos_id: int | None,
     pad_id: int | None,
+    caller: str = "export_training_set",
 ) -> tuple[list[tuple[str, str]], list[str], int, int | None]:
     """Resolve (merges, vocab, eos, pad) with the fail-loud id-space
     checks shared by :func:`export_training_set` and
@@ -95,7 +105,7 @@ def _resolve_special_ids(
     eos = int(eos_id) if eos_id is not None else len(vs)
     if 0 <= eos < len(vs) or eos == unk_id:
         raise ValueError(
-            f"export_training_set: eos_id={eos} collides with the "
+            f"{caller}: eos_id={eos} collides with the "
             f"vocab id space [0, {len(vs)}) or unk_id={unk_id} — "
             "document boundaries would be indistinguishable from "
             "content; pass an id outside both"
@@ -103,7 +113,7 @@ def _resolve_special_ids(
     pad = int(pad_id) if pad_id is not None else None
     if pad is not None and (0 <= pad < len(vs) or pad in (unk_id, eos)):
         raise ValueError(
-            f"export_training_set: pad_id={pad} collides with the "
+            f"{caller}: pad_id={pad} collides with the "
             f"vocab id space [0, {len(vs)}), unk_id={unk_id} or "
             f"eos_id={eos} — padding would be indistinguishable from "
             "content or boundaries; pass an id outside all three"
@@ -344,8 +354,33 @@ def _pack_store(
     ``(order_col, doc_id, ids)`` — the batch export's exact keys — cut
     into windows and write via the one artifact writer."""
     from s3_access_logs_spark.operators.layout import pack_id_windows
-    from s3_access_logs_spark.sources.fsutil import has_data_files
+    from s3_access_logs_spark.sources.fsutil import (
+        has_data_files,
+        read_json_sidecar,
+    )
 
+    if pad_id is not None:
+        # a store stamped by write_token_store (or the streaming shard
+        # sink) carries its id-space contract — apply the SAME
+        # fail-loud pad check the export applies (review r11: the two
+        # artifact paths must not diverge in the fail-loud guarantee
+        # either). Pre-scheme stores without a sidecar skip it: the
+        # caller owns pad validity there, as documented.
+        meta = read_json_sidecar(spark, store, TOKEN_STORE_META)
+        if meta is not None:
+            pad = int(pad_id)
+            if (
+                0 <= pad < int(meta["vocab_size"])
+                or pad in (int(meta["unk_id"]), int(meta["eos_id"]))
+            ):
+                raise ValueError(
+                    f"repack: pad_id={pad} collides with the store's "
+                    f"id space [0, {meta['vocab_size']}), "
+                    f"unk_id={meta['unk_id']} or eos_id="
+                    f"{meta['eos_id']} (from {TOKEN_STORE_META}) — "
+                    "padding would be indistinguishable from content "
+                    "or boundaries; pass an id outside all three"
+                )
     if not has_data_files(spark, store):
         return _empty_windows(spark, emit_spans)
     rows = spark.read.parquet(store).select(
@@ -448,8 +483,8 @@ def write_token_store(
     leaf exactly as in :func:`export_training_set` (see its note)."""
     from s3_access_logs_spark.operators.layout import training_shards
 
-    ms, _vs, eos, _pad = _resolve_special_ids(
-        merges, vocab, unk_id, eos_id, None
+    ms, vs, eos, _pad = _resolve_special_ids(
+        merges, vocab, unk_id, eos_id, None, caller="write_token_store"
     )
     t, report, pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
@@ -467,6 +502,15 @@ def write_token_store(
             .option("compression", "snappy")
             .partitionBy("shard")
             .parquet(store)
+        )
+        # stamp the store's id-space contract so repack_epoch can
+        # fail-loud on a colliding pad id (review r11)
+        from s3_access_logs_spark.sources.fsutil import write_json_sidecar
+
+        write_json_sidecar(
+            docs.sparkSession, store, TOKEN_STORE_META,
+            {"vocab_size": len(vs), "unk_id": int(unk_id),
+             "eos_id": int(eos)},
         )
         if pre_mix is not None:
             pre_mix.unpersist()

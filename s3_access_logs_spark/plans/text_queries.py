@@ -1442,17 +1442,31 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vocab_fit_report's merges table: a 40-merge PREFIX of the demo
+#: table, whose symbol charset misses seven letters (f j q v x y z) —
+#: so the corpus produces a REAL non-zero unk rate and the oracle
+#: value-checks the unk arithmetic at a non-trivial point (review r11:
+#: the full demo vocab's base charset covers every character the
+#: fixture corpus contains, which would gate the headline column only
+#: at the trivially-zero value).
+def _fit_merges() -> list:
+    from s3_access_logs_spark.functions import bpe as B
+
+    return list(B.default_merges())[:40]
+
+
 def _vocab_fit_report_sql() -> str:
     from s3_access_logs_spark.functions import bpe as B
 
-    vocab = B.bpe_vocab()
+    ms = _fit_merges()
+    vocab = B.bpe_vocab(ms)
     vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
     return f"""
     WITH t AS (
       SELECT source,
              COALESCE(
                list_transform(
-                 {B.bpe_tokens_sql("text")},
+                 {B.bpe_tokens_sql("text", ms)},
                  tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
                ), []) AS ids,
              COALESCE(len({SQL_WORDS}), 0) AS n_words,
@@ -1488,10 +1502,13 @@ def vocab_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unexpectedly high unk rate on one source means the vocab and
     the corpus disagree (wrong file, wrong language, wrong
     pre-tokenizer) and the export would silently train on unk soup.
-    Uses the demo vocabulary here (its base charset is letters only,
-    so digit/punctuation pre-tokens land on unk — a real non-trivial
-    rate); production callers pass ``load_merges``/``load_vocab``
-    output through the same functions.
+    Uses a 40-merge PREFIX of the demo table here (see
+    ``_fit_merges`` — its charset misses seven letters, so the
+    fixture corpus yields a real non-zero unk rate for the oracle to
+    value-check; the full demo vocab covers the corpus's entire
+    charset and would pin the headline column only at zero);
+    production callers pass ``load_merges``/``load_vocab`` output
+    through the same functions.
 
     Scale shape: one Arrow-batched tokenize projection (the forced
     Python hop every id-stream consumer pays), then one
@@ -1503,7 +1520,8 @@ def vocab_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ids = F.coalesce(
-        B.bpe_token_ids("text"), F.array().cast("array<int>")
+        B.bpe_token_ids("text", _fit_merges()),
+        F.array().cast("array<int>"),
     )
     t = docs.select(
         "source",

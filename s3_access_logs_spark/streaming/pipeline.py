@@ -951,6 +951,21 @@ def ingest_documents_stream(
                     extra_partition_cols=("shard",),
                     sort_cols=("shard_order",),
                 )
+                # stamp the store's id-space contract (the token-store
+                # sidecar, review r11) so repack_epoch's pad validation
+                # fail-louds on streaming stores too; atomic overwrite,
+                # same content every batch — idempotent under replay
+                from s3_access_logs_spark.operators.export import (
+                    TOKEN_STORE_META,
+                )
+                from s3_access_logs_spark.sources.fsutil import (
+                    write_json_sidecar,
+                )
+
+                write_json_sidecar(
+                    sess, shard_store, TOKEN_STORE_META,
+                    {"vocab_size": _eos, "unk_id": -1, "eos_id": _eos},
+                )
         finally:
             if bloom_store is not None:
                 survivors.unpersist()

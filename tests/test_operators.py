@@ -1850,6 +1850,41 @@ class TestTokenStoreEpochs:
         assert empty.count() == 0
         assert empty.columns == ["window_idx", "ids", "doc_spans", "shard"]
 
+    def test_repack_pad_collision_fails_loud(self, spark, tmp_path):
+        """The store's sidecar carries the id-space contract, so a pad
+        id inside it fails the SAME way the export path fails (review
+        r11: the two artifact paths must not diverge in the fail-loud
+        guarantee); a valid pad still repacks."""
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            repack_epoch,
+            write_token_store,
+        )
+
+        docs = self._docs(spark, 10)
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=2)
+        vocab_size = len(B.bpe_vocab(list(B.default_merges())))
+        for bad in (5, -1, vocab_size):  # in-vocab / unk / eos
+            with pytest.raises(ValueError, match="pad_id"):
+                repack_epoch(
+                    spark, store, str(tmp_path / "w"), pad_id=bad
+                )
+        ok = repack_epoch(
+            spark, store, str(tmp_path / "w"),
+            window_ids=16, n_shards=2, pad_id=vocab_size + 1,
+        )
+        assert ok.filter(F.size("ids") != 16).count() == 0
+        # the CLI surfaces the collision as a usage-class exit 2
+        from s3_access_logs_spark.cli import run_repack_epoch
+
+        assert run_repack_epoch(
+            [store, str(tmp_path / "w2"), "--pad-id", "5"]
+        ) == 2
+        assert run_repack_epoch(
+            [store, str(tmp_path / "w2"), "--window", "0"]
+        ) == 2
+
     def test_write_token_store_mixture_accounting(self, spark, tmp_path):
         """The store path's mixture row keeps the exact conservation
         identity: input == curate drops + mixture drops + docs_stored."""
