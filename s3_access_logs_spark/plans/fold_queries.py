@@ -187,6 +187,7 @@ _fold(
         "packed_token_windows",
         "packed_window_spans",
         "packed_padded_windows",
+        "window_fill_report",
         "training_shard_stats",
     ),
     ("llm", "text", "chunking", "packing", "fold"),

@@ -1555,3 +1555,103 @@ def vocab_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["vocab_fit_report"] = _dc.replace(
     _Q["vocab_fit_report"], oracle=_vocab_fit_report_sql()
 )
+
+
+def _window_fill_report_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+
+    W = WINDOW_IDS
+    eos = len(B.bpe_vocab())
+    return f"""
+    WITH t AS ({_ids_cte_sql()}),
+    s AS (
+      SELECT source,
+             flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
+               AS stream
+      FROM t GROUP BY source
+    ),
+    w AS (
+      SELECT source,
+             unnest(range(0, (len(stream) + {W} - 1) // {W})) AS win,
+             stream
+      FROM s
+    ),
+    seg AS (
+      SELECT source,
+             stream[win * {W} + 1 :
+                    least((win + 1) * {W}, len(stream))] AS ids
+      FROM w
+    )
+    SELECT source,
+           COUNT(*) AS n_windows,
+           SUM(len(ids))::BIGINT AS real_ids,
+           SUM({W} - len(ids))::BIGINT AS pad_ids,
+           ROUND(SUM({W} - len(ids)) / (COUNT(*) * {W}.0), 6)
+             AS pad_rate,
+           ROUND(SUM(len(list_filter(ids, x -> x = {eos})))
+                 / COUNT(*)::DOUBLE, 6) AS docs_per_window
+    FROM seg GROUP BY source
+    """
+
+
+@query(
+    "window_fill_report",
+    oracle=None,  # filled below (generated from the merges table)
+    tags=("llm", "text", "packing", "windows", "report"),
+)
+def window_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-EFFICIENCY report (round 11): per source, how well the
+    fixed-shape window artifact uses its token budget — window count,
+    real vs pad id mass, pad rate (the fraction of trainer compute
+    spent on padding: at fixed shapes only each source's final window
+    pads, so this bounds the waste packing already minimizes) and
+    documents per window (EOS boundaries per window — the mean number
+    of documents a window's attention mask must separate). The
+    pre-run sanity check a trainer pairs with `vocab_fit_report`:
+    fit gates the TOKENIZER against the corpus, this gates the LAYOUT.
+
+    Scale shape: the `packed_padded_windows` plan plus one
+    source-keyed aggregate that reuses the packing exchange's
+    partitioning — still one shuffle total."""
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.operators.layout import pack_id_windows
+
+    W = WINDOW_IDS
+    eos = len(B.bpe_vocab())
+    pad = eos + 1
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.coalesce(
+                B.bpe_token_ids("text"), F.array().cast("array<int>")
+            ),
+            F.array(F.lit(eos)),
+        ).alias("ids"),
+    )
+    wins = pack_id_windows(
+        t,
+        W,
+        ["source"],
+        [F.col("doc_id").asc_nulls_first(), F.col("ids")],
+        pad_id=pad,
+    )
+    pads = F.size(F.filter("ids", lambda x: x == pad))
+    ends = F.size(F.filter("ids", lambda x: x == eos))
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.lit(W) - pads).cast("bigint").alias("real_ids"),
+        F.sum(pads).cast("bigint").alias("pad_ids"),
+        F.round(
+            F.try_divide(F.sum(pads), F.count(F.lit(1)) * F.lit(W)), 6
+        ).alias("pad_rate"),
+        F.round(
+            F.try_divide(F.sum(ends), F.count(F.lit(1))), 6
+        ).alias("docs_per_window"),
+    )
+
+
+_Q["window_fill_report"] = _dc.replace(
+    _Q["window_fill_report"], oracle=_window_fill_report_sql()
+)
