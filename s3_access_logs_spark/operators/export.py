@@ -368,6 +368,18 @@ def _pack_store(
         # caller owns pad validity there, as documented.
         meta = read_json_sidecar(spark, store, TOKEN_STORE_META)
         if meta is not None:
+            if not all(
+                k in meta for k in ("vocab_size", "unk_id", "eos_id")
+            ):
+                # ValueError, not KeyError: the CLI's exit-2 handler and
+                # the sidecar module's own corrupt-file contract both
+                # speak ValueError (review r11, second pass)
+                raise ValueError(
+                    f"repack: {TOKEN_STORE_META} at {store!r} is missing "
+                    f"vocab_size/unk_id/eos_id (got keys "
+                    f"{sorted(meta)}) — delete the sidecar or re-run "
+                    "write_token_store to re-stamp it"
+                )
             pad = int(pad_id)
             if (
                 0 <= pad < int(meta["vocab_size"])
@@ -436,8 +448,12 @@ def pack_shard_windows(
     r10 — the routine state before a stream's first batch commits).
     ``emit_spans``/``pad_id`` mirror :func:`export_training_set`
     (ADVICE r10: the two bit-identical artifact paths must not diverge
-    in capability) — pad-id validation against a vocab is the caller's
-    job here, since the store carries ids, not the vocabulary."""
+    in capability). Pad-id validation: stores carrying a
+    ``_token_store_meta.json`` sidecar (every store a round-11+ stream
+    or :func:`write_token_store` wrote) get the export's fail-loud
+    collision check against the recorded id space; pre-scheme stores
+    have no vocabulary to check against, so pad validity is the
+    caller's job there."""
     return _pack_store(
         spark, shard_store, dst, window_ids, n_shards,
         F.col("shard_order"), emit_spans, pad_id,

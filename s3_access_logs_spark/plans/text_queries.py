@@ -989,26 +989,39 @@ _Q["packed_sequences"] = _dc.replace(
 WINDOW_IDS = 64
 
 
-def _packed_token_windows_sql() -> str:
+def _ids_cte_sql() -> str:
+    """The shared ids CTE of the window-packing oracles: every
+    document's demo-vocab token-id stream with the EOS id appended —
+    generated from the same merges table the Spark side uses."""
     from s3_access_logs_spark.functions import bpe as B
 
     vocab = B.bpe_vocab()
     eos = len(vocab)
     vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
     return f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             list_append(
-               COALESCE(
-                 list_transform(
-                   {B.bpe_tokens_sql("text")},
-                   tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
-                 ), []),
-               {eos}) AS ids
-      FROM documents
-    ),
-    -- NULLS FIRST + ids tie-break: the packed_sequences order
-    -- convention (Spark ASC is nulls-first, DuckDB defaults nulls-last)
+    SELECT doc_id, source,
+           list_append(
+             COALESCE(
+               list_transform(
+                 {B.bpe_tokens_sql("text")},
+                 tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
+               ), []),
+             {eos}) AS ids
+    FROM documents
+    """
+
+
+def _stream_windows_cte_sql(W: int) -> str:
+    """The shared stream-slicing scaffolding of every window-packing
+    oracle (one copy — review r11, second pass: three verbatim copies
+    would let a slicing/ordering change silently desync one oracle
+    from the Spark plan it gates): per source, concatenate the ``t``
+    CTE's id streams in (doc_id NULLS FIRST, ids) order — the
+    packed_sequences convention; Spark ASC is nulls-first, DuckDB
+    defaults nulls-last — then one row per window index with its
+    inclusive-bound slice as ``ids``. Composes after a ``WITH t AS
+    (...)`` prefix."""
+    return f"""
     s AS (
       SELECT source,
              flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
@@ -1017,21 +1030,28 @@ def _packed_token_windows_sql() -> str:
     ),
     w AS (
       SELECT source,
-             unnest(range(0, (len(stream) + {WINDOW_IDS} - 1)
-                             // {WINDOW_IDS})) AS win,
+             unnest(range(0, (len(stream) + {W} - 1) // {W})) AS win,
              stream
       FROM s
+    ),
+    seg AS (
+      SELECT source, win,
+             stream[win * {W} + 1 :
+                    least((win + 1) * {W}, len(stream))] AS ids
+      FROM w
     )
+    """
+
+
+def _packed_token_windows_sql() -> str:
+    return f"""
+    WITH t AS ({_ids_cte_sql()}),
+    {_stream_windows_cte_sql(WINDOW_IDS)}
     SELECT source,
            win::BIGINT AS window_idx,
-           len(stream[win * {WINDOW_IDS} + 1 :
-                      least((win + 1) * {WINDOW_IDS}, len(stream))]
-               )::BIGINT AS n_ids,
-           array_to_string(
-             stream[win * {WINDOW_IDS} + 1 :
-                    least((win + 1) * {WINDOW_IDS}, len(stream))],
-             '-') AS ids_str
-    FROM w
+           len(ids)::BIGINT AS n_ids,
+           array_to_string(ids, '-') AS ids_str
+    FROM seg
     """
 
 
@@ -1093,28 +1113,6 @@ def packed_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["packed_token_windows"] = _dc.replace(
     _Q["packed_token_windows"], oracle=_packed_token_windows_sql()
 )
-
-
-def _ids_cte_sql() -> str:
-    """The shared ids CTE of the window-packing oracles: every
-    document's demo-vocab token-id stream with the EOS id appended —
-    generated from the same merges table the Spark side uses."""
-    from s3_access_logs_spark.functions import bpe as B
-
-    vocab = B.bpe_vocab()
-    eos = len(vocab)
-    vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
-    return f"""
-    SELECT doc_id, source,
-           list_append(
-             COALESCE(
-               list_transform(
-                 {B.bpe_tokens_sql("text")},
-                 tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
-               ), []),
-             {eos}) AS ids
-    FROM documents
-    """
 
 
 def _packed_window_spans_sql() -> str:
@@ -1227,24 +1225,7 @@ def _packed_padded_windows_sql() -> str:
     pad = len(B.bpe_vocab()) + 1
     return f"""
     WITH t AS ({_ids_cte_sql()}),
-    s AS (
-      SELECT source,
-             flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
-               AS stream
-      FROM t GROUP BY source
-    ),
-    w AS (
-      SELECT source,
-             unnest(range(0, (len(stream) + {W} - 1) // {W})) AS win,
-             stream
-      FROM s
-    ),
-    seg AS (
-      SELECT source, win,
-             stream[win * {W} + 1 :
-                    least((win + 1) * {W}, len(stream))] AS ids
-      FROM w
-    )
+    {_stream_windows_cte_sql(W)}
     SELECT source, win::BIGINT AS window_idx,
            len(ids)::BIGINT AS n_real,
            array_to_string(
@@ -1564,24 +1545,7 @@ def _window_fill_report_sql() -> str:
     eos = len(B.bpe_vocab())
     return f"""
     WITH t AS ({_ids_cte_sql()}),
-    s AS (
-      SELECT source,
-             flatten(list(ids ORDER BY doc_id NULLS FIRST, ids))
-               AS stream
-      FROM t GROUP BY source
-    ),
-    w AS (
-      SELECT source,
-             unnest(range(0, (len(stream) + {W} - 1) // {W})) AS win,
-             stream
-      FROM s
-    ),
-    seg AS (
-      SELECT source,
-             stream[win * {W} + 1 :
-                    least((win + 1) * {W}, len(stream))] AS ids
-      FROM w
-    )
+    {_stream_windows_cte_sql(W)}
     SELECT source,
            COUNT(*) AS n_windows,
            SUM(len(ids))::BIGINT AS real_ids,

@@ -521,6 +521,24 @@ def ingest_documents_stream(
             B.bpe_token_ids_udf(_ms, vocab=_vs, validate=False),
             len(_vs),
         )
+        # stamp the store's id-space contract ONCE, before the query
+        # starts (review r11, second pass: a per-batch re-stamp's
+        # delete→rename gap would let a concurrent repack_epoch read
+        # None and skip its pad validation — the exact silent
+        # corruption the sidecar closes — besides paying FS churn per
+        # micro-batch). Content is a pure function of the tokenizer
+        # config, so a restart re-stamps the identical bytes.
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+        )
+        from s3_access_logs_spark.sources.fsutil import (
+            write_json_sidecar,
+        )
+
+        write_json_sidecar(
+            spark, shard_store, TOKEN_STORE_META,
+            {"vocab_size": len(_vs), "unk_id": -1, "eos_id": len(_vs)},
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -950,21 +968,6 @@ def ingest_documents_stream(
                     shard_store,
                     extra_partition_cols=("shard",),
                     sort_cols=("shard_order",),
-                )
-                # stamp the store's id-space contract (the token-store
-                # sidecar, review r11) so repack_epoch's pad validation
-                # fail-louds on streaming stores too; atomic overwrite,
-                # same content every batch — idempotent under replay
-                from s3_access_logs_spark.operators.export import (
-                    TOKEN_STORE_META,
-                )
-                from s3_access_logs_spark.sources.fsutil import (
-                    write_json_sidecar,
-                )
-
-                write_json_sidecar(
-                    sess, shard_store, TOKEN_STORE_META,
-                    {"vocab_size": _eos, "unk_id": -1, "eos_id": _eos},
                 )
         finally:
             if bloom_store is not None:

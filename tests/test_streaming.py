@@ -1137,6 +1137,12 @@ class TestIngestShardHandoff:
             n_shards=3, window_ids=32, order_salt="epoch2:",
         )
         assert k(re_wins) == k(batched2) and len(k(re_wins)) > 0
+        # the stream stamped the id-space sidecar at setup (review
+        # r11, second pass), so a colliding pad fails loud here too
+        with pytest.raises(ValueError, match="pad_id"):
+            repack_epoch(
+                spark, shards, str(tmp_path / "wins_bad"), pad_id=5
+            )
 
     def test_shard_params_without_store_fail_loud(self, spark, tmp_path):
         from s3_access_logs_spark.streaming import ingest_documents_stream
