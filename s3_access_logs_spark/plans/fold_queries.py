@@ -213,6 +213,7 @@ _fold(
         "sql_cluster_sizes",
         "sql_waterfall_report",
         "sql_shard_balance",
+        "sql_preflight_gate",
     ),
     ("sql-surface", "fold"),
 )

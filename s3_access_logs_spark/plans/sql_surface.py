@@ -393,6 +393,53 @@ SQL_SHARD_BALANCE = """
 """
 
 
+#: Portable pre-flight report: the tokenizer gate (vocab_fit) joined
+#: to the layout gate (window_fill) per source — one row set an
+#: operator reads before committing to an expensive export. The flag
+#: threshold compares 6dp-rounded doubles to an exact literal, so both
+#: engines decide identically; an inner join on source drops the
+#: NULL-source salt row on both engines alike.
+SQL_PREFLIGHT_GATE = """
+    SELECT f.source,
+           f.n_docs,
+           f.unk_rate,
+           f.tokens_per_word,
+           f.bytes_per_token,
+           w.n_windows,
+           w.pad_rate,
+           w.docs_per_window,
+           (f.unk_rate > 0.25) AS unk_flag
+    FROM vocab_fit f JOIN window_fill w ON f.source = w.source
+"""
+
+
+@query(
+    "sql_preflight_gate",
+    oracle=None,  # filled below: WITH vocab_fit AS (...), window_fill AS (...)
+    tags=("sql-surface", "llm", "tokenize", "packing", "report"),
+)
+def sql_preflight_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The export PRE-FLIGHT through the SQL surface (round 11): the
+    tokenizer-fit and packing-efficiency artifacts registered as views
+    and joined per source by one portable SQL string — what an
+    operator would run in the Athena console before green-lighting a
+    training export (unk_rate gates the TOKENIZER, pad_rate/
+    docs_per_window gate the LAYOUT; `unk_flag` marks sources whose
+    id streams would train noise). Oracle = both views' generated
+    replays as WITH prefixes + the identical report SQL — artifact
+    and report value-exact, the r9 curation-artifact pattern."""
+    from s3_access_logs_spark.plans.catalog import QUERIES
+
+    sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))
+    QUERIES["vocab_fit_report"].builder(
+        spark, sf_dir
+    ).createOrReplaceTempView("vocab_fit")
+    QUERIES["window_fill_report"].builder(
+        spark, sf_dir
+    ).createOrReplaceTempView("window_fill")
+    return spark.sql(SQL_PREFLIGHT_GATE)
+
+
 @query(
     "sql_shard_balance",
     oracle=None,  # filled below: WITH training_shards AS (<generated>) ...
@@ -447,6 +494,14 @@ def _fill_curation_sql_oracles() -> None:
         oracle="WITH training_shards AS ("
         f"{QUERIES['training_shard_stats'].oracle})\n"
         f"{SQL_SHARD_BALANCE}",
+    )
+    QUERIES["sql_preflight_gate"] = dataclasses.replace(
+        QUERIES["sql_preflight_gate"],
+        oracle="WITH vocab_fit AS ("
+        f"{QUERIES['vocab_fit_report'].oracle}),\n"
+        "window_fill AS ("
+        f"{QUERIES['window_fill_report'].oracle})\n"
+        f"{SQL_PREFLIGHT_GATE}",
     )
 
 

@@ -394,10 +394,11 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        # 112 = 94 granular + 18 folds (round 11 added
+        # 113 = 95 granular + 18 folds (round 11 added
         # packed_window_spans, packed_padded_windows, vocab_fit_report,
-        # window_fill_report — all folded, driver surface still 49)
-        assert "q1_pricing_summary" in names and len(names) == 112
+        # window_fill_report, sql_preflight_gate — all folded, driver
+        # surface still 49)
+        assert "q1_pricing_summary" in names and len(names) == 113
         assert run_query(["no_such_query"]) == 2
 
 
