@@ -378,7 +378,13 @@ def _parse_flags(
         if a not in flag_types:
             log.error("unrecognized argument %r; %s", a, usage)
             return None
-        if not rest:
+        if not rest or rest[0].startswith("--"):
+            # a following `--token` is a FLAG, not this flag's value
+            # (ADVICE r11: `repack-epoch s d --epoch --spans` would
+            # otherwise silently use '--spans' as the epoch salt) —
+            # rejected for ALL value types, string included: no
+            # subcommand's value space legitimately starts with '--',
+            # and the strict-parse intent is "misuse exits 2"
             log.error("%s needs a value; %s", a, usage)
             return None
         raw = rest.pop(0)

@@ -367,7 +367,24 @@ def _pack_store(
         # either). Pre-scheme stores without a sidecar skip it: the
         # caller owns pad validity there, as documented.
         meta = read_json_sidecar(spark, store, TOKEN_STORE_META)
-        if meta is not None:
+        if meta is None:
+            # not silent (ADVICE r11): a pre-scheme store — or one whose
+            # writer crashed between the parquet overwrite and the stamp
+            # — has data but no id-space contract to validate the pad
+            # against; say so instead of quietly skipping the check the
+            # export path would have applied
+            import logging
+
+            logging.getLogger("s3_access_logs_spark").warning(
+                "repack: pad_id=%s requested but %s has no %s sidecar "
+                "(pre-scheme store, or its writer crashed before "
+                "stamping) — pad-collision validation SKIPPED; the "
+                "caller owns pad validity here. Re-run "
+                "write_token_store (or restart the stream sink) to "
+                "stamp it.",
+                pad_id, store, TOKEN_STORE_META,
+            )
+        else:
             if not all(
                 k in meta for k in ("vocab_size", "unk_id", "eos_id")
             ):

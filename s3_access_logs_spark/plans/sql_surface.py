@@ -427,7 +427,18 @@ def sql_preflight_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_per_window gate the LAYOUT; `unk_flag` marks sources whose
     id streams would train noise). Oracle = both views' generated
     replays as WITH prefixes + the identical report SQL — artifact
-    and report value-exact, the r9 curation-artifact pattern."""
+    and report value-exact, the r9 curation-artifact pattern.
+
+    Fixture note (ADVICE r11): the two joined views deliberately use
+    DIFFERENT demo tokenizers — `vocab_fit` a 40-merge PREFIX (so its
+    unk arithmetic is value-checked at a non-zero point, see
+    ``_fit_merges``) and `window_fill` the full demo vocab (so its
+    layout stats describe the vocabulary the packing entries use).
+    The join is therefore a DEMO of the report SHAPE, not one
+    coherent pre-flight: in production both views come from the one
+    shipped merges+vocab pair, and the store-mode
+    ``store_preflight_report`` (round 12) computes both halves from
+    a single token store, where the inconsistency cannot arise."""
     from s3_access_logs_spark.plans.catalog import QUERIES
 
     sql_catalog(spark, sf_dir, include_logs=False, tables=("documents",))

@@ -471,6 +471,11 @@ class TestExportTrainingCli:
         assert run_export_training(["a", "b", "--frobnicate", "1"]) == 2
         assert run_export_training(["a", "b", "--shards"]) == 2
         assert run_export_training(["a", "b", "--shards", "x"]) == 2
+        # a flag where a value belongs is "needs a value", not a value
+        # (ADVICE r11: '--epoch --spans' must not use '--spans' as the
+        # salt) — for string-typed flags too
+        assert run_export_training(["a", "b", "--epoch", "--shards"]) == 2
+        assert run_export_training(["a", "b", "--shards", "--epoch"]) == 2
 
     def test_colliding_pad_id_exits_2(self, spark, tmp_path):
         from s3_access_logs_spark.cli import run_export_training

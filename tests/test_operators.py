@@ -1885,6 +1885,54 @@ class TestTokenStoreEpochs:
             [store, str(tmp_path / "w2"), "--window", "0"]
         ) == 2
 
+    def test_repack_pad_on_prescheme_store_warns(
+        self, spark, tmp_path, caplog
+    ):
+        """A store with data but NO sidecar (pre-scheme, or a writer
+        that crashed between the parquet overwrite and the stamp —
+        ADVICE r11) must not skip pad validation SILENTLY: the repack
+        proceeds (the caller owns pad validity there, as documented)
+        but says so out loud."""
+        import logging
+
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+            repack_epoch,
+            write_token_store,
+        )
+        from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+        docs = self._docs(spark, 10)
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=2)
+        fs, _ = hadoop_fs(spark, store)
+        HPath = spark._jvm.org.apache.hadoop.fs.Path
+        fs.delete(HPath(f"{store}/{TOKEN_STORE_META}"), False)
+        with caplog.at_level(
+            logging.WARNING, logger="s3_access_logs_spark"
+        ):
+            wins = repack_epoch(
+                spark, store, str(tmp_path / "w"),
+                window_ids=16, n_shards=2, pad_id=10_000,
+            )
+        assert wins.count() > 0
+        assert any(
+            "pad-collision validation SKIPPED" in r.message
+            for r in caplog.records
+        )
+        # no pad requested -> no warning either (nothing was skipped)
+        caplog.clear()
+        with caplog.at_level(
+            logging.WARNING, logger="s3_access_logs_spark"
+        ):
+            repack_epoch(
+                spark, store, str(tmp_path / "w2"),
+                window_ids=16, n_shards=2,
+            )
+        assert not any(
+            "SKIPPED" in r.message for r in caplog.records
+        )
+
     def test_write_token_store_mixture_accounting(self, spark, tmp_path):
         """The store path's mixture row keeps the exact conservation
         identity: input == curate drops + mixture drops + docs_stored."""
