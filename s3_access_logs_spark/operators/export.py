@@ -132,6 +132,7 @@ def _curated_id_streams(
     curate: dict | None,
     mixture: dict | None,
     source_col: str,
+    pretokenizer: str = "default",
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The shared front half of the batch export paths: curate ``docs``,
     optionally re-balance sources, and encode survivors to
@@ -161,7 +162,10 @@ def _curated_id_streams(
         F.col(id_col).alias("id"),
         F.concat(
             F.coalesce(
-                B.bpe_token_ids(text_col, merges, vocab=vocab, unk_id=unk_id),
+                B.bpe_token_ids(
+                    text_col, merges, vocab=vocab, unk_id=unk_id,
+                    pretokenizer=pretokenizer,
+                ),
                 F.array().cast("array<int>"),
             ),
             F.array(F.lit(eos)),
@@ -188,6 +192,7 @@ def export_training_set(
     order_salt: str = "order:",
     emit_spans: bool = False,
     pad_id: int | None = None,
+    pretokenizer: str = "default",
 ) -> tuple[DataFrame, DataFrame]:
     """Curate ``docs`` (``curate`` kwargs forward to
     :func:`operators.curate.curate_corpus`), encode survivors to exact
@@ -254,6 +259,7 @@ def export_training_set(
     t, report, _pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
         id_col, text_col, curate, mixture, source_col,
+        pretokenizer=pretokenizer,
     )
     sharded = training_shards(
         t, n_shards, id_col="id", salt=salt, order_salt=order_salt
@@ -491,6 +497,7 @@ def write_token_store(
     mixture: dict | None = None,
     source_col: str = "source",
     salt: str = "shards:",
+    pretokenizer: str = "default",
 ) -> DataFrame:
     """Materialize the EXPENSIVE half of :func:`export_training_set`
     ONCE (round 11, VERDICT r10 item 1): curate → (optional mixture) →
@@ -522,6 +529,7 @@ def write_token_store(
     t, report, pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
         id_col, text_col, curate, mixture, source_col,
+        pretokenizer=pretokenizer,
     )
     rows = training_shards(
         t, n_shards, id_col="id", salt=salt

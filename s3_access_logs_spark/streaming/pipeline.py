@@ -264,6 +264,7 @@ def ingest_documents_stream(
     n_shards: int | None = None,
     shard_merges: list[tuple[str, str]] | None = None,
     shard_vocab: list[str] | None = None,
+    shard_pretokenizer: str = "default",
 ) -> StreamingQuery:
     """Streaming incremental corpus ingestion: JSONL document files land in
     ``src``; each micro-batch is exact-deduped within itself AND against the
@@ -390,6 +391,10 @@ def ingest_documents_stream(
     ``(shard, batch_id)`` leaves, so an at-least-once replay — whose
     shard assignment is deterministic — rewrites exactly its own files
     (append-idempotency pinned in tests/test_streaming.py).
+    ``shard_pretokenizer='gpt2'`` runs the byte-level pipeline
+    (functions.bpe.gpt2_pretokens_py) so stream-stored id streams match
+    the shipped tokenizer the vocab files came from — capability parity
+    with ``export_training_set(pretokenizer=)``/``write_token_store``.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -437,6 +442,7 @@ def ingest_documents_stream(
         shard_merges is not None
         or shard_vocab is not None
         or n_shards is not None
+        or shard_pretokenizer != "default"
     ):
         # the half-specified-gate rule, sink flavor: a tokenizer or a
         # shard count with no store would silently shard nothing
@@ -518,7 +524,10 @@ def ingest_documents_stream(
         if shard_vocab is not None:
             B.check_vocab_merges(_vs, _ms)
         _shard_tok = (
-            B.bpe_token_ids_udf(_ms, vocab=_vs, validate=False),
+            B.bpe_token_ids_udf(
+                _ms, vocab=_vs, validate=False,
+                pretokenizer=shard_pretokenizer,
+            ),
             len(_vs),
         )
         # stamp the store's id-space contract ONCE, before the query

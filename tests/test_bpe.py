@@ -765,12 +765,18 @@ class TestRealTokenizerParity:
     PyAV posture): green where a public implementation is installed,
     cleanly skipped where not.
 
-    Scope: the fixture corpus is ASCII letters + single spaces, the
-    regime where this engine's unicode-text pre-tokenizer and GPT-2's
-    byte-level one provably coincide (`` ?\\p{L}+`` matches the same
-    boundaries, and byte-level == char-level for ASCII), so exact id
-    parity is the CONTRACT here, not luck — see load_merges's scope
-    note for why arbitrary text is out of scope.
+    Scope: the original pair of tests uses ASCII letters + single
+    spaces, the regime where this engine's DEFAULT unicode-text
+    pre-tokenizer and GPT-2's byte-level one provably coincide
+    (`` ?\\p{L}+`` matches the same boundaries, and byte-level ==
+    char-level for ASCII). The ``*_bytelevel`` tests (round 12) drop
+    that restriction entirely: under ``pretokenizer='gpt2'`` the
+    engine runs the byte-level pipeline itself, so parity is pinned
+    on contractions, multi-space runs and non-ASCII UTF-8 too.
+    Residual: fixture codepoints stay off the Unicode-13→14 delta
+    (the vendored \\p{L} tables are JVM-probed Unicode 13; installed
+    libs carry newer UCDs) and off U+001C-001F (Python/HF ``\\s``
+    includes them, rust-regex White_Space does not).
     """
 
     #: every fixture char must be in the vocab alphabet so neither
@@ -852,3 +858,319 @@ class TestRealTokenizerParity:
         )
         theirs = [enc.encode(t) for t in self.TEXTS]
         assert self._our_ids(spark, vp, mp) == theirs
+
+    # ---- byte-level mode: arbitrary UTF-8 (round 12) ------------------
+
+    # same regime as TestGpt2ByteLevel.CORPUS (defined later in the
+    # file, so spelled out here): contractions, accents, CJK,
+    # multi-space, digits, punctuation
+    BYTE_CORPUS = [
+        "don't stop the music, it's the people's choice",
+        "l'été à Zürich n'était pas très chaud cette année",
+        "we'll see — they're sure it'll work, we've checked",
+        "日本語のテキストも正しく分割される必要がある",
+        "mixed   spacing\tand\nnewlines   matter here",
+        "prices: $1,234.56 and 99% off!! (really)",
+    ] * 3
+    BYTE_TEXTS = [
+        "don't worry, it's fine",
+        "l'été était très beau — vraiment",
+        "日本語のテキストも分割",
+        "we'll   take   two   of  those",
+        "trailing run   ",
+        "$1,234.56 at 99%!",
+    ]
+
+    def _byte_files(self, tmp_path):
+        ms = B.train_bpe_merges(
+            self.BYTE_CORPUS, num_merges=60, min_freq=1,
+            pretokenizer="gpt2",
+        )
+        alphabet = "".join(
+            sorted(
+                set(
+                    c
+                    for t in self.BYTE_CORPUS + self.BYTE_TEXTS
+                    for tok in B.gpt2_pretokens_py(t)
+                    for c in tok
+                )
+            )
+        )
+        vocab = B.bpe_vocab(ms, alphabet=alphabet)
+        vp = str(tmp_path / "bvocab.json")
+        mp = str(tmp_path / "bmerges.txt")
+        # byte-level files store Ġ verbatim — the GPT-2 convention
+        B.save_vocab(vp, vocab, space_marker=None)
+        B.save_merges(mp, ms, space_marker=None)
+        return vp, mp
+
+    def _our_byte_ids(self, spark, vp, mp):
+        lm = B.load_merges(mp, space_marker=None)
+        lv = B.load_vocab(vp, space_marker=None)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.BYTE_TEXTS)],
+            "i int, text string",
+        )
+        rows = (
+            df.select(
+                "i",
+                B.bpe_token_ids(
+                    "text", lm, vocab=lv, pretokenizer="gpt2"
+                ).alias("ids"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        return [list(r["ids"]) for r in rows]
+
+    def test_ids_match_transformers_gpt2_bytelevel(self, spark, tmp_path):
+        transformers = pytest.importorskip("transformers")
+
+        vp, mp = self._byte_files(tmp_path)
+        tok = transformers.GPT2Tokenizer(vocab_file=vp, merges_file=mp)
+        theirs = [
+            tok.encode(t, add_special_tokens=False)
+            for t in self.BYTE_TEXTS
+        ]
+        assert self._our_byte_ids(spark, vp, mp) == theirs
+
+    def test_ids_match_tiktoken_bytelevel(self, spark, tmp_path):
+        tiktoken = pytest.importorskip("tiktoken")
+
+        vp, mp = self._byte_files(tmp_path)
+        import json
+
+        v = json.load(open(vp, encoding="utf-8"))
+        u2b = B.unicode_to_bytes()
+        ranks = {
+            bytes(u2b[c] for c in t): i for t, i in v.items()
+        }
+        enc = tiktoken.Encoding(
+            name="parity-bytelevel",
+            # the shipped GPT-2 pattern verbatim
+            pat_str=(
+                r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+            ),
+            mergeable_ranks=ranks,
+            special_tokens={},
+        )
+        theirs = [enc.encode(t) for t in self.BYTE_TEXTS]
+        assert self._our_byte_ids(spark, vp, mp) == theirs
+
+
+class TestGpt2ByteLevel:
+    """Round 12 (VERDICT r11 item 1): the byte-level pre-tokenizer mode
+    — bytes_to_unicode mapping + the GPT-2 contraction/word regex — so
+    ids under a shipped vocab match the real tokenizer on ARBITRARY
+    UTF-8, not just the ASCII+single-space regime the original parity
+    tests pin."""
+
+    #: corpus in the byte-level regime: contractions, accents, CJK,
+    #: multi-space runs, digits, punctuation — everything the default
+    #: word splitter segments differently
+    CORPUS = [
+        "don't stop the music, it's the people's choice",
+        "l'été à Zürich n'était pas très chaud cette année",
+        "we'll see — they're sure it'll work, we've checked",
+        "日本語のテキストも正しく分割される必要がある",
+        "mixed   spacing\tand\nnewlines   matter here",
+        "prices: $1,234.56 and 99% off!! (really)",
+    ] * 3
+    TEXTS = [
+        "don't worry, it's fine",
+        "l'été était très beau",
+        "日本語のテキスト",
+        "we'll   take   two",
+        "trailing spaces  ",
+        "",
+        None,
+    ]
+
+    def test_bytes_to_unicode_is_the_public_map(self):
+        b2u = B.bytes_to_unicode()
+        u2b = B.unicode_to_bytes()
+        assert len(b2u) == 256
+        assert len(set(b2u.values())) == 256  # bijective
+        # printable latin-1 maps to itself
+        for lo, hi in ((0x21, 0x7E), (0xA1, 0xAC), (0xAE, 0xFF)):
+            for b in range(lo, hi + 1):
+                assert b2u[b] == chr(b)
+        # the famous shifts: space/newline/tab
+        assert b2u[0x20] == "Ġ" and b2u[0x0A] == "Ċ" and b2u[0x09] == "ĉ"
+        # exact inverse
+        assert all(u2b[c] == b for b, c in b2u.items())
+
+    def test_byte_mapped_pretokens_pinned(self):
+        """The byte-mapped pre-tokens themselves (the VERDICT's asked-for
+        pin): contraction splits, space attachment, whitespace-run
+        handling and multi-byte UTF-8 mapping, by value."""
+        assert B.gpt2_pretokens_py("don't stop") == ["don", "'t", "Ġstop"]
+        # the ws-lookahead rule: 2 spaces -> lone space + space-prefixed
+        assert B.gpt2_pretokens_py("hello  world") == [
+            "hello", "Ġ", "Ġworld",
+        ]
+        # trailing whitespace is one run; tab/newline map to ĉ/Ċ
+        assert B.gpt2_pretokens_py("a\tb\nc  ") == [
+            "a", "ĉ", "b", "Ċ", "c", "ĠĠ",
+        ]
+        # é = 0xC3 0xA9 -> 'Ã©'; CJK chars are three mapped bytes each
+        assert B.gpt2_pretokens_py("héllo") == ["hÃ©llo"]
+        assert B.gpt2_pretokens_py("日") == ["æĹ¥"]
+        # digits split from letters; punctuation keeps its leading space
+        assert B.gpt2_pretokens_py("ab12 ...x") == [
+            "ab", "12", "Ġ...", "x",
+        ]
+        # uppercase contractions do NOT split (the shipped pattern is
+        # lowercase-literal) — parity means reproducing that too
+        assert B.gpt2_pretokens_py("DON'T") == ["DON", "'", "T"]
+
+    def _table(self):
+        ms = B.train_bpe_merges(
+            self.CORPUS, num_merges=60, min_freq=1, pretokenizer="gpt2"
+        )
+        # alphabet covers every byte-mapped char the fixtures produce,
+        # so nothing falls to unk and parity is exact end-to-end
+        alphabet = "".join(
+            sorted(
+                set(
+                    c
+                    for t in self.CORPUS + [x for x in self.TEXTS if x]
+                    for tok in B.gpt2_pretokens_py(t)
+                    for c in tok
+                )
+            )
+        )
+        return ms, B.bpe_vocab(ms, alphabet=alphabet)
+
+    def test_arrow_path_matches_reference_encoder(self, spark):
+        ms, vocab = self._table()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "i int, text string",
+        )
+        got = (
+            df.select(
+                "i",
+                B.bpe_tokens("text", ms, pretokenizer="gpt2").alias("t"),
+                B.bpe_token_count("text", ms, pretokenizer="gpt2").alias(
+                    "n"
+                ),
+                B.bpe_token_ids(
+                    "text", ms, vocab=vocab, pretokenizer="gpt2"
+                ).alias("ids"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        idx = {s: i for i, s in enumerate(vocab)}
+        for r, text in zip(got, self.TEXTS):
+            if text is None:
+                assert r.t is None and r.n is None and r.ids is None
+                continue
+            want = B.bpe_encode_py(text, ms, pretokenizer="gpt2")
+            assert list(r.t) == want
+            assert r.n == len(want)
+            assert list(r.ids) == [idx.get(s, -1) for s in want]
+            if text:  # every fixture char is in the alphabet
+                assert -1 not in r.ids
+
+    def test_constructive_rank_fixpoint_third_impl(self):
+        """An INDEPENDENT in-test byte-level encoder — tiktoken's
+        algorithm shape: rank table over raw BYTE sequences from the
+        constructive vocab order, lowest-rank adjacent pair merged to
+        fixpoint — must reproduce our ids on arbitrary UTF-8. This is
+        the constructive-ranks parity of TestRealTokenizerParity
+        without the importorskip, extended past ASCII."""
+        ms, vocab = self._table()
+        u2b = B.unicode_to_bytes()
+
+        def to_bytes(sym: str) -> bytes:
+            return bytes(u2b[c] for c in sym)
+
+        ranks = {to_bytes(s): i for i, s in enumerate(vocab)}
+        assert len(ranks) == len(vocab)  # byte-space is collision-free
+
+        def third_impl(text: str) -> list[int]:
+            out = []
+            for tok in B._GPT2_PRETOK_RE.findall(text):
+                parts = [bytes([b]) for b in tok.encode("utf-8")]
+                while len(parts) > 1:
+                    best, bi = None, None
+                    for j in range(len(parts) - 1):
+                        r = ranks.get(parts[j] + parts[j + 1])
+                        if r is not None and (best is None or r < best):
+                            best, bi = r, j
+                    if bi is None:
+                        break
+                    parts[bi:bi + 2] = [parts[bi] + parts[bi + 1]]
+                out.extend(ranks.get(p, -1) for p in parts)
+            return out
+
+        idx = {s: i for i, s in enumerate(vocab)}
+        for text in [t for t in self.TEXTS if t] + self.CORPUS[:6]:
+            ours = [
+                idx.get(s, -1)
+                for s in B.bpe_encode_py(text, ms, pretokenizer="gpt2")
+            ]
+            assert ours == third_impl(text), text
+
+    def test_byte_level_files_roundtrip_marker_none(self, tmp_path):
+        """Byte-level tables save/load with space_marker=None — the
+        symbols already spell the space byte as Ġ verbatim, which IS
+        the GPT-2 file convention."""
+        ms, vocab = self._table()
+        mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+        B.save_merges(mp, ms, space_marker=None)
+        B.save_vocab(vp, vocab, space_marker=None)
+        assert B.load_merges(mp, space_marker=None) == ms
+        assert B.load_vocab(vp, space_marker=None) == vocab
+        # loading byte-level files with the DEFAULT marker translation
+        # yields real-space symbols, and gpt2 mode rejects those loud
+        mistranslated = B.load_merges(mp)  # 'Ġ' -> ' '
+        with pytest.raises(ValueError, match="space_marker=None"):
+            B.bpe_token_ids("text", mistranslated, pretokenizer="gpt2")
+
+    def test_mode_guards(self):
+        # the default demo table has real-space symbols -> guarded
+        with pytest.raises(ValueError, match="space_marker=None"):
+            B.bpe_token_ids("text", pretokenizer="gpt2")
+        # fold is structurally impossible under gpt2 -> loud
+        ms, _ = self._table()
+        with pytest.raises(ValueError, match="arrow-only"):
+            B.bpe_tokens("text", ms, impl="fold", pretokenizer="gpt2")
+        with pytest.raises(ValueError, match="arrow-only"):
+            B.bpe_token_count("text", ms, impl="fold", pretokenizer="gpt2")
+        with pytest.raises(ValueError, match="unknown pretokenizer"):
+            B.bpe_encode_py("x", [], pretokenizer="bert")
+
+    def test_export_path_threads_gpt2_mode(self, spark, tmp_path):
+        """export_training_set(pretokenizer='gpt2') id streams equal
+        the reference byte-level encoder's — the 'train with the
+        tokenizer the vocab came from' story end to end."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+        )
+
+        ms, vocab = self._table()
+        docs = spark.createDataFrame(
+            [
+                (i, t, "s0")
+                for i, t in enumerate(self.CORPUS[:6])
+            ],
+            "doc_id long, text string, source string",
+        )
+        wins, _rep = export_training_set(
+            docs, str(tmp_path / "w"), n_shards=2, window_ids=32,
+            merges=ms, vocab=vocab, pretokenizer="gpt2",
+        )
+        idx = {s: i for i, s in enumerate(vocab)}
+        eos = len(vocab)
+        stream = []
+        for r in sorted(
+            wins.collect(), key=lambda r: (r.shard, r.window_idx)
+        ):
+            stream.extend(r.ids)
+        # every emitted id is a real byte-level id or the EOS boundary
+        assert set(stream) <= set(idx.values()) | {eos}
+        assert stream.count(eos) == 6  # one per doc

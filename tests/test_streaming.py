@@ -1152,6 +1152,12 @@ class TestIngestShardHandoff:
                 spark, str(tmp_path / "in"), str(tmp_path / "s"),
                 str(tmp_path / "c"), shard_merges=[("a", "b")],
             )
+        # a non-default pretokenizer is sink config too (round 12)
+        with pytest.raises(ValueError, match="shard_store"):
+            ingest_documents_stream(
+                spark, str(tmp_path / "in"), str(tmp_path / "s"),
+                str(tmp_path / "c"), shard_pretokenizer="gpt2",
+            )
 
 
 class TestIngestReplaySafety:
