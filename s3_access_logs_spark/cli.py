@@ -466,20 +466,25 @@ def run_token_store(argv: list[str]) -> int:
 
 def run_repack_epoch(argv: list[str]) -> int:
     """`python -m s3_access_logs_spark repack-epoch <store> <dst>
-    [--window N] [--shards N] [--epoch SALT] [--pad-id P] [--spans]` —
-    cut a NEW training epoch's windows from a materialized token store
-    (`token-store`, or a streaming `shard_store`) without re-running
-    curate/tokenize; bit-identical to `export-training` under the same
-    epoch salt. Exits 3 on an empty/never-written store."""
+    [--window N] [--shards N] [--epoch SALT] [--pad-id P] [--spans]
+    [--mixture-alpha A]` — cut a NEW training epoch's windows from a
+    materialized token store (`token-store`, or a streaming
+    `shard_store`) without re-running curate/tokenize; bit-identical
+    to `export-training` under the same epoch salt (+ mixture).
+    `--mixture-alpha` re-weights sources PER EPOCH over the store's
+    persisted `source` column — the curriculum knob (round 12); a
+    sourceless store exits 2. Exits 3 on an empty/never-written
+    store."""
     from s3_access_logs_spark.operators.export import repack_epoch
 
     usage = (
         "usage: repack-epoch <store> <dst> [--window N] [--shards N]"
-        " [--epoch SALT] [--pad-id P] [--spans]"
+        " [--epoch SALT] [--pad-id P] [--spans] [--mixture-alpha A]"
     )
     parsed = _parse_flags(
         argv,
-        {"--window": int, "--shards": int, "--epoch": str, "--pad-id": int},
+        {"--window": int, "--shards": int, "--epoch": str, "--pad-id": int,
+         "--mixture-alpha": float},
         usage,
         bool_flags=("--spans",),
     )
@@ -500,6 +505,10 @@ def run_repack_epoch(argv: list[str]) -> int:
             emit_spans=bool(vals.get("--spans", False)),
             pad_id=(
                 int(vals["--pad-id"]) if "--pad-id" in vals else None  # type: ignore[arg-type]
+            ),
+            mixture=(
+                {"alpha": float(vals["--mixture-alpha"])}  # type: ignore[arg-type]
+                if "--mixture-alpha" in vals else None
             ),
         )
     except ValueError as e:  # bad window/pad — usage-class error, like

@@ -133,6 +133,7 @@ def _curated_id_streams(
     mixture: dict | None,
     source_col: str,
     pretokenizer: str = "default",
+    keep_source: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The shared front half of the batch export paths: curate ``docs``,
     optionally re-balance sources, and encode survivors to
@@ -141,7 +142,10 @@ def _curated_id_streams(
     unpersist ``pre_mix_handle`` (when not None) after its first action
     over ``streams`` materializes downstream state (the scoped-persist
     rule: temperature_mixture's count collect plus the caller's own
-    scan would otherwise execute the gate stack twice)."""
+    scan would otherwise execute the gate stack twice).
+    ``keep_source`` additionally carries ``source_col`` through (as
+    ``source``) when the input has it — the token store persists it so
+    mixture can be applied per EPOCH at repack time (round 12)."""
     from s3_access_logs_spark.functions import bpe as B
     from s3_access_logs_spark.operators.curate import curate_corpus
 
@@ -158,7 +162,7 @@ def _curated_id_streams(
         survivors = temperature_mixture(
             pre_mix, source_col, id_col, **mixture
         ).drop("_keep_rate")
-    streams = survivors.select(
+    cols = [
         F.col(id_col).alias("id"),
         F.concat(
             F.coalesce(
@@ -170,8 +174,10 @@ def _curated_id_streams(
             ),
             F.array(F.lit(eos)),
         ).alias("ids"),
-    )
-    return streams, report, pre_mix
+    ]
+    if keep_source and source_col in survivors.columns:
+        cols.append(F.col(source_col).alias("source"))
+    return survivors.select(*cols), report, pre_mix
 
 
 def export_training_set(
@@ -353,10 +359,14 @@ def _pack_store(
     order_col,
     emit_spans: bool,
     pad_id: int | None,
+    mixture: dict | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """Shared store→windows core of :func:`pack_shard_windows` and
     :func:`repack_epoch`: read the ``(doc_id, ids)`` rows under
-    ``shard=<s>`` leaves, order each shard's stream by
+    ``shard=<s>`` leaves, optionally apply a per-epoch source mixture
+    (a pure filter over the stored ``source`` column — fail-loud on
+    sourceless stores), order each shard's stream by
     ``(order_col, doc_id, ids)`` — the batch export's exact keys — cut
     into windows and write via the one artifact writer."""
     from s3_access_logs_spark.operators.layout import pack_id_windows
@@ -418,7 +428,30 @@ def _pack_store(
                 )
     if not has_data_files(spark, store):
         return _empty_windows(spark, emit_spans)
-    rows = spark.read.parquet(store).select(
+    raw = spark.read.parquet(store)
+    if mixture is not None:
+        if source_col not in raw.columns:
+            raise ValueError(
+                f"repack: mixture requested but the store at {store!r} "
+                f"has no {source_col!r} column — it predates the "
+                "source-carrying layout (round 12) or was written from "
+                "a sourceless feed (the streaming sink's (doc_id, text) "
+                "schema). Rebuild via write_token_store over a corpus "
+                "with sources, or repack without mixture."
+            )
+        from s3_access_logs_spark.operators.sampling import (
+            temperature_mixture,
+        )
+
+        # the SAME deterministic hash-rate filter the export applies to
+        # curate survivors: the store (built unmixed) holds exactly that
+        # population with the same doc_id keys, so the kept set — and
+        # therefore the windows — are bit-identical to
+        # export_training_set(mixture=...) under the same salt
+        raw = temperature_mixture(
+            raw, source_col, "doc_id", **mixture
+        ).drop("_keep_rate")
+    rows = raw.select(
         "shard", "doc_id", "ids", order_col.alias("_order")
     )
     windows = pack_id_windows(
@@ -445,6 +478,7 @@ def pack_shard_windows(
     n_shards: int = 8,
     emit_spans: bool = False,
     pad_id: int | None = None,
+    mixture: dict | None = None,
 ) -> DataFrame:
     """The streaming ingest's LAST MILE (round 10, closing the
     ``shard_store`` story): convert the append-only shard store
@@ -479,7 +513,7 @@ def pack_shard_windows(
     caller's job there."""
     return _pack_store(
         spark, shard_store, dst, window_ids, n_shards,
-        F.col("shard_order"), emit_spans, pad_id,
+        F.col("shard_order"), emit_spans, pad_id, mixture=mixture,
     )
 
 
@@ -502,14 +536,23 @@ def write_token_store(
     """Materialize the EXPENSIVE half of :func:`export_training_set`
     ONCE (round 11, VERDICT r10 item 1): curate → (optional mixture) →
     exact-BPE token-id streams with EOS boundaries → stateless hash
-    shard assignment, written as ``(doc_id, ids)`` rows under hive
-    ``shard=<s>`` dirs at ``store`` — the batch twin of the streaming
-    ``shard_store`` layout (``streaming/pipeline.py``'s sink, minus the
-    ``batch_id`` leaves and the stored ``shard_order`` its writer
-    ordering forces). A new training epoch then costs only
+    shard assignment, written as ``(doc_id, ids[, source])`` rows under
+    hive ``shard=<s>`` dirs at ``store`` — the batch twin of the
+    streaming ``shard_store`` layout (``streaming/pipeline.py``'s sink,
+    minus the ``batch_id`` leaves and the stored ``shard_order`` its
+    writer ordering forces). A new training epoch then costs only
     :func:`repack_epoch` — a ``shard_order`` re-projection of
     ``doc_id`` plus the window pack — instead of re-running
     curate+tokenize per epoch.
+
+    The tiny ``source`` column is persisted whenever the input has one
+    (round 12, VERDICT r11 item 2) so ``repack_epoch(mixture=...)`` can
+    re-weight sources PER EPOCH — the curriculum recipe — as a pure
+    store-side filter. For that workflow build the store with
+    ``mixture=None``: a store-build mixture bakes one sampling in, and
+    a repack mixture then composes on the already-thinned population
+    (well-defined, but the rates are relative to what survived, not to
+    the corpus).
 
     Returns the curation waterfall EXTENDED by ``docs_stored``,
     ``tokens_stored`` (EOS excluded) and ``shards_written`` metric rows
@@ -529,11 +572,12 @@ def write_token_store(
     t, report, pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
         id_col, text_col, curate, mixture, source_col,
-        pretokenizer=pretokenizer,
+        pretokenizer=pretokenizer, keep_source=True,
     )
+    keep = ["ids", "shard"] + (["source"] if "source" in t.columns else [])
     rows = training_shards(
         t, n_shards, id_col="id", salt=salt
-    ).select(F.col("id").alias("doc_id"), "ids", "shard")
+    ).select(F.col("id").alias("doc_id"), *keep)
     rows = rows.persist()
     try:
         (
@@ -590,6 +634,8 @@ def repack_epoch(
     order_salt: str = "order:",
     emit_spans: bool = False,
     pad_id: int | None = None,
+    mixture: dict | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """The CHEAP epoch: windows for a new training permutation from a
     materialized token store, without re-running curate or tokenize
@@ -611,9 +657,21 @@ def repack_epoch(
     any stored ``shard_order`` column (streaming stores keep one — its
     INGEST-time salt) are ignored: the epoch permutation alone defines
     read order, so a corpus ingested in any batching packs
-    identically."""
+    identically.
+
+    ``mixture`` (round 12, VERDICT r11 item 2 — per-epoch CURRICULUM):
+    kwargs for :func:`operators.sampling.temperature_mixture`, applied
+    to the store's persisted ``source`` column as a pure filter before
+    packing — epoch-varying source weights without re-tokenizing.
+    Bit-identical (pinned by test) to
+    ``export_training_set(..., mixture=m, order_salt=X)`` when the
+    store was built WITHOUT mixture: the store holds exactly the curate
+    survivors with the same ``doc_id`` keys, so the deterministic
+    hash-rate filter keeps the same rows. Sourceless stores (pre-round-
+    12 layout, or the streaming sink's (doc_id, text) feed) fail loud
+    when mixture is requested."""
     return _pack_store(
         spark, store, dst, window_ids, n_shards,
         F.md5(F.concat(F.lit(order_salt), F.col("doc_id").cast("string"))),
-        emit_spans, pad_id,
+        emit_spans, pad_id, mixture=mixture, source_col=source_col,
     )

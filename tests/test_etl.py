@@ -548,6 +548,7 @@ class TestTokenStoreCli:
         assert run_token_store(["a", "b", "--bogus", "1"]) == 2
         assert run_repack_epoch(["a"]) == 2
         assert run_repack_epoch(["a", "b", "--window"]) == 2
+        assert run_repack_epoch(["a", "b", "--mixture-alpha", "x"]) == 2
         # empty/missing store is exit 3 (operational, not usage)
         assert run_repack_epoch(
             [str(tmp_path / "nowhere"), str(tmp_path / "out")]
@@ -558,6 +559,48 @@ class TestTokenStoreCli:
             [(1, ""), (2, None)], "doc_id long, text string"
         ).write.parquet(src)
         assert run_token_store([src, str(tmp_path / "s")]) == 3
+
+    def test_mixture_alpha_flag_matches_library(self, spark, tmp_path):
+        """CLI `repack-epoch --mixture-alpha` == repack_epoch(mixture=)
+        bit-for-bit; a sourceless store under the flag exits 2."""
+        from s3_access_logs_spark.cli import (
+            run_repack_epoch,
+            run_token_store,
+        )
+        from s3_access_logs_spark.operators.export import repack_epoch
+
+        src = str(tmp_path / "docs.parquet")
+        spark.createDataFrame(
+            [(i, f"document {i} words of text", f"s{i % 2}")
+             for i in range(40)],
+            "doc_id long, text string, source string",
+        ).write.parquet(src)
+        store = str(tmp_path / "store")
+        assert run_token_store([src, store, "--shards", "2"]) == 0
+        dst = str(tmp_path / "cli_out")
+        assert run_repack_epoch(
+            [store, dst, "--window", "16", "--shards", "2",
+             "--epoch", "ep1:", "--mixture-alpha", "0.5"]
+        ) == 0
+        want = repack_epoch(
+            spark, store, str(tmp_path / "lib_out"), window_ids=16,
+            n_shards=2, order_salt="ep1:", mixture={"alpha": 0.5},
+        )
+        key = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        assert key(spark.read.parquet(dst)) == key(want)
+        # sourceless store + the flag is usage-class exit 2
+        src2 = str(tmp_path / "plain.parquet")
+        spark.createDataFrame(
+            [(i, f"plain doc {i} text") for i in range(10)],
+            "doc_id long, text string",
+        ).write.parquet(src2)
+        store2 = str(tmp_path / "store2")
+        assert run_token_store([src2, store2, "--shards", "2"]) == 0
+        assert run_repack_epoch(
+            [store2, str(tmp_path / "x"), "--mixture-alpha", "0.5"]
+        ) == 2
 
     def test_spans_and_pad_flags(self, spark, tmp_path):
         from s3_access_logs_spark.cli import (

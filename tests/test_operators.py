@@ -1885,6 +1885,88 @@ class TestTokenStoreEpochs:
             [store, str(tmp_path / "w2"), "--window", "0"]
         ) == 2
 
+    def test_repack_mixture_bit_identical_to_export(self, spark, tmp_path):
+        """Per-epoch CURRICULUM (round 12, VERDICT r11 item 2): the
+        store persists `source`, and repack_epoch(mixture=) applies the
+        SAME deterministic hash-rate filter the export applies to
+        curate survivors — so for ANY (alpha, epoch salt) the windows
+        are bit-identical to export_training_set(mixture=...), without
+        re-running curate or tokenize."""
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+            repack_epoch,
+            write_token_store,
+        )
+
+        rows = [
+            (i, f"big source document {i} full of words", "web")
+            for i in range(150)
+        ] + [
+            (1000 + i, f"small source document {i} quality text", "books")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=3)  # UNMIXED store
+        stored = spark.read.parquet(store)
+        assert "source" in stored.columns  # persisted for curricula
+        key = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        # epoch-varying mixtures over ONE store — each equal to the
+        # full export under the same mixture + salt
+        for i, (alpha, salt) in enumerate(
+            ((0.5, "order:"), (0.0, "ep2:"), (0.5, "ep3:"))
+        ):
+            got = repack_epoch(
+                spark, store, str(tmp_path / f"re{i}"),
+                window_ids=16, n_shards=3, order_salt=salt,
+                mixture={"alpha": alpha},
+            )
+            want, _ = export_training_set(
+                docs, str(tmp_path / f"ex{i}"), n_shards=3,
+                window_ids=16, order_salt=salt,
+                mixture={"alpha": alpha},
+            )
+            assert key(got) == key(want), (alpha, salt)
+            assert got.count() > 0
+        # alpha=0 equalizes: strictly fewer windows than the unmixed
+        # epoch under the same salt
+        unmixed = repack_epoch(
+            spark, store, str(tmp_path / "u"), window_ids=16,
+            n_shards=3, order_salt="ep2:",
+        )
+        mixed = spark.read.parquet(str(tmp_path / "re1"))
+        assert mixed.count() < unmixed.count()
+
+    def test_repack_mixture_on_sourceless_store_fails_loud(
+        self, spark, tmp_path
+    ):
+        from s3_access_logs_spark.operators.export import (
+            repack_epoch,
+            write_token_store,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"plain document {i} words") for i in range(20)],
+            "doc_id long, text string",
+        )
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=2)
+        assert "source" not in spark.read.parquet(store).columns
+        with pytest.raises(ValueError, match="no 'source' column"):
+            repack_epoch(
+                spark, store, str(tmp_path / "w"),
+                mixture={"alpha": 0.5},
+            )
+        # without mixture the sourceless store still repacks fine
+        assert repack_epoch(
+            spark, store, str(tmp_path / "w2"), window_ids=16,
+            n_shards=2,
+        ).count() > 0
+
     def test_repack_pad_on_prescheme_store_warns(
         self, spark, tmp_path, caplog
     ):
