@@ -247,18 +247,27 @@ def run_compact(argv: list[str]) -> int:
 
 def run_fold_store(argv: list[str]) -> int:
     """`python -m s3_access_logs_spark fold-store <store> [--keep-recent N]
-    [--target-mb N]` — maintenance for the batch_id-partitioned streaming
-    stores (digest/band/bloom/frequency/profile): fold committed history
-    into the negative-id base partition and size-normalize files (see
-    streaming.pipeline.compact_ingest_store, incl. why --keep-recent
-    defaults to 1 for a live stream)."""
-    from s3_access_logs_spark.streaming.pipeline import compact_ingest_store
+    [--target-mb N] [--token]` — maintenance for the batch_id-partitioned
+    streaming stores (digest/band/bloom/frequency/profile): fold committed
+    history into the negative-id base partition and size-normalize files
+    (see streaming.pipeline.compact_ingest_store, incl. why --keep-recent
+    defaults to 1 for a live stream). ``--token`` folds a streaming TOKEN
+    shard store instead (``shard=<s>/batch_id=<b>`` leaves → one base
+    file per shard; see compact_token_store — round 12)."""
+    from s3_access_logs_spark.streaming.pipeline import (
+        compact_ingest_store,
+        compact_token_store,
+    )
 
-    usage = "usage: fold-store <store> [--keep-recent N] [--target-mb N]"
+    usage = (
+        "usage: fold-store <store> [--keep-recent N] [--target-mb N]"
+        " [--token]"
+    )
     # strict parse via the shared helper (review r11: this command's
     # own loop was the policy's namesake, and the helper superseded it)
     parsed = _parse_flags(
-        argv, {"--keep-recent": int, "--target-mb": int}, usage
+        argv, {"--keep-recent": int, "--target-mb": int}, usage,
+        bool_flags=("--token",),
     )
     if parsed is None:
         return 2
@@ -270,6 +279,19 @@ def run_fold_store(argv: list[str]) -> int:
     keep_recent = int(vals.get("--keep-recent", 1))
     target_mb = int(vals.get("--target-mb", 128))
     spark = get_spark("s3-access-logs-fold-store")
+    if vals.get("--token"):
+        try:
+            tres = compact_token_store(
+                spark, store, keep_recent=keep_recent
+            )
+        except ValueError as e:  # wrong layout / bad args — usage-class
+            log.error("fold-store --token: %s", e)
+            return 2
+        log.info(
+            "folded %d token-store batch leaf id(s) %s, kept %s",
+            len(tres["folded"]), tres["folded"], tres["kept"],
+        )
+        return 0
     res = compact_ingest_store(
         spark,
         store,
@@ -525,6 +547,106 @@ def run_repack_epoch(argv: list[str]) -> int:
     return 0
 
 
+def run_preflight(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark preflight <src-or-store>
+    [--window N] [--unk-threshold T]` — the export pre-flight at the
+    operational layer (round 12, VERDICT r11 item 5): prints the
+    per-source fit + layout gate rows and exits 3 when any source's
+    `unk_flag` fires (the id streams would train noise — a cron
+    wrapper must see it). A TOKEN STORE argument (detected by its
+    `_token_store_meta.json` sidecar or `shard=` layout) is scanned
+    directly via `store_preflight_report` — ids only, no
+    re-tokenizing; anything else is treated as a corpus (an sf-style
+    table dir containing documents.parquet) and gated through the
+    corpus-mode `sql_preflight_gate` views. Exit 2 on
+    usage/unreadable input."""
+    from pyspark.sql import functions as F
+
+    usage = (
+        "usage: preflight <src-or-store> [--window N]"
+        " [--unk-threshold T]"
+    )
+    parsed = _parse_flags(
+        argv, {"--window": int, "--unk-threshold": float}, usage
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 1:
+        log.error(usage)
+        return 2
+    src = pos[0]
+    threshold = float(vals.get("--unk-threshold", 0.25))
+    spark = get_spark("s3-access-logs-preflight")
+
+    def _is_token_store() -> bool:
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+        )
+        from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+        fs, root = hadoop_fs(spark, src)
+        if not fs.exists(root):
+            return False
+        HPath = spark._jvm.org.apache.hadoop.fs.Path
+        if fs.exists(HPath(f"{src.rstrip('/')}/{TOKEN_STORE_META}")):
+            return True
+        return any(
+            st.isDirectory()
+            and st.getPath().getName().startswith("shard=")
+            for st in fs.listStatus(root)
+        )
+
+    try:
+        if _is_token_store():
+            from s3_access_logs_spark.operators.export import (
+                store_preflight_report,
+            )
+
+            df = store_preflight_report(
+                spark, src,
+                window_ids=int(vals.get("--window", 256)),
+                unk_threshold=threshold,
+            )
+        else:
+            # corpus mode: the sql_preflight_gate views over the given
+            # sf dir / documents parquet, re-thresholded to the flag
+            from s3_access_logs_spark.plans.catalog import load_all
+
+            if "--window" in vals:
+                log.error(
+                    "preflight: --window applies to token stores only "
+                    "(the corpus-mode gate packs at its fixed demo "
+                    "window); %s", usage,
+                )
+                return 2
+            df = load_all()["sql_preflight_gate"].builder(spark, src)
+            df = df.withColumn(
+                "unk_flag",
+                F.coalesce(F.col("unk_rate"), F.lit(0.0))
+                > F.lit(threshold),
+            )
+        rows = df.collect()
+    except Exception as e:  # noqa: BLE001 — unreadable input is exit 2
+        log.error("preflight: %s", e)
+        return 2
+    if not rows:
+        log.error("preflight: %s holds no documents/ids", src)
+        return 3
+    for r in rows:
+        log.info("  %s", r.asDict())
+    flagged = [r["source"] for r in rows if r["unk_flag"]]
+    if flagged:
+        log.error(
+            "preflight: unk_flag fired for source(s) %s (unk_rate > "
+            "%s) — the vocab and this corpus disagree; exporting would "
+            "train on unk soup", flagged, threshold,
+        )
+        return 3
+    log.info("preflight: all %d source row(s) under the gate", len(rows))
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
@@ -541,6 +663,8 @@ def main(env: dict[str, str] | None = None) -> int:
         return run_token_store(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "repack-epoch":
         return run_repack_epoch(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "preflight":
+        return run_preflight(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():

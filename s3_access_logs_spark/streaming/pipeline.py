@@ -1855,3 +1855,211 @@ def dedup_request_stream(parsed: DataFrame, watermark: str = "2 hours") -> DataF
     return parsed.withWatermark("ts_ts", watermark).dropDuplicatesWithinWatermark(
         ["requestid"]
     )
+
+
+def _token_store_leaves(
+    spark: SparkSession, store: str
+) -> dict[str, set[int]]:
+    """The ``shard=<s>/batch_id=<b>`` leaves of a streaming token
+    store: shard dir name → batch ids under it. One two-level listing,
+    no data read; non-hive strays and non-numeric batch dirs are
+    skipped (the ``_hive_batch_ids`` rule, one level down)."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, root = hadoop_fs(spark, store)
+    if not fs.exists(root):
+        return {}
+    out: dict[str, set[int]] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not st.isDirectory() or not (
+            name.startswith("shard=")
+            or name == "__HIVE_DEFAULT_PARTITION__"
+        ):
+            continue
+        ids: set[int] = set()
+        for kid in fs.listStatus(st.getPath()):
+            kname = kid.getPath().getName()
+            if kid.isDirectory() and kname.startswith("batch_id="):
+                try:
+                    ids.add(int(kname.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        out[name] = ids
+    return out
+
+
+def _recover_token_fold(spark: SparkSession, store: str) -> None:
+    """Complete or roll back a crashed :func:`compact_token_store` fold
+    — the :func:`_recover_fold` protocol, one directory level down
+    (leaves are ``shard=<s>/batch_id=<b>``, so staging/trash mirror the
+    shard level and every merge walks shard → batch)."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+    fs, _ = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    root = store.rstrip("/")
+    staging = HPath(f"{root}/_fold_staging")
+    trash = HPath(f"{root}/_fold_trash")
+
+    def _merge_tree(src_root) -> None:
+        # merge src_root/shard=<s>/batch_id=<b> into the live tree,
+        # by-basename at the batch level (object-store-split safe)
+        if not fs.exists(src_root):
+            return
+        for sh in fs.listStatus(src_root):
+            if not sh.isDirectory():
+                continue
+            for b in fs.listStatus(sh.getPath()):
+                _merge_dir(
+                    fs, HPath, b.getPath(),
+                    HPath(
+                        f"{root}/{sh.getPath().getName()}/"
+                        f"{b.getPath().getName()}"
+                    ),
+                )
+
+    if not fs.exists(staging):
+        # trash without staging is protocol-unreachable (the fold
+        # deletes trash first) — restore conservatively, a merge never
+        # loses either side
+        if fs.exists(trash):
+            _merge_tree(trash)
+            fs.delete(trash, True)
+        return
+    if fs.exists(HPath(f"{staging}/{_MOVED_OK}")):
+        _merge_tree(staging)  # roll FORWARD: finish the install
+        fs.delete(trash, True)
+    else:
+        _merge_tree(trash)  # roll BACK: the install never began
+        fs.delete(trash, True)
+    fs.delete(staging, True)
+
+
+def compact_token_store(
+    spark: SparkSession,
+    store: str,
+    keep_recent: int = 1,
+    base_batch_id: int = -1,
+) -> dict:
+    """Maintenance for the STREAMING token shard store (round 12,
+    VERDICT r11 item 3): ``ingest_documents_stream(shard_store=...)``
+    appends one ``shard=<s>/batch_id=<b>`` leaf per shard per
+    micro-batch forever, so months of streaming list N_batches dirs of
+    small files under every shard — the small-files blowup the batch
+    store (one ``shard=<s>`` dir, one file) never has. This folds
+    committed batches into a single ``batch_id=<base_batch_id>`` base
+    leaf per shard — ONE file per shard, rows in ``shard_order`` like
+    the stream's own files — leaving the store bit-equivalent for
+    every consumer: ``repack_epoch`` ignores ``batch_id`` and the
+    stored ``shard_order`` entirely (pinned identical before/after),
+    and ``pack_shard_windows`` still sees the same ``shard_order``
+    column (kept in the base exactly so the ingest-order pack
+    capability survives compaction). The root
+    ``_token_store_meta.json`` sidecar is never touched.
+
+    Replay safety is :func:`compact_ingest_store`'s rule verbatim:
+    only the newest batch can be in the uncommitted-replay window, so
+    ``keep_recent`` defaults to 1 (0 is legal with the stream
+    stopped); ``base_batch_id`` must be negative so it can never
+    collide with a live epoch's dynamic-overwrite leaves. Crash
+    posture is the same stage → move-aside → ``_moved_ok`` → install
+    protocol, with staging/trash mirroring the two-level layout
+    (:func:`_recover_token_fold` rolls a crash back before the marker
+    and forward after it, by-basename merges at the batch level so
+    object-store renames stay safe). Token-store rows are
+    set-semantics (one row per (doc_id, digest-gated ingest)), so
+    even the linear-store concern does not arise. Returns
+    ``{"folded": [...], "kept": [...]}`` (global batch ids)."""
+    from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
+
+    if base_batch_id >= 0:
+        raise ValueError(
+            "base_batch_id must be negative (streaming batch ids count "
+            "up from 0; a non-negative base could collide with a live "
+            "batch)"
+        )
+    if keep_recent < 0:
+        raise ValueError("keep_recent must be >= 0")
+    _recover_token_fold(spark, store)
+    if not has_data_files(spark, store):
+        return {"folded": [], "kept": []}
+    leaves = _token_store_leaves(spark, store)
+    if not leaves or not any(leaves.values()):
+        # shard dirs holding plain files (no batch_id children) ARE the
+        # already-compact batch layout; no shard dirs at all means this
+        # is not a token store
+        raise ValueError(
+            f"compact_token_store: {store!r} has data but no "
+            "shard=<s>/batch_id=<b> leaves — this is the batch "
+            "write_token_store layout (already one dir per shard, "
+            "nothing to fold) or not a token store at all"
+        )
+    all_ids = sorted(set().union(*leaves.values()))
+    live = [b for b in all_ids if b != base_batch_id]
+    folded = (
+        live[: max(0, len(live) - keep_recent)] if keep_recent else live
+    )
+    if not folded:
+        return {"folded": [], "kept": live}
+    fs, _ = hadoop_fs(spark, store)
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    root = store.rstrip("/")
+    staging, trash = f"{root}/_fold_staging", f"{root}/_fold_trash"
+    # 1. STAGE the combined per-shard base outside the hive tree. One
+    #    job over only the folded batches' bytes; repartition keys each
+    #    shard to one writer task -> exactly one file per shard leaf,
+    #    in-file rows in the stream's own (shard_order, doc_id) order.
+    history = spark.read.parquet(store).filter(
+        F.col("batch_id").isin([base_batch_id] + folded)
+    )
+    n_shards = max(1, len(leaves))
+    (
+        history.withColumn("batch_id", F.lit(base_batch_id))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(
+            "shard", "batch_id", "shard_order", "doc_id"
+        )
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("shard", "batch_id")
+        .parquet(staging)
+    )
+    # 2. Move the old base and every folded leaf aside, mirroring the
+    #    shard level. After this the folded rows live ONLY in
+    #    trash + staging.
+    for sh, ids in leaves.items():
+        moved_any = False
+        for b in [base_batch_id] + folded:
+            if b not in ids:
+                continue
+            src_dir = HPath(f"{root}/{sh}/batch_id={b}")
+            if not fs.exists(src_dir):
+                continue
+            if not moved_any:
+                fs.mkdirs(HPath(f"{trash}/{sh}"))
+                moved_any = True
+            dst_dir = HPath(f"{trash}/{sh}/batch_id={b}")
+            fs.delete(dst_dir, True)
+            if not fs.rename(src_dir, dst_dir):
+                raise IOError(f"token fold: cannot move {src_dir} aside")
+    # the commit point (see _recover_token_fold)
+    fs.create(HPath(f"{staging}/{_MOVED_OK}"), True).close()
+    # 3. Install each staged shard base. Atomic per rename on
+    #    HDFS/local; a crash mid-install is converged by the rerun's
+    #    roll-forward merge.
+    for st in fs.listStatus(HPath(staging)):
+        if not st.isDirectory():
+            continue
+        sh = st.getPath().getName()
+        fs.mkdirs(HPath(f"{root}/{sh}"))
+        if not fs.rename(
+            HPath(f"{staging}/{sh}/batch_id={base_batch_id}"),
+            HPath(f"{root}/{sh}/batch_id={base_batch_id}"),
+        ):
+            raise IOError(
+                f"token fold: cannot install staged base for {sh}"
+            )
+    fs.delete(HPath(trash), True)
+    fs.delete(HPath(staging), True)
+    return {"folded": folded, "kept": [b for b in live if b not in folded]}

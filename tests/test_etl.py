@@ -394,11 +394,12 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        # 113 = 95 granular + 18 folds (round 11 added
-        # packed_window_spans, packed_padded_windows, vocab_fit_report,
-        # window_fill_report, sql_preflight_gate — all folded, driver
-        # surface still 49)
-        assert "q1_pricing_summary" in names and len(names) == 113
+        # 114 = 96 granular + 18 folds (round 12 added
+        # store_preflight_report, standalone — driver surface 50, at
+        # the <= 50 cap; round 11 added packed_window_spans,
+        # packed_padded_windows, vocab_fit_report, window_fill_report,
+        # sql_preflight_gate — all folded)
+        assert "q1_pricing_summary" in names and len(names) == 114
         assert run_query(["no_such_query"]) == 2
 
 
@@ -622,6 +623,49 @@ class TestTokenStoreCli:
         got = spark.read.parquet(dst)
         assert "doc_spans" in got.columns
         assert got.filter("size(ids) <> 16").count() == 0
+
+
+class TestPreflightCli:
+    """`preflight <src-or-store>` (round 12): the gate at the
+    operational layer — exit 0 under the threshold, exit 3 when any
+    source's unk_flag fires, exit 2 on usage."""
+
+    def test_store_mode_gate_and_exit_codes(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_preflight
+        from s3_access_logs_spark.operators.export import (
+            write_token_store,
+        )
+        from s3_access_logs_spark.plans.text_queries import _fit_merges
+
+        docs = spark.createDataFrame(
+            [(i, f"document {i} plain words here", f"s{i % 2}")
+             for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        store = str(tmp_path / "store")
+        # 40-merge table -> real non-zero unk rate, but well under 0.25
+        write_token_store(docs, store, n_shards=2, merges=_fit_merges())
+        assert run_preflight([store]) == 0
+        # a hair-trigger threshold fires the gate
+        assert run_preflight(
+            [store, "--unk-threshold", "0.0001"]
+        ) == 3
+        # usage errors
+        assert run_preflight([]) == 2
+        assert run_preflight([store, "--unk-threshold"]) == 2
+        assert run_preflight([store, "--bogus", "1"]) == 2
+        assert run_preflight([str(tmp_path / "nowhere")]) == 2
+
+    def test_corpus_mode_routes_through_sql_gate(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_preflight
+
+        sf = "/root/testdata/sf0.001"
+        # the corpus-mode fit view's 40-merge unk rate (~6.6%) sits
+        # under the default 0.25 gate and over a hair-trigger one
+        assert run_preflight([sf]) == 0
+        assert run_preflight([sf, "--unk-threshold", "0.0001"]) == 3
+        # --window is a store-mode knob
+        assert run_preflight([sf, "--window", "64"]) == 2
 
 
 class TestSqlCli:

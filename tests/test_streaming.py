@@ -1160,6 +1160,249 @@ class TestIngestShardHandoff:
             )
 
 
+class TestTokenStoreCompaction:
+    """Round 12 (VERDICT r11 item 3): fold a streaming token store's
+    ``shard=<s>/batch_id=<b>`` leaves into one base file per shard —
+    the batch store's file shape — with every consumer bit-unchanged
+    and the sidecar preserved."""
+
+    def _drop(self, src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def _stream_store(self, spark, tmp_path, n_docs=24, n_files=3):
+        """Drain n_files micro-batches into a shard store; returns its
+        path."""
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir(parents=True)
+        per = n_docs // n_files
+        for f in range(n_files):
+            self._drop(src, f"b{f}.jsonl", [
+                {"doc_id": i,
+                 "text": f"unique stream document {i} with words"}
+                for i in range(f * per, (f + 1) * per)
+            ])
+        shards = str(tmp_path / "shards")
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=3,
+            max_files_per_trigger=1,
+        ).awaitTermination(180)
+        return shards
+
+    @staticmethod
+    def _wkey(df):
+        return sorted(
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+
+    def test_fold_is_invisible_to_both_pack_paths(self, spark, tmp_path):
+        import os
+
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+            pack_shard_windows,
+            repack_epoch,
+        )
+        from s3_access_logs_spark.streaming.pipeline import (
+            compact_token_store,
+        )
+
+        shards = self._stream_store(spark, tmp_path)
+        sdirs = sorted(
+            d for d in os.listdir(shards) if d.startswith("shard=")
+        )
+        # three batches -> three leaves per populated shard
+        assert all(
+            len([b for b in os.listdir(f"{shards}/{d}")
+                 if b.startswith("batch_id=")]) >= 2
+            for d in sdirs
+        )
+        before_rows = sorted(
+            (r.doc_id, tuple(r.ids), r.shard, r.shard_order)
+            for r in spark.read.parquet(shards).collect()
+        )
+        before_re = self._wkey(repack_epoch(
+            spark, shards, str(tmp_path / "re0"), window_ids=16,
+            n_shards=3, order_salt="ep7:",
+        ))
+        before_pk = self._wkey(pack_shard_windows(
+            spark, shards, str(tmp_path / "pk0"), window_ids=16,
+            n_shards=3,
+        ))
+        res = compact_token_store(spark, shards, keep_recent=0)
+        assert res["folded"] == [0, 1, 2] and res["kept"] == []
+        # leaves collapsed: per shard dir exactly one batch_id=-1 leaf
+        # holding exactly ONE data file
+        for d in sdirs:
+            kids = [b for b in os.listdir(f"{shards}/{d}")
+                    if b.startswith("batch_id=")]
+            assert kids == ["batch_id=-1"], d
+            files = [f for f in os.listdir(f"{shards}/{d}/batch_id=-1")
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, d
+        # sidecar preserved; rows (incl. shard_order) identical
+        assert os.path.exists(f"{shards}/{TOKEN_STORE_META}")
+        after_rows = sorted(
+            (r.doc_id, tuple(r.ids), r.shard, r.shard_order)
+            for r in spark.read.parquet(shards).collect()
+        )
+        assert after_rows == before_rows
+        # both pack paths bit-identical across the fold
+        assert self._wkey(repack_epoch(
+            spark, shards, str(tmp_path / "re1"), window_ids=16,
+            n_shards=3, order_salt="ep7:",
+        )) == before_re
+        assert self._wkey(pack_shard_windows(
+            spark, shards, str(tmp_path / "pk1"), window_ids=16,
+            n_shards=3,
+        )) == before_pk
+        # rerun is a no-op
+        assert compact_token_store(spark, shards, keep_recent=0) == {
+            "folded": [], "kept": [],
+        }
+
+    def test_keep_recent_and_guards(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from s3_access_logs_spark.operators.export import (
+            write_token_store,
+        )
+        from s3_access_logs_spark.streaming.pipeline import (
+            compact_token_store,
+        )
+
+        shards = self._stream_store(spark, tmp_path)
+        with pytest.raises(ValueError, match="negative"):
+            compact_token_store(spark, shards, base_batch_id=0)
+        with pytest.raises(ValueError, match=">= 0"):
+            compact_token_store(spark, shards, keep_recent=-1)
+        # keep_recent=1 (the live-stream default) folds all but the
+        # newest batch — the replay-window rule
+        res = compact_token_store(spark, shards, keep_recent=1)
+        assert res["folded"] == [0, 1] and res["kept"] == [2]
+        for d in os.listdir(shards):
+            if not d.startswith("shard="):
+                continue
+            kids = sorted(
+                b for b in os.listdir(f"{shards}/{d}")
+                if b.startswith("batch_id=")
+            )
+            assert "batch_id=-1" in kids
+            assert all(b in ("batch_id=-1", "batch_id=2") for b in kids)
+        # a BATCH-layout token store has nothing to fold -> loud
+        docs = spark.createDataFrame(
+            [(i, f"doc {i} words") for i in range(10)],
+            "doc_id long, text string",
+        )
+        bstore = str(tmp_path / "bstore")
+        write_token_store(docs, bstore, n_shards=2)
+        with pytest.raises(ValueError, match="write_token_store layout"):
+            compact_token_store(spark, bstore)
+        # CLI surface: --token routes here, layout misuse exits 2
+        from s3_access_logs_spark.cli import run_fold_store
+
+        assert run_fold_store([bstore, "--token"]) == 2
+        shards2 = self._stream_store(
+            spark, tmp_path / "second", n_docs=12, n_files=2
+        )
+        assert run_fold_store(
+            [shards2, "--token", "--keep-recent", "0"]
+        ) == 0
+        for d in os.listdir(shards2):
+            if d.startswith("shard="):
+                assert sorted(
+                    b for b in os.listdir(f"{shards2}/{d}")
+                    if b.startswith("batch_id=")
+                ) == ["batch_id=-1"]
+
+    def test_crash_recovery_converges_both_directions(
+        self, spark, tmp_path
+    ):
+        """The fold's two crash windows, reconstructed on disk: before
+        the ``_moved_ok`` marker recovery ROLLS BACK (trash restored,
+        the rerun re-folds from the original state); after it recovery
+        ROLLS FORWARD (staged base installed). Either way no row is
+        lost or duplicated."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from s3_access_logs_spark.streaming.pipeline import (
+            _MOVED_OK,
+            compact_token_store,
+        )
+
+        shards = self._stream_store(spark, tmp_path)
+        want = sorted(
+            (r.doc_id, tuple(r.ids), r.shard)
+            for r in spark.read.parquet(shards).collect()
+        )
+        # --- crash BEFORE the marker: leaves moved aside, no marker --
+        os.makedirs(f"{shards}/_fold_staging/shard=0", exist_ok=True)
+        for d in list(os.listdir(shards)):
+            if not d.startswith("shard="):
+                continue
+            for b in list(os.listdir(f"{shards}/{d}")):
+                if b.startswith("batch_id="):
+                    os.makedirs(
+                        f"{shards}/_fold_trash/{d}", exist_ok=True
+                    )
+                    shutil.move(
+                        f"{shards}/{d}/{b}",
+                        f"{shards}/_fold_trash/{d}/{b}",
+                    )
+        res = compact_token_store(spark, shards, keep_recent=0)
+        assert res["folded"] == [0, 1, 2]
+        got = sorted(
+            (r.doc_id, tuple(r.ids), r.shard)
+            for r in spark.read.parquet(shards).collect()
+        )
+        assert got == want
+        assert not os.path.exists(f"{shards}/_fold_trash")
+        assert not os.path.exists(f"{shards}/_fold_staging")
+        # --- crash AFTER the marker: staged base written, leaves in
+        # trash, marker present, install never ran ------------------
+        rows = spark.read.parquet(shards)
+        (
+            rows.withColumn("batch_id", F.lit(-1))
+            .repartition(3, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard", "batch_id")
+            .parquet(f"{shards}/_fold_staging")
+        )
+        for d in list(os.listdir(shards)):
+            if not d.startswith("shard="):
+                continue
+            for b in list(os.listdir(f"{shards}/{d}")):
+                if b.startswith("batch_id="):
+                    os.makedirs(
+                        f"{shards}/_fold_trash/{d}", exist_ok=True
+                    )
+                    shutil.move(
+                        f"{shards}/{d}/{b}",
+                        f"{shards}/_fold_trash/{d}/{b}",
+                    )
+        open(f"{shards}/_fold_staging/{_MOVED_OK}", "w").close()
+        res = compact_token_store(spark, shards, keep_recent=0)
+        assert res == {"folded": [], "kept": []}  # already folded
+        got = sorted(
+            (r.doc_id, tuple(r.ids), r.shard)
+            for r in spark.read.parquet(shards).collect()
+        )
+        assert got == want
+        assert not os.path.exists(f"{shards}/_fold_trash")
+        assert not os.path.exists(f"{shards}/_fold_staging")
+
+
 class TestIngestReplaySafety:
     def test_stale_same_batch_rows_do_not_self_collide(self, spark, tmp_path):
         """Simulate the at-least-once crash window: a prior ATTEMPT of this
