@@ -675,3 +675,133 @@ def repack_epoch(
         F.md5(F.concat(F.lit(order_salt), F.col("doc_id").cast("string"))),
         emit_spans, pad_id, mixture=mixture, source_col=source_col,
     )
+
+
+def store_preflight_report(
+    spark,
+    store: str,
+    window_ids: int = 256,
+    unk_threshold: float = 0.25,
+    unk_id: int | None = None,
+    eos_id: int | None = None,
+) -> DataFrame:
+    """PRE-FLIGHT over a materialized token store (round 12, VERDICT
+    r11 item 5): once the store exists, unk/fill statistics are a
+    cheap scan of the STORED ids — no re-tokenizing the text corpus
+    the way ``vocab_fit_report``/``window_fill_report`` must. One row
+    per source (a sourceless store reports one NULL-source row):
+
+    * fit half, per source — ``n_docs``, ``total_ids`` (EOS excluded),
+      ``unk_ids``, ``unk_rate``, and ``unk_flag`` (rate above
+      ``unk_threshold``: this source's id stream would train noise);
+    * layout half, GLOBAL (repeated on every row — the artifact packs
+      per SHARD, so per-source fill would describe a layout that is
+      never written): ``n_windows`` (sum over shards of
+      ceil(stream/W)), ``pad_ids``/``pad_rate`` (the fixed-shape waste
+      bound: only each shard's last window pads) and
+      ``docs_per_window`` (EOS boundaries per window).
+
+    ``unk_id``/``eos_id`` default from the store's
+    ``_token_store_meta.json`` sidecar; a pre-scheme store without one
+    must pass both explicitly (guessing an unk id would silently count
+    nothing). Scale shape: one column-pruned store scan, two tiny
+    aggregations (source-keyed and shard-keyed), a single-row cross
+    join — no text, no Python, no second action."""
+    from s3_access_logs_spark.sources.fsutil import (
+        has_data_files,
+        read_json_sidecar,
+    )
+
+    W = int(window_ids)
+    if W < 1:
+        raise ValueError(
+            f"store_preflight_report: window_ids must be >= 1, got {W}"
+        )
+    meta = read_json_sidecar(spark, store, TOKEN_STORE_META)
+    if unk_id is None:
+        if meta is None or "unk_id" not in meta:
+            raise ValueError(
+                f"store_preflight_report: no {TOKEN_STORE_META} sidecar "
+                f"at {store!r} and no explicit unk_id — cannot know "
+                "which id means 'outside the vocabulary'; pass "
+                "unk_id/eos_id for pre-scheme stores"
+            )
+        unk_id = int(meta["unk_id"])
+    if eos_id is None:
+        if meta is None or "eos_id" not in meta:
+            raise ValueError(
+                f"store_preflight_report: no {TOKEN_STORE_META} sidecar "
+                f"at {store!r} and no explicit eos_id"
+            )
+        eos_id = int(meta["eos_id"])
+    if not has_data_files(spark, store):
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, total_ids bigint, "
+            "unk_ids bigint, unk_rate double, unk_flag boolean, "
+            "n_windows bigint, pad_ids bigint, pad_rate double, "
+            "docs_per_window double",
+        )
+    rows = spark.read.parquet(store)
+    src = (
+        F.col("source")
+        if "source" in rows.columns
+        else F.lit(None).cast("string")
+    )
+    unk_l, W_l = F.lit(int(unk_id)), F.lit(W)
+    per_doc = rows.select(
+        src.alias("source"),
+        "shard",
+        F.size("ids").cast("long").alias("n_with_eos"),
+        F.size(F.filter("ids", lambda x: x == unk_l))
+        .cast("long")
+        .alias("n_unk"),
+    )
+    fit = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_with_eos") - F.count(F.lit(1))).alias("total_ids"),
+        F.sum("n_unk").alias("unk_ids"),
+    )
+    per_shard = per_doc.groupBy("shard").agg(
+        F.sum("n_with_eos").alias("stream_len"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    layout = per_shard.agg(
+        F.sum(F.floor((F.col("stream_len") + W_l - 1) / W_l))
+        .cast("bigint")
+        .alias("n_windows"),
+        F.sum("stream_len").alias("_stream_total"),
+        F.sum("nd").alias("_nd_total"),
+    ).select(
+        "n_windows",
+        (F.col("n_windows") * W_l - F.col("_stream_total"))
+        .cast("bigint")
+        .alias("pad_ids"),
+        F.round(
+            F.try_divide(
+                F.col("n_windows") * W_l - F.col("_stream_total"),
+                F.col("n_windows") * W_l,
+            ),
+            6,
+        ).alias("pad_rate"),
+        F.round(
+            F.try_divide(F.col("_nd_total"), F.col("n_windows")), 6
+        ).alias("docs_per_window"),
+    )
+    return fit.select(
+        "source",
+        "n_docs",
+        "total_ids",
+        "unk_ids",
+        F.round(F.try_divide(F.col("unk_ids"), F.col("total_ids")), 6)
+        .alias("unk_rate"),
+        (
+            F.coalesce(
+                F.round(
+                    F.try_divide(F.col("unk_ids"), F.col("total_ids")), 6
+                ),
+                F.lit(0.0),
+            )
+            > F.lit(float(unk_threshold))
+        ).alias("unk_flag"),
+    ).crossJoin(F.broadcast(layout))

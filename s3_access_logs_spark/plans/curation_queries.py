@@ -2201,3 +2201,132 @@ _Q["embedding_pq_topk"] = _dc.replace(
 _Q["embedding_pq_residual_topk"] = _dc.replace(
     _Q["embedding_pq_residual_topk"], oracle=_pq_residual_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Store-mode pre-flight (round 12, VERDICT r11 item 5)
+
+def _store_preflight_sql() -> str:
+    from s3_access_logs_spark.functions import bpe as B
+    from s3_access_logs_spark.plans.text_queries import (
+        SQL_MD5_LONG,
+        _fit_merges,
+    )
+
+    ms = _fit_merges()
+    vocab = B.bpe_vocab(ms)
+    eos = len(vocab)
+    vlit = "[" + ", ".join(B._sql_quote(t) for t in vocab) + "]"
+    W = _EXPORT_WINDOW
+    shard = (
+        SQL_MD5_LONG.format(x="'shards:' || doc_id::VARCHAR")
+        + f" % {_EXPORT_SHARDS}"
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id, source, text,
+             (text IS NULL OR trim(text) = '') AS f_empty
+      FROM documents
+    ),
+    e AS (
+      SELECT *,
+             (ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g')))
+                ORDER BY f_empty::INT, doc_id)
+              > 1) AND NOT f_empty AS f_exact
+      FROM f
+    ),
+    kept AS (
+      SELECT doc_id, source, text FROM e
+      WHERE NOT f_empty AND NOT f_exact
+    ),
+    ids AS (
+      SELECT doc_id, source,
+             list_append(
+               COALESCE(
+                 list_transform(
+                   {B.bpe_tokens_sql("text", ms)},
+                   tk -> COALESCE(list_position({vlit}, tk) - 1, -1)
+                 ), []),
+               {eos}) AS ids,
+             ({shard}) AS shard
+      FROM kept
+    ),
+    fit AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             (SUM(len(ids)) - COUNT(*))::BIGINT AS total_ids,
+             SUM(len(list_filter(ids, x -> x = -1)))::BIGINT AS unk_ids
+      FROM ids GROUP BY source
+    ),
+    per_shard AS (
+      SELECT shard, SUM(len(ids)) AS stream_len, COUNT(*) AS nd
+      FROM ids GROUP BY shard
+    ),
+    layout AS (
+      SELECT SUM((stream_len + {W - 1}) // {W})::BIGINT AS n_windows,
+             SUM(stream_len) AS stream_total,
+             SUM(nd) AS nd_total
+      FROM per_shard
+    )
+    SELECT f.source, f.n_docs, f.total_ids, f.unk_ids,
+           ROUND(f.unk_ids / NULLIF(f.total_ids, 0), 6) AS unk_rate,
+           (COALESCE(ROUND(f.unk_ids / NULLIF(f.total_ids, 0), 6), 0.0)
+              > 0.25) AS unk_flag,
+           l.n_windows,
+           (l.n_windows * {W} - l.stream_total)::BIGINT AS pad_ids,
+           ROUND((l.n_windows * {W} - l.stream_total)
+                 / NULLIF(l.n_windows * {W}, 0), 6) AS pad_rate,
+           ROUND(l.nd_total / NULLIF(l.n_windows, 0)::DOUBLE, 6)
+             AS docs_per_window
+    FROM fit f CROSS JOIN layout l
+    """
+
+
+@query(
+    "store_preflight_report",
+    oracle=None,  # filled below (default-curate + tokenize + shard replay)
+    tags=("llm", "pipeline", "tokenize", "packing", "report", "store"),
+)
+def store_preflight_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORE-MODE pre-flight (round 12, VERDICT r11 item 5): build
+    the token store once (``write_token_store`` — default curate, the
+    40-merge ``_fit_merges`` table so the unk arithmetic is
+    value-checked at a non-trivial point, the r11 lesson), then derive
+    unk/fill statistics from the STORED ids alone
+    (``operators/export.store_preflight_report``) — no re-tokenizing,
+    the scan is ~4 bytes/token of parquet. Per-source fit columns join
+    a GLOBAL layout half (the artifact packs per shard; both halves
+    come from ONE store and ONE tokenizer, which is what closes the
+    corpus-mode demo's two-tokenizer fixture caveat — ADVICE r11). The
+    oracle replays the whole composition from ``documents``: default
+    waterfall verdicts, exact 40-merge BPE ids, shard hash, per-shard
+    ceil-window arithmetic."""
+    import shutil
+    import tempfile
+
+    from s3_access_logs_spark.operators.export import (
+        store_preflight_report,
+        write_token_store,
+    )
+    from s3_access_logs_spark.plans.text_queries import _fit_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    td = tempfile.mkdtemp(prefix="store_preflight_")
+    try:
+        write_token_store(
+            docs, f"{td}/store", n_shards=_EXPORT_SHARDS,
+            merges=_fit_merges(),
+        )
+        out = store_preflight_report(
+            spark, f"{td}/store", window_ids=_EXPORT_WINDOW
+        )
+        # materialize before the store dir vanishes
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
+_Q["store_preflight_report"] = _dc.replace(
+    _Q["store_preflight_report"], oracle=_store_preflight_sql()
+)

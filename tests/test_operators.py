@@ -2015,6 +2015,73 @@ class TestTokenStoreEpochs:
             "SKIPPED" in r.message for r in caplog.records
         )
 
+    def test_store_preflight_report_from_stored_ids(
+        self, spark, tmp_path
+    ):
+        """Store-mode pre-flight (round 12, VERDICT r11 item 5): unk +
+        layout stats from the STORED ids alone, with the layout half
+        pinned against the real artifact — the report's n_windows must
+        equal what repack_epoch actually cuts."""
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+            repack_epoch,
+            store_preflight_report,
+            write_token_store,
+        )
+        from s3_access_logs_spark.plans.text_queries import _fit_merges
+
+        docs = self._docs(spark)  # two-ish sources, 80 real docs
+        store = str(tmp_path / "store")
+        # the 40-merge prefix leaves 7 letters out of the charset, so
+        # unk_rate is non-trivially > 0 (the r11 oracle lesson)
+        write_token_store(docs, store, n_shards=3, merges=_fit_merges())
+        W = 16
+        rep = store_preflight_report(spark, store, window_ids=W)
+        rows = rep.collect()
+        assert sorted(r.source for r in rows) == ["src0", "src1", "src2"]
+        assert all(r.unk_rate > 0 for r in rows)
+        assert all(not r.unk_flag for r in rows)  # under 0.25 here
+        # layout half is GLOBAL (identical on every row) and matches
+        # the artifact repack_epoch cuts at the same window size
+        assert len({(r.n_windows, r.pad_ids) for r in rows}) == 1
+        wins = repack_epoch(
+            spark, store, str(tmp_path / "w"), window_ids=W, n_shards=3
+        )
+        assert rows[0].n_windows == wins.count()
+        # id-mass identity: windows * W == real ids (+EOS) + pads
+        total_stream = sum(r.total_ids + r.n_docs for r in rows)
+        assert rows[0].n_windows * W == total_stream + rows[0].pad_ids
+        # a hair-trigger threshold flips the flag
+        flagged = store_preflight_report(
+            spark, store, window_ids=W, unk_threshold=0.0001
+        )
+        assert all(r.unk_flag for r in flagged.collect())
+        # sourceless store -> one NULL-source row
+        plain = spark.createDataFrame(
+            [(i, f"plain doc {i} words") for i in range(10)],
+            "doc_id long, text string",
+        )
+        store2 = str(tmp_path / "s2")
+        write_token_store(plain, store2, n_shards=2)
+        r2 = store_preflight_report(spark, store2, window_ids=W).collect()
+        assert len(r2) == 1 and r2[0].source is None
+        # pre-scheme store: no sidecar and no explicit ids fails loud;
+        # explicit ids work
+        from s3_access_logs_spark.sources.fsutil import hadoop_fs
+
+        fs, _ = hadoop_fs(spark, store2)
+        HPath = spark._jvm.org.apache.hadoop.fs.Path
+        fs.delete(HPath(f"{store2}/{TOKEN_STORE_META}"), False)
+        with pytest.raises(ValueError, match="unk_id"):
+            store_preflight_report(spark, store2, window_ids=W)
+        eos = len(B.bpe_vocab(list(B.default_merges())))
+        ok = store_preflight_report(
+            spark, store2, window_ids=W, unk_id=-1, eos_id=eos
+        ).collect()
+        # explicit ids reproduce exactly what the sidecar gave
+        assert ok == r2
+
     def test_write_token_store_mixture_accounting(self, spark, tmp_path):
         """The store path's mixture row keeps the exact conservation
         identity: input == curate drops + mixture drops + docs_stored."""
