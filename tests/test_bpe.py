@@ -1174,3 +1174,51 @@ class TestGpt2ByteLevel:
         # every emitted id is a real byte-level id or the EOS boundary
         assert set(stream) <= set(idx.values()) | {eos}
         assert stream.count(eos) == 6  # one per doc
+
+
+class TestDistributedTrainer:
+    """Round 12 (VERDICT r11 item 8, stretch): per-iteration pair
+    counting in Spark, driver picks only the argmax — must equal the
+    in-driver Sennrich trainer merge for merge."""
+
+    def test_equals_driver_trainer(self, spark):
+        df = spark.createDataFrame(
+            [(t,) for t in B.SEED_CORPUS], "text string"
+        )
+        got = B.train_bpe_distributed(df, num_merges=40)
+        want = B.train_bpe_merges(B.SEED_CORPUS, num_merges=40)
+        assert got == want
+        # min_freq stop fires identically (min_freq=5 exhausts the
+        # seed corpus after 32 merges — the stop, not the cap, ends it)
+        got2 = B.train_bpe_distributed(df, num_merges=500, min_freq=5)
+        want2 = B.train_bpe_merges(
+            B.SEED_CORPUS, num_merges=500, min_freq=5
+        )
+        assert len(want2) == 32 and got2 == want2
+
+    def test_equals_driver_trainer_gpt2_mode(self, spark):
+        corpus = [
+            "don't stop the music, it's the people's choice",
+            "l'été à Zürich n'était pas très chaud",
+            "we'll see — they're sure it'll work",
+        ] * 2
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        got = B.train_bpe_distributed(
+            df, num_merges=25, min_freq=1, pretokenizer="gpt2"
+        )
+        want = B.train_bpe_merges(
+            corpus, num_merges=25, min_freq=1, pretokenizer="gpt2"
+        )
+        assert got == want
+
+    def test_edges(self, spark):
+        df = spark.createDataFrame(
+            [(t,) for t in B.SEED_CORPUS], "text string"
+        )
+        # NULL/empty corpus trains the empty table, not a crash
+        empty = spark.createDataFrame(
+            [(None,), ("",)], "text string"
+        )
+        assert B.train_bpe_distributed(empty, num_merges=5) == []
+        with pytest.raises(ValueError, match="unknown pretokenizer"):
+            B.train_bpe_distributed(df, pretokenizer="bert")
