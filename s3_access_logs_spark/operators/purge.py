@@ -20,9 +20,13 @@ Crash posture: per store, the affected leaves are staged
 ``_moved_ok`` marker, installed, then trash+staging dropped — the
 ``compact_ingest_store`` fold protocol with by-basename merges, so a
 crash at any point rolls back (before the marker) or forward (after
-it) on the next purge/maintenance call, on object stores too. Root
-sidecars (``_token_store_meta.json``, ``_ivfpq_meta.json``) live
-outside the leaf dirs and are never touched.
+it) on the NEXT PURGE call over the same store, on object stores too.
+Each maintenance op heals its own staging dirs only (purge →
+``_purge_*``, the fold ops → ``_fold_*``); they share the stores'
+one-maintenance-writer-at-a-time contract, so run a crashed op's
+successor before a different op touches the store. Root sidecars
+(``_token_store_meta.json``, ``_ivfpq_meta.json``) live outside the
+leaf dirs and are never touched.
 
 Replay interaction (the ``keep_recent`` rule's purge twin): a live
 stream's NEWEST batch may still replay, and a replay rewrites its
@@ -61,6 +65,15 @@ def _ids_frame(spark: SparkSession, ids) -> DataFrame:
     ``_purge_id`` column: a lazy lineage (e.g. a decontaminate_ngrams
     report) would otherwise re-execute per consulted store."""
     if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                "purge_documents: the id set must be a ONE-column "
+                f"DataFrame, got columns {ids.columns} — silently "
+                "taking the first column could collect the wrong "
+                "values and report a vacuous rows_purged=0 for a "
+                "takedown that legally had to remove documents; "
+                ".select() the id column first (review r12)"
+            )
         col = ids.columns[0]
         rows = (
             ids.select(F.col(col).alias("_purge_id"))
@@ -97,41 +110,62 @@ def _merge_dir(fs, HPath, src_dir, dst_dir) -> None:
     _m(fs, HPath, src_dir, dst_dir)
 
 
-def _walk_leaves(fs, root_path, depth: int):
-    """Yield the relative-path leaf dirs exactly ``depth`` levels under
-    ``root_path`` (hive ``col=value`` dirs only)."""
+def _hive_leaves(fs, root_path):
+    """Yield the relative-path LEAF hive dirs under ``root_path`` at
+    whatever depth the tree has: descend while a dir has hive
+    (``col=value`` / null-partition) children, yield when it has none —
+    depth-agnostic, so recovery never needs to know (or guess) a
+    crashed tree's layout (review r12: a fixed depth inferred from the
+    live store misclassified a store whose data sat entirely in
+    staging/trash)."""
     if not fs.exists(root_path):
         return
     frontier = [("", root_path)]
-    for _ in range(depth):
-        nxt = []
-        for rel, p in frontier:
-            for st in fs.listStatus(p):
-                name = st.getPath().getName()
-                if st.isDirectory() and (
-                    "=" in name or name == _NULL_PART
-                ):
-                    nxt.append(
-                        (f"{rel}/{name}" if rel else name, st.getPath())
-                    )
-        frontier = nxt
-    yield from frontier
+    while frontier:
+        rel, p = frontier.pop()
+        kids = [
+            st
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and (
+                "=" in st.getPath().getName()
+                or st.getPath().getName() == _NULL_PART
+            )
+        ]
+        if not kids and rel:
+            yield rel, p
+            continue
+        for st in kids:
+            name = st.getPath().getName()
+            frontier.append(
+                (f"{rel}/{name}" if rel else name, st.getPath())
+            )
 
 
-def _recover_purge(spark: SparkSession, store: str, depth: int) -> None:
-    """Roll a crashed purge back (no marker: restore trash) or forward
-    (marker: install staged leaves, drop the pre-purge trash copies) —
-    the fold recovery protocol over ``depth``-level leaves."""
+def _recover_swap(
+    spark: SparkSession,
+    store: str,
+    staging_name: str = _STAGING,
+    trash_name: str = _TRASH,
+) -> None:
+    """Roll a crashed stage-and-swap back (no marker: restore trash) or
+    forward (marker: install staged leaves, drop the superseded trash
+    copies). Generic over leaf depth (``_hive_leaves``) and over the
+    staging/trash names, so the purge ops AND the token-store fold
+    share ONE copy of the protocol (review r12)."""
     from s3_access_logs_spark.sources.fsutil import hadoop_fs
 
     fs, _ = hadoop_fs(spark, store)
     HPath = spark._jvm.org.apache.hadoop.fs.Path
     root = store.rstrip("/")
-    staging = HPath(f"{root}/{_STAGING}")
-    trash = HPath(f"{root}/{_TRASH}")
+    staging = HPath(f"{root}/{staging_name}")
+    trash = HPath(f"{root}/{trash_name}")
 
     def _merge_tree(src) -> None:
-        for rel, p in _walk_leaves(fs, src, depth):
+        for rel, p in _hive_leaves(fs, src):
+            parent = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            if parent:
+                fs.mkdirs(HPath(f"{root}/{parent}"))
             _merge_dir(fs, HPath, p, HPath(f"{root}/{rel}"))
 
     if not fs.exists(staging):
@@ -160,8 +194,7 @@ def _purge_one(
     ONLY those are read back, anti-joined and swapped in."""
     from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
 
-    depth = len(part_cols)
-    _recover_purge(spark, store, depth)
+    _recover_swap(spark, store)
     if not has_data_files(spark, store):
         return {"leaves_rewritten": 0, "rows_purged": 0}
     df = spark.read.parquet(store)
@@ -225,7 +258,7 @@ def _purge_one(
             raise IOError(f"purge: cannot move {root}/{rel} aside")
     fs.create(HPath(f"{staging}/{_MOVED_OK}"), True).close()
     n_after = 0
-    for rel, p in _walk_leaves(fs, HPath(staging), depth):
+    for rel, p in _hive_leaves(fs, HPath(staging)):
         parent_rel = rel.rsplit("/", 1)[0] if "/" in rel else ""
         if parent_rel:
             fs.mkdirs(HPath(f"{root}/{parent_rel}"))
@@ -270,16 +303,38 @@ def purge_documents(
     ids_df = _ids_frame(spark, ids)
     out: dict[str, dict] = {}
     if token_store is not None:
-        # batch layout has no batch_id column; streaming layout does
-        from s3_access_logs_spark.sources.fsutil import has_data_files
+        # recover any crashed purge FIRST, then detect the layout from
+        # the restored DIRECTORY tree — not a parquet read (review r12:
+        # a crash that moved every leaf aside would make the data-read
+        # sniff see the batch layout and flatten a streaming store's
+        # batch_id level on the re-run)
+        from s3_access_logs_spark.sources.fsutil import hadoop_fs
 
-        part_cols = ["shard"]
-        sort_tail = ["doc_id"]
-        if has_data_files(spark, token_store):
-            cols = spark.read.parquet(token_store).columns
-            if "batch_id" in cols:
-                part_cols = ["shard", "batch_id"]
-                sort_tail = ["shard_order", "doc_id"]
+        _recover_swap(spark, token_store)
+        fs, root = hadoop_fs(spark, token_store)
+        streaming_layout = False
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if st.isDirectory() and (
+                    name.startswith("shard=") or name == _NULL_PART
+                ):
+                    streaming_layout = any(
+                        kid.isDirectory()
+                        and kid.getPath().getName().startswith(
+                            "batch_id="
+                        )
+                        for kid in fs.listStatus(st.getPath())
+                    )
+                    break
+        part_cols = (
+            ["shard", "batch_id"] if streaming_layout else ["shard"]
+        )
+        sort_tail = (
+            ["shard_order", "doc_id"]
+            if streaming_layout
+            else ["doc_id"]
+        )
         out["token_store"] = _purge_one(
             spark, token_store, ids_df, "doc_id", part_cols, sort_tail
         )

@@ -1891,49 +1891,17 @@ def _token_store_leaves(
 
 def _recover_token_fold(spark: SparkSession, store: str) -> None:
     """Complete or roll back a crashed :func:`compact_token_store` fold
-    — the :func:`_recover_fold` protocol, one directory level down
-    (leaves are ``shard=<s>/batch_id=<b>``, so staging/trash mirror the
-    shard level and every merge walks shard → batch)."""
-    from s3_access_logs_spark.sources.fsutil import hadoop_fs
+    — ONE shared copy of the stage-and-swap recovery protocol lives in
+    ``operators/purge.py`` (depth-agnostic hive-leaf walk, by-basename
+    merges — review r12: a second hand-rolled copy here would have to
+    be kept semantically identical forever); this fold differs only in
+    its staging/trash names."""
+    from s3_access_logs_spark.operators.purge import _recover_swap
 
-    fs, _ = hadoop_fs(spark, store)
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    root = store.rstrip("/")
-    staging = HPath(f"{root}/_fold_staging")
-    trash = HPath(f"{root}/_fold_trash")
-
-    def _merge_tree(src_root) -> None:
-        # merge src_root/shard=<s>/batch_id=<b> into the live tree,
-        # by-basename at the batch level (object-store-split safe)
-        if not fs.exists(src_root):
-            return
-        for sh in fs.listStatus(src_root):
-            if not sh.isDirectory():
-                continue
-            for b in fs.listStatus(sh.getPath()):
-                _merge_dir(
-                    fs, HPath, b.getPath(),
-                    HPath(
-                        f"{root}/{sh.getPath().getName()}/"
-                        f"{b.getPath().getName()}"
-                    ),
-                )
-
-    if not fs.exists(staging):
-        # trash without staging is protocol-unreachable (the fold
-        # deletes trash first) — restore conservatively, a merge never
-        # loses either side
-        if fs.exists(trash):
-            _merge_tree(trash)
-            fs.delete(trash, True)
-        return
-    if fs.exists(HPath(f"{staging}/{_MOVED_OK}")):
-        _merge_tree(staging)  # roll FORWARD: finish the install
-        fs.delete(trash, True)
-    else:
-        _merge_tree(trash)  # roll BACK: the install never began
-        fs.delete(trash, True)
-    fs.delete(staging, True)
+    _recover_swap(
+        spark, store,
+        staging_name="_fold_staging", trash_name="_fold_trash",
+    )
 
 
 def compact_token_store(

@@ -1211,6 +1211,26 @@ class TestDistributedTrainer:
         )
         assert got == want
 
+    def test_non_bmp_code_points_survive(self, spark):
+        """review r12: the engine-side char split must cut at CODE
+        POINTS, not UTF-16 code units — emoji / astral CJK would
+        otherwise shred into lone surrogate halves, diverge from the
+        driver trainer and mint bogus ('?','?') merges."""
+        corpus = [
+            "\U0001F600\U0001F601 ab \U0001F600\U0001F601 ab cd",
+            "\U0001F600\U0001F601 words \U00020000\U00020001 more",
+        ] * 2
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        got = B.train_bpe_distributed(df, num_merges=12, min_freq=1)
+        want = B.train_bpe_merges(corpus, num_merges=12, min_freq=1)
+        assert got == want
+        assert any(
+            ord(c) > 0xFFFF for a, b in got for c in a + b
+        )  # astral symbols actually participated
+        assert not any(
+            "?" in a or "?" in b for a, b in got
+        )  # no surrogate-replacement artifacts
+
     def test_edges(self, spark):
         df = spark.createDataFrame(
             [(t,) for t in B.SEED_CORPUS], "text string"

