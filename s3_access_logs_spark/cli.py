@@ -656,6 +656,80 @@ def run_preflight(argv: list[str]) -> int:
     return 0
 
 
+def run_purge(argv: list[str]) -> int:
+    """`python -m s3_access_logs_spark purge <ids> [--token-store P]
+    [--digest-store P] [--band-store P] [--ivf-index P]` — the
+    takedown / retroactive-decontamination path at the operational
+    layer (round 12): remove a document-id set from every given store
+    (operators/purge.py — affected leaves only, stage-and-swap,
+    sidecars untouched). ``ids`` is a comma-separated id list, or
+    ``@<path>`` naming a one-id-per-line text file (the shape a
+    decontamination report exports). At least one store is required;
+    per-store purge counts are printed. Idempotent — re-running after
+    a crash or a partial run converges, exit 0 either way; exit 2 on
+    usage errors (no stores, unparseable ids, wrong store kind)."""
+    from s3_access_logs_spark.operators.purge import purge_documents
+
+    usage = (
+        "usage: purge <ids|@ids-file> [--token-store P]"
+        " [--digest-store P] [--band-store P] [--ivf-index P]"
+    )
+    parsed = _parse_flags(
+        argv,
+        {"--token-store": str, "--digest-store": str,
+         "--band-store": str, "--ivf-index": str},
+        usage,
+    )
+    if parsed is None:
+        return 2
+    pos, vals = parsed
+    if len(pos) != 1:
+        log.error(usage)
+        return 2
+    stores = {
+        "token_store": vals.get("--token-store"),
+        "digest_store": vals.get("--digest-store"),
+        "band_store": vals.get("--band-store"),
+        "ivf_index": vals.get("--ivf-index"),
+    }
+    if not any(stores.values()):
+        log.error("purge: no store given — nothing to purge; %s", usage)
+        return 2
+    raw = pos[0]
+    try:
+        if raw.startswith("@"):
+            with open(raw[1:], encoding="utf-8") as f:
+                ids = [int(x) for x in f.read().split() if x.strip()]
+        else:
+            ids = [int(x) for x in raw.split(",") if x.strip()]
+    except (OSError, ValueError) as e:
+        log.error("purge: cannot read id set %r: %s; %s", raw, e, usage)
+        return 2
+    if not ids:
+        log.error("purge: empty id set; %s", usage)
+        return 2
+    spark = get_spark("s3-access-logs-purge")
+    try:
+        res = purge_documents(spark, ids, **{
+            k: v for k, v in stores.items() if v
+        })
+    except ValueError as e:  # wrong store kind / id-set guard
+        log.error("purge: %s", e)
+        return 2
+    total = 0
+    for kind, r in res.items():
+        log.info(
+            "  %-12s purged %d row(s), rewrote %d leaf dir(s)",
+            kind, r["rows_purged"], r["leaves_rewritten"],
+        )
+        total += r["rows_purged"]
+    log.info(
+        "purged %d row(s) for %d id(s) across %d store(s)",
+        total, len(ids), len(res),
+    )
+    return 0
+
+
 def main(env: dict[str, str] | None = None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     if len(sys.argv) > 1 and sys.argv[1] == "query":
@@ -674,6 +748,8 @@ def main(env: dict[str, str] | None = None) -> int:
         return run_repack_epoch(sys.argv[2:])
     if len(sys.argv) > 1 and sys.argv[1] == "preflight":
         return run_preflight(sys.argv[2:])
+    if len(sys.argv) > 1 and sys.argv[1] == "purge":
+        return run_purge(sys.argv[2:])
     cfg = JobConfig.from_env(env)
     marker = _marker(cfg)
     if marker is not None and marker.exists():

@@ -434,3 +434,49 @@ class TestPurgeCrashRecovery:
         assert got == [d for d in want_after if d != 3]
         assert not os.path.exists(f"{store}/{_TRASH}")
         assert not os.path.exists(f"{store}/{_STAGING}")
+
+
+class TestPurgeCli:
+    """`purge` subcommand (round 12): library semantics + the command
+    family's strict exit contracts."""
+
+    def test_purge_cli_matches_library_and_exits(self, spark, tmp_path):
+        from s3_access_logs_spark.cli import run_purge
+        from s3_access_logs_spark.operators.export import (
+            write_token_store,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"cli purge doc {i} words", "s") for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+        store = str(tmp_path / "store")
+        write_token_store(docs, store, n_shards=2)
+        # comma list
+        assert run_purge(["3,7", "--token-store", store]) == 0
+        back = spark.read.parquet(store)
+        assert back.filter(F.col("doc_id").isin([3, 7])).count() == 0
+        assert back.count() == 28
+        # @file form (one id per line — a report export)
+        ids_file = tmp_path / "ids.txt"
+        ids_file.write_text("11\n12\n")
+        assert run_purge([f"@{ids_file}", "--token-store", store]) == 0
+        assert spark.read.parquet(store).count() == 26
+        # idempotent re-run is exit 0
+        assert run_purge(["3,7", "--token-store", store]) == 0
+        # usage errors: no stores / empty or bad ids / unknown flag /
+        # wrong store kind
+        assert run_purge(["1,2"]) == 2
+        assert run_purge([",", "--token-store", store]) == 2
+        assert run_purge(["x,y", "--token-store", store]) == 2
+        assert run_purge(
+            ["1", "--token-store", store, "--bogus", "2"]
+        ) == 2
+        assert run_purge(
+            [f"@{tmp_path}/nowhere.txt", "--token-store", store]
+        ) == 2
+        wrong = str(tmp_path / "wrong")
+        spark.createDataFrame(
+            [(1, "x")], "some_id long, text string"
+        ).write.parquet(wrong)
+        assert run_purge(["1", "--token-store", wrong]) == 2
