@@ -1242,3 +1242,72 @@ class TestDistributedTrainer:
         assert B.train_bpe_distributed(empty, num_merges=5) == []
         with pytest.raises(ValueError, match="unknown pretokenizer"):
             B.train_bpe_distributed(df, pretokenizer="bert")
+
+
+class TestDecode:
+    """Round 12: the decode half — id streams back to text, the store
+    inspection / debugging loop."""
+
+    def test_gpt2_spark_roundtrip_is_exact(self, spark):
+        corpus = TestGpt2ByteLevel.CORPUS
+        texts = [t for t in TestGpt2ByteLevel.TEXTS if t] + [None]
+        ms = B.train_bpe_merges(
+            corpus, num_merges=60, min_freq=1, pretokenizer="gpt2"
+        )
+        alphabet = "".join(
+            sorted(
+                set(
+                    c
+                    for t in corpus + [x for x in texts if x]
+                    for tok in B.gpt2_pretokens_py(t)
+                    for c in tok
+                )
+            )
+        )
+        vocab = B.bpe_vocab(ms, alphabet=alphabet)
+        eos = len(vocab)
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, text string"
+        )
+        out = (
+            df.select(
+                "i",
+                "text",
+                B.bpe_decode_ids(
+                    F.concat(
+                        B.bpe_token_ids(
+                            "text", ms, vocab=vocab, pretokenizer="gpt2"
+                        ),
+                        F.array(F.lit(eos)),
+                    ),
+                    vocab,
+                    pretokenizer="gpt2",
+                    drop_ids=(eos,),
+                ).alias("back"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        for r in out:
+            # byte-level decode is EXACT (every byte captured); EOS
+            # dropped as layout; NULL stays NULL
+            assert r.back == r.text, r.text
+
+    def test_default_mode_and_oov_policy(self, spark):
+        ms = list(B.default_merges())
+        text = "the quick brown fox"
+        # extend the constructive base charset to cover the text (the
+        # demo merges' symbols alone miss e.g. 'x')
+        vocab = B.bpe_vocab(ms, alphabet=text)
+        toks = B.bpe_encode_py(text, ms)
+        assert B.decode_tokens(toks) == text
+        # unk (-1) and out-of-range ids are skipped, not crashes
+        idx = {s: i for i, s in enumerate(vocab)}
+        ids = [idx[t] for t in toks] + [-1, len(vocab) + 7]
+        df = spark.createDataFrame([(ids,)], "ids array<int>")
+        r = df.select(
+            B.bpe_decode_ids("ids", vocab).alias("t")
+        ).first()
+        assert r.t == text
+        with pytest.raises(ValueError, match="unknown pretokenizer"):
+            B.decode_tokens(["x"], "bert")
