@@ -83,6 +83,25 @@ def _read_windows_or_empty(spark, dst: str, windows: DataFrame) -> DataFrame:
 TOKEN_STORE_META = "_token_store_meta.json"
 
 
+def merges_fingerprint(merges) -> str:
+    """md5 over the ranked merges table's canonical serialization — the
+    TOKENIZER PROVENANCE a token store's sidecar records (round 12): a
+    store's ids are meaningless outside the (merges, pretokenizer) that
+    produced them, and two stores with equal vocab SIZES but different
+    tables would otherwise be indistinguishable on disk. Operators
+    compare fingerprints before pointing one trainer at artifacts from
+    several stores; nothing re-derives ids from it."""
+    import hashlib
+
+    h = hashlib.md5()
+    for a, b in merges:
+        h.update(a.encode("utf-8"))
+        h.update(b"\x00")
+        h.update(b.encode("utf-8"))
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
 def _resolve_special_ids(
     merges: list[tuple[str, str]] | None,
     vocab: list[str] | None,
@@ -595,7 +614,12 @@ def write_token_store(
         write_json_sidecar(
             docs.sparkSession, store, TOKEN_STORE_META,
             {"vocab_size": len(vs), "unk_id": int(unk_id),
-             "eos_id": int(eos)},
+             "eos_id": int(eos),
+             # provenance (round 12): WHICH tokenizer the ids are bound
+             # to — consumers only require the three id-space keys, so
+             # pre-round-12 stores stay valid
+             "pretokenizer": pretokenizer,
+             "merges_md5": merges_fingerprint(ms)},
         )
         if pre_mix is not None:
             pre_mix.unpersist()

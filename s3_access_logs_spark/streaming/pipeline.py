@@ -539,6 +539,7 @@ def ingest_documents_stream(
         # config, so a restart re-stamps the identical bytes.
         from s3_access_logs_spark.operators.export import (
             TOKEN_STORE_META,
+            merges_fingerprint,
         )
         from s3_access_logs_spark.sources.fsutil import (
             write_json_sidecar,
@@ -546,7 +547,9 @@ def ingest_documents_stream(
 
         write_json_sidecar(
             spark, shard_store, TOKEN_STORE_META,
-            {"vocab_size": len(_vs), "unk_id": -1, "eos_id": len(_vs)},
+            {"vocab_size": len(_vs), "unk_id": -1, "eos_id": len(_vs),
+             "pretokenizer": shard_pretokenizer,
+             "merges_md5": merges_fingerprint(_ms)},
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:

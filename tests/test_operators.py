@@ -2015,6 +2015,38 @@ class TestTokenStoreEpochs:
             "SKIPPED" in r.message for r in caplog.records
         )
 
+    def test_sidecar_records_tokenizer_provenance(self, spark, tmp_path):
+        """Round 12: the sidecar names WHICH tokenizer the stored ids
+        are bound to (pretokenizer + merges fingerprint) — two stores
+        with equal vocab sizes but different tables are otherwise
+        indistinguishable on disk. Consumers still require only the
+        three id-space keys, so pre-round-12 stores stay valid."""
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+            merges_fingerprint,
+            write_token_store,
+        )
+        from s3_access_logs_spark.plans.text_queries import _fit_merges
+        from s3_access_logs_spark.sources.fsutil import read_json_sidecar
+
+        docs = self._docs(spark, 10)
+        s1 = str(tmp_path / "s1")
+        write_token_store(docs, s1, n_shards=2)
+        m1 = read_json_sidecar(spark, s1, TOKEN_STORE_META)
+        assert m1["pretokenizer"] == "default"
+        assert m1["merges_md5"] == merges_fingerprint(
+            list(B.default_merges())
+        )
+        s2 = str(tmp_path / "s2")
+        write_token_store(docs, s2, n_shards=2, merges=_fit_merges())
+        m2 = read_json_sidecar(spark, s2, TOKEN_STORE_META)
+        assert m2["merges_md5"] != m1["merges_md5"]
+        # the fingerprint hashes the TABLE, not the concatenations
+        assert merges_fingerprint([("a", "b"), ("ab", "c")]) != (
+            merges_fingerprint([("a", "bc")])
+        )
+
     def test_store_preflight_report_from_stored_ids(
         self, spark, tmp_path
     ):
