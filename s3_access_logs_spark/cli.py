@@ -278,17 +278,17 @@ def run_fold_store(argv: list[str]) -> int:
     store = pos[0]
     keep_recent = int(vals.get("--keep-recent", 1))
     target_mb = int(vals.get("--target-mb", 128))
+    if vals.get("--token") and "--target-mb" in vals:
+        # strict-parse rule: a flag with no effect in this mode must
+        # exit 2, not be silently dropped (review r12) — and BEFORE
+        # the session spins up, like every other usage-error path
+        log.error(
+            "--target-mb has no effect with --token (the token "
+            "fold writes one file per shard); %s", usage,
+        )
+        return 2
     spark = get_spark("s3-access-logs-fold-store")
     if vals.get("--token"):
-        if "--target-mb" in vals:
-            # strict-parse rule: a flag with no effect in this mode
-            # must exit 2, not be silently dropped (review r12 — the
-            # token fold always writes one file per shard)
-            log.error(
-                "--target-mb has no effect with --token (the token "
-                "fold writes one file per shard); %s", usage,
-            )
-            return 2
         try:
             tres = compact_token_store(
                 spark, store, keep_recent=keep_recent

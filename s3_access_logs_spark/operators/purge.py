@@ -308,25 +308,19 @@ def purge_documents(
         # a crash that moved every leaf aside would make the data-read
         # sniff see the batch layout and flatten a streaming store's
         # batch_id level on the re-run)
-        from s3_access_logs_spark.sources.fsutil import hadoop_fs
+        from s3_access_logs_spark.streaming.pipeline import (
+            _token_store_leaves,
+        )
 
         _recover_swap(spark, token_store)
-        fs, root = hadoop_fs(spark, token_store)
-        streaming_layout = False
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if st.isDirectory() and (
-                    name.startswith("shard=") or name == _NULL_PART
-                ):
-                    streaming_layout = any(
-                        kid.isDirectory()
-                        and kid.getPath().getName().startswith(
-                            "batch_id="
-                        )
-                        for kid in fs.listStatus(st.getPath())
-                    )
-                    break
+        # ALL shard dirs, via the fold's own listing helper (review
+        # r12, second pass: inspecting only the first dir misreads a
+        # store whose first shard was fully purged — an empty shard
+        # dir has no batch_id kids — and a flat rewrite would then
+        # corrupt the two-level tree)
+        streaming_layout = any(
+            _token_store_leaves(spark, token_store).values()
+        )
         part_cols = (
             ["shard", "batch_id"] if streaming_layout else ["shard"]
         )

@@ -542,14 +542,40 @@ def ingest_documents_stream(
             merges_fingerprint,
         )
         from s3_access_logs_spark.sources.fsutil import (
+            read_json_sidecar,
             write_json_sidecar,
         )
 
+        _meta = {
+            "vocab_size": len(_vs), "unk_id": -1, "eos_id": len(_vs),
+            "pretokenizer": shard_pretokenizer,
+            "merges_md5": merges_fingerprint(_ms),
+        }
+        _prev = read_json_sidecar(spark, shard_store, TOKEN_STORE_META)
+        if _prev is not None:
+            # a restart under the SAME tokenizer re-stamps identical
+            # bytes; a restart under a DIFFERENT one would mix two id
+            # spaces in one store while the sidecar asserts the new one
+            # — exactly the heterogeneity the provenance keys exist to
+            # expose, so fail loud instead of overwriting (review r12,
+            # second pass). Pre-provenance sidecars (id-space keys
+            # only) are upgraded in place when those keys agree.
+            diffs = {
+                k: (_prev[k], _meta[k])
+                for k in _meta
+                if k in _prev and _prev[k] != _meta[k]
+            }
+            if diffs:
+                raise ValueError(
+                    "ingest_documents_stream: shard_store at "
+                    f"{shard_store!r} was built under a different "
+                    f"tokenizer/id-space (sidecar vs new config: "
+                    f"{diffs}) — resuming would mix incompatible id "
+                    "streams in one store. Point the stream at a new "
+                    "shard_store, or purge/rebuild this one."
+                )
         write_json_sidecar(
-            spark, shard_store, TOKEN_STORE_META,
-            {"vocab_size": len(_vs), "unk_id": -1, "eos_id": len(_vs),
-             "pretokenizer": shard_pretokenizer,
-             "merges_md5": merges_fingerprint(_ms)},
+            spark, shard_store, TOKEN_STORE_META, _meta
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -1311,3 +1311,20 @@ class TestDecode:
         assert r.t == text
         with pytest.raises(ValueError, match="unknown pretokenizer"):
             B.decode_tokens(["x"], "bert")
+
+
+class TestDecodeGuards:
+    def test_non_byte_level_vocab_fails_loud_in_gpt2_decode(self):
+        # default-mode tokens carry real spaces — not byte-level
+        with pytest.raises(ValueError, match="byte-level alphabet"):
+            B.decode_tokens([" the"], "gpt2")
+        # ASCII special-token strings are VALID byte-mapped sequences
+        # (printable ASCII maps to itself) — they decode verbatim
+        assert B.decode_tokens(["<eos>"], "gpt2") == "<eos>"
+        # a char outside the 256-symbol alphabet fails loud
+        with pytest.raises(ValueError, match="byte-level alphabet"):
+            B.decode_tokens(["⟨special⟩"], "gpt2")
+        # truncated multi-byte RUN still decodes with replacement
+        sym = B.bytes_to_unicode()[0xC3]  # first byte of 'é', alone
+        out = B.decode_tokens([sym], "gpt2")
+        assert out == "�"

@@ -365,7 +365,7 @@ class TestPurgeGuards:
                 ), (d, kids)
         back = spark.read.parquet(shards)
         assert back.count() == 11
-        assert "batch_id" not in back.columns or True
+        assert "batch_id" in back.columns  # the partition level lives
         assert back.filter(F.col("doc_id") == 2).count() == 0
 
 

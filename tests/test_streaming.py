@@ -2500,3 +2500,47 @@ class TestFoldResidueGuard:
         compact_ingest_store(spark, sk, keep_recent=0)
         [r] = frequency_estimates(spark, sk, probe, "token").collect()
         assert r["est_count"] == 2
+
+
+class TestShardStoreTokenizerSwitch:
+    def test_restart_under_different_tokenizer_fails_loud(
+        self, spark, tmp_path
+    ):
+        """review r12 (second pass): re-stamping the sidecar on every
+        stream start would let a restart under different merges mix two
+        id spaces in one store while the sidecar asserts the new one —
+        the exact heterogeneity the provenance keys exist to expose."""
+        import json
+
+        from s3_access_logs_spark.functions import bpe as B
+        from s3_access_logs_spark.streaming import (
+            ingest_documents_stream,
+        )
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "b0.jsonl").write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": f"doc {i} words"})
+                for i in range(5)
+            )
+            + "\n"
+        )
+        shards = str(tmp_path / "shards")
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=2,
+        ).awaitTermination(120)
+        # same tokenizer restarts fine (identical bytes re-stamped)
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), shard_store=shards, n_shards=2,
+        ).awaitTermination(120)
+        # a DIFFERENT merges table over the same store fails at setup
+        other = B.train_bpe_merges(B.SEED_CORPUS, num_merges=30)
+        with pytest.raises(ValueError, match="different"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store"),
+                str(tmp_path / "ckpt2"), shard_store=shards,
+                n_shards=2, shard_merges=other,
+            )
