@@ -454,9 +454,11 @@ def _pack_store(
                 f"repack: mixture requested but the store at {store!r} "
                 f"has no {source_col!r} column — it predates the "
                 "source-carrying layout (round 12) or was written from "
-                "a sourceless feed (the streaming sink's (doc_id, text) "
-                "schema). Rebuild via write_token_store over a corpus "
-                "with sources, or repack without mixture."
+                "a sourceless feed. Rebuild via write_token_store over "
+                "a corpus with sources, or restart the stream into a "
+                "fresh store with "
+                "ingest_documents_stream(keep_source=True) (round 13), "
+                "or repack without mixture."
             )
         from s3_access_logs_spark.operators.sampling import (
             temperature_mixture,
@@ -715,7 +717,9 @@ def store_preflight_report(
     the way ``vocab_fit_report``/``window_fill_report`` must. One row
     per source (a sourceless store reports one NULL-source row):
 
-    * fit half, per source — ``n_docs``, ``total_ids`` (EOS excluded),
+    * fit half, per source — ``n_docs``, ``total_ids`` (OBSERVED EOS
+      markers excluded — counted, not assumed one-per-stream, so
+      foreign stores without trailing EOS report exact numbers),
       ``unk_ids``, ``unk_rate``, and ``unk_flag`` (rate above
       ``unk_threshold``: this source's id stream would train noise);
     * layout half, GLOBAL (repeated on every row — the artifact packs
@@ -772,18 +776,27 @@ def store_preflight_report(
         if "source" in rows.columns
         else F.lit(None).cast("string")
     )
-    unk_l, W_l = F.lit(int(unk_id)), F.lit(W)
+    unk_l, eos_l, W_l = F.lit(int(unk_id)), F.lit(int(eos_id)), F.lit(W)
     per_doc = rows.select(
         src.alias("source"),
         "shard",
         F.size("ids").cast("long").alias("n_with_eos"),
+        # COUNT the EOS markers rather than assuming exactly one per
+        # stream: a pre-scheme/foreign store whose streams lack the
+        # trailing EOS (or carry several document boundaries per row)
+        # would otherwise report total_ids/unk_rate silently off by
+        # n_docs (ADVICE r12). Scheme stores store exactly one, so
+        # this is value-identical there.
+        F.size(F.filter("ids", lambda x: x == eos_l))
+        .cast("long")
+        .alias("n_eos"),
         F.size(F.filter("ids", lambda x: x == unk_l))
         .cast("long")
         .alias("n_unk"),
     )
     fit = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("n_with_eos") - F.count(F.lit(1))).alias("total_ids"),
+        (F.sum("n_with_eos") - F.sum("n_eos")).alias("total_ids"),
         F.sum("n_unk").alias("unk_ids"),
     )
     per_shard = per_doc.groupBy("shard").agg(

@@ -59,6 +59,12 @@ _STAGING = "_purge_staging"
 _TRASH = "_purge_trash"
 _NULL_PART = "__HIVE_DEFAULT_PARTITION__"
 
+#: Spark dtypes the bigint purge-id frame compares against LOSSLESSLY.
+#: Anything else (string above all) would semi-join through an implicit
+#: cast where non-numeric values become NULL — silently reporting
+#: rows_purged=0 for a takedown (ADVICE r12).
+_INTEGRAL_DTYPES = {"tinyint", "smallint", "int", "bigint"}
+
 
 def _ids_frame(spark: SparkSession, ids) -> DataFrame:
     """Normalize the id set to a MATERIALIZED local-rows frame with one
@@ -182,6 +188,43 @@ def _recover_swap(
     fs.delete(staging, True)
 
 
+def _validate_store(
+    spark: SparkSession,
+    kind: str,
+    store: str,
+    row_id_col: str,
+    part_cols: list[str],
+) -> None:
+    """Schema pre-check for one store: id + partition columns exist and
+    the id column's dtype joins losslessly against the bigint purge-id
+    frame. Run over EVERY given store BEFORE any store is rewritten
+    (ADVICE r12: purge is not transactional across stores — a late
+    wrong-store-kind error used to leave earlier stores already
+    rewritten with no mention in the exit path). Recovery runs first so
+    a crashed store's schema is read from its healed tree."""
+    from s3_access_logs_spark.sources.fsutil import has_data_files
+
+    _recover_swap(spark, store)
+    if not has_data_files(spark, store):
+        return
+    df = spark.read.parquet(store)
+    for c in [row_id_col] + part_cols:
+        if c not in df.columns:
+            raise ValueError(
+                f"purge: {kind} {store!r} has no {c!r} column — wrong "
+                f"store kind for this argument (columns: {df.columns})"
+            )
+    dt = dict(df.dtypes)[row_id_col]
+    if dt not in _INTEGRAL_DTYPES:
+        raise ValueError(
+            f"purge: {kind} {store!r} keys {row_id_col!r} as {dt}, but "
+            "the purge id set is bigint — Spark's implicit cast would "
+            "turn unmatched values into NULLs and report a vacuous "
+            "rows_purged=0 for a takedown; non-integral id stores are "
+            "unsupported (ADVICE r12)"
+        )
+
+
 def _purge_one(
     spark: SparkSession,
     store: str,
@@ -299,9 +342,15 @@ def purge_documents(
     index ``neighbor_id`` — all keyed by the same document id space.
 
     Returns ``{store_kind: {"leaves_rewritten": n, "rows_purged": k}}``
-    for the stores given. Idempotent: a second run finds no hits."""
+    for the stores given. Idempotent: a second run finds no hits.
+
+    Every given store is schema-validated (recovery + id/partition
+    columns + lossless id dtype) BEFORE any store is rewritten, so a
+    wrong-store-kind argument fails with zero stores touched; if a
+    rewrite itself fails mid-run, the error names the stores already
+    completed (ADVICE r12)."""
     ids_df = _ids_frame(spark, ids)
-    out: dict[str, dict] = {}
+    specs: list[tuple[str, str, str, list[str], list[str]]] = []
     if token_store is not None:
         # recover any crashed purge FIRST, then detect the layout from
         # the restored DIRECTORY tree — not a parquet read (review r12:
@@ -329,22 +378,41 @@ def purge_documents(
             if streaming_layout
             else ["doc_id"]
         )
-        out["token_store"] = _purge_one(
-            spark, token_store, ids_df, "doc_id", part_cols, sort_tail
+        specs.append(
+            ("token_store", token_store, "doc_id", part_cols, sort_tail)
         )
     if digest_store is not None:
-        out["digest_store"] = _purge_one(
-            spark, digest_store, ids_df, "keep_id", ["batch_id"],
-            ["keep_id"],
+        specs.append(
+            ("digest_store", digest_store, "keep_id", ["batch_id"],
+             ["keep_id"])
         )
     if band_store is not None:
-        out["band_store"] = _purge_one(
-            spark, band_store, ids_df, "id", ["batch_id"],
-            ["id", "band_idx"],
+        specs.append(
+            ("band_store", band_store, "id", ["batch_id"],
+             ["id", "band_idx"])
         )
     if ivf_index is not None:
-        out["ivf_index"] = _purge_one(
-            spark, ivf_index, ids_df, "neighbor_id", ["cluster"],
-            ["neighbor_id"],
+        specs.append(
+            ("ivf_index", ivf_index, "neighbor_id", ["cluster"],
+             ["neighbor_id"])
         )
+    for kind, store, id_col, part_cols, _ in specs:
+        _validate_store(spark, kind, store, id_col, part_cols)
+    out: dict[str, dict] = {}
+    for kind, store, id_col, part_cols, sort_tail in specs:
+        try:
+            out[kind] = _purge_one(
+                spark, store, ids_df, id_col, part_cols, sort_tail
+            )
+        except Exception as e:
+            done = (
+                ", ".join(f"{k}={v}" for k, v in out.items())
+                or "none"
+            )
+            raise RuntimeError(
+                f"purge: failed on {kind} ({store!r}); stores already "
+                f"rewritten this call: {done} — the completed stores "
+                "HAVE been purged; fix the cause and re-run (the "
+                "operation is idempotent per store)"
+            ) from e
     return out

@@ -2254,8 +2254,13 @@ def _store_preflight_sql() -> str:
       FROM kept
     ),
     fit AS (
+      -- EOS markers are COUNTED, not assumed one-per-stream, matching
+      -- the engine (ADVICE r12); this store appends exactly one, so
+      -- the two forms agree here
       SELECT source, COUNT(*)::BIGINT AS n_docs,
-             (SUM(len(ids)) - COUNT(*))::BIGINT AS total_ids,
+             (SUM(len(ids))
+              - SUM(len(list_filter(ids, x -> x = {eos}))))::BIGINT
+               AS total_ids,
              SUM(len(list_filter(ids, x -> x = -1)))::BIGINT AS unk_ids
       FROM ids GROUP BY source
     ),

@@ -198,6 +198,17 @@ _fold(
     ("window", "fold"),
 )
 _fold(
+    # round 13 (VERDICT r12 items 3+4): the tokenizer/store lifecycle
+    # as one driver row — the default-fold exact encode, the NEW
+    # byte-level (gpt2) oracle entry, and the store-mode pre-flight
+    # (previously a granular surface row; the surface sat AT the
+    # 50-name cap, so this fold both admits the gpt2 entry AND frees a
+    # slot: surface 50 -> 49)
+    "suite_tokenizer_lifecycle",
+    ("bpe_exact_tokens", "bpe_gpt2_byte_tokens", "store_preflight_report"),
+    ("llm", "bpe", "tokenize", "store", "fold"),
+)
+_fold(
     # the whole SQL-text entry surface (round 8: 2 -> 6 entries;
     # round 9: + the two curation-artifact views) as one driver row;
     # shared column names across members (revenue2 DOUBLE, n_items

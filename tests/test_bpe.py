@@ -1242,6 +1242,53 @@ class TestDistributedTrainer:
         assert B.train_bpe_distributed(empty, num_merges=5) == []
         with pytest.raises(ValueError, match="unknown pretokenizer"):
             B.train_bpe_distributed(df, pretokenizer="bert")
+        with pytest.raises(ValueError, match="unknown strategy"):
+            B.train_bpe_distributed(df, strategy="eager")
+
+    def test_delta_equals_recount_to_exhaustion(self, spark):
+        """Round 13 (VERDICT r12 item 5): the incremental ('delta')
+        strategy — one full pair count, then per-iteration updates of
+        only the pairs adjacent to the applied merge — must equal the
+        round-12 full-recount loop MERGE FOR MERGE all the way to
+        corpus exhaustion (min_freq=1: the horizon is the corpus, not
+        the cap), and both equal the driver trainer. The deep-horizon
+        (>= 1024 actual merges) equality runs in
+        tools/trainer_scale.py --equality over the sf0.01 corpus and is
+        recorded in BASELINE.md; this pins the full exhaustion
+        trajectory at pytest scale."""
+        corpus = [
+            "the quick brown fox jumps over the lazy dog tonight",
+            "pack my box with five dozen liquor jugs quickly now",
+            "sphinx of black quartz judge my vow for the record",
+        ] * 2
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        d = B.train_bpe_distributed(
+            df, num_merges=5000, min_freq=1, strategy="delta"
+        )
+        r = B.train_bpe_distributed(
+            df, num_merges=5000, min_freq=1, strategy="recount"
+        )
+        w = B.train_bpe_merges(corpus, num_merges=5000, min_freq=1)
+        assert d == r == w
+        assert len(d) >= 60  # exhaustion, not the cap, ended it
+
+    def test_no_residual_checkpoint_blocks(self, spark):
+        """ADVICE r12: localCheckpoint blocks live OUTSIDE the cache
+        manager, so DataFrame.unpersist alone leaks one block set per
+        iteration; the trainer must release the backing RDDs
+        explicitly — at production merge counts the leak is
+        executor-storage-sized."""
+        sc = spark.sparkContext._jsc.sc()
+        before = {i.id() for i in sc.getRDDStorageInfo()}
+        df = spark.createDataFrame(
+            [(t,) for t in B.SEED_CORPUS], "text string"
+        )
+        B.train_bpe_distributed(df, num_merges=8, strategy="delta")
+        B.train_bpe_distributed(df, num_merges=8, strategy="recount")
+        after = {i.id() for i in sc.getRDDStorageInfo()}
+        assert after <= before, (
+            f"leaked checkpoint/persist blocks: {sorted(after - before)}"
+        )
 
 
 class TestDecode:

@@ -436,6 +436,117 @@ class TestPurgeCrashRecovery:
         assert not os.path.exists(f"{store}/{_STAGING}")
 
 
+class TestMaintenanceComposition:
+    """Round 13 (VERDICT r12 item 7): purge and the token-store fold
+    share the store and the one-maintenance-writer contract, but had no
+    COMPOSED pin. purge→compact and compact→purge must leave
+    ``repack_epoch``'s output equal to the straight-line (purge-only)
+    result — including when op A crashed and was recovered (by its own
+    rerun, per the crashed-op's-successor-first contract) before op B
+    touched the store."""
+
+    def _drop(self, src, name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def _stream_store(self, spark, tmp_path, name):
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / name / "in"
+        src.mkdir(parents=True)
+        for f in range(3):
+            self._drop(src, f"b{f}.jsonl", [
+                {"doc_id": i,
+                 "text": f"unique composed maintenance doc {i} words"}
+                for i in range(f * 8, (f + 1) * 8)
+            ])
+        shards = str(tmp_path / name / "shards")
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / name / "store"),
+            str(tmp_path / name / "ckpt"), shard_store=shards,
+            n_shards=3, max_files_per_trigger=1,
+        ).awaitTermination(180)
+        return shards
+
+    def _rk(self, spark, store, dst):
+        from s3_access_logs_spark.operators.export import repack_epoch
+
+        wins = repack_epoch(
+            spark, store, str(dst), window_ids=16, n_shards=3
+        )
+        return sorted(
+            (r.shard, r.window_idx, tuple(r.ids))
+            for r in wins.collect()
+        )
+
+    def test_op_orders_and_crashed_op_composition(self, spark, tmp_path):
+        import shutil
+
+        from s3_access_logs_spark.streaming.pipeline import (
+            compact_token_store,
+        )
+
+        victims = [3, 11, 19]
+        # five identical stores: reference (purge only), the two op
+        # orders, and the two crashed-op-A-then-op-B sequences
+        stores = {
+            n: self._stream_store(spark, tmp_path, n)
+            for n in ("ref", "pc", "cp", "crashp", "crashc")
+        }
+        purge_documents(spark, victims, token_store=stores["ref"])
+        ref = self._rk(spark, stores["ref"], tmp_path / "r_ref")
+        assert ref  # non-vacuous
+        # purge -> compact
+        purge_documents(spark, victims, token_store=stores["pc"])
+        compact_token_store(spark, stores["pc"], keep_recent=0)
+        assert self._rk(spark, stores["pc"], tmp_path / "r_pc") == ref
+        # compact -> purge (purge over the folded batch_id=-1 layout)
+        compact_token_store(spark, stores["cp"], keep_recent=0)
+        res = purge_documents(spark, victims, token_store=stores["cp"])
+        assert res["token_store"]["rows_purged"] == 3
+        assert self._rk(spark, stores["cp"], tmp_path / "r_cp") == ref
+        # both sequences preserved the two-level hive tree
+        for st in (stores["pc"], stores["cp"]):
+            for d in os.listdir(st):
+                if d.startswith("shard="):
+                    kids = [b for b in os.listdir(f"{st}/{d}")
+                            if not b.startswith((".", "_"))]
+                    assert kids and all(
+                        b.startswith("batch_id=") for b in kids
+                    ), (st, d)
+        # crashed PURGE (before its marker) -> its rerun recovers and
+        # purges -> compact
+        st = stores["crashp"]
+        os.makedirs(f"{st}/_purge_staging", exist_ok=True)
+        for d in list(os.listdir(st)):
+            if d.startswith("shard="):
+                os.makedirs(f"{st}/_purge_trash", exist_ok=True)
+                shutil.move(f"{st}/{d}", f"{st}/_purge_trash/{d}")
+        res = purge_documents(spark, victims, token_store=st)
+        assert res["token_store"]["rows_purged"] == 3
+        compact_token_store(spark, st, keep_recent=0)
+        assert self._rk(spark, st, tmp_path / "r_crashp") == ref
+        # crashed COMPACT (before its marker) -> its rerun recovers and
+        # folds -> purge
+        st = stores["crashc"]
+        os.makedirs(f"{st}/_fold_staging/shard=0", exist_ok=True)
+        for d in list(os.listdir(st)):
+            if not d.startswith("shard="):
+                continue
+            for b in list(os.listdir(f"{st}/{d}")):
+                if b.startswith("batch_id="):
+                    os.makedirs(f"{st}/_fold_trash/{d}", exist_ok=True)
+                    shutil.move(
+                        f"{st}/{d}/{b}", f"{st}/_fold_trash/{d}/{b}"
+                    )
+        res = compact_token_store(spark, st, keep_recent=0)
+        assert res["folded"] == [0, 1, 2]
+        res = purge_documents(spark, victims, token_store=st)
+        assert res["token_store"]["rows_purged"] == 3
+        assert self._rk(spark, st, tmp_path / "r_crashc") == ref
+
+
 class TestPurgeCli:
     """`purge` subcommand (round 12): library semantics + the command
     family's strict exit contracts."""

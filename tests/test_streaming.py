@@ -1160,6 +1160,194 @@ class TestIngestShardHandoff:
             )
 
 
+class TestIngestSourceCurriculum:
+    """Round 13 (VERDICT r12 item 2): ``keep_source=True`` carries the
+    feed's ``source`` labels through every gate into BOTH stores, so the
+    per-epoch curriculum (``pack_shard_windows``/``repack_epoch`` with
+    ``mixture=``) — previously fail-loud on every stream-built store by
+    construction — works over streaming corpora exactly as over
+    batch-built ones."""
+
+    def _drop(self, src, name, rows):
+        import json
+
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    def _corpus(self):
+        # 40 "web" + 8 "books": alpha=0.3 re-weights web to ~0.74 keep
+        # rate, so the mixture filter MUST drop rows — a rate landing at
+        # 1.0 would make the equality below vacuously true of the
+        # unmixed packs too
+        return [
+            (i, f"distinct curriculum corpus document {i} body words",
+             "web" if i < 40 else "books")
+            for i in range(48)
+        ]
+
+    def test_stream_mixture_equals_batch_export(self, spark, tmp_path):
+        from s3_access_logs_spark.operators.export import (
+            export_training_set,
+            pack_shard_windows,
+            repack_epoch,
+        )
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        docs = self._corpus()
+        # two micro-batches in one drain: arbitrary batching must not
+        # affect the packed windows (the epoch permutation defines the
+        # read order, not arrival)
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": i, "text": t, "source": s} for i, t, s in docs[:25]
+        ])
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": i, "text": t, "source": s} for i, t, s in docs[25:]
+        ])
+        shards = str(tmp_path / "shards")
+        ingest_documents_stream(
+            spark, str(src), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), keep_source=True,
+            shard_store=shards, n_shards=3, max_files_per_trigger=1,
+        ).awaitTermination(120)
+        M = {"alpha": 0.3, "salt": "ep1:"}
+        k = lambda df: sorted(  # noqa: E731
+            (r.shard, r.window_idx, tuple(r.ids)) for r in df.collect()
+        )
+        mixed = pack_shard_windows(
+            spark, shards, str(tmp_path / "w_mix"), window_ids=32,
+            n_shards=3, mixture=M,
+        )
+        plain = pack_shard_windows(
+            spark, shards, str(tmp_path / "w_plain"), window_ids=32,
+            n_shards=3,
+        )
+        batch_docs = spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        )
+        batched, _ = export_training_set(
+            batch_docs, str(tmp_path / "w_batch"), n_shards=3,
+            window_ids=32, mixture=M,
+        )
+        assert k(mixed) == k(batched) and len(k(mixed)) > 0
+        # the mixture actually thinned the stream store's pack
+        n_ids = lambda ws: sum(len(i) for _, _, i in ws)  # noqa: E731
+        assert n_ids(k(mixed)) < n_ids(k(plain))
+        # a NEW curriculum epoch over the STREAM store: repack_epoch
+        # re-derives the permutation under a fresh salt and applies the
+        # same store-side mixture filter — bit-identical to the batch
+        # export under that salt
+        re_wins = repack_epoch(
+            spark, shards, str(tmp_path / "w_e2"), window_ids=32,
+            n_shards=3, order_salt="epoch2:", mixture=M,
+        )
+        batched2, _ = export_training_set(
+            batch_docs, str(tmp_path / "w_batch2"), n_shards=3,
+            window_ids=32, order_salt="epoch2:", mixture=M,
+        )
+        assert k(re_wins) == k(batched2) and len(k(re_wins)) > 0
+
+    def test_source_mode_switch_fails_loud(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "switch guard corpus document one"}
+        ])
+        store = str(tmp_path / "store")
+        shards = str(tmp_path / "shards")
+        ingest_documents_stream(
+            spark, str(src), store, str(tmp_path / "ckpt"),
+            shard_store=shards, n_shards=2,
+        ).awaitTermination(120)
+        # same SHARD store, fresh doc store -> the sidecar's has_source
+        # provenance key fails the resume (a mixed store would hand
+        # temperature_mixture NULLs that really mean 'pre-switch rows')
+        with pytest.raises(ValueError, match="has_source"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store2"),
+                str(tmp_path / "ckpt2"), keep_source=True,
+                shard_store=shards, n_shards=2,
+            )
+        # same DOC store (no shard sink) -> the schema sniff fails it
+        with pytest.raises(ValueError, match="keep_source=False"):
+            ingest_documents_stream(
+                spark, str(src), store, str(tmp_path / "ckpt3"),
+                keep_source=True,
+            )
+        # and the reverse direction: a source-carrying doc store must
+        # not be continued sourceless
+        store4 = str(tmp_path / "store4")
+        self._drop(src, "b2.jsonl", [
+            {"doc_id": 2, "text": "second corpus document body",
+             "source": "web"}
+        ])
+        ingest_documents_stream(
+            spark, str(src), store4, str(tmp_path / "ckpt4"),
+            keep_source=True,
+        ).awaitTermination(120)
+        with pytest.raises(ValueError, match="keep_source=True"):
+            ingest_documents_stream(
+                spark, str(src), store4, str(tmp_path / "ckpt5"),
+            )
+
+    def test_replay_idempotent_null_and_min_source(self, spark, tmp_path):
+        from s3_access_logs_spark.streaming import ingest_documents_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        # doc 1 arrives twice with one text and TWO source labels (the
+        # deterministic min wins); doc 2's feed row has no source field
+        # at all (NULL-safe optional column)
+        self._drop(src, "b1.jsonl", [
+            {"doc_id": 1, "text": "twice-labeled document body",
+             "source": "web"},
+            {"doc_id": 1, "text": "twice-labeled document body",
+             "source": "books"},
+            {"doc_id": 2, "text": "unlabeled document body here"},
+        ])
+        store = str(tmp_path / "store")
+        shards = str(tmp_path / "shards")
+
+        def run(ck):
+            ingest_documents_stream(
+                spark, str(src), store, str(tmp_path / ck),
+                keep_source=True, shard_store=shards, n_shards=2,
+            ).awaitTermination(120)
+
+        run("ckpt1")
+        key = lambda p: sorted(  # noqa: E731
+            (r.doc_id, r.source, r.shard, r.batch_id, tuple(r.ids))
+            for r in spark.read.parquet(p).collect()
+        )
+        first = key(shards)
+        assert [(d, s) for d, s, *_ in first] == [
+            (1, "books"), (2, None)
+        ]
+        doc_src = {
+            r.keep_id: r.source
+            for r in spark.read.parquet(store).collect()
+        }
+        assert doc_src == {1: "books", 2: None}
+        # fresh checkpoint over committed stores IS the replay window:
+        # every byte, source included, must come out identical
+        run("ckpt2")
+        assert key(shards) == first
+        # and the store-mode pre-flight composes: per-SOURCE fit rows
+        # over a stream-built sourced store (NULL source is its own
+        # row, the batch-store contract)
+        from s3_access_logs_spark.operators.export import (
+            store_preflight_report,
+        )
+
+        pf = store_preflight_report(spark, shards, window_ids=16)
+        got = {r.source: r.n_docs for r in pf.collect()}
+        assert got == {"books": 1, None: 1}
+
+
 class TestTokenStoreCompaction:
     """Round 12 (VERDICT r11 item 3): fold a streaming token store's
     ``shard=<s>/batch_id=<b>`` leaves into one base file per shard —

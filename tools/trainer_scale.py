@@ -1,17 +1,33 @@
-"""Distributed vs in-driver BPE trainer: the round-12 scale point.
+"""Distributed vs in-driver BPE trainer: scale + strategy points.
 
 Protocol: one `local[32]` session, warm fence (one tiny distributed
 train absorbing Arrow/worker spin-up), then per corpus: the in-driver
 trainer (`train_bpe_from_corpus` — deterministic 1024-doc sample,
 collect, pure-Python Sennrich loop) and the distributed trainer
-(`train_bpe_distributed` — FULL-corpus pair counts per iteration,
-driver argmax only), both at 64 merges, warm best-of-2. The two
-compute different things by design (sample vs full corpus); the row
-records that full-corpus counting is AFFORDABLE and how its cost
-scales, not a race on equal work.
+(`train_bpe_distributed` — full-corpus pair counts, driver argmax
+only) under BOTH strategies, warm best-of-2. The trainers compute
+different things by design (sample vs full corpus); the rows record
+that full-corpus counting is AFFORDABLE and how its cost scales, not a
+race on equal work.
+
+Round 13 additions (VERDICT r12 item 5):
+
+* ``--equality [sf_dir]`` — the deep-horizon pin: train the sf0.01
+  corpus to >= 1024 actual merges under BOTH strategies (min_freq=1)
+  and assert merge-for-merge equality; prints the count and a boolean.
+* ``--profile [sf_dir]`` — per-iteration wall time of each strategy in
+  iteration-index BUCKETS (the merge-dimension cost curve the delta
+  strategy exists to flatten): one train per strategy, per-iteration
+  times sampled by wrapping the loop via num_merges increments is too
+  noisy, so instead each strategy trains to N merges in one call and
+  the CUMULATIVE time at checkpoints num_merges in {64, 128, 256, 512}
+  is reported — recount grows ~linearly per decade of merges while
+  delta's increments shrink with rank.
 
 Usage: python tools/trainer_scale.py [sf_dir ...]
-Prints one JSON line per (corpus, trainer).
+       python tools/trainer_scale.py --equality [sf_dir]
+       python tools/trainer_scale.py --profile [sf_dir]
+Prints one JSON line per row.
 """
 
 from __future__ import annotations
@@ -43,27 +59,91 @@ def _best_of(n, fn):
     return best, out
 
 
-def main() -> None:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf100_scaled"]
+def _session():
     spark = get_spark("trainer-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm fence
     warm = load_table(spark, "/root/testdata/sf0.01", "documents")
-    train_bpe_distributed(warm, num_merges=4, min_freq=1)
+    train_bpe_distributed(warm, num_merges=4, min_freq=1)  # warm fence
+    return spark
+
+
+def run_equality(sf: str) -> None:
+    spark = _session()
+    docs = load_table(spark, sf, "documents").select("text")
+    t0 = time.perf_counter()
+    d = train_bpe_distributed(
+        docs, num_merges=1024, min_freq=1, strategy="delta"
+    )
+    t_d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = train_bpe_distributed(
+        docs, num_merges=1024, min_freq=1, strategy="recount"
+    )
+    t_r = time.perf_counter() - t0
+    print(json.dumps({
+        "row": "strategy_equality_1024",
+        "sf": sf,
+        "n_merges": len(d),
+        "equal": d == r,
+        "delta_sec": round(t_d, 1),
+        "recount_sec": round(t_r, 1),
+    }), flush=True)
+    assert d == r, "strategy divergence — NOT recordable"
+    spark.stop()
+
+
+def run_profile(sf: str) -> None:
+    """Cumulative cost at merge-count checkpoints per strategy. Each
+    checkpoint is an independent train (deterministic, so the merge
+    prefix is shared); the per-decade INCREMENT is the merge-dimension
+    cost curve."""
+    spark = _session()
+    docs = load_table(spark, sf, "documents").select("text")
+    marks = [64, 128, 256, 512]
+    for strategy in ("delta", "recount"):
+        row = {"row": "strategy_profile", "sf": sf, "strategy": strategy}
+        for m in marks:
+            t0 = time.perf_counter()
+            out = train_bpe_distributed(
+                docs, num_merges=m, min_freq=1, strategy=strategy
+            )
+            row[f"sec_{m}"] = round(time.perf_counter() - t0, 1)
+            row["n_last"] = len(out)
+        print(json.dumps(row), flush=True)
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--equality":
+        run_equality(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--profile":
+        run_profile(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+        return
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf100_scaled"]
+    spark = _session()
     for sf in dirs:
         docs = load_table(spark, sf, "documents").select("text")
         n = docs.count()
         sec_d, md = _best_of(
             2, lambda: train_bpe_distributed(docs, num_merges=MERGES)
         )
+        sec_rc, mrc = _best_of(
+            2,
+            lambda: train_bpe_distributed(
+                docs, num_merges=MERGES, strategy="recount"
+            ),
+        )
         sec_s, ms = _best_of(
             2, lambda: train_bpe_from_corpus(docs, num_merges=MERGES)
         )
         print(json.dumps({
             "sf": sf, "docs": n, "merges": MERGES,
-            "distributed_full_corpus_sec": round(sec_d, 2),
+            "distributed_delta_sec": round(sec_d, 2),
+            "distributed_recount_sec": round(sec_rc, 2),
             "driver_sampled_sec": round(sec_s, 2),
             "n_merges_distributed": len(md),
+            "equal_strategies": md == mrc,
             "n_merges_driver": len(ms),
         }), flush=True)
     spark.stop()
