@@ -234,19 +234,15 @@ def _purge_one(
     sort_tail: list[str],
 ) -> dict:
     """Purge one store: column-pruned scan names the affected leaves,
-    ONLY those are read back, anti-joined and swapped in."""
+    ONLY those are read back, anti-joined and swapped in. Recovery and
+    schema validation are the CALLER's job (``purge_documents`` runs
+    ``_validate_store`` — which recovers first — over every store
+    before any rewrite; review r13 removed the duplicate pass here)."""
     from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
 
-    _recover_swap(spark, store)
     if not has_data_files(spark, store):
         return {"leaves_rewritten": 0, "rows_purged": 0}
     df = spark.read.parquet(store)
-    for c in [row_id_col] + part_cols:
-        if c not in df.columns:
-            raise ValueError(
-                f"purge: store {store!r} has no {c!r} column — wrong "
-                f"store kind for this argument (columns: {df.columns})"
-            )
     # 1. which leaves hold any of the ids? column-pruned scan + tiny
     #    broadcast join; the collect is bounded by the leaf count
     hit_rows = (

@@ -286,9 +286,13 @@ def _bpe_gpt2_sql() -> str:
     SELECT doc_id,
            len(ids)::BIGINT AS n_ids,
            len(list_filter(ids, x -> x < 0))::BIGINT AS n_unk,
-           COALESCE(array_to_string(
-             list_transform(ids[1:24], x -> x::VARCHAR), '|'), '')
-             AS head24
+           -- NULL ids (a NULL-text doc) must stay NULL like Spark's
+           -- array_join; only the EMPTY list coalesces to '' (the
+           -- _bpe_exact_sql head20 contract — review r13)
+           (CASE WHEN ids IS NULL THEN NULL ELSE
+              COALESCE(array_to_string(
+                list_transform(ids[1:24], x -> x::VARCHAR), '|'), '')
+            END) AS head24
     FROM i
     """
 

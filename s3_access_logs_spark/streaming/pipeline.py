@@ -615,10 +615,22 @@ def ingest_documents_stream(
             # expose, so fail loud instead of overwriting (review r12,
             # second pass). Pre-provenance sidecars (id-space keys
             # only) are upgraded in place when those keys agree.
+            _prev_eff = dict(_prev)
+            # a pre-round-13 sidecar has no has_source key, but every
+            # store it stamps is sourceless BY CONSTRUCTION (the
+            # stream schema was (doc_id, text)) — so the missing key
+            # means False, not unknown. Without this default a legacy
+            # store resumed with keep_source=True would pass the diff
+            # loop (which only compares keys present in BOTH) and
+            # silently "upgrade" into exactly the mixed-schema state
+            # this guard exists to prevent (review r13). The other
+            # pre-provenance keys stay upgrade-in-place: their absence
+            # really is unknown, not an implied value.
+            _prev_eff.setdefault("has_source", False)
             diffs = {
-                k: (_prev[k], _meta[k])
+                k: (_prev_eff[k], _meta[k])
                 for k in _meta
-                if k in _prev and _prev[k] != _meta[k]
+                if k in _prev_eff and _prev_eff[k] != _meta[k]
             }
             if diffs:
                 raise ValueError(

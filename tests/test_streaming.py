@@ -1293,6 +1293,33 @@ class TestIngestSourceCurriculum:
             ingest_documents_stream(
                 spark, str(src), store4, str(tmp_path / "ckpt5"),
             )
+        # review r13: a PRE-round-13 sidecar (no has_source key at
+        # all) means sourceless BY CONSTRUCTION — resuming it with
+        # keep_source=True must fail the same way, not silently
+        # upgrade the key onto a store whose leaves have no source
+        import json as _json
+
+        from s3_access_logs_spark.operators.export import (
+            TOKEN_STORE_META,
+        )
+
+        sidecar = f"{shards}/{TOKEN_STORE_META}"
+        meta = _json.load(open(sidecar))
+        del meta["has_source"]
+        with open(sidecar, "w") as f:
+            _json.dump(meta, f)
+        # the direct edit stales Hadoop's local-FS checksum shadow
+        import os as _os
+
+        crc = f"{shards}/.{TOKEN_STORE_META}.crc"
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        with pytest.raises(ValueError, match="has_source"):
+            ingest_documents_stream(
+                spark, str(src), str(tmp_path / "store5"),
+                str(tmp_path / "ckpt6"), keep_source=True,
+                shard_store=shards, n_shards=2,
+            )
 
     def test_replay_idempotent_null_and_min_source(self, spark, tmp_path):
         from s3_access_logs_spark.streaming import ingest_documents_stream

@@ -67,21 +67,38 @@ def _session():
     return spark
 
 
+def _rich_docs(spark, sf: str):
+    """The fixture vocabulary is 31 distinct words (measured — the
+    generator is formulaic), which exhausts Sennrich training at ~127
+    merges; a >=1024-merge horizon needs a richer symbol space.
+    Append one md5-hex word per document (deterministic in doc_id):
+    unique pre-tokens then scale with the corpus and the merge horizon
+    is tens of thousands."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf, "documents").select(
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.md5(F.col("doc_id").cast("string")),
+        ).alias("text")
+    )
+
+
 def run_equality(sf: str) -> None:
     spark = _session()
-    docs = load_table(spark, sf, "documents").select("text")
+    docs = _rich_docs(spark, sf)
     t0 = time.perf_counter()
     d = train_bpe_distributed(
-        docs, num_merges=1024, min_freq=1, strategy="delta"
+        docs, num_merges=1100, min_freq=1, strategy="delta"
     )
     t_d = time.perf_counter() - t0
     t0 = time.perf_counter()
     r = train_bpe_distributed(
-        docs, num_merges=1024, min_freq=1, strategy="recount"
+        docs, num_merges=1100, min_freq=1, strategy="recount"
     )
     t_r = time.perf_counter() - t0
     print(json.dumps({
-        "row": "strategy_equality_1024",
+        "row": "strategy_equality_1100",
         "sf": sf,
         "n_merges": len(d),
         "equal": d == r,
@@ -89,27 +106,40 @@ def run_equality(sf: str) -> None:
         "recount_sec": round(t_r, 1),
     }), flush=True)
     assert d == r, "strategy divergence — NOT recordable"
+    assert len(d) >= 1024, "horizon not reached — NOT recordable"
     spark.stop()
 
 
 def run_profile(sf: str) -> None:
-    """Cumulative cost at merge-count checkpoints per strategy. Each
-    checkpoint is an independent train (deterministic, so the merge
-    prefix is shared); the per-decade INCREMENT is the merge-dimension
-    cost curve."""
+    """The merge-dimension cost CURVE: one 512-merge train per
+    strategy (min_freq=1, rich corpus), per-iteration wall times
+    collected via the trainer's diagnostics hook and reported as
+    64-iteration bucket means. Recount's bucket mean tracks the
+    (roughly constant) full-corpus explode; delta's drops as the
+    argmax pair's frequency — and with it the affected-words slice —
+    falls with rank."""
     spark = _session()
-    docs = load_table(spark, sf, "documents").select("text")
-    marks = [64, 128, 256, 512]
+    docs = _rich_docs(spark, sf)
     for strategy in ("delta", "recount"):
-        row = {"row": "strategy_profile", "sf": sf, "strategy": strategy}
-        for m in marks:
-            t0 = time.perf_counter()
-            out = train_bpe_distributed(
-                docs, num_merges=m, min_freq=1, strategy=strategy
+        times: list[float] = []
+        t0 = time.perf_counter()
+        out = train_bpe_distributed(
+            docs, num_merges=512, min_freq=1, strategy=strategy,
+            iteration_hook=lambda i, s: times.append(s),
+        )
+        total = time.perf_counter() - t0
+        buckets = {
+            f"iters_{lo + 1}_{lo + 64}": round(
+                sum(times[lo:lo + 64]) / max(1, len(times[lo:lo + 64])), 3
             )
-            row[f"sec_{m}"] = round(time.perf_counter() - t0, 1)
-            row["n_last"] = len(out)
-        print(json.dumps(row), flush=True)
+            for lo in range(0, 512, 64)
+            if times[lo:lo + 64]
+        }
+        print(json.dumps({
+            "row": "strategy_profile", "sf": sf, "strategy": strategy,
+            "n_merges": len(out), "total_sec": round(total, 1),
+            "per_iter_bucket_mean_sec": buckets,
+        }), flush=True)
     spark.stop()
 
 
