@@ -717,9 +717,10 @@ def store_preflight_report(
     the way ``vocab_fit_report``/``window_fill_report`` must. One row
     per source (a sourceless store reports one NULL-source row):
 
-    * fit half, per source — ``n_docs``, ``total_ids`` (OBSERVED EOS
-      markers excluded — counted, not assumed one-per-stream, so
-      foreign stores without trailing EOS report exact numbers),
+    * fit half, per source — ``n_docs`` (stored id STREAMS, i.e.
+      rows), ``total_ids`` (OBSERVED EOS markers excluded — counted,
+      not assumed one-per-stream, so foreign stores without trailing
+      EOS report exact numbers),
       ``unk_ids``, ``unk_rate``, and ``unk_flag`` (rate above
       ``unk_threshold``: this source's id stream would train noise);
     * layout half, GLOBAL (repeated on every row — the artifact packs
@@ -727,7 +728,8 @@ def store_preflight_report(
       never written): ``n_windows`` (sum over shards of
       ceil(stream/W)), ``pad_ids``/``pad_rate`` (the fixed-shape waste
       bound: only each shard's last window pads) and
-      ``docs_per_window`` (EOS boundaries per window).
+      ``docs_per_window`` (OBSERVED EOS boundaries per window — the
+      same counted-not-assumed arithmetic as ``total_ids``).
 
     ``unk_id``/``eos_id`` default from the store's
     ``_token_store_meta.json`` sidecar; a pre-scheme store without one
@@ -801,7 +803,12 @@ def store_preflight_report(
     )
     per_shard = per_doc.groupBy("shard").agg(
         F.sum("n_with_eos").alias("stream_len"),
-        F.count(F.lit(1)).alias("nd"),
+        # docs_per_window counts EOS BOUNDARIES, matching total_ids's
+        # observed-EOS arithmetic (review r13: a foreign multi-doc-
+        # per-row store would otherwise get rows-per-window here while
+        # the fit half counts boundaries); n_docs stays the stored
+        # STREAM (row) count — both columns are documented as such
+        F.sum("n_eos").alias("nd"),
     )
     layout = per_shard.agg(
         F.sum(F.floor((F.col("stream_len") + W_l - 1) / W_l))

@@ -194,19 +194,25 @@ def _validate_store(
     store: str,
     row_id_col: str,
     part_cols: list[str],
-) -> None:
+    recover: bool = True,
+) -> DataFrame | None:
     """Schema pre-check for one store: id + partition columns exist and
     the id column's dtype joins losslessly against the bigint purge-id
     frame. Run over EVERY given store BEFORE any store is rewritten
     (ADVICE r12: purge is not transactional across stores — a late
     wrong-store-kind error used to leave earlier stores already
     rewritten with no mention in the exit path). Recovery runs first so
-    a crashed store's schema is read from its healed tree."""
+    a crashed store's schema is read from its healed tree
+    (``recover=False`` when the caller already recovered — the token
+    store's layout detection does). Returns the validated frame for
+    reuse (``None`` for an empty store), so the rewrite pass reads no
+    second footer (review r13)."""
     from s3_access_logs_spark.sources.fsutil import has_data_files
 
-    _recover_swap(spark, store)
+    if recover:
+        _recover_swap(spark, store)
     if not has_data_files(spark, store):
-        return
+        return None
     df = spark.read.parquet(store)
     for c in [row_id_col] + part_cols:
         if c not in df.columns:
@@ -223,6 +229,7 @@ def _validate_store(
             "rows_purged=0 for a takedown; non-integral id stores are "
             "unsupported (ADVICE r12)"
         )
+    return df
 
 
 def _purge_one(
@@ -232,17 +239,21 @@ def _purge_one(
     row_id_col: str,
     part_cols: list[str],
     sort_tail: list[str],
+    df: DataFrame | None = None,
 ) -> dict:
     """Purge one store: column-pruned scan names the affected leaves,
     ONLY those are read back, anti-joined and swapped in. Recovery and
     schema validation are the CALLER's job (``purge_documents`` runs
     ``_validate_store`` — which recovers first — over every store
-    before any rewrite; review r13 removed the duplicate pass here)."""
+    before any rewrite and passes the validated frame back in via
+    ``df``, so no second footer read happens here; review r13 removed
+    the duplicate pass)."""
     from s3_access_logs_spark.sources.fsutil import hadoop_fs, has_data_files
 
-    if not has_data_files(spark, store):
-        return {"leaves_rewritten": 0, "rows_purged": 0}
-    df = spark.read.parquet(store)
+    if df is None:
+        if not has_data_files(spark, store):
+            return {"leaves_rewritten": 0, "rows_purged": 0}
+        df = spark.read.parquet(store)
     # 1. which leaves hold any of the ids? column-pruned scan + tiny
     #    broadcast join; the collect is bounded by the leaf count
     hit_rows = (
@@ -392,13 +403,23 @@ def purge_documents(
             ("ivf_index", ivf_index, "neighbor_id", ["cluster"],
              ["neighbor_id"])
         )
+    frames: dict[str, DataFrame | None] = {}
     for kind, store, id_col, part_cols, _ in specs:
-        _validate_store(spark, kind, store, id_col, part_cols)
+        frames[kind] = _validate_store(
+            spark, kind, store, id_col, part_cols,
+            # the token-store branch already recovered before its
+            # layout detection — don't pay the listing twice
+            recover=(kind != "token_store"),
+        )
     out: dict[str, dict] = {}
     for kind, store, id_col, part_cols, sort_tail in specs:
+        if frames[kind] is None:  # validated empty: nothing to rewrite
+            out[kind] = {"leaves_rewritten": 0, "rows_purged": 0}
+            continue
         try:
             out[kind] = _purge_one(
-                spark, store, ids_df, id_col, part_cols, sort_tail
+                spark, store, ids_df, id_col, part_cols, sort_tail,
+                df=frames[kind],
             )
         except Exception as e:
             done = (

@@ -2265,7 +2265,11 @@ def _store_preflight_sql() -> str:
       FROM ids GROUP BY source
     ),
     per_shard AS (
-      SELECT shard, SUM(len(ids)) AS stream_len, COUNT(*) AS nd
+      -- nd counts EOS BOUNDARIES (exactly one per row in this store,
+      -- so value-identical to COUNT(*) here) — the engine's counted
+      -- form (review r13)
+      SELECT shard, SUM(len(ids)) AS stream_len,
+             SUM(len(list_filter(ids, x -> x = {eos}))) AS nd
       FROM ids GROUP BY shard
     ),
     layout AS (

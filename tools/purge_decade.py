@@ -93,8 +93,18 @@ def main() -> None:
     # warm fence: one tiny build+purge absorbs writer/scan spin-up
     build_store(spark, f"{base}/warm", 5_000)
     timed_purge(spark, f"{base}/warm", [1, 2, 3])
-    # fixed 128-id hit set, all inside batch 0, spread over shards
-    fixed = list(range(0, 12_500, 98))[:128]
+    # fixed 128-id hit set, all inside batch 0, spread over shards —
+    # bounded by the SMALLEST scale so the set exists identically at
+    # every point (the same-work requirement the table exists for);
+    # a shortfall is reported, never silent (review r13)
+    lim = min(min(scales), DOCS_PER_BATCH)
+    fixed = list(range(0, lim, max(1, lim // 128)))[:128]
+    if len(fixed) < 128:
+        print(json.dumps({
+            "row": "note",
+            "msg": f"fixed hit set only {len(fixed)} ids "
+                   f"(smallest scale {min(scales)} bounds it)",
+        }), flush=True)
     for n in scales:
         store = f"{base}/store_{n}"
         build_store(spark, store, n)
