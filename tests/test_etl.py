@@ -394,12 +394,13 @@ class TestQueryCli:
 
         assert run_query(["list"]) == 0
         names = capsys.readouterr().out.split()
-        # 114 = 96 granular + 18 folds (round 12 added
-        # store_preflight_report, standalone — driver surface 50, at
-        # the <= 50 cap; round 11 added packed_window_spans,
-        # packed_padded_windows, vocab_fit_report, window_fill_report,
-        # sql_preflight_gate — all folded)
-        assert "q1_pricing_summary" in names and len(names) == 114
+        # 116 = 97 granular + 19 folds (round 13 added
+        # bpe_gpt2_byte_tokens + the suite_tokenizer_lifecycle fold —
+        # driver surface 50 -> 49; round 12 added
+        # store_preflight_report, standalone; round 11 added
+        # packed_window_spans, packed_padded_windows, vocab_fit_report,
+        # window_fill_report, sql_preflight_gate — all folded)
+        assert "q1_pricing_summary" in names and len(names) == 116
         assert run_query(["no_such_query"]) == 2
 
 
