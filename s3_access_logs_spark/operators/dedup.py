@@ -309,25 +309,47 @@ def minhash_candidates(
     to that documented lower bound instead of an executor OOM."""
     banded = minhash_bands(df, id_col, text_col, k, bands, shingle_n)
     if max_band_freq is not None:
-        hot = (
-            banded.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_band_freq)
-            .select("band_idx", "band_key")
+        # cap enforced BEFORE the posting list materializes (the
+        # file-wide window-then-group pattern shared with jaccard_pairs
+        # and duplicate_spans: a WindowExec partition spills to disk, a
+        # single collect_list group's array cannot) — and the window's
+        # sort feeds the adjacent groupBy's exchange reuse, so the cap
+        # costs no exchange of its own.
+        from pyspark.sql import Window as W
+
+        banded = (
+            banded.withColumn(
+                "_n",
+                F.count(F.lit(1)).over(
+                    W.partitionBy("band_idx", "band_key")
+                ),
+            )
+            .filter(F.col("_n") <= max_band_freq)
+            .drop("_n")
         )
-        banded = banded.join(
-            F.broadcast(hot), ["band_idx", "band_key"], "left_anti"
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Posting-list pair generation (optimization r13, guide §2.4/§3):
+    # ordered pairs explode straight out of each band bucket's sorted id
+    # list — the jaccard_pairs/simhash codegen-generator shape — instead
+    # of the former band-key SELF-JOIN, which shuffled the banded table
+    # twice (build + probe of a SortMergeJoin) plus a third groupBy for
+    # the hot-bucket count and a broadcast anti-join to apply it. One
+    # exchange (the bucket groupBy, reusing the cap window's sort) now
+    # does all of it; the pair distinct below is unchanged. The bucket
+    # cap bounds every collected array at ``max_band_freq`` ids, the
+    # same guarantee the join form relied on to bound its fan-out.
+    grouped = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
@@ -958,13 +980,30 @@ def connected_components(
                 "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
             )
         )
-    labels = ckpt(
-        und.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    # Round 1 fused into initialization (optimization r13, guide §2.4 —
+    # remove shuffles outright): with labels[id] = id, round 1's
+    # neighbor-min join is the identity mapping, so its output is exactly
+    # `least(id, min over neighbors of neighbor_id)` — ONE aggregation
+    # over the edge list. This replaces the old init (a distinct over the
+    # node ids: one shuffle + one checkpoint) AND round 1's join+aggregate
+    # (two more exchanges) with a single groupBy; on a near-clique dedup
+    # graph that converges in 2 rounds it removes a third of the loop's
+    # passes over the edge set at any scale. Every graph node appears as
+    # ``dst`` (und holds both directions), so the node set is preserved.
+    first = ckpt(
+        und.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("nbr_min"))
+        .select(
+            "id",
+            F.least(F.col("id"), F.col("nbr_min")).alias("cluster_id"),
+            (F.col("nbr_min") < F.col("id")).cast("int").alias("chg"),
+        )
     )
-    changed = 0
-    for _ in range(max_iterations):
+    changed = first.agg(F.sum("chg")).collect()[0][0]
+    labels = first.drop("chg")
+    for _ in range(max_iterations - 1):
+        if not changed:
+            break
         nbr_min = (
             und.join(labels, und["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -982,8 +1021,6 @@ def connected_components(
         )
         changed = merged.agg(F.sum("chg")).collect()[0][0]
         labels = merged.drop("chg")
-        if not changed:
-            break
     if changed:
         # the LAST allowed round still changed labels — but changing INTO
         # the fixed point on the final round is legitimate (graph diameter

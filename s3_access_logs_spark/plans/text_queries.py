@@ -815,12 +815,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql import Window
 
+    # df_docs as a window count over the term partition (optimization
+    # r13, guide §2.4 — share one exchange): the former
+    # ``tf.groupBy(term).count()`` + join-back could NOT reuse the tf
+    # exchange (column pruning rewrites the dfreq side's aggregate into
+    # a distinct, so the subtrees stop being plan-identical) and the
+    # whole scan -> explode -> two-level aggregate pipeline executed
+    # TWICE. The window is the same value — tf holds one row per
+    # (doc, term), so a term-partition row count IS its document
+    # frequency — computed on the single tf pass for one term-keyed
+    # exchange, no join.
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .join(F.broadcast(n))
         .withColumn(
             "tfidf",
