@@ -685,8 +685,18 @@ def _assign_clusters(
         # alone would accept; the Arrow path's _vector_batch marks the
         # same rows bad), and the abs(cos) guard keeps catching NaN/inf
         # cosines — NaN <= 1.5 is false, so the when yields NULL.
+        #
+        # ``ct`` here is the (d, n, l) struct from the dot pass below,
+        # so every reference to the dot product is a bound-variable
+        # lookup. Referencing the FOLD twice (the r12 form: once under
+        # abs(), once as the kept value) doubled the O(nlist x dims)
+        # assignment FLOPs — Catalyst inlines, never CSEs, lambda-body
+        # expressions (optimization r13, guide §1.2 step 2; the same
+        # trap as cosine_from_norms' docstring). The arithmetic below
+        # is the identical IEEE op sequence on the same dot value, so
+        # keys are bit-for-bit unchanged.
         denom = F.col("__vnorm") * ct["n"]
-        cos = F.when(denom > 0, _dot_fold(ct) / denom)
+        cos = F.when(denom > 0, ct["d"] / denom)
         safe = F.when(F.col("__vok") & (F.abs(cos) <= F.lit(1.5)), cos)
         q = F.floor(safe * F.lit(1e6) + F.lit(0.5)).cast("double")
         return -F.coalesce(q, F.lit(-2.0e6))
@@ -698,8 +708,19 @@ def _assign_clusters(
             lambda acc, x: acc + x,
         )
 
-    sims = F.transform(
+    # two-level transform: pass 1 materializes each centroid's dot
+    # product ONCE as a struct field; pass 2 builds the sort key from
+    # that bound value (see _ns comment — halves assignment FLOPs)
+    dots = F.transform(
         F.col("_cents"),
+        lambda ct: F.struct(
+            _dot_fold(ct).alias("d"),
+            ct["n"].alias("n"),
+            ct["l"].alias("l"),
+        ),
+    )
+    sims = F.transform(
+        dots,
         lambda ct: F.struct(_ns(ct).alias("ns"), ct["l"].alias("l")),
     )
     probes = F.slice(F.array_sort(sims), 1, n_best)
