@@ -1159,29 +1159,78 @@ def winnow_fingerprints(
         + (i - 1),
     )
     m = F.col("_m")  # n_grams, materialized — `text` is renamed away
-    # window j (0-based) covers hash indexes [j+1, j+window] (1-based,
-    # slice clamps at the array end); selected = leftmost min's 0-based
-    # gram position, decoded from the packed key's low 24 bits
+    # Sliding-window minimum as a SPARSE TABLE (optimization r13, guide
+    # §1.2 step 2 — per-task work): the former shape took
+    # ``array_min(slice(_h, j+1, window))`` per window start, which
+    # ALLOCATES AND COPIES a window-length array per gram — O(len x
+    # window) copied longs per document, the dominant cost of this
+    # zero-shuffle projection (measured r7: ~40 s of a ~58 s projection
+    # at 100x). Standard RMQ sparse table instead: level arrays
+    # T_k[i] = min(_h[i .. i+2^k-1]) built by halving
+    # (T_k[i] = least(T_{k-1}[i], T_{k-1}[i+2^{k-1}])), then every
+    # window min is ONE least() over two overlapping power-of-two
+    # blocks — O(len x log window) element reads, no per-window
+    # allocation. min is idempotent/associative, so the overlap is
+    # harmless and the selected values are bit-identical (pinned: the
+    # integration A/B summed count/sum/id-weighted-sum over all
+    # selections at sf0.1 — equal). Each level is materialized as its
+    # OWN column (the multi-reference barrier: the next level reads it
+    # twice, and Catalyst inlines, never CSEs, repeated non-attribute
+    # references). Levels are guarded on m >= window; shorter docs take
+    # the single-global-min branch exactly as before (the old slice
+    # clamped to the whole array for them).
+    n_levels = max(int(window).bit_length() - 1, 0)  # floor(log2(window))
+
+    def _level_fn(pc: Column, half: int):
+        return lambda i: F.least(
+            F.element_at(pc, i), F.element_at(pc, i + F.lit(half))
+        )
+
+    base = df.filter(
+        (F.length(t) >= k) & (n_grams <= F.lit(1 << 24))
+    ).select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        n_grams.alias("_m"),
+        hashes.alias("_h"),
+    )
+    prev = "_h"
+    for lvl in range(1, n_levels + 1):
+        base = base.withColumn(
+            f"_sw{lvl}",
+            F.when(
+                m >= F.lit(window),
+                F.transform(
+                    F.sequence(F.lit(1), m - F.lit((1 << lvl) - 1)),
+                    _level_fn(F.col(prev), 1 << (lvl - 1)),
+                ),
+            ),
+        )
+        prev = f"_sw{lvl}"
+    top = F.col(prev)
+    # window start s (1-based) covers [s, s+window-1]; the two blocks
+    # [s, s+2^j-1] and [s+window-2^j, s+window-1] tile it exactly
     selected = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(m - F.lit(window), F.lit(0))
+        F.when(
+            m >= F.lit(window),
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(window - 1)),
+                lambda s: F.pmod(
+                    F.least(
+                        F.element_at(top, s),
+                        F.element_at(
+                            top, s + F.lit(window - (1 << n_levels))
+                        ),
+                    ),
+                    F.lit(1 << 24),
+                ),
             ),
-            lambda j: F.pmod(
-                F.array_min(F.slice(F.col("_h"), j + 1, F.lit(window))),
-                F.lit(1 << 24),
-            ),
+        ).otherwise(
+            F.array(F.pmod(F.array_min(F.col("_h")), F.lit(1 << 24)))
         )
     )
     return (
-        df.filter((F.length(t) >= k) & (n_grams <= F.lit(1 << 24)))
-        .select(
-            F.col(id_col).alias("id"),
-            t.alias("_t"),
-            n_grams.alias("_m"),
-            hashes.alias("_h"),
-        )
-        .select(
+        base.select(
             "id",
             "_t",
             F.explode(selected).alias("_p"),
