@@ -175,8 +175,9 @@ def simhash_token_hashes(col: Column | str, word: int = 0) -> Column:
 
 def simhash_from_hashes(hs: Column | str, bits: int = 32) -> Column:
     """SimHash fingerprint from a token-hash array column: bit b is the
-    sign of sum_t (bit_b(h(t)) ? 1 : -1). Division-based bit extraction
-    keeps the expression portable to the DuckDB oracle.
+    sign of sum_t (bit_b(h(t)) ? 1 : -1). The oracle replica extracts
+    bits with integer `//` on its side; both equal arithmetic shift on
+    these non-negative < 2^32 hash values.
 
     With a column NAME the whole fingerprint is ONE generated SQL string:
     32 py4j-built aggregate folds cost ~1.5 s of driver time per plan
