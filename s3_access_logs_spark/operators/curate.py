@@ -147,7 +147,6 @@ def curate_corpus(
     band_store: str | None = None,
     store_batch_id: int | None = None,
     verify_unique_ids: bool = True,
-    cache_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -233,20 +232,7 @@ def curate_corpus(
     rows) under a scoped persist that is released before returning —
     no session-lifetime cache leak; consuming ``survivors`` afterwards
     re-derives the cheap column flags while the expensive sub-results
-    (connected components) are lineage-truncated internally.
-
-    ``cache_out`` (optimization r13, guide §2.4 "don't compute things
-    twice"): pass a list and — on success, when ``dst`` is None — the
-    call-scoped persist of the flags frame is NOT released; it is
-    appended to the list and the CALLER must unpersist it after its
-    first action over ``survivors`` materializes downstream state (the
-    ``pre_mix`` pattern in operators/export.py). Consuming survivors
-    then reads the cache the report already materialized instead of
-    re-deriving the gate stack — one full gate execution per call
-    instead of two for callers like :func:`export_training_set` whose
-    write path scans the survivors. With ``dst`` set the handle is
-    never appended (survivors are a parquet re-read) and the cache is
-    released here as before."""
+    (connected components) are lineage-truncated internally."""
     # cheap (driver-only / metadata-only) argument validation FIRST
     # (review r9): an invalid-argument call must not pay the
     # id-uniqueness corpus scan below before it fails
@@ -510,7 +496,6 @@ def curate_corpus(
     # so the cache can release before returning and the survivors frame
     # never re-enters the expensive stages.
     _scoped: list[DataFrame] = []
-    _handed_over = False
     # ONE try/finally covers the whole stage + report + write sequence:
     # every scoped persist is released on ANY exit — a failing stage
     # (ragged vector, store error) must not pin the cached gate stack
@@ -762,16 +747,8 @@ def curate_corpus(
             # corpus lands where a 100 TB run wants it anyway
             survivors.write.mode("overwrite").parquet(dst)
             survivors = docs.sparkSession.read.parquet(dst)
-        if cache_out is not None and dst is None:
-            # success path with a caller-managed scope: hand the live
-            # flags cache over instead of releasing it — the caller's
-            # survivor scan reads the cache the report collect above
-            # just materialized (one gate-stack execution, not two)
-            cache_out.append(flags)
-            _handed_over = True
     finally:
-        if not _handed_over:
-            flags.unpersist()
+        flags.unpersist()
         for df_ in _scoped:
             df_.unpersist()
     report = docs.sparkSession.createDataFrame(

@@ -157,34 +157,27 @@ def _curated_id_streams(
     """The shared front half of the batch export paths: curate ``docs``,
     optionally re-balance sources, and encode survivors to
     ``(id, ids)`` EOS-terminated token-id streams. Returns
-    ``(streams, curate_report, cache_handles)`` — the caller MUST
-    unpersist every frame in ``cache_handles`` after its first action
+    ``(streams, curate_report, pre_mix_handle)`` — the caller MUST
+    unpersist ``pre_mix_handle`` (when not None) after its first action
     over ``streams`` materializes downstream state (the scoped-persist
-    rule). The handles are curate_corpus's flags cache (optimization
-    r13: the report collect materializes the gate stack into it, and
-    retaining it across the caller's write means the survivors scan
-    reads the cache instead of executing the gates a second time) and,
-    under ``mixture``, the pre-mixture survivors persist
-    (temperature_mixture's count collect plus the caller's own scan
-    would otherwise re-derive survivors twice).
+    rule: temperature_mixture's count collect plus the caller's own
+    scan would otherwise execute the gate stack twice).
     ``keep_source`` additionally carries ``source_col`` through (as
     ``source``) when the input has it — the token store persists it so
     mixture can be applied per EPOCH at repack time (round 12)."""
     from s3_access_logs_spark.functions import bpe as B
     from s3_access_logs_spark.operators.curate import curate_corpus
 
-    handles: list[DataFrame] = []
     survivors, report = curate_corpus(
-        docs, id_col=id_col, text_col=text_col, cache_out=handles,
-        **(curate or {}),
+        docs, id_col=id_col, text_col=text_col, **(curate or {})
     )
+    pre_mix = None
     if mixture is not None:
         from s3_access_logs_spark.operators.sampling import (
             temperature_mixture,
         )
 
         pre_mix = survivors.persist()
-        handles.append(pre_mix)
         survivors = temperature_mixture(
             pre_mix, source_col, id_col, **mixture
         ).drop("_keep_rate")
@@ -203,7 +196,7 @@ def _curated_id_streams(
     ]
     if keep_source and source_col in survivors.columns:
         cols.append(F.col(source_col).alias("source"))
-    return survivors.select(*cols), report, handles
+    return survivors.select(*cols), report, pre_mix
 
 
 def export_training_set(
@@ -288,7 +281,7 @@ def export_training_set(
     ms, _vs, eos, pad = _resolve_special_ids(
         merges, vocab, unk_id, eos_id, pad_id
     )
-    t, report, _handles = _curated_id_streams(
+    t, report, _pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
         id_col, text_col, curate, mixture, source_col,
         pretokenizer=pretokenizer,
@@ -314,13 +307,12 @@ def export_training_set(
     windows = windows.persist()
     try:
         _write_windows(windows, dst, n_shards)
-        # the windows cache is materialized by the write above, so the
-        # upstream scoped caches (curate's flags frame, and under
-        # mixture the pre-mixture survivors frame) have served every
-        # consumer — release them before the aggregates below
-        for _h in _handles:
-            _h.unpersist()
-        _handles = []
+        if _pre_mix is not None:
+            # the windows cache is materialized by the write above, so
+            # the pre-mixture survivors frame has served both its
+            # consumers (the mixture count collect + the tokenize scan)
+            _pre_mix.unpersist()
+            _pre_mix = None
         aggs = [
             F.count(F.lit(1)).alias("nw"),
             F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
@@ -343,8 +335,8 @@ def export_training_set(
         m = windows.agg(*aggs).first()
     finally:
         windows.unpersist()
-        for _h in _handles:  # failure path: release the caches
-            _h.unpersist()
+        if _pre_mix is not None:  # failure path: release the cache
+            _pre_mix.unpersist()
     npad = int(m["npad"]) if pad is not None else 0
     sess = docs.sparkSession
     rows = [
@@ -598,7 +590,7 @@ def write_token_store(
     ms, vs, eos, _pad = _resolve_special_ids(
         merges, vocab, unk_id, eos_id, None, caller="write_token_store"
     )
-    t, report, handles = _curated_id_streams(
+    t, report, pre_mix = _curated_id_streams(
         docs, ms, vocab, unk_id, eos,
         id_col, text_col, curate, mixture, source_col,
         pretokenizer=pretokenizer, keep_source=True,
@@ -631,11 +623,9 @@ def write_token_store(
              "pretokenizer": pretokenizer,
              "merges_md5": merges_fingerprint(ms)},
         )
-        # the rows cache is materialized by the write above — release
-        # the upstream scoped caches (curate flags / pre-mixture)
-        for _h in handles:
-            _h.unpersist()
-        handles = []
+        if pre_mix is not None:
+            pre_mix.unpersist()
+            pre_mix = None
         m = rows.agg(
             F.count(F.lit(1)).alias("nd"),
             F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias("total"),
@@ -643,8 +633,8 @@ def write_token_store(
         ).first()
     finally:
         rows.unpersist()
-        for _h in handles:  # failure path: release the caches
-            _h.unpersist()
+        if pre_mix is not None:  # failure path: release the cache
+            pre_mix.unpersist()
     sess = docs.sparkSession
     out = [
         # every stored stream ends in exactly one EOS, so the token

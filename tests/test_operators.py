@@ -5847,56 +5847,6 @@ class TestCurateDstPath:
         )
 
 
-class TestCurateCacheHandoff:
-    """Optimization r13 (guide §2.4): ``cache_out`` lets a caller whose
-    write path scans the survivors reuse the flags cache the report
-    collect materialized, instead of executing the gate stack twice.
-    Pins the handle contract: exactly one live handle on the lazy
-    path, none on the written path, and identical survivors either
-    way."""
-
-    def test_lazy_path_hands_over_one_live_handle(self, spark):
-        from s3_access_logs_spark.operators.curate import curate_corpus
-        from s3_access_logs_spark.sources.tables import load_table
-
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-        handles: list = []
-        survivors, report = curate_corpus(
-            docs, min_quality=0.5, langs=("en",), cache_out=handles
-        )
-        try:
-            assert len(handles) == 1
-            assert handles[0].storageLevel.useMemory  # still cached
-            plain_surv, plain_rep = curate_corpus(
-                docs, min_quality=0.5, langs=("en",)
-            )
-            assert sorted(
-                map(tuple, survivors.select("doc_id").collect())
-            ) == sorted(map(tuple, plain_surv.select("doc_id").collect()))
-            assert sorted(map(tuple, report.collect())) == sorted(
-                map(tuple, plain_rep.collect())
-            )
-        finally:
-            for h in handles:
-                h.unpersist()
-        assert not handles[0].storageLevel.useMemory
-
-    def test_written_path_appends_nothing(self, spark, tmp_path):
-        from s3_access_logs_spark.operators.curate import curate_corpus
-        from s3_access_logs_spark.sources.tables import load_table
-
-        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-        handles: list = []
-        survivors, _ = curate_corpus(
-            docs, min_quality=0.5, langs=("en",),
-            dst=str(tmp_path / "curated"), cache_out=handles,
-        )
-        # survivors are a parquet re-read; the cache was released
-        # inside the call, so there is nothing for the caller to manage
-        assert handles == []
-        assert survivors.count() > 0
-
-
 class TestHammingIncremental:
     """The store-probe primitive behind streaming perceptual dedup."""
 
