@@ -1271,13 +1271,24 @@ def semantic_dedup(
     {a} here).
 
     Scale: cluster assignment is the zero-exchange literal-centroid argmax
-    (``_assign_clusters``); the within-cluster self-join shuffles each side
-    once by cluster. With nlist ~ sqrt(N) (the standard IVF sizing) cluster
-    populations stay bounded, so no pair block is quadratic in the corpus.
-    The self-join evaluates the assignment projection once per side; for a
-    recurring 100 TB job, materialize the assignment first
-    (``build_ivf_index`` writes exactly that) and run the pair search over
-    the stored posting lists instead.
+    (``_assign_clusters``), executed ONCE — the within-cluster pair
+    search runs over per-cluster posting arrays (one groupBy exchange,
+    ``array_sort(collect_list(...))``), not a self-join: the earlier
+    self-join form evaluated the whole assignment pipeline three times
+    (both join sides plus the keep join-back) and shuffled the corpus
+    twice. The domination predicate inside the array pass is the SAME
+    expression the join used (``b.id < a.id`` and
+    ``cosine_from_norms > threshold`` with identical IEEE op order), and
+    the id-ascending sort makes the prefix slice a complete candidate
+    set, so results are row-for-row unchanged — including NULL-id rows
+    (the explicit ``<`` keeps NULL ids from ever dominating, exactly the
+    join's three-valued behavior). With nlist ~ sqrt(N) (the standard
+    IVF sizing) cluster populations stay bounded, so no pair block is
+    quadratic in the corpus and no posting array outgrows a task (the
+    self-join buffered the same per-key block inside SMJ/hash relations).
+    For a recurring 100 TB job, materialize the assignment first
+    (``build_ivf_index`` writes exactly that) and run the pair search
+    over the stored posting lists instead.
     """
     cents = centroids if centroids is not None else label_centroids(
         corpus, label_col, vec_col
@@ -1288,27 +1299,31 @@ def semantic_dedup(
         l2_norm(vec_col).alias("n"),
     )
     assigned = _assign_clusters(c, cents, "v", 1)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.id") < F.col("a.id"))
-            & (
-                cosine_from_norms("a.v", "b.v", "a.n", "b.n")
-                > F.lit(threshold)
-            ),
-            "leftsemi",
-        )
-        .select("id")
-        .withColumn("_dropped", F.lit(True))
+    grouped = assigned.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("ms")
+    )
+    # element i's candidate dominators are exactly the elements before it
+    # in id order; exists() short-circuits on the first hit, so heavy
+    # near-duplicate clusters pay FEWER cosine folds than the join form
+    dominated = F.exists(
+        F.slice("ms", 1, F.col("i")),
+        lambda b: (b["id"] < F.col("a").getField("id"))
+        & (
+            cosine_from_norms(
+                F.col("a").getField("v"),
+                b["v"],
+                F.col("a").getField("n"),
+                b["n"],
+            )
+            > F.lit(threshold)
+        ),
     )
     return (
-        assigned.join(dominated, "id", "left")
+        grouped.select("cluster", F.posexplode("ms").alias("i", "a"), "ms")
         .select(
-            "id",
+            F.col("a").getField("id").alias("id"),
             "cluster",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+            (~F.coalesce(dominated, F.lit(False))).alias("keep"),
         )
     )
 
