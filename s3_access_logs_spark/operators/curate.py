@@ -85,6 +85,51 @@ def _assert_owns_partition(spark, store: str, batch_id: int) -> None:
         )
 
 
+class _DeferredReport:
+    """Handle returned by ``curate_corpus(..., _observe_report=True)``:
+    the waterfall is collected as CollectMetrics (``DataFrame.observe``)
+    riding the CALLER'S first action over the survivors frame, instead
+    of an eager report pass of its own — the batch export paths
+    (``export_training_set`` / ``write_token_store``) execute the gate
+    stack exactly once this way (guide §2.4: remove whole passes; the
+    r13 flags-cache handoff attempt bought the same single execution by
+    persisting corpus text + flags and lost 4-25 s to memory pressure —
+    an observation ships twelve counters instead). ``resolve()`` blocks
+    until that first action has run, then builds the exact report frame
+    the eager path builds (stages with >= 1 drop, same schema).
+
+    One measured corner: when the caller persists a result that comes
+    out EMPTY (zero survivors), AQE's empty-relation propagation can
+    eliminate the CollectMetrics node from the outer cached-read query,
+    which then completes the observation with a schemaless empty row —
+    ``Observation.get`` raises instead of returning counts. A non-empty
+    trunk cannot hit this (the node sits on the main lineage, so empty
+    propagation implies zero output rows). ``resolve`` falls back to
+    the eager aggregate over the retained flags lineage in exactly that
+    corner — one extra gate pass on the rare all-dropped export, zero
+    cost everywhere else."""
+
+    def __init__(self, observation, spark, flags: DataFrame) -> None:
+        self._obs = observation
+        self._spark = spark
+        self._flags = flags  # lineage handle only (never persisted here)
+
+    def resolve(self) -> DataFrame:
+        try:
+            got = self._obs.get  # blocks until the observed plan ran once
+            rows = [(s, int(got[s])) for s in STAGES if got[s]]
+        except Exception:  # the empty-cached-result corner (see above)
+            rows = (
+                self._flags.groupBy(F.col("_verdict").alias("stage"))
+                .agg(F.count("*").alias("dropped"))
+                .filter(F.col("stage") != "kept")
+                .collect()
+            )
+        return self._spark.createDataFrame(
+            rows or [], "stage string, dropped bigint"
+        )
+
+
 def _claimed_append(df, batch_id: int, store: str) -> None:
     """Claim-first store append: stamp the root ownership marker, then
     write. The marker survives the partition overwrite and any crash,
@@ -147,6 +192,7 @@ def curate_corpus(
     band_store: str | None = None,
     store_batch_id: int | None = None,
     verify_unique_ids: bool = True,
+    _observe_report: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(survivors, report)``: the kept rows (original columns)
     and a waterfall ``(stage, dropped)`` with one row per enabled stage.
@@ -178,6 +224,13 @@ def curate_corpus(
     ``benchmark`` + ``max_overlap`` (n-gram decontamination). Exact
     dedup always runs — a curation pass that can emit byte-duplicates
     is not curation.
+
+    ``_observe_report`` (INTERNAL — the batch export paths): return a
+    ``_DeferredReport`` handle in place of the report frame, its counts
+    collected as CollectMetrics during the caller's first action over
+    the survivors, so the gate stack executes once per export. Ignored
+    (eager path) when ``dst``/``store_batch_id`` is set — those already
+    materialize survivors under the scoped cache.
 
     ``verify_unique_ids`` (default True) enforces the ``id_col``
     uniqueness contract at entry with one column-pruned aggregation —
@@ -233,6 +286,19 @@ def curate_corpus(
     no session-lifetime cache leak; consuming ``survivors`` afterwards
     re-derives the cheap column flags while the expensive sub-results
     (connected components) are lineage-truncated internally."""
+    # ``_observe_report`` (internal, the batch export paths): collect
+    # the waterfall via CollectMetrics on the survivors lineage and
+    # return a ``_DeferredReport`` instead of an eager report frame —
+    # the caller's own first action over the survivors both computes
+    # its artifact AND yields the counts, so the gate stack (quality/
+    # lang regexes + the exact-dup digest window shuffle) executes ONCE
+    # per export instead of once for the report and again for the
+    # write. Falls back to the eager path when this call itself
+    # materializes survivors (``dst``/``store_batch_id``): those paths
+    # already reuse the scoped flags cache, and deferring would ADD an
+    # execution rather than remove one.
+    if _observe_report and (dst is not None or store_batch_id is not None):
+        _observe_report = False
     # cheap (driver-only / metadata-only) argument validation FIRST
     # (review r9): an invalid-argument call must not pay the
     # id-uniqueness corpus scan below before it fails
@@ -697,22 +763,46 @@ def curate_corpus(
                 verdict
             )
         flags = flags.withColumn("_verdict", verdict)
+        _obs = None
+        if _observe_report:
+            # per-stage counts as CollectMetrics below the survivor
+            # filter: the node sees every row (kept + dropped) during
+            # the CALLER'S first action, and the survivor filter needs
+            # the same flag columns anyway — zero extra passes, zero
+            # extra state (see _DeferredReport)
+            from pyspark.sql import Observation
+
+            _obs = Observation()
+            flags = flags.observe(
+                _obs,
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("_verdict") == s, F.lit(1)
+                        ).otherwise(F.lit(0))
+                    ).cast("long").alias(s)
+                    for s in STAGES
+                ],
+            )
         survivors = flags.filter(F.col("_verdict") == "kept").drop(
             "_verdict", "_line_ratio", *[f"_f_{s}" for s in STAGES]
         )
-        # the report materializes EAGERLY (it is <= len(STAGES) rows) and
-        # the lineage is then released — a session-lifetime persist per
-        # call would leak executor storage with no handle to unpersist.
-        # The expensive sub-results (connected components) are already
-        # lineage-truncated internally, so the survivor pass that follows
-        # re-derives only the cheap column flags.
-        flags = flags.persist()
-        rows = (
-            flags.groupBy(F.col("_verdict").alias("stage"))
-            .agg(F.count("*").alias("dropped"))
-            .filter(F.col("stage") != "kept")
-            .collect()
-        )
+        rows: list = []
+        if not _observe_report:
+            # the report materializes EAGERLY (it is <= len(STAGES) rows)
+            # and the lineage is then released — a session-lifetime
+            # persist per call would leak executor storage with no handle
+            # to unpersist. The expensive sub-results (connected
+            # components) are already lineage-truncated internally, so
+            # the survivor pass that follows re-derives only the cheap
+            # column flags.
+            flags = flags.persist()
+            rows = (
+                flags.groupBy(F.col("_verdict").alias("stage"))
+                .agg(F.count("*").alias("dropped"))
+                .filter(F.col("stage") != "kept")
+                .collect()
+            )
         if store_batch_id is not None:
             # incremental append, streaming-sink ordering: the digest
             # (document) partition commits BEFORE the band partition —
@@ -748,9 +838,11 @@ def curate_corpus(
             survivors.write.mode("overwrite").parquet(dst)
             survivors = docs.sparkSession.read.parquet(dst)
     finally:
-        flags.unpersist()
+        flags.unpersist()  # no-op in the _observe_report path
         for df_ in _scoped:
             df_.unpersist()
+    if _obs is not None:
+        return survivors, _DeferredReport(_obs, docs.sparkSession, flags)
     report = docs.sparkSession.createDataFrame(
         rows or [], "stage string, dropped bigint"
     )

@@ -164,12 +164,18 @@ def _curated_id_streams(
     scan would otherwise execute the gate stack twice).
     ``keep_source`` additionally carries ``source_col`` through (as
     ``source``) when the input has it — the token store persists it so
-    mixture can be applied per EPOCH at repack time (round 12)."""
+    mixture can be applied per EPOCH at repack time (round 12).
+
+    ``curate_report`` comes back as a ``curate._DeferredReport``
+    (optimization r13): the waterfall rides the caller's first action
+    as CollectMetrics instead of costing its own gate-stack pass —
+    call ``resolve_report`` on it AFTER that action."""
     from s3_access_logs_spark.functions import bpe as B
     from s3_access_logs_spark.operators.curate import curate_corpus
 
     survivors, report = curate_corpus(
-        docs, id_col=id_col, text_col=text_col, **(curate or {})
+        docs, id_col=id_col, text_col=text_col, **(curate or {}),
+        _observe_report=True,
     )
     pre_mix = None
     if mixture is not None:
@@ -197,6 +203,17 @@ def _curated_id_streams(
     if keep_source and source_col in survivors.columns:
         cols.append(F.col(source_col).alias("source"))
     return survivors.select(*cols), report, pre_mix
+
+
+def resolve_report(report) -> DataFrame:
+    """Materialize a ``_curated_id_streams`` report: a deferred
+    (CollectMetrics) handle resolves against the action that already
+    ran; an eager frame passes through — callers stay agnostic."""
+    from s3_access_logs_spark.operators.curate import _DeferredReport
+
+    if isinstance(report, _DeferredReport):
+        return report.resolve()
+    return report
 
 
 def export_training_set(
@@ -337,6 +354,9 @@ def export_training_set(
         windows.unpersist()
         if _pre_mix is not None:  # failure path: release the cache
             _pre_mix.unpersist()
+    # the write above was the observed action — the deferred waterfall
+    # is ready without a pass of its own
+    report = resolve_report(report)
     npad = int(m["npad"]) if pad is not None else 0
     sess = docs.sparkSession
     rows = [
@@ -635,6 +655,8 @@ def write_token_store(
         rows.unpersist()
         if pre_mix is not None:  # failure path: release the cache
             pre_mix.unpersist()
+    # the store write was the observed action — see resolve_report
+    report = resolve_report(report)
     sess = docs.sparkSession
     out = [
         # every stored stream ends in exactly one EOS, so the token
