@@ -792,11 +792,18 @@ def curate_corpus(
             # the report materializes EAGERLY (it is <= len(STAGES) rows)
             # and the lineage is then released — a session-lifetime
             # persist per call would leak executor storage with no handle
-            # to unpersist. The expensive sub-results (connected
-            # components) are already lineage-truncated internally, so
-            # the survivor pass that follows re-derives only the cheap
-            # column flags.
-            flags = flags.persist()
+            # to unpersist. The persist is scoped to this call and only
+            # taken when a SECOND consumer follows the report collect
+            # (the dst write / store appends): for report-only calls the
+            # collect is the final flags frame's one and only action, so
+            # caching corpus text + flags for it is pure storage-write
+            # overhead (the measured lesson of the reverted r13
+            # flags-cache handoff, at smaller stakes). The expensive
+            # sub-results (connected components) are already
+            # lineage-truncated internally, so the survivor pass that
+            # follows re-derives only the cheap column flags either way.
+            if dst is not None or store_batch_id is not None:
+                flags = flags.persist()
             rows = (
                 flags.groupBy(F.col("_verdict").alias("stage"))
                 .agg(F.count("*").alias("dropped"))
