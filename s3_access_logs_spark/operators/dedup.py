@@ -961,6 +961,22 @@ def connected_components(
             else df.localCheckpoint(eager=True)
         )
 
+    def ckpt_counted(df: DataFrame) -> tuple[DataFrame, int]:
+        """Eager checkpoint + changed-count in ONE job (optimization
+        r13): the checkpoint's materialization action completes a
+        CollectMetrics observation (verified for localCheckpoint AND
+        reliable checkpoint, including runtime- and statically-empty
+        frames, where the metric is NULL exactly like the old collect),
+        so per-round convergence detection no longer schedules a job of
+        its own — one job per round instead of two, at any scale."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = ckpt(
+            df.observe(obs, F.sum("chg").cast("long").alias("changed"))
+        )
+        return out, (obs.get["changed"] or 0)
+
     if algorithm not in ("min_label", "star"):
         raise ValueError("algorithm must be 'min_label' or 'star'")
 
@@ -990,7 +1006,7 @@ def connected_components(
     # graph that converges in 2 rounds it removes a third of the loop's
     # passes over the edge set at any scale. Every graph node appears as
     # ``dst`` (und holds both directions), so the node set is preserved.
-    first = ckpt(
+    first, changed = ckpt_counted(
         und.groupBy(F.col("dst").alias("id"))
         .agg(F.min("src").alias("nbr_min"))
         .select(
@@ -999,7 +1015,6 @@ def connected_components(
             (F.col("nbr_min") < F.col("id")).cast("int").alias("chg"),
         )
     )
-    changed = first.agg(F.sum("chg")).collect()[0][0]
     labels = first.drop("chg")
     for _ in range(max_iterations - 1):
         if not changed:
@@ -1011,7 +1026,7 @@ def connected_components(
         )
         # every graph node has >= 1 neighbor (und holds both directions),
         # so the join is inner and nbr_min is never null
-        merged = ckpt(
+        merged, changed = ckpt_counted(
             labels.join(nbr_min, "id")
             .select(
                 "id",
@@ -1019,7 +1034,6 @@ def connected_components(
                 (F.col("nbr_min") < F.col("cluster_id")).cast("int").alias("chg"),
             )
         )
-        changed = merged.agg(F.sum("chg")).collect()[0][0]
         labels = merged.drop("chg")
     if changed:
         # the LAST allowed round still changed labels — but changing INTO
