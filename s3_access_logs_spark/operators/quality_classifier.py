@@ -79,7 +79,27 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipeline.fit(labeled)
+    model = pipeline.fit(labeled)
+    # Strip the LR training summary from the returned model: the summary
+    # object pins the live SparkSession, and ``model.transform``'s
+    # prediction lambdas capture the whole model — so every scoring task
+    # closure would serialize the session along for the ride. Besides
+    # the per-task bytes, Spark 4.1's session carries a non-serializable
+    # ObservationManager, so a scoring job can die with "Task not
+    # serializable" whenever the manager holds state (any
+    # ``DataFrame.observe`` user in the same session arms it — measured:
+    # an unrelated export's observation made the next ``score_quality``
+    # count throw). Nothing in this engine reads the summary; a
+    # save/load roundtrip would drop it anyway. ``setSummary`` is
+    # package-private in Scala, which compiles to a public bytecode
+    # method — same access route PySpark's own wrappers use.
+    lr_model = model.stages[-1]
+    if getattr(lr_model, "hasSummary", False):
+        jvm = labeled.sparkSession._jvm
+        lr_model._java_obj.setSummary(
+            getattr(getattr(jvm.scala, "Option$"), "MODULE$").empty()
+        )
+    return model
 
 
 def score_quality(
