@@ -1248,6 +1248,20 @@ def lsh_bucketed_topk(
     )
 
 
+#: Per-cluster population bound for ``semantic_dedup``'s posting arrays
+#: (optimization r14, guide §2.5 hot keys — the ``max_band_freq``
+#: convention): clusters at or under the cap take the fast collect_list
+#: path; BIGGER clusters are rerouted to the spillable sort-merge
+#: self-join, because a ``collect_list`` array cannot spill and a skewed
+#: cluster (boilerplate embeddings collapsing onto one centroid) would
+#: OOM its task. 65,536 structs of a 64-dim double vector is ~40 MB —
+#: comfortably task-sized — while typical IVF sizing (nlist ~ sqrt(N),
+#: so ~sqrt(N) rows per cluster) stays far below it even at 10^9 rows.
+#: UNLIKE ``max_band_freq`` this cap never drops rows or changes any
+#: result: both paths evaluate the identical domination predicate.
+DEFAULT_MAX_CLUSTER_SIZE = 65_536
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.3,
@@ -1255,6 +1269,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     label_col: str = "label",
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = DEFAULT_MAX_CLUSTER_SIZE,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     ``(id, cluster, keep)`` for every corpus vector.
@@ -1289,6 +1304,19 @@ def semantic_dedup(
     For a recurring 100 TB job, materialize the assignment first
     (``build_ivf_index`` writes exactly that) and run the pair search
     over the stored posting lists instead.
+
+    ``max_cluster_size`` (optimization r14, guide §2.5 — the hot-key
+    split): ``collect_list`` buffers each cluster's posting array in one
+    task with NO spill path, so a pathologically skewed cluster (e.g.
+    boilerplate embeddings all landing on one centroid) would OOM where
+    the old self-join merely spilled. Clusters LARGER than the cap are
+    therefore routed to the spillable sort-merge self-join instead —
+    the SAME domination predicate, so the result set is identical row
+    for row whatever the cap; only the execution strategy (and its
+    memory bound) changes. Both branches hang off one cluster-keyed
+    exchange (the count window shares it with the groupBy), so the
+    assignment pipeline still executes once. ``None`` disables the
+    reroute (every cluster takes the array path).
     """
     cents = centroids if centroids is not None else label_centroids(
         corpus, label_col, vec_col
@@ -1299,6 +1327,17 @@ def semantic_dedup(
         l2_norm(vec_col).alias("n"),
     )
     assigned = _assign_clusters(c, cents, "v", 1)
+    hot = None
+    if max_cluster_size is not None:
+        counted = assigned.withColumn(
+            "_csize", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        )
+        hot = counted.filter(
+            F.col("_csize") > max_cluster_size
+        ).drop("_csize")
+        assigned = counted.filter(
+            F.col("_csize") <= max_cluster_size
+        ).drop("_csize")
     grouped = assigned.groupBy("cluster").agg(
         F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("ms")
     )
@@ -1318,7 +1357,7 @@ def semantic_dedup(
             > F.lit(threshold)
         ),
     )
-    return (
+    out = (
         grouped.select("cluster", F.posexplode("ms").alias("i", "a"), "ms")
         .select(
             F.col("a").getField("id").alias("id"),
@@ -1326,6 +1365,38 @@ def semantic_dedup(
             (~F.coalesce(dominated, F.lit(False))).alias("keep"),
         )
     )
+    if hot is None:
+        return out
+    # over-cap clusters: the pre-r13 spillable self-join form — the SAME
+    # predicate (``b.id < a.id`` and the identical cosine expression), so
+    # the union below is exactly the uncapped result set. ``cluster`` is
+    # never NULL (_assign_clusters coalesces garbage rows to the sentinel
+    # key), so plain equality matches the groupBy's grouping.
+    a, b = hot.alias("a"), hot.alias("b")
+    hot_dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.id") < F.col("a.id"))
+            & (
+                cosine_from_norms("a.v", "b.v", "a.n", "b.n")
+                > F.lit(threshold)
+            ),
+            "leftsemi",
+        )
+        .select("id")
+        # DISTINCT before the join-back: duplicate ids in a hot cluster
+        # would otherwise multiply rows through the left join, where the
+        # array path emits exactly one output row per input row
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    hot_out = hot.join(hot_dominated, "id", "left").select(
+        "id",
+        "cluster",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+    )
+    return out.unionByName(hot_out)
 
 
 # ---------------------------------------------------------------------------
