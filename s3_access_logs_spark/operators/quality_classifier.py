@@ -28,6 +28,17 @@ from s3_access_logs_spark.functions.text import words
 DEFAULT_NUM_FEATURES = 1 << 18
 
 
+def _strip_summary(lr_model, spark) -> None:
+    """Clear ``lr_model``'s training summary via the package-private JVM
+    setter (see the inline comment in ``train_quality_classifier``).
+    Isolated as a module seam so tests can simulate a Spark release that
+    removed the method; callers must treat any raise as non-fatal."""
+    jvm = spark._jvm
+    lr_model._java_obj.setSummary(
+        getattr(getattr(jvm.scala, "Option$"), "MODULE$").empty()
+    )
+
+
 def train_quality_classifier(
     positives: DataFrame,
     negatives: DataFrame,
@@ -41,7 +52,16 @@ def train_quality_classifier(
     ``positives`` (label 1) from ``negatives`` (label 0). Returns the
     fitted ``PipelineModel``; persist with ``model.write().save(path)``
     and reload with ``PipelineModel.load`` — the artifact is
-    coefficient-sized, never data-sized."""
+    coefficient-sized, never data-sized.
+
+    The returned model has its LR **training summary removed**
+    (``model.stages[-1].hasSummary`` is False): the summary pins the
+    live SparkSession into every scoring task closure — see the inline
+    comment for the measured "Task not serializable" failure it causes.
+    Callers needing training diagnostics should compute them from the
+    scored frames instead. Best-effort: if the JVM setter disappears in
+    a future Spark, the summary is kept (slower, session-pinned scoring
+    closures) rather than failing the train."""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
@@ -93,12 +113,26 @@ def train_quality_classifier(
     # save/load roundtrip would drop it anyway. ``setSummary`` is
     # package-private in Scala, which compiles to a public bytecode
     # method — same access route PySpark's own wrappers use.
+    # GUARDED (ADVICE r13): setSummary is package-private Scala reached
+    # through py4j — a Spark minor bump renaming or truly privatizing it
+    # must degrade to "summary kept" (slower, documented above), never
+    # break training for every caller.
     lr_model = model.stages[-1]
     if getattr(lr_model, "hasSummary", False):
-        jvm = labeled.sparkSession._jvm
-        lr_model._java_obj.setSummary(
-            getattr(getattr(jvm.scala, "Option$"), "MODULE$").empty()
-        )
+        try:
+            _strip_summary(lr_model, labeled.sparkSession)
+        except Exception as e:  # noqa: BLE001 — perf nicety, not a gate
+            import warnings
+
+            warnings.warn(
+                "train_quality_classifier: could not strip the LR "
+                f"training summary ({type(e).__name__}: {e}); the model "
+                "still scores correctly but its task closures serialize "
+                "the session (and can hit 'Task not serializable' when "
+                "DataFrame.observe is in use in the same session)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return model
 
 
