@@ -102,29 +102,86 @@ class _DeferredReport:
     out EMPTY (zero survivors), AQE's empty-relation propagation can
     eliminate the CollectMetrics node from the outer cached-read query,
     which then completes the observation with a schemaless empty row —
-    ``Observation.get`` raises instead of returning counts. A non-empty
-    trunk cannot hit this (the node sits on the main lineage, so empty
-    propagation implies zero output rows). ``resolve`` falls back to
-    the eager aggregate over the retained flags lineage in exactly that
-    corner — one extra gate pass on the rare all-dropped export, zero
-    cost everywhere else."""
+    ``Observation.get`` raises (KeyError on the stage names) instead of
+    returning counts. A non-empty trunk cannot hit this (the node sits
+    on the main lineage, so empty propagation implies zero output
+    rows). ``resolve`` falls back to the eager aggregate over the
+    retained flags lineage in exactly that corner — one extra gate pass
+    on the rare all-dropped export, zero cost everywhere else.
+
+    ORDERING (ADVICE r13): the observation only completes when the
+    caller's first action over the survivors frame runs. ``resolve``
+    therefore waits a BOUNDED 2 s for the metrics row instead of
+    blocking forever — a caller that resolves before acting (nothing in
+    this repo does, but ``export.resolve_report`` is public) gets a
+    RuntimeWarning and the eager recompute, never a deadlock. Any
+    failure mode other than the two known ones (empty-cache corner,
+    no-action-yet) also warns before recomputing, so unexpected
+    observation breakage is visible instead of a quiet 2x-cost pass."""
 
     def __init__(self, observation, spark, flags: DataFrame) -> None:
         self._obs = observation
         self._spark = spark
         self._flags = flags  # lineage handle only (never persisted here)
 
+    def _eager_rows(self):
+        return (
+            self._flags.groupBy(F.col("_verdict").alias("stage"))
+            .agg(F.count("*").alias("dropped"))
+            .filter(F.col("stage") != "kept")
+            .collect()
+        )
+
     def resolve(self) -> DataFrame:
-        try:
-            got = self._obs.get  # blocks until the observed plan ran once
-            rows = [(s, int(got[s])) for s in STAGES if got[s]]
-        except Exception:  # the empty-cached-result corner (see above)
-            rows = (
-                self._flags.groupBy(F.col("_verdict").alias("stage"))
-                .agg(F.count("*").alias("dropped"))
-                .filter(F.col("stage") != "kept")
-                .collect()
+        import threading
+        import warnings
+
+        # bounded wait in a daemon thread (no JVM-private API): in the
+        # contract flow the caller's action already ran, so .get returns
+        # in milliseconds; a mis-ordered caller hits the timeout instead
+        # of deadlocking (the thread completes harmlessly later, or dies
+        # with the process)
+        box: dict = {}
+
+        def _fetch() -> None:
+            try:
+                box["got"] = self._obs.get
+            except Exception as e:  # noqa: BLE001 — classified below
+                box["err"] = e
+
+        t = threading.Thread(
+            target=_fetch, daemon=True, name="curate-report-observation"
+        )
+        t.start()
+        t.join(2.0)
+        if t.is_alive():
+            warnings.warn(
+                "curate report observation not completed after 2 s — "
+                "resolve_report was called before the caller's first "
+                "action over the survivors frame; recomputing the "
+                "report eagerly (one extra gate pass). Run the export/"
+                "store action first to avoid the recompute.",
+                RuntimeWarning,
+                stacklevel=2,
             )
+            rows = self._eager_rows()
+        else:
+            try:
+                if "err" in box:
+                    raise box["err"]
+                got = box["got"]
+                rows = [(s, int(got[s])) for s in STAGES if got[s]]
+            except KeyError:  # the empty-cached-result corner (see above)
+                rows = self._eager_rows()
+            except Exception as e:  # noqa: BLE001 — unexpected: warn loud
+                warnings.warn(
+                    f"curate report observation failed unexpectedly "
+                    f"({type(e).__name__}: {e}); recomputing the report "
+                    "eagerly — investigate, this costs a full gate pass",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                rows = self._eager_rows()
         return self._spark.createDataFrame(
             rows or [], "stage string, dropped bigint"
         )
