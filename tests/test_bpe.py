@@ -1348,9 +1348,10 @@ class TestDecode:
         vocab = B.bpe_vocab(ms, alphabet=text)
         toks = B.bpe_encode_py(text, ms)
         assert B.decode_tokens(toks) == text
-        # unk (-1) and out-of-range ids are skipped, not crashes
+        # unk (-1), out-of-range ids AND NULL elements inside a stream
+        # (a corrupt store — ADVICE r12) are skipped, not crashes
         idx = {s: i for i, s in enumerate(vocab)}
-        ids = [idx[t] for t in toks] + [-1, len(vocab) + 7]
+        ids = [idx[t] for t in toks] + [-1, len(vocab) + 7, None]
         df = spark.createDataFrame([(ids,)], "ids array<int>")
         r = df.select(
             B.bpe_decode_ids("ids", vocab).alias("t")

@@ -1273,6 +1273,55 @@ class TestSemanticDedup:
         out = semantic_dedup(emb, threshold=0.5).collect()
         assert all(r.keep for r in out)
 
+    def test_skewed_cluster_cap_reroutes_without_semantics_change(
+        self, spark
+    ):
+        """Optimization r14 (VERDICT r13 item 3, guide §2.5): a cluster
+        bigger than ``max_cluster_size`` must NOT be collected into one
+        unspillable posting array — it reroutes to the spillable
+        self-join — and the rerouting must not change a single output
+        row. One hot cluster holds ~all rows (the boilerplate-embedding
+        collapse), a second small cluster rides the array path, so the
+        union covers both branches."""
+        import math
+
+        from s3_access_logs_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # 60 vectors fanned tightly around +x (one centroid wins all of
+        # them) + 3 around +y. Deterministic angles; neighbors inside
+        # the fan are near-duplicates at threshold 0.9.
+        rows = []
+        for i in range(60):
+            t = 0.001 * i
+            rows.append((i, [math.cos(t), math.sin(t), 0.0], "x"))
+        for i in range(60, 63):
+            t = 0.001 * (i - 60)
+            rows.append((i, [0.0, math.cos(t), math.sin(t)], "y"))
+        emb = spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]
+        )
+        uncapped = {
+            (r.id, r.cluster, r.keep)
+            for r in semantic_dedup(
+                emb, threshold=0.9, max_cluster_size=None
+            ).collect()
+        }
+        capped = semantic_dedup(emb, threshold=0.9, max_cluster_size=8)
+        got = [(r.id, r.cluster, r.keep) for r in capped.collect()]
+        assert len(got) == len(rows)  # one output row per input row
+        assert set(got) == uncapped  # bit-for-bit the same decisions
+        # the hot branch really is a join (the spillable form), not a
+        # posting-array collect
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan
+        # sanity on the decisions themselves: in the hot fan every row
+        # is dominated by id 0; the small cluster keeps its lowest id
+        by_id = dict((i, k) for i, _, k in got)
+        assert by_id[0] is True and by_id[60] is True
+        assert not any(by_id[i] for i in range(1, 60))
+
 
 class TestPackedSequencesTies:
     def test_duplicate_and_null_id_tie_order_matches_oracle(
@@ -2113,6 +2162,41 @@ class TestTokenStoreEpochs:
         ).collect()
         # explicit ids reproduce exactly what the sidecar gave
         assert ok == r2
+
+    def test_store_preflight_counts_eos_not_assumes(self, spark, tmp_path):
+        """ADVICE r12 (pinned r14): the pre-flight COUNTS EOS markers
+        instead of assuming exactly one per stored stream — a foreign /
+        pre-scheme store with multi-document rows or missing trailing
+        EOS must report total_ids and docs_per_window from the observed
+        boundaries, not off-by-n_docs."""
+        from s3_access_logs_spark.operators.export import (
+            store_preflight_report,
+        )
+
+        store = str(tmp_path / "foreign")
+        rows = [
+            (1, [1, 9, 2, 9], 0),  # two documents in one stored row
+            (2, [0, 2, 3], 0),     # no trailing EOS at all (id 0 = unk)
+            (3, [7], 1),           # no EOS either
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, ids array<int>, shard int"
+        ).write.partitionBy("shard").parquet(store)
+        rep = store_preflight_report(
+            spark, store, window_ids=4, unk_id=0, eos_id=9
+        ).collect()
+        assert len(rep) == 1
+        r = rep[0]
+        # counted: 8 stored ids minus the 2 OBSERVED EOS (assuming one
+        # per row would report 5); unk id 0 appears once
+        assert r.n_docs == 3
+        assert r.total_ids == 6
+        assert r.unk_ids == 1
+        # layout: shard0 stream 7 -> 2 windows, shard1 stream 1 -> 1
+        assert r.n_windows == 3
+        assert r.pad_ids == 3 * 4 - 8
+        # docs_per_window counts EOS BOUNDARIES (2), not rows (3)
+        assert r.docs_per_window == round(2 / 3, 6)
 
     def test_write_token_store_mixture_accounting(self, spark, tmp_path):
         """The store path's mixture row keeps the exact conservation
@@ -4891,6 +4975,9 @@ class TestQualityClassifier:
         assert set(out.columns) == set(docs.columns) | {"quality_prob"}
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # scoring is a narrow pass
+        # r13: the training summary (which pins the live session into
+        # scoring closures) is stripped from the returned model
+        assert not model.stages[-1].hasSummary
 
     def test_model_roundtrips_to_disk(self, spark, tmp_path):
         from pyspark.ml import PipelineModel
@@ -4912,6 +4999,46 @@ class TestQualityClassifier:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+    def test_summary_strip_failure_degrades_to_slower_not_broken(
+        self, spark, monkeypatch
+    ):
+        """ADVICE r13 / VERDICT r13 item 8: the summary strip reaches a
+        package-private JVM setter; if a Spark bump removes it, training
+        must WARN and return a model that still scores (summary kept =
+        slower closures), never raise."""
+        import warnings as _w
+
+        import s3_access_logs_spark.operators.quality_classifier as QC
+        from s3_access_logs_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs, neg = self._seed(spark)
+
+        # simulate the Spark-bump failure at the isolated seam (fit()
+        # itself must stay healthy — patching session internals breaks
+        # pyspark far beyond the guard under test)
+        def _gone(lr_model, sess):
+            raise AttributeError("setSummary removed in this Spark")
+
+        monkeypatch.setattr(QC, "_strip_summary", _gone)
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            model = train_quality_classifier(
+                docs, neg, num_features=1 << 10, max_iter=5
+            )
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "could not strip" in str(w.message)
+            for w in caught
+        )
+        # degraded, not broken: the summary is kept and scoring works
+        assert model.stages[-1].hasSummary
+        monkeypatch.undo()
+        scored = score_quality(docs.limit(5), model)
+        assert scored.filter(F.col("quality_prob").isNotNull()).count() == 5
 
     def test_difference_classifier_separates_and_is_deterministic(
         self, spark

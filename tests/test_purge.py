@@ -116,6 +116,18 @@ class TestPurgeTokenStore:
         with pytest.raises(ValueError, match="no 'doc_id' column"):
             purge_documents(spark, [1], token_store=p)
 
+    def test_non_integral_id_store_fails_loud(self, spark, tmp_path):
+        """ADVICE r12 (pinned r14): a store whose id column is not an
+        integral dtype must raise — Spark's implicit cast against the
+        bigint purge-id frame would NULL unmatched values and report a
+        vacuous rows_purged=0 for a takedown."""
+        p = str(tmp_path / "strstore")
+        spark.createDataFrame(
+            [("1", [1, 2], 0)], "doc_id string, ids array<int>, shard int"
+        ).write.partitionBy("shard").parquet(p)
+        with pytest.raises(ValueError, match="non-integral id stores"):
+            purge_documents(spark, [1], token_store=p)
+
     def test_id_set_guard(self, spark, monkeypatch, tmp_path):
         import s3_access_logs_spark.operators.purge as P
 
