@@ -1,5 +1,6 @@
 """Dump `.explain("formatted")` for every bench-set query (and the bench
-flagship builders) into plans/r13/<query>_<tag>.txt.
+flagship builders) into plans/<round>/<query>_<tag>.txt (round via
+$PLANS_ROUND, default r14).
 
 Usage: python tools/dump_bench_plans.py <tag> [sf_dir] [query ...]
 
@@ -34,7 +35,9 @@ def main() -> None:
     tag = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     only = set(sys.argv[3:])
-    out_dir = Path("plans/r13")
+    import os
+
+    out_dir = Path("plans") / os.environ.get("PLANS_ROUND", "r14")
     out_dir.mkdir(parents=True, exist_ok=True)
     queries = {
         name: q.builder
