@@ -1039,6 +1039,20 @@ def append_to_ivf_index(
         l2_norm(vec_col).alias("c_norm"),
     )
     assigned = _assign_clusters(c, centroids, "c_vec", 1)
+    # The returned stats RIDE the append write as CollectMetrics
+    # (optimization r14, guide §1.2 — the curate observe-report shape):
+    # previously a separate groupBy collect materialized a persist and
+    # the write re-read the cache — two jobs, two passes (one full, one
+    # cached) per append. Now ONE write job pays the assignment+join
+    # lineage once, no persist pressure, and the two counts cross the
+    # boundary as longs. The write runs unconditionally: a zero-fresh
+    # append commits no files (same on-disk no-op as the old skipped
+    # write) but still completes the observation. Fallback below: any
+    # observation failure recomputes the counts eagerly (one extra
+    # pass — the old cost), warning loudly, never losing the contract.
+    from pyspark.sql import Observation
+
+    obs = Observation()
     if skip_existing:
         touched = sorted(
             r["cluster"]
@@ -1049,41 +1063,68 @@ def append_to_ivf_index(
             .filter(F.col("cluster").isin(touched))
             .select("neighbor_id", F.lit(True).alias("_seen"))
         )
-        marked = assigned.join(existing, "neighbor_id", "left").persist()
-        try:
-            fresh = marked.filter(F.col("_seen").isNull()).drop("_seen")
-            stats = {
-                r["_seen"]: r["n"]
-                for r in marked.groupBy("_seen").agg(
-                    F.count("*").alias("n")
-                ).collect()
-            }
-            appended = stats.get(None, 0)
-            skipped = stats.get(True, 0)
-            if appended:
-                (
-                    fresh.repartition("cluster")
-                    .write.mode("append")
-                    .partitionBy("cluster")
-                    .parquet(index_path)
-                )
-        finally:
-            marked.unpersist()
-        return {"appended": appended, "skipped_existing": skipped}
-    # two consumers (count + write) -> persist, else the broadcast-
-    # argmin assignment lineage executes twice per append
-    assigned = assigned.persist()
-    try:
-        appended = assigned.count()
-        (
-            assigned.repartition("cluster")
-            .write.mode("append")
-            .partitionBy("cluster")
-            .parquet(index_path)
+        marked = assigned.join(existing, "neighbor_id", "left").observe(
+            obs,
+            F.sum(
+                F.when(F.col("_seen").isNull(), 1).otherwise(0)
+            ).alias("appended"),
+            F.sum(
+                F.when(F.col("_seen"), 1).otherwise(0)
+            ).alias("skipped"),
         )
-    finally:
-        assigned.unpersist()
-    return {"appended": appended, "skipped_existing": 0}
+        fresh = marked.filter(F.col("_seen").isNull()).drop("_seen")
+    else:
+        # observed expressions must be aggregates; skipped is identically
+        # zero on this path and set directly below
+        fresh = assigned.observe(
+            obs,
+            F.count(F.lit(1)).alias("appended"),
+            F.sum(F.lit(0)).cast("bigint").alias("skipped"),
+        )
+    (
+        fresh.repartition("cluster")
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(index_path)
+    )
+    def _eager_counts() -> tuple[int, int]:
+        if not skip_existing:
+            return assigned.count(), 0
+        stats = {
+            r["_seen"]: r["n"]
+            for r in marked.groupBy("_seen").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        return stats.get(None, 0), stats.get(True, 0)
+
+    try:
+        got = obs.get  # completed by the write above — returns instantly
+        appended = int(got["appended"] or 0)
+        skipped = int(got["skipped"] or 0)
+    except Exception as e:  # noqa: BLE001 — classified below
+        # KNOWN corner (measured, Spark 4.1 + AQE): when the append's
+        # final frame is runtime-EMPTY — i.e. a fully-replayed slice,
+        # every id already present — AQE's empty-relation propagation
+        # drops the CollectMetrics node and the observation completes
+        # with a schemaless row; Observation.get surfaces it as a py4j
+        # AssertionError from PythonSQLUtils.toPyRow. Recompute the
+        # counts eagerly and silently there (replays are the crash-
+        # recovery path — correct beats chatty); warn loudly on any
+        # OTHER failure so real observation breakage stays visible.
+        if not ("AssertionError" in str(e) or "toPyRow" in str(e)):
+            import warnings
+
+            warnings.warn(
+                f"append_to_ivf_index: stats observation failed "
+                f"unexpectedly ({type(e).__name__}: {e}); recomputing "
+                "counts eagerly — one extra pass over the append "
+                "lineage",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        appended, skipped = _eager_counts()
+    return {"appended": appended, "skipped_existing": skipped}
 
 
 def random_projection(
