@@ -1413,8 +1413,24 @@ def semantic_dedup(
     # the union below is exactly the uncapped result set. ``cluster`` is
     # never NULL (_assign_clusters coalesces garbage rows to the sentinel
     # key), so plain equality matches the groupBy's grouping.
-    a, b = hot.alias("a"), hot.alias("b")
-    hot_dominated = (
+    #
+    # Plan shape (measured at the 64k x nlist=256 probe): ``keep`` is
+    # derived by AGGREGATING the left join (count of dominators == 0),
+    # NOT by a semi-join + join-back — the join-back instance pruned
+    # ``v``/``n`` from its copy of the pipeline, de-canonicalizing the
+    # shared cluster exchange and forcing a full extra assignment pass
+    # (~1.7x the whole query). With both join sides and the array
+    # branch consuming the identical (id, v, n, cluster, _csize)
+    # columns, all three instances canonicalize to ONE exchange and the
+    # assignment pipeline executes once. The count aggregate partially
+    # aggregates map-side, so the O(cluster^2) join matches never
+    # shuffle.
+    # the merge hint is load-bearing: the planner's size estimate for the
+    # hot side can be far under the broadcast threshold, and a broadcast
+    # build of an OVER-CAP cluster set is exactly the unbounded memory
+    # this path exists to avoid — sort-merge spills
+    a, b = hot.alias("a").hint("merge"), hot.alias("b").hint("merge")
+    hot_out = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
@@ -1423,19 +1439,12 @@ def semantic_dedup(
                 cosine_from_norms("a.v", "b.v", "a.n", "b.n")
                 > F.lit(threshold)
             ),
-            "leftsemi",
+            "left",
         )
-        .select("id")
-        # DISTINCT before the join-back: duplicate ids in a hot cluster
-        # would otherwise multiply rows through the left join, where the
-        # array path emits exactly one output row per input row
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
-    hot_out = hot.join(hot_dominated, "id", "left").select(
-        "id",
-        "cluster",
-        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        .groupBy(
+            F.col("a.id").alias("id"), F.col("a.cluster").alias("cluster")
+        )
+        .agg((F.count(F.col("b.id")) == 0).alias("keep"))
     )
     return out.unionByName(hot_out)
 

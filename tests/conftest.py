@@ -16,10 +16,21 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark(tmp_path_factory):
     from s3_access_logs_spark.session import get_spark
 
+    # Suite wall-time (optimization r14, VERDICT r13 item 1): the fixed
+    # local[8]/sp=8 session left most of the machine idle — a
+    # representative heavy slice ran 198 s at local[8]/sp=8, 153 s at
+    # local[16]/sp=16, 140 s at local[32]/sp=16 (AQE off was SLOWER,
+    # 166 s — its tiny-partition coalescing pays for its planning here).
+    # Cores follow the machine (capped: beyond 32 the scheduling floor
+    # dominates tiny test data); shuffle partitions stay a constant 16
+    # so partition-count-sensitive behavior is machine-independent.
+    import os
+
+    cores = min(32, os.cpu_count() or 8)
     s = get_spark(
         "pytest",
-        master="local[8]",
-        shuffle_partitions=8,
+        master=f"local[{cores}]",
+        shuffle_partitions=16,
         extra_conf={
             "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse"))
         },

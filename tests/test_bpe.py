@@ -1290,6 +1290,48 @@ class TestDistributedTrainer:
             f"leaked checkpoint/persist blocks: {sorted(after - before)}"
         )
 
+    def test_delta_blocks_bounded_at_every_iteration(self, spark):
+        """VERDICT r13 item 6: the delta strategy checkpoints TWO frames
+        per merge round (pair table + words) plus a transient third in
+        flight; live checkpoint blocks must stay at that constant at
+        EVERY iteration — a per-iteration bound proves non-accumulation
+        for ANY merge count (1024 or 100k), without a production-length
+        run in the suite. The ≥1024-merge end-state run lives in
+        tools/bpe_scale.py evidence (OPTIMIZATION_r14.md); this pins
+        the invariant the evidence relies on."""
+        import itertools
+        import string
+
+        sc = spark.sparkContext._jsc.sc()
+        baseline = len(sc.getRDDStorageInfo())
+        # enough distinct words that 32 merge rounds stay productive
+        vocab = [
+            "".join(w)
+            for w in itertools.islice(
+                itertools.product(string.ascii_lowercase, repeat=4), 60
+            )
+        ]
+        df = spark.createDataFrame(
+            [(" ".join(vocab),)] * 2, "text string"
+        )
+        peaks = []
+
+        def hook(n_merges, _sec):
+            peaks.append(len(sc.getRDDStorageInfo()) - baseline)
+
+        ms = B.train_bpe_distributed(
+            df,
+            num_merges=32,
+            min_freq=2,
+            strategy="delta",
+            iteration_hook=hook,
+        )
+        assert len(ms) == 32  # every iteration exercised the swap
+        # steady state holds nxt_P + nxt_words (2 checkpoint block
+        # sets); the seed persist may still be live on iteration 1
+        assert peaks and max(peaks) <= 3, f"block growth: {peaks}"
+        assert len(sc.getRDDStorageInfo()) <= baseline
+
 
 class TestDecode:
     """Round 12: the decode half — id streams back to text, the store
